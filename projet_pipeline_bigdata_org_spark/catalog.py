@@ -1,0 +1,62 @@
+"""Table catalog over the driver-provided parquet testdata.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet per table under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+Scans are plain ``spark.read.parquet`` so Catalyst gets full predicate
+pushdown / column pruning; at 100 TB the same call points at a partitioned
+parquet/lakehouse directory and partition pruning applies unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension tables small enough to broadcast at any realistic scale factor
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark lacks;
+    with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as LongType
+    nanos and is floored to microsecond TimestampType here — the same
+    truncation DuckDB applies when surfacing ns timestamps.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for the SQL surface)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,837 @@
+"""Relational core: scans, predicates, joins, aggregations, windows, sorts,
+set ops, grouping sets — the [GAP→add] surface of SURVEY.md §2.2-2.8.
+
+The reference delegates all relational work to stock PySpark (it has no joins,
+groupBy, windows, or sorts of its own — SURVEY.md §2.3-2.7); here each
+operator is a declarative DataFrame plan so Catalyst supplies pushdown,
+pruning, join selection, partial aggregation, and AQE. Scale notes per query
+explain why the plan survives 100 TB.
+
+Every query has a DuckDB oracle twin; numeric parity via functions.exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from projet_pipeline_bigdata_org_spark.catalog import load
+from projet_pipeline_bigdata_org_spark.functions.exact import davg, dec, dsum
+from projet_pipeline_bigdata_org_spark.plans.registry import query
+
+D12 = T.DecimalType(12, 2)
+D4 = T.DecimalType(4, 2)
+
+
+def _d12(c: str) -> F.Column:
+    return F.col(c).cast(D12)
+
+
+def _d4(c: str) -> F.Column:
+    return F.col(c).cast(D4)
+
+
+def ONE() -> F.Column:
+    # lazy: F.lit needs an active SparkContext in classic mode
+    return F.lit(1).cast(D4)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "relational"),
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter → groupBy 2 keys → 8 aggregates.
+
+    Scale: partial HashAggregate before the exchange (map-side combine) means
+    the shuffle carries 6 groups × 32 partitions, not 100 TB of rows; the
+    date filter is pushed to the parquet scan.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = _d12("l_extendedprice") * (ONE() - _d4("l_discount"))
+    charge = disc_price * (ONE() + _d4("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_balance,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_balance,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "relational"),
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy + count_distinct + min/max (distinct expands then re-aggregates;
+    Catalyst plans expand + two-phase agg — no driver involvement)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.count_distinct(F.col("c_nationkey")).alias("n_nations"),
+            dsum("c_acctbal", "total_balance"),
+            F.min("c_acctbal").alias("min_balance"),
+            F.max("c_acctbal").alias("max_balance"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("agg", "relational"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal", "total_balance"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "relational"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions (Expand + two-phase agg)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Predicates / projections (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+    FROM lineitem
+    WHERE l_quantity BETWEEN 5 AND 15
+      AND l_returnflag IN ('A', 'R')
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND NOT (l_discount > 0.08)
+      AND l_linestatus = 'F'
+    """,
+    tags=("filter", "relational"),
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison / IN / BETWEEN / boolean predicate pack, pushed to parquet.
+
+    Scale: all five conjuncts reach the scan as PushedFilters; column pruning
+    trims the read schema to 5 of 11 columns.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(5, 15)
+        & F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & ~(F.col("l_discount") > 0.08)
+        & (F.col("l_linestatus") == "F")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+
+
+@query(
+    "filter_like_null",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_name LIKE '%gear%' AND p_type IS NOT NULL AND p_size < 30
+    """,
+    tags=("filter", "relational"),
+)
+def filter_like_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE + IS NOT NULL + comparison on the part dimension."""
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%gear%")
+        & F.col("p_type").isNotNull()
+        & (F.col("p_size") < 30)
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@query(
+    "project_case",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice,
+           CASE WHEN o_totalprice > 300000 THEN 'HOT'
+                WHEN o_totalprice > 150000 THEN 'UP'
+                ELSE 'LOW' END AS price_bucket,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS totalprice_cents
+    FROM orders
+    """,
+    tags=("project", "relational"),
+)
+def project_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing (reference P7 pattern, engine.py:186-189) + round.
+
+    The rounded column targets an exact integer (2-decimal price × 100) so
+    rounding-mode differences between engines (Spark HALF_UP decimal vs
+    DuckDB double-path) cannot surface.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_totalprice") > 300000, "HOT")
+        .when(F.col("o_totalprice") > 150000, "UP")
+        .otherwise("LOW")
+        .alias("price_bucket"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("totalprice_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_inner_orders_customer",
+    oracle="""
+    SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'O'
+    """,
+    tags=("join", "relational"),
+)
+def join_inner_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact→dim; Catalyst picks broadcast vs sort-merge by
+    size (AQE re-plans at runtime if the estimate is off)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+    )
+
+
+@query(
+    "join_left_order_counts",
+    oracle="""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 0) AS DOUBLE) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    tags=("join", "agg", "relational"),
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT join preserving customers with zero orders; COUNT(col) null
+    semantics match SQL."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast(T.DecimalType(18, 6)))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    tags=("join", "relational"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI ≡ EXISTS — no row duplication, right side never materialized
+    into the output (cheapest existence check at scale)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join", "relational"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI ≡ NOT EXISTS (customers that never ordered)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_broadcast_part_revenue",
+    oracle="""
+    SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'ECONOMY'
+    GROUP BY p_brand
+    """,
+    tags=("join", "agg", "relational"),
+)
+def join_broadcast_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the part dim (the reference's topic-label dict,
+    engine.py:41-69, re-expressed as a broadcast hash join): the 100 TB fact
+    side never shuffles for the join."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    revenue = _d12("l_extendedprice") * (ONE() - _d4("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_nonequi_range",
+    oracle="""
+    SELECT s_suppkey, s_name, COUNT(*) AS n_close_customers
+    FROM supplier JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+    GROUP BY s_suppkey, s_name
+    """,
+    tags=("join", "relational"),
+)
+def join_nonequi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join (BroadcastNestedLoop with the small side broadcast).
+
+    Scale: the supplier side is tiny → broadcast; at 100 TB one would
+    bucketize c_acctbal and turn this into an equi-join on bucket + filter
+    (see operators/similarity.py for that pattern on embeddings)."""
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    cond = c.c_acctbal.between(s.s_acctbal - 100, s.s_acctbal + 100)
+    return (
+        c.join(F.broadcast(s), cond)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_close_customers"))
+    )
+
+
+@query(
+    "join_cross_region_nation",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_pairs
+    FROM region CROSS JOIN nation
+    GROUP BY r_name
+    """,
+    tags=("join", "relational"),
+)
+def join_cross_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (tiny dims only; guarded by crossJoin API)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).groupBy("r_name").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "join_multiway_revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("join", "agg", "relational", "flagship"),
+)
+def join_multiway_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: 5-way join (TPC-H Q5-shaped) revenue rollup by nation.
+
+    Scale: nation/region broadcast (≤25 rows at any SF); lineitem⋈orders is
+    the only real shuffle, on the join key both sides; the date filter prunes
+    orders at the scan before the join; AQE handles skewed order keys.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    revenue = _d12("l_extendedprice") * (ONE() - _d4("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_topk_orders_per_customer",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    tags=("window", "relational"),
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via row_number (deterministic tie-break on orderkey).
+
+    Scale: one shuffle on the partition key; no global sort. For heavy-hitter
+    keys AQE skew handling applies; K rows per key bound the state."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_rank_dense_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(RANK()       OVER w AS BIGINT) AS bal_rank,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS bal_dense_rank,
+           CAST(NTILE(4)     OVER w AS BIGINT) AS bal_quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window", "relational"),
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over one window definition."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+    )
+
+
+@query(
+    "window_lag_lead_events",
+    oracle="""
+    SELECT event_id, user_id, value,
+           LAG(value)  OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           value - LAG(value) OVER w AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "relational", "events"),
+)
+def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics per user ordered by event time (tie-break event_id)."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running_orders
+    FROM orders
+    """,
+    tags=("window", "relational"),
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate over a ROWS frame; decimal accumulation keeps every
+    prefix sum exact and engine-independent."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        F.count(F.lit(1)).over(w).cast("long").alias("running_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+@query(
+    "sort_limit_top_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort", "relational"),
+)
+def sort_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-K: Spark plans TakeOrderedAndProject — per-partition heaps
+    of K rows then a K-row merge on the driver; no global sort at 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "sort_nulls_ordering",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CASE WHEN value > 10 THEN value END AS big_value
+    FROM events
+    ORDER BY big_value DESC NULLS LAST, event_id
+    LIMIT 50
+    """,
+    tags=("sort", "relational", "events"),
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS LAST ordering over a nullable derived column."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.when(F.col("value") > 10, F.col("value")).alias("big_value"),
+        )
+        .orderBy(F.col("big_value").desc_nulls_last(), "event_id")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier WHERE s_acctbal > 9000
+    """,
+    tags=("setop", "relational"),
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer WHERE c_acctbal > 9500
+    INTERSECT
+    SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+    """,
+    tags=("setop", "relational"),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — planned as an aggregate + semi join."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9500).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT CAST(n_nationkey AS INT) AS nationkey FROM nation
+    EXCEPT
+    SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+    """,
+    tags=("setop", "relational"),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — nations with no supplier."""
+    n = load(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return n.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function packs (SURVEY §2.8 gaps)
+# ---------------------------------------------------------------------------
+
+@query(
+    "func_string_pack",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           SUBSTR(p_name, 1, 5) AS name_prefix,
+           CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+           CONCAT(p_brand, '-', p_type) AS brand_type,
+           LPAD(p_brand, 12, '*') AS brand_padded,
+           REPLACE(p_name, ' ', '_') AS name_snake,
+           CAST(INSTR(p_name, 'e') AS BIGINT) AS first_e,
+           TRIM(CONCAT('  ', p_name, '  ')) AS name_trimmed
+    FROM part
+    """,
+    tags=("function", "relational"),
+)
+def func_string_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function pack (upper/substr/length/concat/lpad/replace/instr/trim)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.instr(F.col("p_name"), "e").cast("long").alias("first_e"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trimmed"),
+    )
+
+
+@query(
+    "func_date_pack",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+           CAST(MONTH(o_orderdate) AS BIGINT) AS mo,
+           CAST(DAY(o_orderdate) AS BIGINT) AS dom,
+           CAST(QUARTER(o_orderdate) AS BIGINT) AS qtr,
+           CAST(DAYOFYEAR(o_orderdate) AS BIGINT) AS doy,
+           CAST(DAYOFWEEK(o_orderdate) AS BIGINT) AS dow,
+           STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start,
+           STRFTIME(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+    FROM orders
+    """,
+    tags=("function", "relational"),
+)
+def func_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time pack (reference F5-F7 + gap functions). Spark's dayofweek is
+    1=Sunday; DuckDB's is 0=Sunday — normalized here. Derived timestamps are
+    emitted as formatted strings for engine-neutral comparison."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias("due_date"),
+    )
+
+
+@query(
+    "func_math_pack",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_bucket,
+           CAST(CEIL(l_extendedprice / 10000) AS BIGINT) AS price_ceil_10k,
+           l_quantity * l_quantity AS qty_sq,
+           SQRT(l_quantity) AS qty_sqrt,
+           CAST(l_linenumber % 3 AS BIGINT) AS line_mod3,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           GREATEST(l_discount, l_tax) AS max_rate,
+           LEAST(l_discount, l_tax) AS min_rate
+    FROM lineitem
+    """,
+    tags=("function", "relational"),
+)
+def func_math_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math pack restricted to IEEE-exact operations (abs/floor/ceil/sqrt/
+    multiply/mod/sign/greatest/least) so per-row values are bit-identical
+    across engines; transcendentals (log/exp) are exercised in tests, not in
+    the oracle gate, because libm vs JVM may differ in the last ulp."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor(F.col("l_quantity") / 7).cast("long").alias("qty_bucket"),
+        F.ceil(F.col("l_extendedprice") / 10000).cast("long").alias("price_ceil_10k"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_linenumber") % 3).cast("long").alias("line_mod3"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@query(
+    "func_array_pack",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+           ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(text, ' '), 1, 3), '|') AS first3,
+           LIST_CONTAINS(STRING_SPLIT(text, ' '), 'spark') AS has_spark
+    FROM documents
+    """,
+    tags=("function", "relational", "documents"),
+)
+def func_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array pack: split/size/array_distinct/slice/array_contains/array_join
+    (arrays emitted as joined strings for engine-neutral hashing)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.array_join(F.slice(toks, 1, 3), "|").alias("first3"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+    )
+
+
+@query(
+    "func_json_pack",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS prop_k,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 10 AS prop_k_mod10
+    FROM events
+    """,
+    tags=("function", "relational", "events"),
+)
+def func_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props payload column (reference F10
+    from_json pattern; get_json_object avoids full schema materialization)."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.select("event_id", k.alias("prop_k"), (k % 10).alias("prop_k_mod10"))
