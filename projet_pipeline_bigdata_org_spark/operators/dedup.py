@@ -1,1 +1,313 @@
-"""Placeholder — filled in later this round."""
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2.12):
+exact (hash groupBy), near-dup via n-gram Jaccard (oracle-checked),
+MinHash+LSH band join (the 100 TB scale path), and SimHash.
+
+Seed in the reference: pure-Python id-dedup (test/data_ingestion/
+testpy.py:130-131, operator S8) — here re-expressed as distributed
+hash-partition-and-aggregate plans.
+
+Scale design: every variant is shuffle-on-key (hash or band bucket), no
+driver collects, no pairwise blowup — candidate pairs come from equi-joins
+on content keys (hash / shingle / band), so 100 TB dedups like a big
+groupBy, and AQE's skew handling covers hot buckets (e.g. boilerplate
+shingles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_pipeline_bigdata_org_spark.catalog import load
+from projet_pipeline_bigdata_org_spark.functions.cleaning import clean_text
+from projet_pipeline_bigdata_org_spark.operators.textops import (
+    SQL_WS_TOKENS,
+    shingles,
+    sql_shingles,
+    ws_tokens,
+)
+from projet_pipeline_bigdata_org_spark.plans.registry import query
+
+JACCARD_THRESHOLD = 0.12
+
+# MinHash parameters: 32 permutations in 8 bands of 4 rows
+MINHASH_PERMS = 32
+MINHASH_BANDS = 8
+MINHASH_ROWS = MINHASH_PERMS // MINHASH_BANDS
+#: Mersenne prime 2^31-1: (a*h+b) stays < 2^62, exact in int64 under ANSI
+_P31 = (1 << 31) - 1
+# deterministic affine permutation coefficients (seeded, fixed at import)
+import random as _random
+
+_rng = _random.Random(42)
+_PERM_A = tuple(_rng.randrange(1, _P31) for _ in range(MINHASH_PERMS))
+_PERM_B = tuple(_rng.randrange(0, _P31) for _ in range(MINHASH_PERMS))
+
+SIMHASH_BITS = 48
+SIMHASH_CHUNKS = 4
+_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+SIMHASH_HAMMING_MAX = 12
+
+
+@query(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT SHA256(text) AS content_sha,
+           COUNT(*) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM documents
+    GROUP BY SHA256(text)
+    """,
+    tags=("llm", "dedup", "documents"),
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep min id. One shuffle on the
+    64-hex key; duplicate clusters of any size collapse map-side first."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("content_sha"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+    )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH n AS (SELECT doc_id,
+                      TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                        LOWER(text), '(https?://\\S+|www\\.\\S+)', '', 'g'),
+                        '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm
+               FROM documents)
+    SELECT SHA256(norm) AS norm_sha,
+           COUNT(*) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM n GROUP BY SHA256(norm)
+    """,
+    tags=("llm", "dedup", "documents"),
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after cleaning-normalization — catches trivially-mutated
+    copies (case / URLs / punctuation / whitespace)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", clean_text("text").alias("norm"))
+        .groupBy(F.sha2(F.col("norm"), 256).alias("norm_sha"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      LIST_DISTINCT({sql_shingles(SQL_WS_TOKENS.format(c='text'))}) AS sh
+               FROM documents),
+    sz AS (SELECT doc_id, LEN(sh) AS n FROM t),
+    ex AS (SELECT doc_id, UNNEST(sh) AS s FROM t),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT a_id, b_id,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = a_id
+    JOIN sz sb ON sb.doc_id = b_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("llm", "dedup", "documents"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+
+    Candidate pairs come from an equi-join on shingle (the inverted index) —
+    never an all-pairs cross join — so cost scales with shared-shingle mass.
+    At 100 TB the MinHash variant below replaces the exact index; this one is
+    the auditable ground truth the LSH recall is tested against.
+    """
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.array_distinct(shingles(ws_tokens("text"))).alias("sh")
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("a_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("b_id"))
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def minhash_signature(hashed: F.Column) -> F.Column:
+    """32-permutation MinHash signature over pre-hashed shingles.
+
+    ``hashed`` must be ``array<long>`` of values in [0, 2^31-1) — see
+    :func:`shingle_hashes`. h_i(x) = (a_i*x + b_i) mod (2^31-1); products
+    stay < 2^62 so int64 arithmetic is exact under ANSI. One column
+    expression per permutation keeps the whole signature inside codegen."""
+    def _perm(a: int, b: int):
+        # closure (not default args): F.transform inspects the lambda's arity
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P31))
+
+    mins = [
+        F.array_min(F.transform(hashed, _perm(a, b)))
+        for a, b in zip(_PERM_A, _PERM_B)
+    ]
+    return F.array(*mins)
+
+
+def shingle_hashes(sh: F.Column) -> F.Column:
+    """xxhash64 of each shingle folded into [0, 2^31-1)."""
+    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P31)))
+
+
+@query(
+    "dedup_minhash_lsh",
+    tags=("llm", "dedup", "documents", "no-oracle"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → 32-perm signature → 8 bands × 4 rows →
+    band-bucket equi-join → exact Jaccard verify on candidates only.
+
+    The 100 TB dedup plan: the only shuffle is on (band, bucket-hash), band
+    collisions bound candidate pairs, and verification touches candidates
+    instead of all pairs. No oracle (xxhash64 isn't reproducible in DuckDB);
+    tests assert candidate pairs ⊆ exact-Jaccard pairs and recall ≥ 0.8 at
+    the threshold.
+    """
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.array_distinct(shingles(ws_tokens("text"))).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = sh.select(
+        "doc_id", "sh", minhash_signature(shingle_hashes(F.col("sh"))).alias("sig")
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(F.slice(F.col("sig"), b * MINHASH_ROWS + 1, MINHASH_ROWS)).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "sh", F.explode(band_structs).alias("bb")
+    ).select("doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.select(
+            "a_id",
+            "b_id",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@query(
+    "dedup_simhash",
+    tags=("llm", "dedup", "documents", "no-oracle"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash fingerprint per document + near-dup pairs by Hamming
+    distance ≤ 12 over banded candidates.
+
+    Features are distinct word-3-gram shingles (order-sensitive — unigram
+    token sets are too weak when documents share a small vocabulary):
+    bit_j = sign(Σ_shingles (xxhash64(shingle) bit_j ? +1 : -1)); near-dups
+    have small Hamming distance. Banding on 4×12-bit chunks keeps the join
+    equi-key at scale (a pair within distance d collides on ≥1 chunk when
+    d < chunks). 48 bits so every shift/sum stays exact in int64 under ANSI.
+    No DuckDB oracle (xxhash64); invariants tested in pytest.
+    """
+    d = load(spark, sf_dir, "documents")
+    feats = F.array_distinct(shingles(ws_tokens("text")))
+    hashed = F.transform(feats, lambda t: F.xxhash64(t))
+
+    def bit_vote(j: int) -> F.Column:
+        return F.aggregate(
+            hashed,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(bit_vote(j) > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+
+    fp = d.select("doc_id", simhash.alias("simhash"))
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * _CHUNK_BITS)
+                .bitwiseAND(F.lit((1 << _CHUNK_BITS) - 1))
+                .alias("chunk_val"),
+            )
+            for c in range(SIMHASH_CHUNKS)
+        ]
+    )
+    chunks = fp.select("doc_id", "simhash", F.explode(chunk_structs).alias("cc")).select(
+        "doc_id",
+        "simhash",
+        F.col("cc.chunk").alias("chunk"),
+        F.col("cc.chunk_val").alias("chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+    )

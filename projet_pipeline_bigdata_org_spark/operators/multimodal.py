@@ -1,1 +1,108 @@
-"""Placeholder — filled in later this round."""
+"""Multimodal column handling (SURVEY.md §2.12): opaque binary payloads with
+typed metadata, decoded/feature-extracted through ``mapInPandas``.
+
+The container has no image/audio libraries, so the *decode kernel* is a
+clearly-marked deterministic stub (``decode_media_stub``) / NotImplementedError
+(``decode_media_real``) — but the Spark-side plumbing is real and tested:
+binary column construction, Arrow batch iteration, output schema, and the
+partitioning that keeps decode batches balanced.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_pipeline_bigdata_org_spark.catalog import load
+from projet_pipeline_bigdata_org_spark.plans.registry import query
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, width long, height long, n_frames long, mime string"
+)
+
+
+def decode_media_real(payload: bytes) -> dict:
+    """Real media decode — requires image/audio libs not present in this
+    environment. Kept as the explicit integration point."""
+    raise NotImplementedError(
+        "media decoding requires PIL/ffmpeg; use decode_media_stub in tests"
+    )
+
+
+def decode_media_stub(payload: bytes) -> dict:
+    """STUB decode: deterministic pseudo-metadata derived from byte length.
+    Mirrors the arithmetic of the SQL oracle so plumbing is verifiable."""
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "width": n % 640 + 1,
+        "height": n % 480 + 1,
+        "n_frames": n % 30 + 1,
+        "mime": "application/octet-stream",
+    }
+
+
+def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: binary payload column → typed media metadata.
+    Operates on whole Arrow batches; per-row decode happens in-process
+    (at scale: one task per input partition, no driver involvement)."""
+    for pdf in batches:
+        metas = [decode_media_stub(p) for p in pdf["payload"]]
+        out = pd.DataFrame(metas)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out[["doc_id", "n_bytes", "width", "height", "n_frames", "mime"]]
+
+
+@query(
+    "mm_decode_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+           CAST(LENGTH(text) % 640 + 1 AS BIGINT) AS width,
+           CAST(LENGTH(text) % 480 + 1 AS BIGINT) AS height,
+           CAST(LENGTH(text) % 30 + 1 AS BIGINT) AS n_frames,
+           'application/octet-stream' AS mime
+    FROM documents
+    """,
+    tags=("llm", "multimodal", "documents"),
+)
+def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode pipeline: text → binary payload (stand-in for
+    image/audio bytes) → mapInPandas stub decode → typed metadata.
+
+    The oracle reproduces the stub's arithmetic from LENGTH(text) (documents
+    are ASCII so chars == bytes), proving the Arrow round-trip end-to-end.
+    Scale note: decode is embarrassingly parallel; repartition on doc_id
+    keeps batches balanced when payload sizes are skewed.
+    """
+    d = load(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return payloads.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+
+
+@query(
+    "mm_payload_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(LENGTH(text) AS BIGINT)) AS BIGINT) AS total_bytes,
+           CAST(MAX(LENGTH(text)) AS BIGINT) AS max_bytes
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("llm", "multimodal", "documents"),
+)
+def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-size profile per source — the partition-planning scan that
+    precedes a large decode job (sizes drive maxPartitionBytes / salt
+    decisions)."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(payload.cast("long")).alias("total_bytes"),
+        F.max(payload).cast("long").alias("max_bytes"),
+    )

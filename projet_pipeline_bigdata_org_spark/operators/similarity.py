@@ -1,1 +1,233 @@
-"""Placeholder — filled in later this round."""
+"""Embedding similarity search (SURVEY.md §2.12): brute-force cosine top-k
+as the exact baseline, random-hyperplane LSH bucketing as the 100 TB scale
+path, plus embedding-cosine near-dup pairs.
+
+Numeric parity: cosine = dot/(||a||·||b||) with the *same* operation order in
+Spark (zip_with → aggregate left-fold in double) and DuckDB (list_transform →
+list_reduce left-fold) — bit-identical, no tolerance needed. Seed vectors for
+LSH are fixed at import (seed 42).
+"""
+
+from __future__ import annotations
+
+import random as _random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from projet_pipeline_bigdata_org_spark.catalog import load
+from projet_pipeline_bigdata_org_spark.plans.registry import query
+
+TOPK = 5
+N_QUERIES = 10
+NEAR_DUP_COSINE = 0.35
+EMBEDDING_DIM = 64
+
+# fixed random hyperplanes for LSH (deterministic across runs/engines).
+# OR-amplified: L tables of k planes each — a pair at angle θ collides in a
+# table with prob (1-θ/π)^k and is a candidate if ANY table collides.
+_rng = _random.Random(42)
+LSH_TABLES = 16
+LSH_PLANES_PER_TABLE = 5
+_TABLE_PLANES: tuple[tuple[tuple[float, ...], ...], ...] = tuple(
+    tuple(
+        tuple(_rng.gauss(0.0, 1.0) for _ in range(EMBEDDING_DIM))
+        for _ in range(LSH_PLANES_PER_TABLE)
+    )
+    for _ in range(LSH_TABLES)
+)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold double dot product (order-stable across engines)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+SQL_DOT = (
+    "LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP({a}, {b}), "
+    "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+SQL_NORM = (
+    "SQRT(LIST_REDUCE(LIST_TRANSFORM({a}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, y) -> acc + y))"
+)
+
+
+@query(
+    "sim_embedding_norms",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(LEN(embedding) AS BIGINT) AS dim,
+           {SQL_NORM.format(a='embedding')} AS l2_norm,
+           label
+    FROM embeddings
+    """,
+    tags=("llm", "similarity", "embeddings"),
+)
+def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norms/dims — the sanity scan for an embedding column."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        norm(F.col("embedding")).alias("l2_norm"),
+        "label",
+    )
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+    pairs AS (
+      SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+             {SQL_DOT.format(a='q.embedding', b='e.embedding')}
+               / ({SQL_NORM.format(a='q.embedding')} * {SQL_NORM.format(a='e.embedding')})
+               AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.vec_id)
+    SELECT q_id, n_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rnk
+    FROM pairs
+    QUALIFY rnk <= {TOPK}
+    """,
+    tags=("llm", "similarity", "embeddings"),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query block against the corpus,
+    rank per query. The exact-recall baseline the ANN path is measured
+    against; at 100 TB the corpus side stays partitioned and only the
+    query block broadcasts — no shuffle of the big side."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            (
+                dot(F.col("q_emb"), F.col("embedding"))
+                / (norm(F.col("q_emb")) * norm(F.col("embedding")))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
+    return (
+        pairs.select("q_id", "n_id", "cosine", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= TOPK)
+    )
+
+
+@query(
+    "sim_cosine_near_dup_pairs",
+    oracle=f"""
+    WITH lhs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+    SELECT lhs.vec_id AS a_id, e.vec_id AS b_id,
+           {SQL_DOT.format(a='lhs.embedding', b='e.embedding')}
+             / ({SQL_NORM.format(a='lhs.embedding')} * {SQL_NORM.format(a='e.embedding')})
+             AS cosine
+    FROM lhs JOIN embeddings e ON e.vec_id > lhs.vec_id
+    WHERE {SQL_DOT.format(a='lhs.embedding', b='e.embedding')}
+            / ({SQL_NORM.format(a='lhs.embedding')} * {SQL_NORM.format(a='e.embedding')})
+          >= {NEAR_DUP_COSINE}
+    """,
+    tags=("llm", "similarity", "dedup", "embeddings"),
+)
+def sim_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over a sampled left block
+    (vec_id % 10 == 0) — the exact variant of embedding dedup; the sampled
+    block bounds the pair count the way LSH buckets do at scale."""
+    e = load(spark, sf_dir, "embeddings")
+    lhs = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    )
+    cosine = dot(F.col("a_emb"), F.col("embedding")) / (
+        norm(F.col("a_emb")) * norm(F.col("embedding"))
+    )
+    return (
+        e.join(F.broadcast(lhs), F.col("vec_id") > F.col("a_id"))
+        .select("a_id", F.col("vec_id").alias("b_id"), cosine.alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+    )
+
+
+def lsh_table_buckets(emb: Column) -> Column:
+    """Per-table random-hyperplane bucket ids: array of LSH_TABLES structs
+    (table, bucket) where bucket bit_i = sign(dot(emb, plane_i)).
+
+    Plane coefficients are Python literals folded into the plan (implicit
+    broadcast; at scale a real broadcast variable or a literal array is
+    equally fine — ~5 KB of constants)."""
+    tables = []
+    for t, planes in enumerate(_TABLE_PLANES):
+        bucket = None
+        for i, plane in enumerate(planes):
+            prods = F.zip_with(
+                emb,
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x.cast("double") * y,
+            )
+            s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+            term = F.when(s > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            bucket = term if bucket is None else bucket + term
+        tables.append(
+            F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket"))
+        )
+    return F.array(*tables)
+
+
+@query(
+    "sim_ann_lsh",
+    tags=("llm", "similarity", "embeddings", "no-oracle"),
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via OR-amplified random-hyperplane LSH (16 tables × 5 planes):
+    bucket vectors per table, equi-join on (table, bucket), dedup candidate
+    pairs, exact-cosine verify.
+
+    The scale path: shuffles on (table, bucket) keys instead of an all-pairs
+    join — per table only ~2^-k of pairs collide. Recall vs the brute-force
+    baseline is asserted in tests (deterministic: planes are fixed).
+    No oracle (signatures are engine-side).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    b = (
+        e.select("vec_id", "embedding", F.explode(lsh_table_buckets(F.col("embedding"))).alias("tb"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("tb.tbl").alias("tbl"),
+            F.col("tb.bucket").alias("bucket"),
+        )
+    )
+    lhs, rhs = b.alias("l"), b.alias("r")
+    cand = (
+        lhs.join(
+            rhs,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("a_id"),
+            F.col("r.vec_id").alias("b_id"),
+            F.col("l.embedding").alias("a_emb"),
+            F.col("r.embedding").alias("b_emb"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    cosine = dot(F.col("a_emb"), F.col("b_emb")) / (
+        norm(F.col("a_emb")) * norm(F.col("b_emb"))
+    )
+    return cand.select("a_id", "b_id", cosine.alias("cosine")).filter(
+        F.col("cosine") >= NEAR_DUP_COSINE
+    )

@@ -1,1 +1,292 @@
-"""Placeholder — filled in later this round."""
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2.12):
+token statistics, quality scoring, language ID, fingerprinting, n-gram
+shingling, tokenizer comparisons — all native column expressions (JVM-side,
+no Python in the hot path), each with a DuckDB oracle twin.
+
+Seeds in the reference: keyword search P8 (utils.py:22-35), text cleaning
+F1-F4 (preprocessor.py:17-21), tokenization M1-M2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_pipeline_bigdata_org_spark.catalog import load
+from projet_pipeline_bigdata_org_spark.functions.cleaning import STOPWORDS
+from projet_pipeline_bigdata_org_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# shared building blocks
+# ---------------------------------------------------------------------------
+
+
+def ws_tokens(col: Column | str) -> Column:
+    """Whitespace tokens with empties removed (raw text, no cleaning)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda x: x != "")
+
+
+SQL_WS_TOKENS = "LIST_FILTER(STRING_SPLIT({c}, ' '), x -> x <> '')"
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings; empty array when len(tokens) < n.
+
+    Built from sequence+transform+element_at so it stays inside whole-stage
+    codegen — no UDF, scales linearly with document length."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, i + off) for off in range(n)]
+        ),
+    )
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def sql_shingles(toks: str, n: int = 3) -> str:
+    parts = " || ' ' || ".join(f"{{t}}[i+{off}]" if off else "{t}[i]" for off in range(n))
+    return (
+        f"LIST_TRANSFORM(RANGE(1, LEN({toks}) - {n - 2}), "
+        f"i -> {parts.format(t=toks)})"
+    )
+
+
+#: tiny per-language stopword marker sets for the heuristic language ID
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "en": ("the", "and", "is", "of", "to", "a", "in"),
+    "es": ("el", "la", "los", "que", "es", "de", "un"),
+    "fr": ("le", "les", "et", "est", "une", "dans", "que"),
+    "zh": ("的", "是", "了", "我", "不", "在", "有"),
+}
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_WS_TOKENS.format(c='text')} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(LEN(toks) AS BIGINT) AS n_tokens,
+           CAST(LEN(LIST_DISTINCT(toks)) AS BIGINT) AS n_distinct_tokens,
+           CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))), 0) AS BIGINT) AS n_token_chars,
+           CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))), 0) AS DOUBLE)
+             / LEN(toks) AS avg_token_len,
+           CAST(LIST_MAX(LIST_TRANSFORM(toks, x -> LENGTH(x))) AS BIGINT) AS max_token_len
+    FROM t
+    """,
+    tags=("llm", "text", "documents"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (counts, distinct, char mass, lengths)."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    lens = F.transform(toks, F.length)
+    sum_chars = F.aggregate(lens, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        sum_chars.alias("n_token_chars"),
+        (sum_chars.cast("double") / F.size(toks)).alias("avg_token_len"),
+        F.array_max(lens).cast("long").alias("max_token_len"),
+    )
+
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {SQL_WS_TOKENS.format(c='text')} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(LEN(toks) AS BIGINT) AS n_tokens,
+           CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS({_STOP_SQL}, x))) AS DOUBLE)
+             / LEN(toks) AS stopword_ratio,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^a-z0-9\\s]')) AS DOUBLE)
+             / LENGTH(text) AS punct_ratio,
+           CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) AS distinct_ratio,
+           (LEN(toks) BETWEEN 20 AND 500)
+             AND (CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS({_STOP_SQL}, x))) AS DOUBLE)
+                  / LEN(toks) <= 0.5) AS quality_ok
+    FROM t
+    """,
+    tags=("llm", "text", "documents"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality features (length band, stopword ratio,
+    punctuation density, vocabulary diversity) + a boolean keep-gate — the
+    standard pre-training corpus filter shape."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    stop_ratio = n_stop.cast("double") / F.size(toks)
+    punct_ratio = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^a-z0-9\s]"), 0)).cast("double")
+        / F.length("text")
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "distinct_ratio"
+        ),
+        (F.size(toks).between(20, 500) & (stop_ratio <= 0.5)).alias("quality_ok"),
+    )
+
+
+def _lang_score_sql(toks: str, lang: str) -> str:
+    markers = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+    return f"LEN(LIST_FILTER({toks}, x -> LIST_CONTAINS({markers}, x)))"
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_WS_TOKENS.format(c='text')} AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 {', '.join(f"CAST({_lang_score_sql('toks', lang)} AS BIGINT) AS s_{lang}" for lang in sorted(LANG_MARKERS))}
+          FROM t)
+    SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+           CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS predicted_lang
+    FROM s
+    """,
+    tags=("llm", "text", "documents"),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: per-language stopword hit counts, argmax
+    with deterministic alphabetical tie-break (an n-gram-profile classifier
+    reduced to its count-and-argmax dataflow; scores are exposed so the
+    heuristic is auditable)."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    def _marker_filter(markers):
+        # closure (not a default arg): F.filter inspects the lambda's arity
+        return lambda x: F.array_contains(markers, x)
+
+    scores = {}
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        scores[lang] = F.size(F.filter(toks, _marker_filter(markers))).cast("long")
+    langs = sorted(LANG_MARKERS)
+    sel = [F.col("doc_id")] + [scores[lang].alias(f"s_{lang}") for lang in langs]
+    # CASE ordering mirrors the oracle exactly: alphabetical tie-break
+    pred = (
+        F.when(
+            (scores["de"] >= scores["en"])
+            & (scores["de"] >= scores["es"])
+            & (scores["de"] >= scores["fr"])
+            & (scores["de"] >= scores["zh"]),
+            "de",
+        )
+        .when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["zh"]),
+            "en",
+        )
+        .when((scores["es"] >= scores["fr"]) & (scores["es"] >= scores["zh"]), "es")
+        .when(scores["fr"] >= scores["zh"], "fr")
+        .otherwise("zh")
+    )
+    return d.select(*sel, pred.alias("predicted_lang"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {SQL_WS_TOKENS.format(c='text')} AS toks FROM documents)
+    SELECT doc_id,
+           SHA256(text) AS content_sha,
+           SUBSTR(SHA256(text), 1, 16) AS sha_prefix,
+           CAST(LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), LIST_TRANSFORM(toks,
+                x -> CAST(ASCII(x) * 31 + LENGTH(x) AS BIGINT))),
+                (acc, x) -> (acc * 131 + x) % 1000000007) AS BIGINT) AS rolling_hash
+    FROM t
+    """,
+    tags=("llm", "text", "documents"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: cryptographic (sha256) and a polynomial rolling
+    hash over the token stream (mod 1e9+7, exact int64 arithmetic — the
+    winnowing-style fingerprint primitive)."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    token_codes = F.transform(
+        toks, lambda x: (F.ascii(x) * 31 + F.length(x)).cast("long")
+    )
+    rolling = F.aggregate(
+        token_codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 131 + x) % 1000000007,
+    )
+    sha = F.sha2(F.col("text"), 256)
+    return d.select(
+        "doc_id",
+        sha.alias("content_sha"),
+        F.substring(sha, 1, 16).alias("sha_prefix"),
+        rolling.alias("rolling_hash"),
+    )
+
+
+@query(
+    "text_shingle_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_WS_TOKENS.format(c='text')} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(GREATEST(LEN(toks) - 2, 0) AS BIGINT) AS n_shingles,
+           CAST(LEN(LIST_DISTINCT({sql_shingles('toks')})) AS BIGINT) AS n_distinct_shingles
+    FROM t
+    """,
+    tags=("llm", "text", "documents"),
+)
+def text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram shingling stats — the MinHash/Jaccard dedup substrate."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    sh = shingles(toks, 3)
+    return d.select(
+        "doc_id",
+        F.greatest(F.size(toks) - 2, F.lit(0)).cast("long").alias("n_shingles"),
+        F.size(F.array_distinct(sh)).cast("long").alias("n_distinct_shingles"),
+    )
+
+
+@query(
+    "text_tokenizer_compare",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_re_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    tags=("llm", "text", "documents"),
+)
+def text_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex (word pieces +
+    isolated punctuation) — the corpus-sizing primitive."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(ws_tokens("text")).cast("long").alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)
+        ).cast("long").alias("n_re_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
