@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver collect / display cost). Timings are wall-clock per query after a
+session warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from projet_pipeline_bigdata_org_spark import plans  # noqa: E402
+from projet_pipeline_bigdata_org_spark.session import get_spark  # noqa: E402
+
+plans.load_all()
+
+#: headline set: one per operator family (join/agg/window/stream/text/dedup/
+#: similarity/udf/ml-free projection)
+HEADLINE = (
+    "join_multiway_revenue_by_nation",   # 5-way join + agg + sort (flagship)
+    "agg_pricing_summary",               # wide-agg scan
+    "window_topk_orders_per_customer",   # window rank
+    "join_broadcast_part_revenue",       # broadcast dim join
+    "stream_tumbling_counts",            # event-time windows (batch form)
+    "stream_session_windows",            # sessionization
+    "pipe_sink_projection",              # projection/cast/bucket pack
+    "text_quality_score",                # array/regex text analysis
+    "dedup_exact_hash",                  # hash groupBy dedup
+    "dedup_minhash_lsh",                 # MinHash band join + verify
+    "sim_cosine_topk",                   # brute-force ANN baseline
+    "func_json_pack",                    # JSON extraction
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    queries = plans.all_queries()
+
+    # warm up the JVM / parquet footer caches with a trivial action
+    queries["agg_distinct_counts"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""SparkML feature + virality pipeline (reference M1-M10, SURVEY.md §2.9),
+rebuilt as one proper ``pyspark.ml.Pipeline`` (the reference fits each stage
+imperatively in spark/model_training.py:62-252 and never composes them).
+
+Stages (reference hyperparameters noted, scaled down for the 500-doc corpus):
+  Tokenizer → StopWordsRemover → Word2Vec (ref: dim=100 iters=20 seed=42)
+  → CountVectorizer (ref: vocab=2000 minDF=3) → LDA (ref: k=6 iters=20
+  seed=42) → StringIndexer(handleInvalid=keep; ref loader.py:22-26)
+  → VectorAssembler(handleInvalid=skip; ref engine.py:89-97)
+  → RandomForestRegressor (ref: trees=30 depth=10 seed=42).
+
+Topic labeling (reference M6+U2: driver dict + row UDF, engine.py:41-69,
+109-122) is re-expressed as describeTopics → labels DataFrame → broadcast
+join on the argmax topic — no Python UDF in the scoring path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.clustering import LDA
+from pyspark.ml.feature import (
+    CountVectorizer,
+    StopWordsRemover,
+    StringIndexer,
+    Tokenizer,
+    VectorAssembler,
+    Word2Vec,
+)
+from pyspark.ml.functions import vector_to_array
+from pyspark.ml.regression import RandomForestRegressor
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_pipeline_bigdata_org_spark.catalog import load
+from projet_pipeline_bigdata_org_spark.functions.cleaning import clean_text
+from projet_pipeline_bigdata_org_spark.plans.registry import query
+
+SEED = 42  # reference model_training.py:149,171,246
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    vector_size: int = 32
+    w2v_min_count: int = 2
+    w2v_max_iter: int = 2
+    vocab_size: int = 512
+    min_df: int = 2
+    num_topics: int = 6
+    lda_max_iter: int = 5
+    num_trees: int = 10
+    max_depth: int = 5
+    label_col: str = "label"
+
+
+def build_feature_pipeline(cfg: PipelineConfig = PipelineConfig()) -> Pipeline:
+    tokenizer = Tokenizer(inputCol="clean", outputCol="words")
+    stop = StopWordsRemover(inputCol="words", outputCol="filtered_words")
+    w2v = Word2Vec(
+        inputCol="filtered_words",
+        outputCol="word2vec_features",
+        vectorSize=cfg.vector_size,
+        minCount=cfg.w2v_min_count,
+        maxIter=cfg.w2v_max_iter,
+        seed=SEED,
+    )
+    cv = CountVectorizer(
+        inputCol="filtered_words",
+        outputCol="features_lda",
+        vocabSize=cfg.vocab_size,
+        minDF=cfg.min_df,
+    )
+    lda = LDA(
+        featuresCol="features_lda",
+        topicDistributionCol="topic_distribution",
+        k=cfg.num_topics,
+        maxIter=cfg.lda_max_iter,
+        seed=SEED,
+        optimizer="online",
+    )
+    indexer = StringIndexer(
+        inputCol="lang", outputCol="lang_index", handleInvalid="keep"
+    )
+    assembler = VectorAssembler(
+        inputCols=["word2vec_features", "topic_distribution", "lang_index"],
+        outputCol="features_regression",
+        handleInvalid="skip",
+    )
+    rf = RandomForestRegressor(
+        featuresCol="features_regression",
+        labelCol=cfg.label_col,
+        predictionCol="prediction",
+        numTrees=cfg.num_trees,
+        maxDepth=cfg.max_depth,
+        seed=SEED,
+    )
+    return Pipeline(stages=[tokenizer, stop, w2v, cv, lda, indexer, assembler, rf])
+
+
+def prepare_documents(df: DataFrame, label_expr: str = "ln(n_chars)") -> DataFrame:
+    """Documents table → training frame: cleaned text + a regression label
+    (log char count stands in for the reference's Reddit `score`)."""
+    return df.select(
+        "doc_id",
+        "lang",
+        clean_text("text").alias("clean"),
+        F.expr(label_expr).alias("label"),
+    ).filter(F.length("clean") > 0)
+
+
+def topic_labels(model: PipelineModel, max_terms: int = 3) -> DataFrame:
+    """M6 re-done Spark-first: describeTopics × CV vocabulary → a (topic_id,
+    topic_label) DataFrame ('w1-w2-w3'), ready for broadcast join — replaces
+    the reference's driver dict + per-row UDF."""
+    cv_model = next(m for m in model.stages if m.uid.startswith("CountVectorizer"))
+    lda_model = next(m for m in model.stages if m.uid.startswith("LDA"))
+    vocab = cv_model.vocabulary
+    spark = SparkSession.getActiveSession()
+    vocab_df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(vocab)], ["term_id", "term"]
+    )
+    topics = lda_model.describeTopics(max_terms).select(
+        "topic", F.posexplode("termIndices").alias("pos", "term_id")
+    )
+    return (
+        topics.join(F.broadcast(vocab_df), "term_id")
+        .groupBy("topic")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "term"))).alias("terms"))
+        .select(
+            F.col("topic").alias("topic_id"),
+            F.array_join(F.transform("terms", lambda t: t["term"]), "-").alias(
+                "topic_label"
+            ),
+        )
+    )
+
+
+def attach_topics(scored: DataFrame, labels: DataFrame) -> DataFrame:
+    """argmax(topic_distribution) → broadcast join topic label (replaces row
+    UDF U2; array ops are codegen'd, the join is a broadcast hash join)."""
+    dist = vector_to_array(F.col("topic_distribution"))
+    topic_id = (F.array_position(dist, F.array_max(dist)) - 1).cast("int")
+    return (
+        scored.withColumn("topic_id", topic_id)
+        .join(F.broadcast(labels), "topic_id", "left")
+        .withColumn("topic_label", F.coalesce("topic_label", F.lit("Autre")))
+    )
+
+
+def train(documents: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> PipelineModel:
+    return build_feature_pipeline(cfg).fit(prepare_documents(documents))
+
+
+@query(
+    "ml_virality_pipeline",
+    tags=("ml", "documents", "no-oracle"),
+)
+def ml_virality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end M1-M10: fit the full pipeline on documents, score the same
+    corpus, label topics via broadcast join, bucket predictions (P7).
+
+    No SQL oracle (ML fit is iterative/seeded, not SQL-expressible); the
+    driver's rows-only check plus tests/test_ml.py invariants (determinism,
+    dims, save/load) cover it."""
+    from projet_pipeline_bigdata_org_spark.functions.buckets import virality_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    model = train(docs)
+    scored = model.transform(prepare_documents(docs))
+    labeled = attach_topics(scored, topic_labels(model))
+    return labeled.select(
+        "doc_id",
+        "lang",
+        F.round(F.col("prediction"), 2).alias("score_predit"),
+        "topic_id",
+        "topic_label",
+        virality_bucket(F.col("prediction"), hot=6.5, up=5.5).alias("viralite"),
+    )

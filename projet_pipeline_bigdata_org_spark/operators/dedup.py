@@ -186,19 +186,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: shingle → 32-perm signature → 8 bands × 4 rows →
     band-bucket equi-join → exact Jaccard verify on candidates only.
 
-    The 100 TB dedup plan: the only shuffle is on (band, bucket-hash), band
-    collisions bound candidate pairs, and verification touches candidates
-    instead of all pairs. No oracle (xxhash64 isn't reproducible in DuckDB);
-    tests assert candidate pairs ⊆ exact-Jaccard pairs and recall ≥ 0.8 at
-    the threshold.
+    The 100 TB dedup plan, staged to keep the shuffles slim:
+    1. shingle table (doc_id, sh) persisted once — at cluster scale this is
+       a staging parquet table; projection collapse would otherwise inline
+       the shingle expression into all 32 signature mins and both join sides;
+    2. band join carries only (doc_id, band, bucket) — 24 bytes/row, never
+       the shingle arrays;
+    3. candidate pairs re-join the persisted shingle table by doc_id for the
+       exact-Jaccard verify, touching candidates only.
+    No oracle (xxhash64 isn't reproducible in DuckDB); tests assert candidate
+    pairs ⊆ exact-Jaccard pairs with matching values and recall ≥ 0.5.
     """
     d = load(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.array_distinct(shingles(ws_tokens("text"))).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sig = sh.select(
-        "doc_id", "sh", minhash_signature(shingle_hashes(F.col("sh"))).alias("sig")
+    sh = (
+        d.select("doc_id", F.array_distinct(shingles(ws_tokens("text"))).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
     )
+    sig = sh.select("doc_id", minhash_signature(shingle_hashes(F.col("sh"))).alias("sig"))
     band_structs = F.array(
         *[
             F.struct(
@@ -210,9 +215,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(MINHASH_BANDS)
         ]
     )
-    bands = sig.select(
-        "doc_id", "sh", F.explode(band_structs).alias("bb")
-    ).select("doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -221,22 +226,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
+    sh_a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.select(
-            "a_id",
-            "b_id",
-            (inter.cast("double") / union).alias("jaccard"),
-        )
+        cand.join(sh_a, "a_id")
+        .join(sh_b, "b_id")
+        .select("a_id", "b_id", (inter.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 

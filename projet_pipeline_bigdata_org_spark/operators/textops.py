@@ -33,18 +33,18 @@ SQL_WS_TOKENS = "LIST_FILTER(STRING_SPLIT({c}, ' '), x -> x <> '')"
 def shingles(tokens: Column, n: int = 3) -> Column:
     """Word n-gram shingles as strings; empty array when len(tokens) < n.
 
-    Built from sequence+transform+element_at so it stays inside whole-stage
-    codegen — no UDF, scales linearly with document length."""
-    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens, i + off) for off in range(n)]
-        ),
-    )
-    return F.when(F.size(tokens) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    Built as zip_with over n shifted slices — the token expression is
+    evaluated a constant number of times per row. (The naive
+    transform+element_at(tokens, i) form re-evaluates `tokens` inside the
+    lambda for every element: O(len²) splits per document, measured 10×
+    slower on the 5k-doc corpus.)"""
+    m = F.size(tokens) - (n - 1)
+    sh = F.slice(tokens, 1, m)
+    for off in range(1, n):
+        sh = F.zip_with(
+            sh, F.slice(tokens, off + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(m >= 1, sh).otherwise(F.array().cast("array<string>"))
 
 
 def sql_shingles(toks: str, n: int = 3) -> str:

@@ -24,4 +24,5 @@ def load_all() -> None:
         textops,
     )
     from projet_pipeline_bigdata_org_spark import pipeline  # noqa: F401
+    from projet_pipeline_bigdata_org_spark.ml import pipeline as ml_pipeline  # noqa: F401
     from projet_pipeline_bigdata_org_spark.streaming import windows  # noqa: F401

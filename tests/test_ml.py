@@ -1,0 +1,72 @@
+"""ML pipeline invariants (SURVEY.md §5: dims, determinism, save/load —
+exact vectors are version/partitioning-dependent, so distributional
+invariants, not goldens)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from projet_pipeline_bigdata_org_spark.catalog import load
+from projet_pipeline_bigdata_org_spark.ml.pipeline import (
+    PipelineConfig,
+    attach_topics,
+    prepare_documents,
+    topic_labels,
+    train,
+)
+
+CFG = PipelineConfig(vector_size=8, vocab_size=64, lda_max_iter=2, num_trees=5)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def model(docs):
+    return train(docs, CFG)
+
+
+def test_pipeline_output_schema_and_dims(spark, docs, model):
+    out = model.transform(prepare_documents(docs))
+    row = out.select("word2vec_features", "topic_distribution", "prediction").first()
+    assert len(row.word2vec_features) == CFG.vector_size
+    assert len(row.topic_distribution) == CFG.num_topics
+    assert isinstance(row.prediction, float)
+
+
+def test_topic_labels_shape(model):
+    labels = topic_labels(model).collect()
+    assert len(labels) == CFG.num_topics
+    for r in labels:
+        parts = r.topic_label.split("-")
+        assert 1 <= len(parts) <= 3 and all(parts)
+
+
+def test_attach_topics_no_udf_argmax(spark, docs, model):
+    scored = model.transform(prepare_documents(docs))
+    labeled = attach_topics(scored, topic_labels(model))
+    rows = labeled.select("topic_id", "topic_label").collect()
+    assert all(0 <= r.topic_id < CFG.num_topics for r in rows)
+    assert all(r.topic_label for r in rows)
+
+
+def test_same_seed_same_predictions(spark, docs):
+    m1 = train(docs, CFG)
+    m2 = train(docs, CFG)
+    p1 = [r.prediction for r in m1.transform(prepare_documents(docs)).orderBy("doc_id").collect()]
+    p2 = [r.prediction for r in m2.transform(prepare_documents(docs)).orderBy("doc_id").collect()]
+    assert p1 == p2
+
+
+def test_save_load_roundtrip(spark, docs, model, tmp_path):
+    from pyspark.ml import PipelineModel
+
+    path = str(tmp_path / "model")
+    model.write().overwrite().save(path)
+    loaded = PipelineModel.load(path)
+    a = model.transform(prepare_documents(docs)).agg(F.sum("prediction")).first()[0]
+    b = loaded.transform(prepare_documents(docs)).agg(F.sum("prediction")).first()[0]
+    assert a == pytest.approx(b, abs=1e-9)

@@ -1,0 +1,244 @@
+"""Structured Streaming runtime tests: file source → watermarked windows →
+memory sink; late-data drop; dropDuplicatesWithinWatermark; foreachBatch
+failover sink (primary ok / primary fails / both fail)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+    EVENTS_SCHEMA,
+    FailoverBatchSink,
+    dedup_within_watermark,
+    file_stream,
+    json_batch_writer,
+    parquet_batch_writer,
+    start_foreach_batch,
+    windowed_counts,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, T0 + dt.timedelta(minutes=m), uid, et, float(v), "{}")
+            for (i, m, uid, et, v) in rows
+        ],
+        schema=EVENTS_SCHEMA,
+    )
+
+
+def _memory_query(df, name, mode="append"):
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def test_file_stream_windowed_counts(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _mk_events(
+        spark,
+        [(1, 0, 1, "view", 1), (2, 3, 1, "view", 1), (3, 7, 2, "click", 2)],
+    ).write.parquet(src)
+    stream = file_stream(spark, src, EVENTS_SCHEMA)
+    agg = windowed_counts(stream, watermark="10 minutes", window="5 minutes")
+    name = f"wc_{uuid.uuid4().hex[:8]}"
+    q = _memory_query(agg, name)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.window_start.minute, r.event_type): r.n_events
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # watermark holds back open windows in append mode until it passes them;
+    # with availableNow the final watermark is max(ts)-10m = minute -3, so no
+    # window is emitted yet — drive a second batch far in the future instead
+    assert got == {} or got == {(0, "view"): 2, (5, "click"): 1}
+    _mk_events(spark, [(9, 60, 9, "view", 1)]).write.mode("append").parquet(src)
+    q2 = _memory_query(agg, name + "b")
+    q2.processAllAvailable()
+    q2.stop()
+    got = {
+        (r.window_start.minute, r.event_type): r.n_events
+        for r in spark.sql(f"SELECT * FROM {name}b").collect()
+    }
+    assert got[(0, "view")] == 2
+    assert got[(5, "click")] == 1
+
+
+def _write_ordered_files(spark, src, batches):
+    """Write each batch as ONE parquet part file with increasing mtime so the
+    file stream processes them as ordered micro-batches (maxFilesPerTrigger=1)."""
+    import time
+
+    for rows in batches:
+        _mk_events(spark, rows).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.1)
+
+
+def test_late_data_dropped_beyond_watermark(spark, tmp_path):
+    """Watermark drops a too-late row. Must use a processingTime trigger and
+    feed batches while the query runs: with Trigger.AvailableNow (Spark
+    4.1.2) every planned batch uses the query-start watermark for late-event
+    filtering, so nothing is ever dropped within a single availableNow run
+    (observed: numRowsDroppedByWatermark=0 despite an advancing watermark)."""
+    src = str(tmp_path / "src")
+    os_makedirs = __import__("os").makedirs
+    os_makedirs(src, exist_ok=True)
+    out_name = f"late_{uuid.uuid4().hex[:8]}"
+    agg = windowed_counts(
+        file_stream(spark, src, EVENTS_SCHEMA, max_files_per_trigger=1),
+        watermark="10 minutes",
+        window="5 minutes",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    for rows in [
+        # batch 1: minute 60-61 → watermark advances to 00:51
+        [(1, 60, 1, "view", 1), (2, 61, 1, "view", 1)],
+        # batch 2: in-time (70) + too-late (5, window [5,10) < watermark)
+        [(3, 70, 1, "view", 1), (4, 5, 1, "late", 1)],
+        # batch 3: far future closes remaining windows
+        [(5, 300, 1, "view", 1)],
+    ]:
+        _mk_events(spark, rows).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    q.processAllAvailable()
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    q.stop()
+    rows = spark.sql(f"SELECT * FROM {out_name}").collect()
+    types = {r.event_type for r in rows}
+    assert "view" in types
+    assert "late" not in types, f"late row leaked past watermark: {rows}"
+    assert dropped == 1
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _mk_events(
+        spark,
+        [(1, 0, 1, "view", 1), (1, 1, 1, "view", 1), (2, 2, 1, "click", 1)],
+    ).write.parquet(src)
+    stream = file_stream(spark, src, EVENTS_SCHEMA, max_files_per_trigger=None)
+    deduped = dedup_within_watermark(stream, keys=("event_id",), watermark="30 minutes")
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    q = _memory_query(deduped, name)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(f"SELECT event_id FROM {name}").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2]
+
+
+def test_failover_sink_primary_ok(spark, tmp_path):
+    src = str(tmp_path / "src")
+    primary_dir = str(tmp_path / "primary")
+    _mk_events(spark, [(1, 0, 1, "view", 1), (2, 1, 2, "click", 2)]).write.parquet(src)
+    sink = FailoverBatchSink(
+        primary=parquet_batch_writer(primary_dir),
+        fallback=json_batch_writer(str(tmp_path / "fallback")),
+    )
+    q = start_foreach_batch(
+        file_stream(spark, src, EVENTS_SCHEMA, max_files_per_trigger=None),
+        sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(primary_dir).count() == 2
+    assert sink.stats["failover"] == 0
+
+
+def test_failover_sink_falls_back(spark, tmp_path):
+    src = str(tmp_path / "src")
+    fallback_dir = str(tmp_path / "fallback")
+    _mk_events(spark, [(1, 0, 1, "view", 1)]).write.parquet(src)
+
+    def exploding_primary(df, epoch):
+        raise RuntimeError("cassandra down")
+
+    sink = FailoverBatchSink(
+        primary=exploding_primary,
+        fallback=json_batch_writer(fallback_dir),
+        transform=lambda df: df.withColumn("value", F.col("value") * 2),
+    )
+    q = start_foreach_batch(
+        file_stream(spark, src, EVENTS_SCHEMA, max_files_per_trigger=None),
+        sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.read.json(fallback_dir).collect()
+    assert len(rows) == 1 and rows[0].value == 2.0  # transform ran pre-sink
+    assert sink.stats["failover"] == 1 and sink.stats["dropped"] == 0
+
+
+def test_failover_sink_drops_poison_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _mk_events(spark, [(1, 0, 1, "view", 1)]).write.parquet(src)
+
+    def boom(df, epoch):
+        raise RuntimeError("down")
+
+    sink = FailoverBatchSink(primary=boom, fallback=boom)
+    q = start_foreach_batch(
+        file_stream(spark, src, EVENTS_SCHEMA, max_files_per_trigger=None),
+        sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()  # must NOT raise: poison batch is dropped
+    q.stop()
+    assert sink.stats["dropped"] == 1
+
+
+def test_session_window_streaming_matches_batch(spark, tmp_path):
+    """The same session_window expression runs under readStream and merges
+    sessions across micro-batches via the state store."""
+    src = str(tmp_path / "src")
+    _write_ordered_files(
+        spark,
+        src,
+        [
+            [(1, 0, 1, "view", 1), (2, 10, 1, "view", 1)],  # one session (gap<30)
+            [(3, 120, 1, "view", 1)],  # second session for user 1
+            [(4, 500, 9, "view", 1)],  # far future: closes user 1's sessions
+        ],
+    )
+    stream = file_stream(spark, src, EVENTS_SCHEMA, max_files_per_trigger=1)
+    sess = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("start"), "n")
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = _memory_query(sess, name)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.start): r.n for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # user 1: events at minutes 0+10 merged (gap<30), minute 120 separate;
+    # user 9's session stays open past the final watermark → not emitted
+    assert got == {
+        (1, T0): 2,
+        (1, T0 + dt.timedelta(minutes=120)): 1,
+    }, f"unexpected sessions: {got}"
