@@ -1,0 +1,413 @@
+"""Extended relational surface: pivot/unpivot, grouping sets, HAVING,
+conditional aggregation, subqueries (EXISTS / scalar), exact percentiles,
+null-handling functions, extended string/date packs, RANGE window frames,
+and the raw-SQL entry path (SURVEY.md §2.2-2.8 completion).
+
+Some queries deliberately go through ``spark.sql`` over registered views —
+the engine exposes both the DataFrame and SQL surfaces and Catalyst plans
+them identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from projet_pipeline_bigdata_org_spark.catalog import load
+from projet_pipeline_bigdata_org_spark.functions.exact import dec, dsum
+from projet_pipeline_bigdata_org_spark.plans.registry import query
+
+PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+@query(
+    "ext_pivot_priority_counts",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+           COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high,
+           COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium,
+           COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS unspecified,
+           COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("relational", "pivot"),
+)
+def ext_pivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (explicit value list so no extra distinct-values job at scale)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(PRIORITIES))
+        .count()
+        .select(
+            "o_orderstatus",
+            F.coalesce("1-URGENT", F.lit(0)).alias("urgent"),
+            F.coalesce("2-HIGH", F.lit(0)).alias("high"),
+            F.coalesce("3-MEDIUM", F.lit(0)).alias("medium"),
+            F.coalesce("4-NOT SPECIFIED", F.lit(0)).alias("unspecified"),
+            F.coalesce("5-LOW", F.lit(0)).alias("low"),
+        )
+    )
+
+
+@query(
+    "ext_unpivot_lineitem_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'qty' AS metric, l_quantity AS val
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'disc', l_discount
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+    tags=("relational", "pivot"),
+)
+def ext_unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT via stack() — wide → long without a join."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'qty', l_quantity, 'price', l_extendedprice, 'disc', l_discount)"
+        " AS (metric, val)",
+    )
+
+
+@query(
+    "ext_grouping_sets",
+    oracle="""
+    SELECT r_name, c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+    """,
+    tags=("relational", "agg", "sql"),
+)
+def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL surface (region totals,
+    segment totals, grand total in one pass — Expand operator underneath)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return spark.sql(
+        """
+        SELECT r_name, c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS balance
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+        """
+    )
+
+
+@query(
+    "ext_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+    tags=("relational", "agg"),
+)
+def ext_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "spend"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@query(
+    "ext_conditional_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN l_discount > 0.05
+                         THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS discounted_revenue,
+           CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS DOUBLE) / COUNT(*)
+             AS discounted_ratio
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("relational", "agg"),
+)
+def ext_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (count_if / sum(CASE) / ratio-of-counts)."""
+    li = load(spark, sf_dir, "lineitem")
+    cond = F.col("l_discount") > 0.05
+    n_disc = F.count_if(cond)
+    return li.groupBy("l_returnflag").agg(
+        n_disc.alias("n_discounted"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(cond, dec("l_extendedprice")).otherwise(F.lit(0).cast("decimal(18,6)")))
+        .cast("double")
+        .alias("discounted_revenue"),
+        (n_disc.cast("double") / F.count(F.lit(1))).alias("discounted_ratio"),
+    )
+
+
+@query(
+    "ext_exists_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+      AND NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey AND l_discount = 0.0
+                        AND l_quantity <= 2)
+    """,
+    tags=("relational", "sql", "subquery"),
+)
+def ext_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL surface (Catalyst
+    decorrelates to semi/anti joins — check the plan, not a loop)."""
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+          AND NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_suppkey = s_suppkey AND l_discount = 0.0
+                            AND l_quantity <= 2)
+        """
+    )
+
+
+@query(
+    "ext_scalar_subquery",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                              / COUNT(c_acctbal)
+                       FROM customer)
+    """,
+    tags=("relational", "sql", "subquery"),
+)
+def ext_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (above-average filter); the subquery plans as a
+    single-row broadcast, the numeric path uses the exact-decimal average."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                                  / COUNT(c_acctbal)
+                           FROM customer)
+        """
+    )
+
+
+@query(
+    "ext_median_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           MEDIAN(l_quantity) AS median_qty,
+           QUANTILE_CONT(l_quantity, 0.25) AS q25,
+           QUANTILE_CONT(l_quantity, 0.75) AS q75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("relational", "agg"),
+)
+def ext_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/quartiles) on an integer-valued measure —
+    interpolation arithmetic is exact for integer neighbors, so engines
+    agree bit-for-bit. (approx_percentile exists for the at-scale variant
+    but is engine-specific, hence not oracle-gated.)"""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.percentile("l_quantity", 0.75).alias("q75"),
+    )
+
+
+@query(
+    "ext_null_handling",
+    oracle="""
+    SELECT event_id,
+           COALESCE(CASE WHEN value > 10 THEN value END, -1) AS value_or_default,
+           NULLIF(event_type, 'view') AS type_non_view,
+           CASE WHEN value > 10 THEN value END IS NULL AS was_null,
+           IFNULL(CASE WHEN value > 10 THEN value END, 0) AS value_or_zero
+    FROM events
+    """,
+    tags=("relational", "function", "events"),
+)
+def ext_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling pack: coalesce / nullif / is-null / ifnull."""
+    e = load(spark, sf_dir, "events")
+    big = F.when(F.col("value") > 10, F.col("value"))
+    return e.select(
+        "event_id",
+        F.coalesce(big, F.lit(-1.0)).alias("value_or_default"),
+        F.nullif(F.col("event_type"), F.lit("view")).alias("type_non_view"),
+        big.isNull().alias("was_null"),
+        F.ifnull(big, F.lit(0.0)).alias("value_or_zero"),
+    )
+
+
+@query(
+    "ext_string_pack2",
+    oracle="""
+    SELECT p_partkey,
+           ARRAY_TO_STRING(LIST_TRANSFORM(STRING_SPLIT(p_name, ' '),
+                           w -> UPPER(w[1]) || w[2:]), ' ') AS name_title,
+           REVERSE(p_brand) AS brand_rev,
+           REPEAT(p_type, 2) AS type_twice,
+           LEFT(p_name, 4) AS name_left4,
+           RIGHT(p_name, 4) AS name_right4,
+           CONTAINS(p_name, 'ring') AS has_ring,
+           STARTS_WITH(p_type, 'ECO') AS is_eco,
+           ENDS_WITH(p_name, 'bolt') AS is_bolt,
+           SPLIT_PART(p_name, ' ', 2) AS second_word,
+           TRANSLATE(p_brand, '#', '-') AS brand_dash
+    FROM part
+    """,
+    tags=("relational", "function"),
+)
+def ext_string_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string pack: initcap/reverse/repeat/left/right/contains/
+    startswith/endswith/split_part/translate."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.initcap("p_name").alias("name_title"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.repeat(F.col("p_type"), 2).alias("type_twice"),
+        F.substring("p_name", 1, 4).alias("name_left4"),
+        F.substring(F.col("p_name"), -4, 4).alias("name_right4"),
+        F.contains(F.col("p_name"), F.lit("ring")).alias("has_ring"),
+        F.startswith(F.col("p_type"), F.lit("ECO")).alias("is_eco"),
+        F.endswith(F.col("p_name"), F.lit("bolt")).alias("is_bolt"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.translate(F.col("p_brand"), "#", "-").alias("brand_dash"),
+    )
+
+
+@query(
+    "ext_date_pack2",
+    oracle="""
+    SELECT o_orderkey,
+           STRFTIME(LAST_DAY(o_orderdate), '%Y-%m-%d') AS month_end,
+           STRFTIME(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3_months,
+           CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_sec,
+           STRFTIME(MAKE_DATE(CAST(YEAR(o_orderdate) AS INT), 1, 1), '%Y-%m-%d') AS year_start,
+           CAST(DATE_DIFF('month', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS months_since
+    FROM orders
+    """,
+    tags=("relational", "function"),
+)
+def ext_date_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date pack: last_day / add_months / epoch seconds / make_date /
+    month difference (DuckDB date_diff('month') counts month-boundary
+    crossings — mirrored via (yr*12+mo) delta, not months_between)."""
+    o = load(spark, sf_dir, "orders")
+    months_since = (
+        (F.year("o_orderdate") - F.lit(1995)) * 12 + (F.month("o_orderdate") - 1)
+    ).cast("long")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias(
+            "plus_3_months"
+        ),
+        F.unix_timestamp("o_orderdate").alias("epoch_sec"),
+        F.date_format(
+            F.make_date(F.year("o_orderdate"), F.lit(1), F.lit(1)), "yyyy-MM-dd"
+        ).alias("year_start"),
+        months_since.alias("months_since"),
+    )
+
+
+@query(
+    "ext_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_similar_cheaper,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS band_spend,
+           FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey) AS first_order
+    FROM orders
+    """,
+    tags=("relational", "window"),
+)
+def ext_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based window) + first_value analytic."""
+    o = load(spark, sf_dir, "orders")
+    w_range = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-50000, W.currentRow)
+    )
+    w_first = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w_range).alias("n_similar_cheaper"),
+        F.sum(dec("o_totalprice")).over(w_range).cast("double").alias("band_spend"),
+        F.first("o_orderkey").over(w_first).alias("first_order"),
+    )
+
+
+@query(
+    "ext_sql_surface_q3",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15'
+      AND l_shipdate > TIMESTAMP '1997-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("relational", "sql", "join", "flagship"),
+)
+def ext_sql_surface_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped query through the raw SQL surface — same Catalyst
+    plan as the DataFrame form; proves the engine's SQL entry point."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+               DATE_FORMAT(o_orderdate, 'yyyy-MM-dd') AS orderdate
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-03-15'
+          AND l_shipdate > TIMESTAMP '1997-03-15'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """
+    )

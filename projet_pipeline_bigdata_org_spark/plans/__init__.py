@@ -20,6 +20,7 @@ def load_all() -> None:
         dedup,
         multimodal,
         relational,
+        relational_ext,
         similarity,
         textops,
     )

@@ -1,0 +1,68 @@
+"""Batch sources & sinks (SURVEY.md §2.1): schema-first JSON/CSV readers
+(S2 — the reference always passes an explicit schema, never inference),
+bronze-layer JSON-lines archive (S7, the ADLS append re-done as an
+append-only lake directory), and partitioned parquet writes (the 100 TB
+lake layout: partition pruning comes free on read).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    multiline: bool = False,
+) -> DataFrame:
+    """Schema-enforced JSON scan (reference model_training.py:31 reads a
+    multiline JSON array with an explicit schema; PERMISSIVE nulls malformed
+    records, matching from_json's behavior on the stream path)."""
+    return (
+        spark.read.schema(schema)
+        .option("multiLine", str(multiline).lower())
+        .option("mode", "PERMISSIVE")
+        .json(path)
+    )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """Schema-enforced CSV scan (no inferSchema — one pass, deterministic
+    types)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(path)
+    )
+
+
+def write_bronze_json(df: DataFrame, path: str) -> None:
+    """Bronze archive: append JSON-lines (reference S7 buffers 10 records and
+    appends to one ADLS file — a single-writer bottleneck; a directory of
+    part files appends from every executor in parallel instead)."""
+    df.write.mode("append").json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: Sequence[str]
+) -> None:
+    """Lake layout write: hive-style partition directories so later scans
+    prune partitions from the predicate (static + dynamic pruning)."""
+    df.write.mode("append").partitionBy(*partition_cols).parquet(path)
+
+
+def read_lake(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned lake directory (partition columns recovered from
+    the directory layout)."""
+    return spark.read.parquet(path)

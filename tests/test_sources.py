@@ -1,0 +1,72 @@
+"""Sources/sinks: schema-first JSON (incl. multiline array file like the
+reference corpus), CSV, bronze append, partitioned parquet with pruning."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from projet_pipeline_bigdata_org_spark.sources.batch import (
+    read_csv,
+    read_json,
+    read_lake,
+    write_bronze_json,
+    write_partitioned_parquet,
+)
+from projet_pipeline_bigdata_org_spark.streaming.runtime import RECORD_SCHEMA
+
+
+def test_multiline_json_array_with_schema(spark, tmp_path):
+    """The reference's corpus shape: one JSON array in one file."""
+    records = [
+        {"id": "a1", "author": "u1", "subreddit": "s", "text": "hello",
+         "timestamp": 1700000000.0, "score": 5},
+        {"id": "a2", "author": "None", "subreddit": "s", "text": None,
+         "timestamp": 1700000100.5, "score": -1},
+    ]
+    p = tmp_path / "corpus.json"
+    p.write_text(json.dumps(records))
+    df = read_json(spark, str(p), RECORD_SCHEMA, multiline=True)
+    rows = {r.id: r for r in df.collect()}
+    assert rows["a1"].score == 5 and rows["a2"].text is None
+    assert df.schema == RECORD_SCHEMA
+
+
+def test_json_lines_with_malformed_row(spark, tmp_path):
+    p = tmp_path / "lines.json"
+    p.write_text(
+        '{"id":"x","author":"a","subreddit":"s","text":"t","timestamp":1.0,"score":1}\n'
+        "THIS IS NOT JSON\n"
+    )
+    df = read_json(spark, str(p), RECORD_SCHEMA)
+    ids = [r.id for r in df.collect()]
+    assert "x" in ids and len(ids) == 2  # malformed row nulled, not dropped
+
+
+def test_csv_with_schema(spark, tmp_path):
+    p = tmp_path / "d.csv"
+    p.write_text("id,author,subreddit,text,timestamp,score\nc1,u,s,hey,1.5,7\n")
+    df = read_csv(spark, str(p), RECORD_SCHEMA)
+    r = df.first()
+    assert r.id == "c1" and r.timestamp == 1.5 and r.score == 7
+
+
+def test_bronze_append_accumulates(spark, tmp_path):
+    out = str(tmp_path / "bronze")
+    df = spark.range(3).select(F.col("id").cast("string").alias("id"))
+    write_bronze_json(df, out)
+    write_bronze_json(df, out)
+    assert spark.read.json(out).count() == 6
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    out = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 3}") for i in range(30)], ["v", "dt"]
+    )
+    write_partitioned_parquet(df, out, ["dt"])
+    scan = read_lake(spark, out).filter(F.col("dt") == "2024-01-01")
+    assert scan.count() == 10
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024-01-01" in plan
