@@ -1,0 +1,196 @@
+"""Grouped Python-UDF operators (SURVEY.md §2.10 [GAP→add]: grouped-map
+``applyInPandas``, GROUPED_AGG ``pandas_udf``) and an iterative distributed
+algorithm (connected-components clustering of the near-dup pair graph —
+the step after pair detection in any dedup pipeline).
+
+Parity notes: the pandas kernels use only exact float ops (min/max,
+subtraction, division of identical operands) so the DuckDB window-function
+oracles match bit-for-bit; means/sums are avoided in Python (numpy pairwise
+summation orders differently than SQL engines).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_pipeline_bigdata_org_spark.catalog import load
+from projet_pipeline_bigdata_org_spark.plans.registry import query
+
+
+def _minmax_scale(pdf: pd.DataFrame) -> pd.DataFrame:
+    lo, hi = pdf["value"].min(), pdf["value"].max()
+    span = hi - lo
+    pdf["scaled"] = 0.0 if span == 0 else (pdf["value"] - lo) / span
+    pdf["group_min"] = lo
+    pdf["group_max"] = hi
+    return pdf[["event_id", "event_type", "value", "group_min", "group_max", "scaled"]]
+
+
+@query(
+    "grouped_map_minmax_scale",
+    oracle="""
+    SELECT event_id, event_type, value,
+           MIN(value) OVER w AS group_min,
+           MAX(value) OVER w AS group_max,
+           CASE WHEN MAX(value) OVER w = MIN(value) OVER w THEN 0.0
+                ELSE (value - MIN(value) OVER w)
+                     / (MAX(value) OVER w - MIN(value) OVER w) END AS scaled,
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+    tags=("udf", "grouped", "events"),
+)
+def grouped_map_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-event-type min-max feature scaling.
+
+    One shuffle on the group key, whole groups as Arrow-backed pandas frames
+    in executor Python workers — the grouped-map operator shape (the
+    window-function oracle proves the arithmetic; the point here is the
+    applyInPandas machinery)."""
+    e = load(spark, sf_dir, "events")
+    return e.select("event_id", "event_type", "value").groupBy("event_type").applyInPandas(
+        _minmax_scale,
+        schema="event_id long, event_type string, value double, "
+        "group_min double, group_max double, scaled double",
+    )
+
+
+@query(
+    "grouped_agg_value_range",
+    oracle="""
+    SELECT event_type,
+           MAX(value) - MIN(value) AS value_range,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("udf", "grouped", "events"),
+)
+def grouped_agg_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDFs (custom aggregates in Python): per-type value
+    range + count. Exact ops only (max-min, len); Spark disallows mixing
+    GROUPED_AGG pandas UDFs with native aggregates in one agg, so both
+    measures are pandas-side."""
+
+    @F.pandas_udf("double")
+    def value_range(s: pd.Series) -> float:
+        return float(s.max() - s.min())
+
+    @F.pandas_udf("long")
+    def n_rows(s: pd.Series) -> int:
+        return len(s)
+
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        value_range("value").alias("value_range"),
+        n_rows("value").alias("n"),
+    )
+
+
+MAX_CC_ITERATIONS = 20
+
+
+def connected_components(edges: DataFrame, max_iter: int = MAX_CC_ITERATIONS) -> DataFrame:
+    """Min-label propagation over an undirected edge list (a_id, b_id) →
+    (node, cluster_id = min reachable id). Iterates until fixpoint.
+
+    Each round: node label ← min(own label, neighbors' labels) — two
+    shuffles per round (propagate + re-aggregate); rounds ≈ graph diameter
+    of the largest near-dup cluster, which is tiny in practice. The at-scale
+    refinement is the large-star/small-star variant; the dataflow shape (no
+    driver-side graph, only joins/aggregations) is identical."""
+    fwd = edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    rev = edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    adj = fwd.union(rev)
+    labels = (
+        adj.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            adj.join(labels, adj.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.localCheckpoint(eager=True)  # cut the growing lineage
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "dedup_cluster_components",
+    oracle="""
+    WITH RECURSIVE t AS (SELECT doc_id,
+                      LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) - 1),
+                        i -> LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')[i] || ' ' ||
+                             LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')[i+1] || ' ' ||
+                             LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')[i+2])) AS sh
+               FROM documents),
+    sz AS (SELECT doc_id, LEN(sh) AS n FROM t),
+    ex AS (SELECT doc_id, UNNEST(sh) AS s FROM t),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT a_id, b_id FROM inter
+      JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.12),
+    edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src)
+    SELECT node, CAST(MIN(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    tags=("llm", "dedup", "iterative", "documents"),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: exact-Jaccard pairs → connected components via
+    iterative min-label propagation (the oracle computes the same transitive
+    closure with a recursive CTE). Output: every node in the pair graph with
+    its cluster representative (min doc_id)."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    return connected_components(pairs).select(
+        "node", F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+
+
+@query(
+    "agg_approximate",
+    tags=("agg", "relational", "no-oracle"),
+)
+def agg_approximate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL count-distinct, t-digest percentile) —
+    the at-scale variants of exact distinct/percentile. Engine-specific
+    sketches, so rows-only (no cross-engine oracle by construction)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
