@@ -242,3 +242,38 @@ def test_session_window_streaming_matches_batch(spark, tmp_path):
         (1, T0): 2,
         (1, T0 + dt.timedelta(minutes=120)): 1,
     }, f"unexpected sessions: {got}"
+
+
+def test_applyInPandasWithState_running_stats(spark, tmp_path):
+    """Custom stateful operator: per-user running (count, sum, max) carried
+    across micro-batches via applyInPandasWithState."""
+    from projet_pipeline_bigdata_org_spark.streaming.stateful import running_user_stats
+
+    src = str(tmp_path / "src")
+    _write_ordered_files(
+        spark,
+        src,
+        [
+            [(1, 0, 1, "view", 2), (2, 1, 2, "view", 5)],
+            [(3, 2, 1, "click", 4)],  # user 1 again: state must carry over
+        ],
+    )
+    stream = file_stream(spark, src, EVENTS_SCHEMA, max_files_per_trigger=1)
+    out = running_user_stats(stream)
+    name = f"st_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    # last snapshot per user wins
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, r.total_value, r.max_value)
+    assert final[1] == (2, 6.0, 4.0)  # 2 events across two micro-batches
+    assert final[2] == (1, 5.0, 5.0)
