@@ -158,6 +158,75 @@ def sim_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+@query(
+    "sim_ann_ivf",
+    tags=("llm", "similarity", "embeddings", "no-oracle"),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file) coarse quantization: KMeans centroids →
+    assign each vector to its cell → each query probes its IVF_NPROBE
+    nearest cells → exact cosine within probed cells → top-k.
+
+    The other scale path next to LSH: the corpus shuffles once on cell id;
+    a query touches nprobe/cells of the data. Centroids are a driver-side
+    KMeans fit on a sample (seeded) — at 100 TB, fit on a 1% sample and
+    broadcast. Rows-only (KMeans cells are engine-side); recall vs brute
+    force asserted in tests."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", "embedding", array_to_vector("embedding").alias("features")
+    )
+    km = KMeans(k=IVF_CELLS, seed=42, maxIter=10, featuresCol="features")
+    model = km.fit(vecs.select("features"))
+    assigned = model.transform(vecs).select(
+        "vec_id", "embedding", F.col("prediction").alias("cell")
+    )
+    # query block: nearest IVF_NPROBE cells per query via centroid cosine
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cent_df = spark.createDataFrame(centroids, ["cell", "centroid"])
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    q_cells = (
+        q.crossJoin(F.broadcast(cent_df))
+        .select(
+            "q_id",
+            "q_emb",
+            "cell",
+            (
+                dot(F.col("q_emb"), F.col("centroid"))
+                / (norm(F.col("q_emb")) * norm(F.col("centroid")))
+            ).alias("ccos"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("ccos").desc(), "cell")
+            ),
+        )
+        .filter(F.col("rk") <= IVF_NPROBE)
+        .select("q_id", "q_emb", "cell")
+    )
+    cand = q_cells.join(assigned, "cell").filter(F.col("vec_id") != F.col("q_id"))
+    cosine = dot(F.col("q_emb"), F.col("embedding")) / (
+        norm(F.col("q_emb")) * norm(F.col("embedding"))
+    )
+    scored = cand.select(
+        "q_id", F.col("vec_id").alias("n_id"), cosine.alias("cosine")
+    ).dropDuplicates(["q_id", "n_id"])
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
+    return scored.select(
+        "q_id", "n_id", "cosine", F.row_number().over(w).cast("long").alias("rnk")
+    ).filter(F.col("rnk") <= TOPK)
+
+
 def lsh_table_buckets(emb: Column) -> Column:
     """Per-table random-hyperplane bucket ids: array of LSH_TABLES structs
     (table, bucket) where bucket bit_i = sign(dot(emb, plane_i)).

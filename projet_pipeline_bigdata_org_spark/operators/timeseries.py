@@ -1,0 +1,106 @@
+"""Time-series / binning operators: histogram bucketing, dense time-grid
+gap filling (sequence + explode + left join — the UDTF-expansion pattern),
+and ordinality explode. Rounds out SURVEY.md §2.8/§2.11 analytics the
+reference's PowerBI layer implied but never computed in Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_pipeline_bigdata_org_spark.catalog import load
+from projet_pipeline_bigdata_org_spark.functions.exact import dsum
+from projet_pipeline_bigdata_org_spark.plans.registry import query
+
+BUCKET_WIDTH = 25_000.0
+N_BUCKETS = 20
+
+
+@query(
+    "ts_price_histogram",
+    oracle=f"""
+    SELECT 1 + CAST(FLOOR(o_totalprice / {BUCKET_WIDTH}) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS bucket_value
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("relational", "histogram"),
+)
+def ts_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (width_bucket semantics via
+    floor-division, which DuckDB 1.0 can mirror — it lacks width_bucket).
+    Division of 2-decimal doubles by an exact power-of-ten-scaled width is
+    IEEE-identical cross-engine."""
+    o = load(spark, sf_dir, "orders")
+    bucket = (F.floor(F.col("o_totalprice") / BUCKET_WIDTH) + 1).cast("long")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "bucket_value"),
+    )
+
+
+@query(
+    "ts_hourly_gap_fill",
+    oracle="""
+    WITH grid AS (
+      SELECT UNNEST(GENERATE_SERIES(TIMESTAMP '2024-01-01 00:00:00',
+                                    TIMESTAMP '2024-01-03 23:00:00',
+                                    INTERVAL 1 HOUR)) AS hour_start),
+    agg AS (
+      SELECT DATE_TRUNC('hour', ts) AS hour_start, COUNT(*) AS n
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-04 00:00:00'
+      GROUP BY 1)
+    SELECT STRFTIME(g.hour_start, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           COALESCE(n, 0) AS n_events
+    FROM grid g LEFT JOIN agg a ON a.hour_start = g.hour_start
+    """,
+    tags=("relational", "timeseries", "events"),
+)
+def ts_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series with zero-filled gaps: generate the grid with
+    sequence+explode (no driver loop, no data-dependent range scan), left
+    join the hourly counts. The standard dashboard/feature-store densify."""
+    e = load(spark, sf_dir, "events")
+    grid = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-03 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour_start")
+    )
+    agg = (
+        e.filter(F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp"))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return grid.join(agg, "hour_start", "left").select(
+        F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+    )
+
+
+@query(
+    "ts_posexplode_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(GENERATE_SUBSCRIPTS(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''), 1) AS BIGINT) AS pos,
+           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS token
+    FROM documents
+    WHERE doc_id < 20
+    """,
+    tags=("relational", "function", "documents"),
+)
+def ts_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (UDTF-style expansion with ordinality) — token stream with
+    positions, 1-based to match SQL ordinality."""
+    from projet_pipeline_bigdata_org_spark.operators.textops import ws_tokens
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id", F.posexplode(ws_tokens("text")).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "token")

@@ -24,6 +24,7 @@ def load_all() -> None:
         relational_ext,
         similarity,
         textops,
+        timeseries,
     )
     from projet_pipeline_bigdata_org_spark import pipeline  # noqa: F401
     from projet_pipeline_bigdata_org_spark.ml import pipeline as ml_pipeline  # noqa: F401

@@ -177,8 +177,17 @@ class FailoverBatchSink:
             self.stats["empty"] += 1
             return
         df = self.transform(batch_df) if self.transform else batch_df
+        # row accounting rides the write job via observe() — the reference
+        # ran a separate count() job per batch (engine.py:204 anti-pattern)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"sink_epoch_{epoch_id}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         try:
             self.primary(df, epoch_id)
+            self.stats["rows_written"] = self.stats.get("rows_written", 0) + (
+                obs.get.get("rows", 0)
+            )
         except Exception as primary_err:
             self.stats["failover"] += 1
             log.warning("primary sink failed for epoch %s: %s", epoch_id, primary_err)

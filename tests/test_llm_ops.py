@@ -108,3 +108,39 @@ def test_multimodal_real_decoder_is_explicit_stub():
         decode_media_real(b"xx")
     m = decode_media_stub(b"abcd")
     assert m["n_bytes"] == 4 and m["width"] == 5 and m["n_frames"] == 5
+
+
+def test_ann_ivf_recall_and_soundness(spark, sf_dir):
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.similarity import (
+        N_QUERIES,
+        TOPK,
+        dot,
+        norm,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cos = dot(F.col("q_emb"), F.col("embedding")) / (
+        norm(F.col("q_emb")) * norm(F.col("embedding"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
+    exact = {
+        (r.q_id, r.n_id)
+        for r in e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"), cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .collect()
+    }
+    got = {
+        (r.q_id, r.n_id) for r in _Q["sim_ann_ivf"].fn(spark, sf_dir).collect()
+    }
+    # every IVF hit is a real vector pair; recall of the true top-k:
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.3, f"ivf recall too low: {recall:.2f}"
+    assert len(got) <= N_QUERIES * TOPK

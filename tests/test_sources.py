@@ -70,3 +70,26 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     assert scan.count() == 10
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "2024-01-01" in plan
+
+
+def test_salted_count_matches_plain(spark, sf_dir):
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.functions.skew import salted_count
+
+    e = load(spark, sf_dir, "events")
+    plain = {r.event_type: r.n for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    salted = {r.event_type: r.n for r in salted_count(e, ["event_type"]).collect()}
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.functions.skew import salted_join
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = o.join(c, "o_custkey").count()
+    salted = salted_join(o, c, "o_custkey").count()
+    assert plain == salted
