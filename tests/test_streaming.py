@@ -277,3 +277,53 @@ def test_applyInPandasWithState_running_stats(spark, tmp_path):
         final[r.user_id] = (r.n_events, r.total_value, r.max_value)
     assert final[1] == (2, 6.0, 4.0)  # 2 events across two micro-batches
     assert final[2] == (1, 5.0, 5.0)
+
+
+def test_stream_static_dim_join(spark, tmp_path):
+    """Stream-static join: streaming events enriched against a static dim
+    (the reference's topic-label lookup as a real join, not a UDF closure)."""
+    src = str(tmp_path / "src")
+    _mk_events(spark, [(1, 0, 1, "view", 1), (2, 1, 2, "click", 2)]).write.parquet(src)
+    dim = spark.createDataFrame(
+        [("view", "passive"), ("click", "active")], ["event_type", "engagement"]
+    )
+    stream = file_stream(spark, src, EVENTS_SCHEMA, max_files_per_trigger=None)
+    joined = stream.join(F.broadcast(dim), "event_type")
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    q = _memory_query(joined.select("event_id", "engagement"), name)
+    q.processAllAvailable()
+    q.stop()
+    got = {r.event_id: r.engagement for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got == {1: "passive", 2: "active"}
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join with watermarks + event-time range bound:
+    views joined to subsequent purchases by the same user within 30 min."""
+    src_a = str(tmp_path / "views")
+    src_b = str(tmp_path / "buys")
+    _mk_events(spark, [(1, 0, 1, "view", 1), (2, 50, 2, "view", 1)]).write.parquet(src_a)
+    _mk_events(spark, [(11, 10, 1, "purchase", 9), (12, 200, 2, "purchase", 9)]).write.parquet(src_b)
+    views = (
+        file_stream(spark, src_a, EVENTS_SCHEMA, max_files_per_trigger=None)
+        .withWatermark("ts", "1 hour")
+        .select(F.col("event_id").alias("view_id"), F.col("user_id").alias("vu"), F.col("ts").alias("vts"))
+    )
+    buys = (
+        file_stream(spark, src_b, EVENTS_SCHEMA, max_files_per_trigger=None)
+        .withWatermark("ts", "1 hour")
+        .select(F.col("event_id").alias("buy_id"), F.col("user_id").alias("bu"), F.col("ts").alias("bts"))
+    )
+    joined = views.join(
+        buys,
+        (F.col("vu") == F.col("bu"))
+        & (F.col("bts") >= F.col("vts"))
+        & (F.col("bts") <= F.col("vts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = _memory_query(joined.select("view_id", "buy_id"), name)
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.view_id, r.buy_id) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    # user 1: purchase 10 min after the view → joins; user 2: 150 min later → no
+    assert got == {(1, 11)}
