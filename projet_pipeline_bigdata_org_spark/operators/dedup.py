@@ -201,9 +201,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         d.select("doc_id", F.array_distinct(shingles(ws_tokens("text"))).alias("sh"))
         .filter(F.size("sh") > 0)
+        # hashes materialize INSIDE the persisted stage: projection collapse
+        # would otherwise inline shingle_hashes into each of the 32
+        # permutation mins (32× xxhash64 per shingle)
+        .select("doc_id", "sh", shingle_hashes(F.col("sh")).alias("hh"))
         .persist()
     )
-    sig = sh.select("doc_id", minhash_signature(shingle_hashes(F.col("sh"))).alias("sig"))
+    sig = sh.select("doc_id", minhash_signature(F.col("hh")).alias("sig"))
     band_structs = F.array(
         *[
             F.struct(

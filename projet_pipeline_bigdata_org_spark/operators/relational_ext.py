@@ -411,3 +411,83 @@ def ext_sql_surface_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+
+
+@query(
+    "ext_map_functions",
+    oracle="""
+    WITH m AS (
+      SELECT event_id,
+             MAP(['k', 'kmod'],
+                 [CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT),
+                  CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 10]) AS mp
+      FROM events)
+    SELECT event_id,
+           ELEMENT_AT(mp, 'k')[1] AS k_val,
+           CAST(CARDINALITY(mp) AS INT) AS map_size,
+           ARRAY_TO_STRING(MAP_KEYS(mp), '|') AS keys_joined,
+           ARRAY_TO_STRING(LIST_TRANSFORM(MAP_VALUES(mp), v -> CAST(v AS VARCHAR)), '|') AS values_joined
+    FROM m
+    """,
+    tags=("relational", "function", "map", "events"),
+)
+def ext_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: create_map / element_at / size / map_keys /
+    map_values (map payloads emitted as scalars+joined strings for
+    engine-neutral hashing; DuckDB's map extraction list-wraps values,
+    unwrapped with [1] in the oracle)."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    m = F.create_map(F.lit("k"), k, F.lit("kmod"), k % 10)
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.size(m).alias("map_size"),
+        F.array_join(F.map_keys(m), "|").alias("keys_joined"),
+        F.array_join(
+            F.transform(F.map_values(m), lambda v: v.cast("string")), "|"
+        ).alias("values_joined"),
+    )
+
+
+@query(
+    "ext_merge_upsert",
+    oracle="""
+    WITH upd AS (
+      SELECT c_custkey, c_acctbal + 1000 AS new_bal FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, 0.0 FROM customer WHERE c_custkey % 97 = 0)
+    SELECT c_custkey AS custkey, c_acctbal AS acctbal, FALSE AS was_updated
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+    UNION ALL
+    SELECT c_custkey, new_bal, TRUE FROM upd
+    """,
+    tags=("relational", "merge"),
+)
+def ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert emulated with anti-join + union (the CDC pattern without
+    a table format: Delta/Iceberg MERGE INTO is the managed variant; the
+    dataflow — changed rows replace, new rows append, untouched rows carry
+    over — is identical, one shuffle on the merge key). Updates are derived
+    deterministically from the base table so the oracle can reproduce them."""
+    base = load(spark, sf_dir, "customer")
+    changed = base.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 1000).alias("new_bal")
+    )
+    inserted = base.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        F.lit(0.0).alias("new_bal"),
+    )
+    upd = changed.union(inserted)
+    untouched = base.join(upd.select("c_custkey"), "c_custkey", "left_anti").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit(False).alias("was_updated"),
+    )
+    applied = upd.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("new_bal").alias("acctbal"),
+        F.lit(True).alias("was_updated"),
+    )
+    return untouched.union(applied)
