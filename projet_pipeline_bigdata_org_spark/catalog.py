@@ -48,6 +48,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    from projet_pipeline_bigdata_org_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)  # driver-built sessions lack our configs
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

@@ -21,6 +21,36 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+#: confs every query needs regardless of who built the SparkSession (the
+#: external driver constructs its own session without our builder). All are
+#: runtime-settable SQL confs; applied idempotently by catalog.load.
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",  # oracle timestamp parity
+    "spark.sql.legacy.parquet.nanosAsLong": "true",  # events TIMESTAMP(NANOS)
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
+}
+
+_ENSURED: set[int] = set()
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's required runtime confs to an externally-built
+    session (idempotent, once per session object)."""
+    key = id(spark)
+    if key not in _ENSURED:
+        for k, v in RUNTIME_CONFS.items():
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # non-settable on some deployments; builder path covers it
+        _ENSURED.add(key)
+    return spark
+
+
 def get_spark(
     app_name: str = "projet_pipeline_bigdata_org_spark",
     cpus: int | str | None = None,
