@@ -10,44 +10,85 @@ comparison and local benchmarking need:
 - Arrow enabled for every pandas_udf / toPandas exchange
 
 At cluster scale the same factory applies; only master/memory change.
+External drivers may build their own SparkSession; ``ensure_runtime_confs``
+(called from catalog.load) applies the same confs there at runtime.
 """
 
 from __future__ import annotations
 
+import logging
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
+log = logging.getLogger(__name__)
+
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
-
-#: confs every query needs regardless of who built the SparkSession (the
-#: external driver constructs its own session without our builder). All are
-#: runtime-settable SQL confs; applied idempotently by catalog.load.
-RUNTIME_CONFS = {
+#: correctness-required on ANY session running engine queries: wrong values
+#: crash events reads (parquet nanos) or silently shift timestamp results.
+REQUIRED_CONFS = {
     "spark.sql.session.timeZone": "UTC",  # oracle timestamp parity
-    "spark.sql.legacy.parquet.nanosAsLong": "true",  # events TIMESTAMP(NANOS)
-    "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.adaptive.enabled": "true",
-    "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    "spark.sql.adaptive.skewJoin.enabled": "true",
-    "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
+    # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type —
+    # read as long, catalog.load converts to micros (DuckDB-equivalent)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
-_ENSURED: set[int] = set()
+
+def _perf_confs() -> dict[str, str]:
+    """Performance confs (safe defaults for engine workloads; read env at
+    call time so deployments can steer them)."""
+    return {
+        "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # local-mode scan parallelism: testdata tables are single small
+        # parquet files; the 128m default gives 1-task scans on 32 cores.
+        # Cluster deployments override via SPARK_GRAFT_MAX_PARTITION_BYTES.
+        "spark.sql.files.maxPartitionBytes": os.environ.get(
+            "SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)
+        ),
+    }
+
+
+# weak refs: a recycled id() of a stopped session must not suppress ensure
+_ENSURED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply the engine's required runtime confs to an externally-built
-    session (idempotent, once per session object)."""
-    key = id(spark)
-    if key not in _ENSURED:
-        for k, v in RUNTIME_CONFS.items():
+    """Apply the engine's runtime confs to an externally-built session
+    (idempotent per live session object; all keys are runtime-settable
+    SQL confs).
+
+    Required confs that cannot be applied AND hold a wrong value are a
+    correctness problem — surfaced loudly instead of swallowed."""
+    if spark in _ENSURED:
+        return spark
+    for k, v in REQUIRED_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception as err:
+            current = None
             try:
-                spark.conf.set(k, v)
+                current = spark.conf.get(k, None)
             except Exception:
-                pass  # non-settable on some deployments; builder path covers it
-        _ENSURED.add(key)
+                pass
+            if current != v:
+                log.error(
+                    "required conf %s=%s could not be applied (current=%s): %s — "
+                    "events reads may crash and timestamp results may shift",
+                    k, v, current, err,
+                )
+    for k, v in _perf_confs().items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # perf-only: keep the deployment's own tuning
+    _ENSURED.add(spark)
     return spark
 
 
@@ -61,27 +102,12 @@ def get_spark(
     ``cpus`` defaults to $SPARK_GRAFT_CPUS, else all local cores.
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    for k, v in {**REQUIRED_CONFS, **_perf_confs()}.items():
+        builder = builder.config(k, v)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type —
-        # read as long and convert to micros in catalog.load (DuckDB-equivalent
-        # truncation)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # local-mode scan parallelism: testdata tables are single small
-        # parquet files; the 128m default gives 1-task scans on 32 cores.
-        # Cluster deployments override via SPARK_GRAFT_MAX_PARTITION_BYTES.
-        .config(
-            "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
