@@ -73,14 +73,13 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from projet_pipeline_bigdata_org_spark.functions.cleaning import SQL_CLEAN as _SQL_CLEAN
+
+
 @query(
     "dedup_exact_normalized",
-    oracle="""
-    WITH n AS (SELECT doc_id,
-                      TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
-                        LOWER(text), '(https?://\\S+|www\\.\\S+)', '', 'g'),
-                        '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm
-               FROM documents)
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_SQL_CLEAN.format(c='text')} AS norm FROM documents)
     SELECT SHA256(norm) AS norm_sha,
            COUNT(*) AS n_copies,
            CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
@@ -155,6 +154,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: one cached copy per operator: re-invocation unpersists the previous
+#: cache instead of leaking a pinned DataFrame per call
+_SCOPED_CACHES: dict[str, DataFrame] = {}
+
+
+def _persist_scoped(scope: str, df: DataFrame) -> DataFrame:
+    prev = _SCOPED_CACHES.pop(scope, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _SCOPED_CACHES[scope] = df.persist()
+    return _SCOPED_CACHES[scope]
+
+
 def minhash_signature(hashed: F.Column) -> F.Column:
     """32-permutation MinHash signature over pre-hashed shingles.
 
@@ -198,14 +213,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs ⊆ exact-Jaccard pairs with matching values and recall ≥ 0.5.
     """
     d = load(spark, sf_dir, "documents")
-    sh = (
+    sh = _persist_scoped(
+        "minhash_sh",
         d.select("doc_id", F.array_distinct(shingles(ws_tokens("text"))).alias("sh"))
         .filter(F.size("sh") > 0)
         # hashes materialize INSIDE the persisted stage: projection collapse
         # would otherwise inline shingle_hashes into each of the 32
         # permutation mins (32× xxhash64 per shingle)
-        .select("doc_id", "sh", shingle_hashes(F.col("sh")).alias("hh"))
-        .persist()
+        .select("doc_id", "sh", shingle_hashes(F.col("sh")).alias("hh")),
     )
     sig = sh.select("doc_id", minhash_signature(F.col("hh")).alias("sig"))
     band_structs = F.array(
@@ -256,18 +271,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Features are distinct word-3-gram shingles (order-sensitive — unigram
     token sets are too weak when documents share a small vocabulary):
     bit_j = sign(Σ_shingles (xxhash64(shingle) bit_j ? +1 : -1)); near-dups
-    have small Hamming distance. Banding on 4×12-bit chunks keeps the join
-    equi-key at scale (a pair within distance d collides on ≥1 chunk when
-    d < chunks). 48 bits so every shift/sum stays exact in int64 under ANSI.
+    have small Hamming distance. Banding on 4×12-bit chunks GUARANTEES a
+    candidate collision only for pairs with hamming < 4 (pigeonhole);
+    pairs in [4, SIMHASH_HAMMING_MAX] surface best-effort when their
+    differing bits cluster in ≤3 chunks — the recall/shuffle tradeoff is
+    deliberate (13 chunks would guarantee d≤12 but buckets of ~4 bits
+    collide for most of the corpus). Documents with <3 tokens have no
+    shingle features and are excluded (they would all share fingerprint 0).
+    48 bits so every shift/sum stays exact in int64 under ANSI.
     No DuckDB oracle (xxhash64); invariants tested in pytest.
     """
     d = load(spark, sf_dir, "documents")
-    feats = F.array_distinct(shingles(ws_tokens("text")))
-    hashed = F.transform(feats, lambda t: F.xxhash64(t))
+    # hashes staged through a persisted select: projection collapse would
+    # otherwise inline the shingle+hash expression into all 48 bit votes
+    hashed_df = _persist_scoped(
+        "simhash_hashed",
+        d.select(
+            "doc_id",
+            F.array_distinct(shingles(ws_tokens("text"))).alias("feats"),
+        )
+        .filter(F.size("feats") > 0)
+        .select("doc_id", F.transform("feats", lambda t: F.xxhash64(t)).alias("hh")),
+    )
 
     def bit_vote(j: int) -> F.Column:
         return F.aggregate(
-            hashed,
+            F.col("hh"),
             F.lit(0).cast("long"),
             lambda acc, h: acc
             + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
@@ -280,7 +309,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         simhash = term if simhash is None else simhash + term
 
-    fp = d.select("doc_id", simhash.alias("simhash"))
+    fp = hashed_df.select("doc_id", simhash.alias("simhash"))
     chunk_structs = F.array(
         *[
             F.struct(

@@ -109,6 +109,7 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_CC_ITERATIONS) ->
         .distinct()
         .withColumn("cluster_id", F.col("node"))
     )
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             adj.join(labels, adj.dst == labels.node)
@@ -134,17 +135,31 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_CC_ITERATIONS) ->
         labels = updated.localCheckpoint(eager=True)  # cut the growing lineage
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} iterations "
+            "(component diameter exceeds max_iter); raise max_iter or switch to "
+            "the large-star/small-star variant"
+        )
     return labels
+
+
+from projet_pipeline_bigdata_org_spark.operators.dedup import (
+    JACCARD_THRESHOLD as _JT,
+)
+from projet_pipeline_bigdata_org_spark.operators.textops import (
+    SQL_WS_TOKENS as _SQL_TOKS,
+    sql_shingles as _sql_shingles,
+)
 
 
 @query(
     "dedup_cluster_components",
-    oracle="""
+    # pair CTEs reuse the shared tokenize/shingle SQL + threshold so this
+    # oracle cannot drift from dedup_ngram_jaccard's
+    oracle=f"""
     WITH RECURSIVE t AS (SELECT doc_id,
-                      LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) - 1),
-                        i -> LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')[i] || ' ' ||
-                             LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')[i+1] || ' ' ||
-                             LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')[i+2])) AS sh
+                      LIST_DISTINCT({_sql_shingles(_SQL_TOKS.format(c='text'))}) AS sh
                FROM documents),
     sz AS (SELECT doc_id, LEN(sh) AS n FROM t),
     ex AS (SELECT doc_id, UNNEST(sh) AS s FROM t),
@@ -155,7 +170,7 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_CC_ITERATIONS) ->
     pairs AS (
       SELECT a_id, b_id FROM inter
       JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
-      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.12),
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {_JT}),
     edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
               UNION SELECT b_id, a_id FROM pairs),
     reach(node, r) AS (

@@ -264,16 +264,18 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, exact-cosine verify.
 
     The scale path: shuffles on (table, bucket) keys instead of an all-pairs
-    join — per table only ~2^-k of pairs collide. Recall vs the brute-force
-    baseline is asserted in tests (deterministic: planes are fixed).
-    No oracle (signatures are engine-side).
+    join — per table only ~2^-k of pairs collide — and the band join carries
+    only (vec_id, tbl, bucket) rows (~24 bytes), never the embeddings;
+    candidate pairs re-join the vectors by id for the exact-cosine verify
+    (same staging discipline as dedup_minhash_lsh). Recall vs the
+    brute-force baseline is asserted in tests (deterministic: planes are
+    fixed). No oracle (signatures are engine-side).
     """
     e = load(spark, sf_dir, "embeddings")
     b = (
-        e.select("vec_id", "embedding", F.explode(lsh_table_buckets(F.col("embedding"))).alias("tb"))
+        e.select("vec_id", F.explode(lsh_table_buckets(F.col("embedding"))).alias("tb"))
         .select(
             "vec_id",
-            "embedding",
             F.col("tb.tbl").alias("tbl"),
             F.col("tb.bucket").alias("bucket"),
         )
@@ -286,17 +288,17 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.vec_id") < F.col("r.vec_id")),
         )
-        .select(
-            F.col("l.vec_id").alias("a_id"),
-            F.col("r.vec_id").alias("b_id"),
-            F.col("l.embedding").alias("a_emb"),
-            F.col("r.embedding").alias("b_emb"),
-        )
+        .select(F.col("l.vec_id").alias("a_id"), F.col("r.vec_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
+    emb_a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    emb_b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
     cosine = dot(F.col("a_emb"), F.col("b_emb")) / (
         norm(F.col("a_emb")) * norm(F.col("b_emb"))
     )
-    return cand.select("a_id", "b_id", cosine.alias("cosine")).filter(
-        F.col("cosine") >= NEAR_DUP_COSINE
+    return (
+        cand.join(emb_a, "a_id")
+        .join(emb_b, "b_id")
+        .select("a_id", "b_id", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
     )
