@@ -491,3 +491,118 @@ def ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("was_updated"),
     )
     return untouched.union(applied)
+
+
+@query(
+    "ext_bitwise_pack",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 15 AS with_low_bits,
+           XOR(event_id, CAST(1024 AS BIGINT)) AS flipped,
+           ~event_id AS complement,
+           event_id << 2 AS shl2,
+           event_id >> 3 AS shr3
+    FROM events
+    """,
+    tags=("relational", "function", "bitwise", "events"),
+)
+def ext_bitwise_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator pack (& | ^ ~ shifts) — sketch/bitmap building blocks."""
+    e = load(spark, sf_dir, "events")
+    k = F.col("event_id")
+    return e.select(
+        "event_id",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(15)).alias("with_low_bits"),
+        k.bitwiseXOR(F.lit(1024)).alias("flipped"),
+        F.bitwise_not(k).alias("complement"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+    )
+
+
+@query(
+    "ext_union_by_name",
+    oracle="""
+    SELECT c_custkey AS entity_id, c_acctbal AS balance, 'customer' AS kind
+    FROM customer WHERE c_acctbal > 9900
+    UNION ALL
+    SELECT s_suppkey, s_acctbal, 'supplier' FROM supplier WHERE s_acctbal > 9900
+    """,
+    tags=("relational", "setop"),
+)
+def ext_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName across differently-ordered projections (schema aligned by
+    column name, not position)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900).select(
+        F.col("c_acctbal").alias("balance"),
+        F.col("c_custkey").alias("entity_id"),
+        F.lit("customer").alias("kind"),
+    )
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9900).select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.lit("supplier").alias("kind"),
+        F.col("s_acctbal").alias("balance"),
+    )
+    return c.unionByName(s).select("entity_id", "balance", "kind")
+
+
+@query(
+    "ext_window_analytic_pack",
+    oracle="""
+    SELECT s_suppkey, s_acctbal,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           NTH_VALUE(s_suppkey, 2) OVER (ORDER BY s_acctbal, s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_poorest,
+           LAST_VALUE(s_suppkey) OVER (ORDER BY s_acctbal, s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+    """,
+    tags=("relational", "window"),
+)
+def ext_window_analytic_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / nth_value / last_value over the supplier
+    dim (tiny global window — a real global sort only on small inputs)."""
+    s = load(spark, sf_dir, "supplier")
+    w = W.orderBy("s_acctbal", "s_suppkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("s_suppkey", 2).over(w_full).alias("second_poorest"),
+        F.last("s_suppkey").over(w_full).alias("richest"),
+    )
+
+
+@query(
+    "ext_interval_arithmetic",
+    oracle="""
+    SELECT event_id,
+           STRFTIME(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS plus_90m,
+           STRFTIME(ts - INTERVAL 2 DAY, '%Y-%m-%d %H:%M:%S') AS minus_2d,
+           ts + INTERVAL 90 MINUTE > TIMESTAMP '2024-01-15 00:00:00' AS in_second_half,
+           CAST(DATE_DIFF('second', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS secs_from_start
+    FROM events
+    """,
+    tags=("relational", "function", "temporal", "events"),
+)
+def ext_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic on event time (add/subtract intervals, interval
+    comparisons, whole-second differences)."""
+    e = load(spark, sf_dir, "events")
+    plus = F.col("ts") + F.expr("INTERVAL 90 MINUTES")
+    minus = F.col("ts") - F.expr("INTERVAL 2 DAYS")
+    return e.select(
+        "event_id",
+        F.date_format(plus, "yyyy-MM-dd HH:mm:ss").alias("plus_90m"),
+        F.date_format(minus, "yyyy-MM-dd HH:mm:ss").alias("minus_2d"),
+        (plus > F.lit("2024-01-15 00:00:00").cast("timestamp")).alias("in_second_half"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp")))
+        .cast("long")
+        .alias("secs_from_start"),
+    )
