@@ -29,15 +29,17 @@ plans.load_all()
 HEADLINE = (
     "join_multiway_revenue_by_nation",   # 5-way join + agg + sort (flagship)
     "agg_pricing_summary",               # wide-agg scan
-    "window_topk_orders_per_customer",   # window rank
+    "agg_window_topk",                   # window rank (was window_topk_orders_per_customer)
     "join_broadcast_part_revenue",       # broadcast dim join
-    "stream_tumbling_counts",            # event-time windows (batch form)
-    "stream_session_windows",            # sessionization
-    "pipe_sink_projection",              # projection/cast/bucket pack
-    "text_quality_score",                # array/regex text analysis
+    "join_full_outer_balance",           # full-outer reconciliation (new r2)
+    "event_window_tumbling",             # event-time windows (batch form)
+    "event_window_session",              # sessionization
+    "etl_sink_projection",               # projection/cast/bucket pack
+    "lex_quality_score",                 # array/regex text analysis
     "dedup_exact_hash",                  # hash groupBy dedup
+    "dedup_ngram_jaccard",               # DF-capped inverted-index near-dup (new r2)
     "dedup_minhash_lsh",                 # MinHash band join + verify
-    "sim_cosine_topk",                   # brute-force ANN baseline
+    "embed_cosine_topk",                 # brute-force ANN baseline
     "func_json_pack",                    # JSON extraction
 )
 

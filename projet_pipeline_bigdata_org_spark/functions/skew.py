@@ -45,7 +45,10 @@ def salted_join(
     """Skewed equi-join: salt the big side's key, replicate the small side
     across all salts, join on (key, salt). Use when the small side is too
     big to broadcast and the big side's key distribution is hot."""
-    big_s = big.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)))
+    # salt from stable row content (NOT monotonically_increasing_id, which
+    # changes across task retries/stage recompute and would silently
+    # duplicate or drop join rows after a shuffle-fetch failure)
+    big_s = with_salt(big, n_salts)
     salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("_salt")
     small_r = small.select("*", salts)
     out = big_s.join(small_r, [key, "_salt"]).drop("_salt")

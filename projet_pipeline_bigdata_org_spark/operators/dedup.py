@@ -30,6 +30,28 @@ from projet_pipeline_bigdata_org_spark.plans.registry import query
 
 JACCARD_THRESHOLD = 0.12
 
+#: document-frequency cap for the shingle inverted index: a shingle shared by
+#: more than this many documents (boilerplate headers, license blurbs) is
+#: dropped from the POSTINGS before the self-join — without it one hot
+#: shingle creates a quadratic bucket no equi-join/AQE can save at 10^9 docs.
+#: Set-size denominators still use the FULL shingle sets, so jaccard is a
+#: (documented) lower bound for pairs whose overlap is mostly boilerplate —
+#: the standard corpus-dedup tradeoff. Shared between the Spark plan and the
+#: DuckDB oracle via sql_df_capped_postings() so the twins cannot drift.
+MAX_SHINGLE_DF = 1000
+
+
+def sql_df_capped_postings(shingle_expr: str) -> str:
+    """DuckDB CTE body for DF-capped shingle postings (twin of the Spark
+    window-filter in dedup_ngram_jaccard; keep in sync)."""
+    return f"""
+    t AS (SELECT doc_id, LIST_DISTINCT({shingle_expr}) AS sh FROM documents),
+    sz AS (SELECT doc_id, LEN(sh) AS n FROM t),
+    ex AS (SELECT doc_id, UNNEST(sh) AS s FROM t),
+    exf AS (SELECT doc_id, s FROM ex
+            QUALIFY COUNT(*) OVER (PARTITION BY s) <= {MAX_SHINGLE_DF})
+    """
+
 # MinHash parameters: 32 permutations in 8 bands of 4 rows
 MINHASH_PERMS = 32
 MINHASH_BANDS = 8
@@ -44,8 +66,12 @@ _PERM_A = tuple(_rng.randrange(1, _P31) for _ in range(MINHASH_PERMS))
 _PERM_B = tuple(_rng.randrange(0, _P31) for _ in range(MINHASH_PERMS))
 
 SIMHASH_BITS = 48
-SIMHASH_CHUNKS = 4
+SIMHASH_CHUNKS = 6
 _CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+#: bands = all C(6,2)=15 chunk PAIRS; a band key carries 2×8=16 bits
+_CHUNK_PAIRS = [
+    (i, j) for i in range(SIMHASH_CHUNKS) for j in range(SIMHASH_CHUNKS) if i < j
+]
 SIMHASH_HAMMING_MAX = 12
 
 
@@ -104,14 +130,10 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH t AS (SELECT doc_id,
-                      LIST_DISTINCT({sql_shingles(SQL_WS_TOKENS.format(c='text'))}) AS sh
-               FROM documents),
-    sz AS (SELECT doc_id, LEN(sh) AS n FROM t),
-    ex AS (SELECT doc_id, UNNEST(sh) AS s FROM t),
+    WITH {sql_df_capped_postings(sql_shingles(SQL_WS_TOKENS.format(c='text')))},
     inter AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id)
     SELECT a_id, b_id,
            CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
@@ -127,15 +149,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidate pairs come from an equi-join on shingle (the inverted index) —
     never an all-pairs cross join — so cost scales with shared-shingle mass.
-    At 100 TB the MinHash variant below replaces the exact index; this one is
-    the auditable ground truth the LSH recall is tested against.
+    Postings are document-frequency-capped (MAX_SHINGLE_DF): a boilerplate
+    shingle shared by millions of docs would otherwise be a quadratic hot
+    bucket; n_common then counts capped shingles only while the set-size
+    denominators stay exact (jaccard is a lower bound for boilerplate-heavy
+    pairs — see sql_df_capped_postings). At 100 TB the MinHash variant below
+    replaces the exact index; this one is the auditable ground truth the LSH
+    recall is tested against.
     """
     d = load(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", F.array_distinct(shingles(ws_tokens("text"))).alias("sh")
     )
     sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    from pyspark.sql import Window as _W
+
+    # DF cap on postings: window count over the shingle key (same shuffle key
+    # as the self-join, so AQE/exchange-reuse keep it one extra pass) — twin
+    # of the QUALIFY clause in sql_df_capped_postings
+    ex = (
+        sh.select("doc_id", F.explode("sh").alias("s"))
+        .withColumn("_df", F.count(F.lit(1)).over(_W.partitionBy("s")))
+        .filter(F.col("_df") <= MAX_SHINGLE_DF)
+        .drop("_df")
+    )
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -271,14 +308,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Features are distinct word-3-gram shingles (order-sensitive — unigram
     token sets are too weak when documents share a small vocabulary):
     bit_j = sign(Σ_shingles (xxhash64(shingle) bit_j ? +1 : -1)); near-dups
-    have small Hamming distance. Banding on 4×12-bit chunks GUARANTEES a
-    candidate collision only for pairs with hamming < 4 (pigeonhole);
-    pairs in [4, SIMHASH_HAMMING_MAX] surface best-effort when their
-    differing bits cluster in ≤3 chunks — the recall/shuffle tradeoff is
-    deliberate (13 chunks would guarantee d≤12 but buckets of ~4 bits
-    collide for most of the corpus). Documents with <3 tokens have no
-    shingle features and are excluded (they would all share fingerprint 0).
-    48 bits so every shift/sum stays exact in int64 under ANSI.
+    have small Hamming distance. Banding is on CHUNK PAIRS: the 48 bits
+    split into 6×8-bit chunks and each of the C(6,2)=15 pairs is a band
+    whose key carries 16 bits → 2^16 buckets per band (vs 2^12 for
+    single-12-bit-chunk banding, whose ~N/4096 bucket population turns
+    quadratic at ≥10^8 docs). Pigeonhole: hamming ≤ 4 flips ≤4 chunks of 6,
+    so ≥2 chunks survive intact and the pair COLLIDES in some band —
+    guaranteed recall for d ≤ 4; pairs in [5, SIMHASH_HAMMING_MAX] surface
+    best-effort when their differing bits cluster in ≤4 chunks. Worst-case
+    uniform bucket population is N/2^16 per band; simhash keys are NOT
+    uniform (template-heavy corpora cluster), so at cluster scale pair a
+    per-bucket size cap or salt on the residual bits with this plan.
+    Documents with <3 tokens have no shingle features and are excluded
+    (they would all share fingerprint 0). 48 bits so every shift/sum stays
+    exact in int64 under ANSI.
     No DuckDB oracle (xxhash64); invariants tested in pytest.
     """
     d = load(spark, sf_dir, "documents")
@@ -310,18 +353,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash = term if simhash is None else simhash + term
 
     fp = hashed_df.select("doc_id", simhash.alias("simhash"))
-    chunk_structs = F.array(
+
+    def _chunk_val(c: int) -> F.Column:
+        return F.shiftright(F.col("simhash"), c * _CHUNK_BITS).bitwiseAND(
+            F.lit((1 << _CHUNK_BITS) - 1)
+        )
+
+    band_structs = F.array(
         *[
             F.struct(
-                F.lit(c).alias("chunk"),
-                F.shiftright(F.col("simhash"), c * _CHUNK_BITS)
-                .bitwiseAND(F.lit((1 << _CHUNK_BITS) - 1))
-                .alias("chunk_val"),
+                F.lit(band).alias("chunk"),
+                # 16-bit band key: both chunk values of the pair
+                (F.shiftleft(_chunk_val(i), _CHUNK_BITS) + _chunk_val(j)).alias(
+                    "chunk_val"
+                ),
             )
-            for c in range(SIMHASH_CHUNKS)
+            for band, (i, j) in enumerate(_CHUNK_PAIRS)
         ]
     )
-    chunks = fp.select("doc_id", "simhash", F.explode(chunk_structs).alias("cc")).select(
+    chunks = fp.select("doc_id", "simhash", F.explode(band_structs).alias("cc")).select(
         "doc_id",
         "simhash",
         F.col("cc.chunk").alias("chunk"),

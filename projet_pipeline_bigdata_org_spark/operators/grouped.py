@@ -92,7 +92,11 @@ def grouped_agg_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_CC_ITERATIONS = 20
 
 
-def connected_components(edges: DataFrame, max_iter: int = MAX_CC_ITERATIONS) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = MAX_CC_ITERATIONS,
+    reliable_checkpoint: bool | None = None,
+) -> DataFrame:
     """Min-label propagation over an undirected edge list (a_id, b_id) →
     (node, cluster_id = min reachable id). Iterates until fixpoint.
 
@@ -100,7 +104,17 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_CC_ITERATIONS) ->
     shuffles per round (propagate + re-aggregate); rounds ≈ graph diameter
     of the largest near-dup cluster, which is tiny in practice. The at-scale
     refinement is the large-star/small-star variant; the dataflow shape (no
-    driver-side graph, only joins/aggregations) is identical."""
+    driver-side graph, only joins/aggregations) is identical.
+
+    Fault/scale posture: the convergence check rides the SAME materialization
+    as the per-round checkpoint — the round's labels carry a ``changed`` flag
+    computed in the update join itself, so detecting the fixpoint is a scan
+    of the just-checkpointed partitions, not a second join recompute.
+    Checkpointing is reliable (``df.checkpoint()`` → HDFS/object store) when
+    a checkpoint dir is configured — executor loss mid-iteration then replays
+    from durable storage; ``localCheckpoint`` (executor-local, faster) is the
+    fallback and the right choice in local mode. Override via
+    ``reliable_checkpoint=True/False``."""
     fwd = edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     rev = edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
     adj = fwd.union(rev)
@@ -109,6 +123,16 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_CC_ITERATIONS) ->
         .distinct()
         .withColumn("cluster_id", F.col("node"))
     )
+    sc = edges.sparkSession.sparkContext
+    if reliable_checkpoint is None:
+        reliable_checkpoint = sc.getCheckpointDir() is not None
+
+    def _checkpoint(df: DataFrame) -> DataFrame:
+        # cut the growing lineage every round either way
+        return df.checkpoint(eager=True) if reliable_checkpoint else df.localCheckpoint(
+            eager=True
+        )
+
     changed = -1
     for _ in range(max_iter):
         neighbor_min = (
@@ -122,17 +146,19 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_CC_ITERATIONS) ->
                 "node",
                 F.least(
                     F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
+                ).alias("new_cluster_id"),
+                (F.coalesce("nbr_min", F.col("cluster_id")) < F.col("cluster_id")).alias(
+                    "changed"
+                ),
+            )
+            .select(
+                "node", F.col("new_cluster_id").alias("cluster_id"), "changed"
             )
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = updated.localCheckpoint(eager=True)  # cut the growing lineage
+        materialized = _checkpoint(updated)  # one job materializes the round
+        # fixpoint probe scans the checkpointed partitions only (no recompute)
+        changed = materialized.filter("changed").limit(1).count()
+        labels = materialized.drop("changed")
         if changed == 0:
             break
     if changed != 0:
@@ -146,6 +172,7 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_CC_ITERATIONS) ->
 
 from projet_pipeline_bigdata_org_spark.operators.dedup import (
     JACCARD_THRESHOLD as _JT,
+    sql_df_capped_postings as _sql_capped,
 )
 from projet_pipeline_bigdata_org_spark.operators.textops import (
     SQL_WS_TOKENS as _SQL_TOKS,
@@ -155,17 +182,13 @@ from projet_pipeline_bigdata_org_spark.operators.textops import (
 
 @query(
     "dedup_cluster_components",
-    # pair CTEs reuse the shared tokenize/shingle SQL + threshold so this
-    # oracle cannot drift from dedup_ngram_jaccard's
+    # pair CTEs reuse the shared tokenize/shingle/DF-cap SQL + threshold so
+    # this oracle cannot drift from dedup_ngram_jaccard's
     oracle=f"""
-    WITH RECURSIVE t AS (SELECT doc_id,
-                      LIST_DISTINCT({_sql_shingles(_SQL_TOKS.format(c='text'))}) AS sh
-               FROM documents),
-    sz AS (SELECT doc_id, LEN(sh) AS n FROM t),
-    ex AS (SELECT doc_id, UNNEST(sh) AS s FROM t),
+    WITH RECURSIVE {_sql_capped(_sql_shingles(_SQL_TOKS.format(c='text')))},
     inter AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id),
     pairs AS (
       SELECT a_id, b_id FROM inter

@@ -221,7 +221,7 @@ def filter_like_null(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "project_case",
+    "case_project_buckets",
     oracle="""
     SELECT o_orderkey,
            o_totalprice,
@@ -326,15 +326,106 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1998-01-01')
     """,
     tags=("join", "relational"),
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI ≡ NOT EXISTS (customers that never ordered)."""
+    """LEFT ANTI ≡ NOT EXISTS: customers with no 1998+ order.
+
+    The right side is date-filtered so the anti set is non-empty at every
+    SF (in TPC-H-ish data every customer has *some* order; the unfiltered
+    variant returns 0 rows — a vacuous check)."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_right_order_counts",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, c_name, c_mktsegment
+    FROM customer RIGHT JOIN orders ON c_custkey = o_custkey
+    WHERE o_orderdate >= TIMESTAMP '1998-06-01'
+    """,
+    tags=("join", "relational"),
+)
+def join_right_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT outer equi-join: every late-1998 order survives even if its
+    customer row were missing (null-extended left side).
+
+    Scale: identical physical shape to the left join — Catalyst flips build
+    side freely; the o_orderdate filter prunes the preserved side at the
+    scan so the shuffle carries only matching months."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "right")
+        .select("o_orderkey", "o_orderpriority", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "join_full_outer_balance",
+    oracle="""
+    WITH cust AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000),
+    recent AS (
+      SELECT o_custkey,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS recent_spend
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      GROUP BY o_custkey)
+    SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+           c_acctbal, n_orders, recent_spend,
+           CASE WHEN c_custkey IS NULL THEN 'order_only'
+                WHEN o_custkey IS NULL THEN 'customer_only'
+                ELSE 'both' END AS side
+    FROM cust FULL OUTER JOIN recent ON c_custkey = o_custkey
+    """,
+    tags=("join", "agg", "relational"),
+)
+def join_full_outer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi-join — the reconciliation shape: high-balance
+    customers vs customers with 1998 orders, null-extended on both sides
+    with a provenance tag.
+
+    Both inputs are filtered/pre-aggregated before the join, so at 100 TB
+    the full-outer shuffle carries two already-reduced keyed sides; the
+    pre-aggregation is the map-side combine Catalyst can't invent for an
+    outer join on raw facts."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey", "c_acctbal"
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "recent_spend"),
+        )
+    )
+    side = (
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_custkey").isNull(), "customer_only")
+        .otherwise("both")
+    )
+    return (
+        c.join(recent, c.c_custkey == recent.o_custkey, "full")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            "c_acctbal",
+            "n_orders",
+            "recent_spend",
+            side.alias("side"),
+        )
+    )
 
 
 @query(
@@ -459,7 +550,7 @@ def join_multiway_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFra
 # ---------------------------------------------------------------------------
 
 @query(
-    "window_topk_orders_per_customer",
+    "agg_window_topk",
     oracle="""
     SELECT * FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
@@ -577,7 +668,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
-    "sort_limit_top_orders",
+    "arrange_topn_orders",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
     FROM orders
@@ -598,7 +689,7 @@ def sort_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "sort_nulls_ordering",
+    "arrange_nulls_ordering",
     oracle="""
     SELECT event_id, user_id, value,
            CASE WHEN value > 10 THEN value END AS big_value
@@ -628,7 +719,7 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
-    "set_union_distinct",
+    "combine_union_distinct",
     oracle="""
     SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer WHERE c_acctbal > 9000
     UNION

@@ -23,6 +23,10 @@ TOPK = 5
 N_QUERIES = 10
 NEAR_DUP_COSINE = 0.35
 EMBEDDING_DIM = 64
+#: hard cap on the near-dup probe block: ≤500 vectors × 64 float32 ≈ 128 KB
+#: broadcast regardless of corpus size (a corpus-fraction block would be a
+#: ~10 TB broadcast at the 100 TB design point)
+NEAR_DUP_BLOCK = 500
 
 # fixed random hyperplanes for LSH (deterministic across runs/engines).
 # OR-amplified: L tables of k planes each — a pair at angle θ collides in a
@@ -82,7 +86,7 @@ def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "sim_cosine_topk",
+    "embed_cosine_topk",
     oracle=f"""
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
     pairs AS (
@@ -126,9 +130,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "sim_cosine_near_dup_pairs",
+    "embed_cosine_near_dup_pairs",
     oracle=f"""
-    WITH lhs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+    WITH lhs AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % 10 = 0 AND vec_id < {10 * NEAR_DUP_BLOCK})
     SELECT lhs.vec_id AS a_id, e.vec_id AS b_id,
            {SQL_DOT.format(a='lhs.embedding', b='e.embedding')}
              / ({SQL_NORM.format(a='lhs.embedding')} * {SQL_NORM.format(a='e.embedding')})
@@ -141,12 +146,16 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity", "dedup", "embeddings"),
 )
 def sim_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs over a sampled left block
-    (vec_id % 10 == 0) — the exact variant of embedding dedup; the sampled
-    block bounds the pair count the way LSH buckets do at scale."""
+    """Embedding-cosine near-duplicate pairs over a BOUNDED probe block
+    (every 10th vec_id, capped at NEAR_DUP_BLOCK=500 vectors) — the
+    exact/audit variant of embedding dedup. The broadcast is therefore a
+    fixed ≤500×64-float block (~128 KB) at any corpus size; full-corpus
+    near-dup pair generation goes through sim_ann_lsh's buckets instead
+    (broadcasting a corpus fraction would be a multi-TB scale-killer)."""
     e = load(spark, sf_dir, "embeddings")
-    lhs = e.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    lhs = (
+        e.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 10 * NEAR_DUP_BLOCK))
+        .select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
     )
     cosine = dot(F.col("a_emb"), F.col("embedding")) / (
         norm(F.col("a_emb")) * norm(F.col("embedding"))

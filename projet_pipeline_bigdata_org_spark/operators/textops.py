@@ -78,7 +78,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
            CAST(LEN(LIST_DISTINCT(toks)) AS BIGINT) AS n_distinct_tokens,
            CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))), 0) AS BIGINT) AS n_token_chars,
            CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))), 0) AS DOUBLE)
-             / LEN(toks) AS avg_token_len,
+             / NULLIF(LEN(toks), 0) AS avg_token_len,
            CAST(LIST_MAX(LIST_TRANSFORM(toks, x -> LENGTH(x))) AS BIGINT) AS max_token_len
     FROM t
     """,
@@ -95,7 +95,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
         sum_chars.alias("n_token_chars"),
-        (sum_chars.cast("double") / F.size(toks)).alias("avg_token_len"),
+        # zero-guard: Spark double x/0 is NaN, DuckDB is NULL — emit NULL in
+        # both for empty/whitespace-only documents
+        F.when(F.size(toks) > 0, sum_chars.cast("double") / F.size(toks)).alias(
+            "avg_token_len"
+        ),
         F.array_max(lens).cast("long").alias("max_token_len"),
     )
 
@@ -104,19 +108,19 @@ _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
 
 @query(
-    "text_quality_score",
+    "lex_quality_score",
     oracle=f"""
     WITH t AS (SELECT doc_id, text, {SQL_WS_TOKENS.format(c='text')} AS toks FROM documents)
     SELECT doc_id,
            CAST(LEN(toks) AS BIGINT) AS n_tokens,
            CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS({_STOP_SQL}, x))) AS DOUBLE)
-             / LEN(toks) AS stopword_ratio,
+             / NULLIF(LEN(toks), 0) AS stopword_ratio,
            CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^a-z0-9\\s]')) AS DOUBLE)
-             / LENGTH(text) AS punct_ratio,
-           CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) AS distinct_ratio,
+             / NULLIF(LENGTH(text), 0) AS punct_ratio,
+           CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / NULLIF(LEN(toks), 0) AS distinct_ratio,
            (LEN(toks) BETWEEN 20 AND 500)
-             AND (CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS({_STOP_SQL}, x))) AS DOUBLE)
-                  / LEN(toks) <= 0.5) AS quality_ok
+             AND COALESCE(CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS({_STOP_SQL}, x))) AS DOUBLE)
+                  / NULLIF(LEN(toks), 0) <= 0.5, FALSE) AS quality_ok
     FROM t
     """,
     tags=("llm", "text", "documents"),
@@ -129,20 +133,28 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = ws_tokens("text")
     stop = F.array(*[F.lit(w) for w in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
-    stop_ratio = n_stop.cast("double") / F.size(toks)
-    punct_ratio = (
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^a-z0-9\s]"), 0)).cast("double")
-        / F.length("text")
+    # zero-guards: NULL (not NaN) ratios for empty/whitespace-only documents,
+    # matching DuckDB's x/0 -> NULL via NULLIF in the oracle
+    stop_ratio = F.when(F.size(toks) > 0, n_stop.cast("double") / F.size(toks))
+    punct_ratio = F.when(
+        F.length("text") > 0,
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^a-z0-9\s]"), 0)).cast(
+            "double"
+        )
+        / F.length("text"),
+    )
+    distinct_ratio = F.when(
+        F.size(toks) > 0, F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
     )
     return d.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         stop_ratio.alias("stopword_ratio"),
         punct_ratio.alias("punct_ratio"),
-        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
-            "distinct_ratio"
-        ),
-        (F.size(toks).between(20, 500) & (stop_ratio <= 0.5)).alias("quality_ok"),
+        distinct_ratio.alias("distinct_ratio"),
+        (
+            F.size(toks).between(20, 500) & F.coalesce(stop_ratio <= 0.5, F.lit(False))
+        ).alias("quality_ok"),
     )
 
 
@@ -152,7 +164,7 @@ def _lang_score_sql(toks: str, lang: str) -> str:
 
 
 @query(
-    "text_language_id",
+    "lex_language_id",
     oracle=f"""
     WITH t AS (SELECT doc_id, {SQL_WS_TOKENS.format(c='text')} AS toks FROM documents),
     s AS (SELECT doc_id,

@@ -18,7 +18,7 @@ N_BUCKETS = 20
 
 
 @query(
-    "ts_price_histogram",
+    "hist_price_buckets",
     oracle=f"""
     SELECT 1 + CAST(FLOOR(o_totalprice / {BUCKET_WIDTH}) AS BIGINT) AS bucket,
            COUNT(*) AS n_orders,
@@ -42,7 +42,7 @@ def ts_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "ts_hourly_gap_fill",
+    "gapfill_hourly_events",
     oracle="""
     WITH grid AS (
       SELECT UNNEST(GENERATE_SERIES(TIMESTAMP '2024-01-01 00:00:00',

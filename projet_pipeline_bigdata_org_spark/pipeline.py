@@ -46,7 +46,7 @@ KEYWORDS = ("spark", "join", "stream", "query")
 
 
 @query(
-    "pipe_clean_text",
+    "etl_clean_text",
     oracle=f"""
     SELECT doc_id, {SQL_CLEAN.format(c='text')} AS clean FROM documents
     """,
@@ -175,7 +175,7 @@ def pipe_virality_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "pipe_sink_projection",
+    "etl_sink_projection",
     oracle=f"""
     SELECT CAST(event_id AS VARCHAR) AS id,
            CAST(user_id AS VARCHAR) AS author,

@@ -22,7 +22,7 @@ SESSION_GAP = "30 minutes"
 
 
 @query(
-    "stream_tumbling_counts",
+    "event_window_tumbling",
     oracle="""
     SELECT STRFTIME(TIME_BUCKET(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
@@ -83,10 +83,10 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "stream_session_windows",
+    "event_window_session",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN LAG(ts) OVER w IS NULL
                        OR ts - LAG(ts) OVER w >= INTERVAL '{SESSION_GAP}'
                   THEN 1 ELSE 0 END AS new_session
@@ -94,7 +94,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessions AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM flagged)
     SELECT user_id,
@@ -125,7 +125,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "stream_asof_last_purchase",
+    "event_asof_last_purchase",
     oracle="""
     SELECT event_id, user_id, event_type,
            STRFTIME(MAX(CASE WHEN event_type = 'purchase' THEN ts END)
