@@ -157,7 +157,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces the exact index; this one is the auditable ground truth the LSH
     recall is tested against.
     """
-    d = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+def ngram_jaccard_pairs(
+    d: DataFrame,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Jaccard near-dup pairs over any (doc_id, text) DataFrame; the cap and
+    threshold are parameters so invariants can exercise hot-boilerplate
+    corpora directly (see test_llm_ops.py)."""
     sh = d.select(
         "doc_id", F.array_distinct(shingles(ws_tokens("text"))).alias("sh")
     )
@@ -170,7 +180,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = (
         sh.select("doc_id", F.explode("sh").alias("s"))
         .withColumn("_df", F.count(F.lit(1)).over(_W.partitionBy("s")))
-        .filter(F.col("_df") <= MAX_SHINGLE_DF)
+        .filter(F.col("_df") <= max_shingle_df)
         .drop("_df")
     )
     a, b = ex.alias("a"), ex.alias("b")
@@ -187,7 +197,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, F.col("sa.doc_id") == F.col("a_id"))
         .join(sb, F.col("sb.doc_id") == F.col("b_id"))
         .select("a_id", "b_id", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -144,3 +144,54 @@ def test_ann_ivf_recall_and_soundness(spark, sf_dir):
     recall = len(got & exact) / len(exact)
     assert recall >= 0.3, f"ivf recall too low: {recall:.2f}"
     assert len(got) <= N_QUERIES * TOPK
+
+
+def test_shingle_df_cap_keeps_hot_corpus_subquadratic(spark):
+    """A boilerplate shingle shared by every document must not produce a
+    quadratic pair blowup once its document frequency exceeds the cap.
+
+    Corpus: N docs = identical 3-token boilerplate (one hot shingle) + one
+    unique token each (one unique shingle). Uncapped, every pair shares the
+    hot shingle with jaccard 1/3 → C(N,2) output pairs; with the cap below N
+    the hot posting is dropped and the output collapses to zero."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import ngram_jaccard_pairs
+
+    n = 120
+    docs = spark.createDataFrame(
+        [(i, f"terms of service apply u{i}") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    uncapped = ngram_jaccard_pairs(docs, max_shingle_df=10**9).count()
+    capped = ngram_jaccard_pairs(docs, max_shingle_df=n - 1).count()
+    assert uncapped == n * (n - 1) // 2  # the quadratic blowup the cap prevents
+    assert capped == 0
+
+
+def test_textops_zero_token_documents_yield_null_ratios(spark):
+    """Empty/whitespace-only documents: ratios are NULL (DuckDB x/0), never
+    NaN, and the quality gate is False (ADVICE r1)."""
+    from projet_pipeline_bigdata_org_spark.operators.textops import (
+        text_quality_score,
+        text_token_stats,
+    )
+    from projet_pipeline_bigdata_org_spark.catalog import load as _load
+    from unittest import mock
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real words here")],
+        ["doc_id", "text"],
+    )
+    with mock.patch(
+        "projet_pipeline_bigdata_org_spark.operators.textops.load",
+        lambda _s, _d, _t: docs,
+    ):
+        stats = {r.doc_id: r for r in text_token_stats(spark, "ignored").collect()}
+        quality = {r.doc_id: r for r in text_quality_score(spark, "ignored").collect()}
+    for empty_id in (1, 2):
+        assert stats[empty_id].n_tokens == 0
+        assert stats[empty_id].avg_token_len is None
+        assert quality[empty_id].stopword_ratio is None
+        assert quality[empty_id].distinct_ratio is None
+        assert quality[empty_id].quality_ok is False
+    assert quality[1].punct_ratio is None  # zero-length text
+    assert stats[3].avg_token_len is not None
