@@ -168,21 +168,28 @@ def ngram_jaccard_pairs(
     """Jaccard near-dup pairs over any (doc_id, text) DataFrame; the cap and
     threshold are parameters so invariants can exercise hot-boilerplate
     corpora directly (see test_llm_ops.py)."""
-    sh = d.select(
-        "doc_id", F.array_distinct(shingles(ws_tokens("text"))).alias("sh")
+    # staged like dedup_minhash_lsh: the shingle table persists once — it is
+    # read by the DF-count, the anti-join, both self-join sides, and the size
+    # lookup; unpersisted it would re-tokenize/shingle the corpus 4×
+    sh = _persist_scoped(
+        "jaccard_sh",
+        d.select("doc_id", F.array_distinct(shingles(ws_tokens("text"))).alias("sh")),
     )
     sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    from pyspark.sql import Window as _W
-
-    # DF cap on postings: window count over the shingle key (same shuffle key
-    # as the self-join, so AQE/exchange-reuse keep it one extra pass) — twin
-    # of the QUALIFY clause in sql_df_capped_postings
-    ex = (
-        sh.select("doc_id", F.explode("sh").alias("s"))
-        .withColumn("_df", F.count(F.lit(1)).over(_W.partitionBy("s")))
-        .filter(F.col("_df") <= max_shingle_df)
-        .drop("_df")
+    # DF cap on postings — semantics twin of the QUALIFY clause in
+    # sql_df_capped_postings, planned as: partial-aggregated groupBy builds
+    # the HOT-shingle blacklist (tiny by construction: ≤ postings/cap rows),
+    # then an anti-join drops their postings. AQE turns the anti-join into a
+    # broadcast when the blacklist is small (the common case); a window-count
+    # over the postings would instead sort-shuffle the full index.
+    postings = sh.select("doc_id", F.explode("sh").alias("s"))
+    hot = (
+        postings.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_shingle_df)
+        .select("s")
     )
+    ex = postings.join(hot, "s", "left_anti")
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
