@@ -1,0 +1,380 @@
+"""Round-2 analytics extensions: regexp function pack, exact statistical
+moments, TF-IDF term ranking, OHLC time-series resampling, deterministic
+systematic sampling, fuzzy (levenshtein) matching, and distribution window
+functions — each a [GAP→add] capability class from SURVEY.md §2.5/§2.8/§2.12
+with a DuckDB oracle twin.
+
+Numeric parity notes: variance/correlation go through exact DECIMAL power
+sums (functions/exact.py discipline) and a fixed double expression tree, so
+both engines perform the identical sequence of correctly-rounded IEEE ops;
+TF-IDF uses a rational idf ((N - df + 0.5)/(df + 0.5), BM25-flavored)
+instead of a transcendental log so scores are bit-exact cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from projet_pipeline_bigdata_org_spark.catalog import load
+from projet_pipeline_bigdata_org_spark.functions.exact import dsum
+from projet_pipeline_bigdata_org_spark.operators.textops import SQL_WS_TOKENS, ws_tokens
+from projet_pipeline_bigdata_org_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# regexp surface (SURVEY §2.8 — beyond the cleaning-chain regexp_replace)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "regexp_functions_pack",
+    oracle=r"""
+    SELECT doc_id,
+           REGEXP_EXTRACT(text, '([a-z]{7,})', 1) AS first_long_word,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[aeiou]{2}')) AS BIGINT) AS n_vowel_pairs,
+           REGEXP_MATCHES(text, 'data|model|learn') AS mentions_ml,
+           REGEXP_REPLACE(text, '[aeiou]', '_', 'g') AS devoweled_prefix
+    FROM documents
+    WHERE doc_id < 200
+    """,
+    tags=("relational", "function", "regexp", "documents"),
+)
+def regexp_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / regexp_count / regexp_like / global regexp_replace —
+    the pattern-matching surface beyond the reference's URL-strip chain
+    (reference preprocessor.py:19). Patterns restricted to the syntax subset
+    Java regex and RE2 interpret identically."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), r"([a-z]{7,})", 1).alias("first_long_word"),
+        F.regexp_count(F.col("text"), F.lit(r"[aeiou]{2}"))
+        .cast("long")
+        .alias("n_vowel_pairs"),
+        F.regexp_like(F.col("text"), F.lit(r"data|model|learn")).alias("mentions_ml"),
+        F.regexp_replace(F.col("text"), r"[aeiou]", "_").alias("devoweled_prefix"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact statistical moments (SURVEY §2.4 — var/stddev/covar/corr)
+# ---------------------------------------------------------------------------
+
+@query(
+    "stat_moments_pack",
+    # integer-scaled power sums: quantities/prices carry <=2 decimal digits,
+    # so ROUND(x*100) is an exact integer ("cents"); products of cents fit
+    # int64 per row; sums go through DECIMAL(38,0). An INTEGER decimal ->
+    # DOUBLE conversion is ONE correctly-rounded op in both engines, whereas
+    # a scale-12 DECIMAL -> DOUBLE double-rounds in DuckDB (int128 then
+    # /10^12) and diverges from Spark's BigDecimal.doubleValue in the last
+    # ulp. The /100.0 and /10000.0 rescales below are single IEEE divisions
+    # performed identically by both engines.
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS qc,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS pc
+      FROM lineitem),
+    s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(qc AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sq,
+             CAST(SUM(CAST(qc * qc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sq2,
+             CAST(SUM(CAST(pc AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sp,
+             CAST(SUM(CAST(pc * pc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sp2,
+             CAST(SUM(CAST(qc * pc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sqp
+      FROM c GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           sq / n AS mean_qty,
+           (sq2 - sq * sq / n) / n AS var_pop_qty,
+           SQRT((sq2 - sq * sq / n) / n) AS stddev_pop_qty,
+           (sqp - sq * sp / n) / n AS covar_pop,
+           ((sqp - sq * sp / n) / n)
+             / (SQRT((sq2 - sq * sq / n) / n) * SQRT((sp2 - sp * sp / n) / n)) AS corr_qty_price
+    FROM s
+    """,
+    tags=("agg", "relational", "statistics"),
+)
+def stat_moments_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population variance / stddev / covariance / Pearson correlation per
+    group — computed from exact integer-scaled power sums (one pass,
+    map-side combinable like any sum) and a FIXED double expression tree,
+    so Spark and DuckDB perform identical correctly-rounded IEEE ops. The
+    built-in var_pop/corr are float-accumulation order-dependent and cannot
+    be oracle-gated bit-exactly; this shape is also the numerically-stabler
+    one at 100 TB (exact sums don't lose low-order mass)."""
+    li = load(spark, sf_dir, "lineitem")
+    qc = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    D38 = T.DecimalType(38, 0)
+    c = li.select("l_returnflag", qc.alias("qc"), pc.alias("pc"))
+    s = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("qc").cast(D38)).cast("double") / 100.0).alias("sq"),
+        (F.sum((F.col("qc") * F.col("qc")).cast(D38)).cast("double") / 10000.0).alias("sq2"),
+        (F.sum(F.col("pc").cast(D38)).cast("double") / 100.0).alias("sp"),
+        (F.sum((F.col("pc") * F.col("pc")).cast(D38)).cast("double") / 10000.0).alias("sp2"),
+        (F.sum((F.col("qc") * F.col("pc")).cast(D38)).cast("double") / 10000.0).alias("sqp"),
+    )
+    n = F.col("n")
+    var_q = (F.col("sq2") - F.col("sq") * F.col("sq") / n) / n
+    var_p = (F.col("sp2") - F.col("sp") * F.col("sp") / n) / n
+    covar = (F.col("sqp") - F.col("sq") * F.col("sp") / n) / n
+    return s.select(
+        "l_returnflag",
+        "n",
+        (F.col("sq") / n).alias("mean_qty"),
+        var_q.alias("var_pop_qty"),
+        F.sqrt(var_q).alias("stddev_pop_qty"),
+        covar.alias("covar_pop"),
+        (covar / (F.sqrt(var_q) * F.sqrt(var_p))).alias("corr_qty_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term ranking (SURVEY §2.12 text analysis)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({SQL_WS_TOKENS.format(c='text')}) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token, tf,
+           CAST(df AS BIGINT) AS df,
+           CAST(tf AS DOUBLE) * ((CAST(n_docs - df AS DOUBLE) + 0.5)
+                                 / (CAST(df AS DOUBLE) + 0.5)) AS score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY
+                CAST(tf AS DOUBLE) * ((CAST(n_docs - df AS DOUBLE) + 0.5)
+                                      / (CAST(df AS DOUBLE) + 0.5)) DESC,
+                token) AS BIGINT) AS rnk
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    QUALIFY rnk <= {TFIDF_TOPK}
+    """,
+    tags=("llm", "text", "documents"),
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k terms by TF-IDF. The idf is the RATIONAL BM25 form
+    (N - df + 0.5)/(df + 0.5) rather than a log — same ranking monotonicity,
+    but scores are two correctly-rounded IEEE ops and thus bit-exact
+    cross-engine (a transcendental log differs in last ulps per libm).
+
+    Scale: tf is one shuffle on (doc, token); df one on token (map-side
+    combined); N rides a broadcast 1-row cross join — no driver action in
+    the plan. The final per-doc top-k is a partial row_number window."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(ws_tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf").cast("double") * (
+        ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.col("df").cast("long").alias("df"),
+            score.alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC resampling (SURVEY §2.11 time-series analytics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, DATE_TRUNC('hour', ts) AS hour_start, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('hour', ts)
+                                ORDER BY ts, event_id) AS rn_asc,
+             ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_desc
+      FROM events)
+    SELECT user_id,
+           STRFTIME(hour_start, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           MAX(CASE WHEN rn_asc = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_desc = 1 THEN value END) AS close,
+           COUNT(*) AS n_events
+    FROM ranked
+    GROUP BY user_id, hour_start
+    """,
+    tags=("relational", "timeseries", "events"),
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample an event stream to per-user hourly OHLC bars
+    (open/high/low/close — the canonical resample shape for metrics and
+    market data). open/close are row_number picks with (ts, event_id)
+    tie-breaks; no float arithmetic, so values match bit-exactly.
+
+    Scale: both windows and the groupBy share the (user_id, hour) key, so
+    it is one shuffle + in-partition sorts; at 100 TB, pre-bucketing the
+    lake by user_id makes this shuffle-free."""
+    e = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    wa = W.partitionBy("user_id", hour).orderBy("ts", "event_id")
+    wd = W.partitionBy("user_id", hour).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = e.select(
+        "user_id",
+        hour.alias("hour_start"),
+        "value",
+        F.row_number().over(wa).alias("rn_asc"),
+        F.row_number().over(wd).alias("rn_desc"),
+    )
+    return (
+        ranked.groupBy("user_id", "hour_start")
+        .agg(
+            F.max(F.when(F.col("rn_asc") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_desc") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic systematic sampling (SURVEY §2.12 corpus operations)
+# ---------------------------------------------------------------------------
+
+SAMPLE_MOD = 20
+SAMPLE_SLOT = 3
+
+
+@query(
+    "sample_systematic",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sampled_value
+    FROM orders
+    WHERE o_orderkey % {SAMPLE_MOD} = {SAMPLE_SLOT}
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "sampling"),
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed systematic 1-in-20 sample + aggregate. ``df.sample()``/
+    TABLESAMPLE draw from a per-partition RNG — irreproducible across
+    engines, partitionings, and retries — so the corpus-pipeline variant
+    samples on a stable key residue: deterministic, joinable (the same rows
+    are sampled in every table keyed by the same id), and pushed to the
+    scan as an ordinary predicate."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") % SAMPLE_MOD == SAMPLE_SLOT)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            dsum("o_totalprice", "sampled_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy matching (SURVEY §2.12 dedup-adjacent: edit-distance blocking join)
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 6
+
+
+@query(
+    "pair_fuzzy_levenshtein",
+    oracle=f"""
+    SELECT c_custkey, s_suppkey, c_name, s_name,
+           CAST(LEVENSHTEIN(c_name, s_name) AS BIGINT) AS edit_distance
+    FROM customer JOIN supplier ON c_nationkey = s_nationkey
+    WHERE LEVENSHTEIN(c_name, s_name) <= {FUZZY_MAX_DIST}
+    """,
+    tags=("llm", "dedup", "fuzzy", "relational"),
+)
+def pair_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record matching: edit-distance pairs under a BLOCKING key
+    (nationkey) — the classic entity-resolution shape. The equi-join on the
+    block bounds the candidate product (never all-pairs); levenshtein runs
+    JVM-side on candidates only. At 100 TB, block on higher-selectivity keys
+    (name prefix + nation) and/or length bands so each block stays small —
+    same plan, finer key."""
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    dist = F.levenshtein(F.col("c_name"), F.col("s_name"))
+    return (
+        c.join(F.broadcast(s), c.c_nationkey == s.s_nationkey)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            "c_name",
+            "s_name",
+            dist.cast("long").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= FUZZY_MAX_DIST)
+    )
+
+
+# ---------------------------------------------------------------------------
+# distribution window functions (SURVEY §2.5 — completes the ranking family)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_percent_rank_cume",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("relational", "window"),
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile — relative-position window functions
+    (rational arithmetic over exact ranks: bit-exact cross-engine). The
+    (o_totalprice, o_orderkey) ordering is a total order, making ntile's
+    row-order-dependent assignment deterministic."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

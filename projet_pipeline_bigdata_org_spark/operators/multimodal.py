@@ -83,6 +83,53 @@ def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
 
 
+FRAME_STRIDE = 5
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_ms long, n_frames long"
+
+
+def frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one input row (doc_id, payload) fans out to one
+    row per SAMPLED frame (every FRAME_STRIDE-th of the stub's n_frames) —
+    the UDTF-shaped expansion a video/audio frame sampler performs. Frame
+    timestamps assume 25 fps (40 ms per frame)."""
+    for pdf in batches:
+        out_rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = decode_media_stub(payload)["n_frames"]
+            for idx in range(0, n_frames, FRAME_STRIDE):
+                out_rows.append((doc_id, idx, idx * 40, n_frames))
+        if out_rows:  # empty object-dtype frames break Arrow schema inference
+            yield pd.DataFrame(
+                out_rows, columns=["doc_id", "frame_idx", "frame_ms", "n_frames"]
+            )
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(UNNEST(GENERATE_SERIES(0, LENGTH(text) % 30, {FRAME_STRIDE})) AS BIGINT)
+             AS frame_idx,
+           CAST(UNNEST(GENERATE_SERIES(0, LENGTH(text) % 30, {FRAME_STRIDE})) * 40 AS BIGINT)
+             AS frame_ms,
+           CAST(LENGTH(text) % 30 + 1 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+    tags=("llm", "multimodal", "documents"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque media payloads: binary column →
+    mapInPandas kernel that expands each payload into its sampled frame
+    rows (every 5th frame of the stub-decoded frame count). The kernel is
+    the real Arrow fan-out plumbing a video pipeline needs; only the decode
+    arithmetic is stubbed (and mirrored by the oracle via GENERATE_SERIES
+    over LENGTH(text) % 30). Scale: expansion is per-partition with no
+    shuffle; output size is bounded by n_frames/stride per input row."""
+    d = load(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return payloads.mapInPandas(frame_sample_batches, schema=FRAME_SCHEMA)
+
+
 @query(
     "mm_payload_stats",
     oracle="""

@@ -17,6 +17,7 @@ def load_all() -> None:
     """Import every module that registers queries."""
     # imports are for their registration side effects
     from projet_pipeline_bigdata_org_spark.operators import (  # noqa: F401
+        analytics_ext,
         dedup,
         grouped,
         multimodal,
