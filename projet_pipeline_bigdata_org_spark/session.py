@@ -116,4 +116,8 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # every required+perf conf was just applied via the builder: mark ensured
+    # so a later catalog.load() doesn't clobber deliberate runtime overrides
+    # (e.g. a test disabling autoBroadcastJoinThreshold to see cluster plans)
+    _ENSURED.add(spark)
     return spark

@@ -1,0 +1,158 @@
+"""Physical-plan shape assertions — the 100 TB posture, checked as code.
+
+`.explain()` claims in docstrings rot; these tests pin the plan properties
+that matter at scale: filters/columns pushed into the parquet scan, dims
+broadcast, partial aggregation before the exchange, bounded broadcasts for
+the non-equi/cosine paths, bucketed co-located joins planned without a
+shuffle, and partition pruning on lake layouts.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from projet_pipeline_bigdata_org_spark import plans
+
+plans.load_all()
+_Q = plans.registry.all_specs()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture
+def no_auto_broadcast(spark):
+    """Plan as a large cluster would: nothing auto-broadcasts (at 100 TB the
+    fact tables never fit the threshold); only explicit F.broadcast hints
+    survive. Restores the session conf afterwards."""
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    yield
+    spark.conf.set(key, prev)
+
+
+def test_flagship_join_broadcasts_dims_and_pushes_date_filter(
+    spark, sf_dir, no_auto_broadcast
+):
+    df = _Q["join_multiway_revenue_by_nation"].fn(spark, sf_dir)
+    p = formatted_plan(df)
+    # nation + region ride EXPLICIT broadcast hints even with auto-broadcast
+    # off; lineitem⋈orders (and the customer join) shuffle on their keys
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), p
+    # the o_orderdate range predicate reaches the orders parquet scan
+    m = re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", p)
+    assert m, f"date filter not pushed to scan:\n{p}"
+
+
+def test_filter_predicates_pushdown_and_column_pruning(spark, sf_dir):
+    df = _Q["filter_predicates"].fn(spark, sf_dir)
+    p = formatted_plan(df)
+    assert "PushedFilters" in p and "GreaterThanOrEqual(l_quantity,5.0)" in p, p
+    # projection prunes the 16-column lineitem scan to the 6 referenced cols
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    read_cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    # 5 projected + 2 filter-only columns, out of lineitem's 16
+    assert len(read_cols) <= 7, f"scan reads too many columns: {read_cols}"
+
+
+def test_agg_partial_before_exchange(spark, sf_dir):
+    df = _Q["agg_pricing_summary"].fn(spark, sf_dir)
+    p = plan_of(df)
+    # two-phase agg: a partial HashAggregate must appear below the exchange
+    first_exchange = p.find("Exchange")
+    assert first_exchange != -1
+    assert "HashAggregate" in p[first_exchange:], p
+    assert "HashAggregate" in p[:first_exchange] or p.count("HashAggregate") >= 2, p
+
+
+def test_topk_uses_per_partition_heaps_not_global_sort(spark, sf_dir):
+    df = _Q["arrange_topn_orders"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_cosine_topk_broadcasts_query_block_not_corpus(spark, sf_dir):
+    df = _Q["embed_cosine_topk"].fn(spark, sf_dir)
+    p = plan_of(df)
+    # the 10-vector query block broadcasts; the corpus side must NOT go
+    # through a shuffle exchange before the join
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "BroadcastExchange" in p, p
+    # the only hash shuffle is the per-query rank over ALREADY-REDUCED rows:
+    # a Partial WindowGroupLimit (top-k per partition) sits below the
+    # exchange, so at most k rows per query per partition travel — the
+    # corpus itself never repartitions
+    assert p.count("Exchange hashpartitioning") == 1, p
+    ex = p.find("Exchange hashpartitioning")
+    assert "WindowGroupLimit" in p[ex:] and "Partial" in p[ex:], (
+        f"no partial top-k below the rank exchange:\n{p}"
+    )
+
+
+def test_bucketed_tables_join_without_shuffle(
+    spark, sf_dir, tmp_path, no_auto_broadcast
+):
+    """Co-located fact-fact join: both sides bucketed by the join key into
+    the same bucket count → the join plans as a sort-merge over bucketed
+    scans with ZERO shuffle exchanges (auto-broadcast disabled so the
+    planner faces the fact-fact situation it would at 100 TB)."""
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.sources.batch import write_bucketed_table
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed_table(
+        o, "bt_orders", ["o_orderkey"], 8, str(tmp_path / "bt_orders"),
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed_table(
+        li, "bt_lineitem", ["l_orderkey"], 8, str(tmp_path / "bt_lineitem"),
+        sort_cols=["l_orderkey"],
+    )
+    try:
+        j = spark.table("bt_lineitem").join(
+            spark.table("bt_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        p = plan_of(j)
+        assert "SortMergeJoin" in p, p
+        assert "Exchange hashpartitioning" not in p and "ShuffleExchange" not in p, (
+            f"bucketed join still shuffles:\n{p}"
+        )
+        # and it still computes the right thing
+        n = j.count()
+        assert n == load(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+
+
+def test_partitioned_lake_prunes_partitions(spark, sf_dir, tmp_path):
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.sources.batch import (
+        read_lake,
+        write_partitioned_parquet,
+    )
+
+    e = load(spark, sf_dir, "events")
+    path = str(tmp_path / "lake")
+    write_partitioned_parquet(e, path, ["event_type"])
+    scan = read_lake(spark, path).filter(F.col("event_type") == "purchase")
+    p = formatted_plan(scan)
+    m = re.search(r"PartitionFilters: \[[^\]]*event_type[^\]]*\]", p)
+    assert m, f"no partition filter in scan:\n{p}"
+    got = scan.count()
+    want = e.filter(F.col("event_type") == "purchase").count()
+    assert got == want
