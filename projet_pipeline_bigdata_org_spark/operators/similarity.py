@@ -108,17 +108,26 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against; at 100 TB the corpus side stays partitioned and only the
     query block broadcasts — no shuffle of the big side."""
     e = load(spark, sf_dir, "embeddings")
+    # norms hoisted BELOW the join: each is evaluated once per input row
+    # (corpus norm once per vector) instead of once per (query, vector) pair
+    # — with N_QUERIES queries that is an N_QUERIES× saving on the corpus
+    # side. Same fold, same value: oracle parity unaffected.
+    e_n = e.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("e_norm")
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_norm"),
     )
     pairs = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        e_n.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
             (
                 dot(F.col("q_emb"), F.col("embedding"))
-                / (norm(F.col("q_emb")) * norm(F.col("embedding")))
+                / (F.col("q_norm") * F.col("e_norm"))
             ).alias("cosine"),
         )
     )
@@ -153,15 +162,22 @@ def sim_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pair generation goes through sim_ann_lsh's buckets instead
     (broadcasting a corpus fraction would be a multi-TB scale-killer)."""
     e = load(spark, sf_dir, "embeddings")
+    # norms hoisted below the join (once per input row, not per pair) —
+    # same fold, same value, oracle parity unaffected
+    e_n = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("e_norm"))
     lhs = (
         e.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 10 * NEAR_DUP_BLOCK))
-        .select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+        .select(
+            F.col("vec_id").alias("a_id"),
+            F.col("embedding").alias("a_emb"),
+            norm(F.col("embedding")).alias("a_norm"),
+        )
     )
     cosine = dot(F.col("a_emb"), F.col("embedding")) / (
-        norm(F.col("a_emb")) * norm(F.col("embedding"))
+        F.col("a_norm") * F.col("e_norm")
     )
     return (
-        e.join(F.broadcast(lhs), F.col("vec_id") > F.col("a_id"))
+        e_n.join(F.broadcast(lhs), F.col("vec_id") > F.col("a_id"))
         .select("a_id", F.col("vec_id").alias("b_id"), cosine.alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COSINE)
     )
@@ -300,10 +316,18 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l.vec_id").alias("a_id"), F.col("r.vec_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    emb_a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
-    emb_b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    emb_a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        norm(F.col("embedding")).alias("a_norm"),
+    )
+    emb_b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        norm(F.col("embedding")).alias("b_norm"),
+    )
     cosine = dot(F.col("a_emb"), F.col("b_emb")) / (
-        norm(F.col("a_emb")) * norm(F.col("b_emb"))
+        F.col("a_norm") * F.col("b_norm")
     )
     return (
         cand.join(emb_a, "a_id")
