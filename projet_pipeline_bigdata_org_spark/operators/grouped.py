@@ -180,12 +180,12 @@ from projet_pipeline_bigdata_org_spark.operators.textops import (
 )
 
 
-@query(
-    "dedup_cluster_components",
-    # pair CTEs reuse the shared tokenize/shingle/DF-cap SQL + threshold so
-    # this oracle cannot drift from dedup_ngram_jaccard's
-    oracle=f"""
-    WITH RECURSIVE {_sql_capped(_sql_shingles(_SQL_TOKS.format(c='text')))},
+# shared CTE chain: shingles → DF-capped postings → jaccard pairs →
+# undirected edges → recursive transitive closure → min-label per node.
+# Reused by dedup_cluster_components AND dedup_keep_best so the oracles
+# cannot drift from each other or from dedup_ngram_jaccard's.
+SQL_CC_LABELS = f"""
+    {_sql_capped(_sql_shingles(_SQL_TOKS.format(c='text')))},
     inter AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
       FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -199,9 +199,18 @@ from projet_pipeline_bigdata_org_spark.operators.textops import (
     reach(node, r) AS (
       SELECT src, src FROM edges
       UNION
-      SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src)
-    SELECT node, CAST(MIN(r) AS BIGINT) AS cluster_id
-    FROM reach GROUP BY node
+      SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+    labels AS (
+      SELECT node, CAST(MIN(r) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY node)
+"""
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {SQL_CC_LABELS}
+    SELECT node, cluster_id FROM labels
     """,
     tags=("llm", "dedup", "iterative", "documents"),
 )
@@ -215,6 +224,59 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
     return connected_components(pairs).select(
         "node", F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {SQL_CC_LABELS},
+    ranked AS (
+      SELECT l.cluster_id, d.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY l.cluster_id) AS n_members
+      FROM labels l JOIN documents d ON d.doc_id = l.node)
+    SELECT cluster_id,
+           CAST(doc_id AS BIGINT) AS keeper_doc_id,
+           CAST(n_chars AS BIGINT) AS keeper_chars,
+           n_members
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("llm", "dedup", "iterative", "documents"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper selection — the final stage of a corpus dedup pipeline: for
+    each near-dup cluster, keep the 'best' member (longest text, min doc_id
+    tie-break) and record cluster size. Composes the exact-Jaccard pairs →
+    connected components → a quality-ranked window pick; a real pipeline
+    would then anti-join the keepers against the corpus to drop the rest.
+
+    Scale: one join of the (small) cluster-label table against documents on
+    doc_id, one window over cluster_id — both shuffles keyed on ids; no
+    driver participation."""
+    from projet_pipeline_bigdata_org_spark.catalog import load as _load
+    from projet_pipeline_bigdata_org_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    labels = connected_components(pairs)
+    d = _load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    wc = _W.partitionBy("cluster_id")
+    return (
+        labels.join(d, labels.node == d.doc_id)
+        .select("cluster_id", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").cast("long").alias("keeper_doc_id"),
+            F.col("n_chars").cast("long").alias("keeper_chars"),
+            "n_members",
+        )
     )
 
 

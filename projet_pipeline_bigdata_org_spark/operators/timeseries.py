@@ -104,3 +104,135 @@ def ts_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(ws_tokens("text")).alias("pos0", "token")
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "token")
+
+
+INTERP_USERS = 20
+
+
+@query(
+    "ts_linear_interpolate",
+    oracle=f"""
+    WITH grid AS (
+      SELECT UNNEST(GENERATE_SERIES(TIMESTAMP '2024-01-01 00:00:00',
+                                    TIMESTAMP '2024-01-03 23:00:00',
+                                    INTERVAL 1 HOUR)) AS hour_start),
+    users AS (SELECT DISTINCT user_id FROM events WHERE user_id < {INTERP_USERS}),
+    closes AS (
+      SELECT user_id, hour_start, value FROM (
+        SELECT user_id, DATE_TRUNC('hour', ts) AS hour_start, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE user_id < {INTERP_USERS}
+          AND ts < TIMESTAMP '2024-01-04 00:00:00') t
+      WHERE rn = 1),
+    dense AS (
+      SELECT u.user_id, g.hour_start, c.value
+      FROM users u CROSS JOIN grid g
+      LEFT JOIN closes c ON c.user_id = u.user_id AND c.hour_start = g.hour_start),
+    ctx AS (
+      SELECT user_id, hour_start, value,
+             LAST_VALUE(value IGNORE NULLS) OVER wp AS prev_val,
+             LAST_VALUE(CASE WHEN value IS NOT NULL THEN hour_start END IGNORE NULLS)
+               OVER wp AS prev_hour,
+             FIRST_VALUE(value IGNORE NULLS) OVER wn AS next_val,
+             FIRST_VALUE(CASE WHEN value IS NOT NULL THEN hour_start END IGNORE NULLS)
+               OVER wn AS next_hour
+      FROM dense
+      WINDOW wp AS (PARTITION BY user_id ORDER BY hour_start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY hour_start
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id,
+           STRFTIME(hour_start, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           value IS NOT NULL AS observed,
+           CASE WHEN value IS NOT NULL THEN value
+                WHEN prev_val IS NULL THEN next_val
+                WHEN next_val IS NULL THEN prev_val
+                ELSE prev_val + (next_val - prev_val)
+                     * (CAST(EPOCH(hour_start) - EPOCH(prev_hour) AS DOUBLE)
+                        / CAST(EPOCH(next_hour) - EPOCH(prev_hour) AS DOUBLE))
+           END AS interp_value
+    FROM ctx
+    """,
+    tags=("relational", "timeseries", "events"),
+)
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + LINEAR INTERPOLATION: densify each user's hourly series
+    over a fixed grid, then fill missing hours by interpolating between the
+    nearest earlier/later observed closes (edge gaps take the nearest
+    observation). The resample→interpolate shape every feature-store
+    backfill needs.
+
+    Parity: the interpolation ratio is (long epoch deltas → double) with a
+    fixed op order, so both engines round identically. Scale: windows and
+    the densify join share the user_id key — one shuffle; the grid is a
+    tiny broadcast (BOUNDED time range x users)."""
+    from pyspark.sql import Window as _W
+
+    e = load(spark, sf_dir, "events").filter(
+        (F.col("user_id") < INTERP_USERS)
+        & (F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp"))
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-03 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour_start")
+    )
+    users = e.select("user_id").distinct()
+    hour = F.date_trunc("hour", F.col("ts"))
+    rn = F.row_number().over(
+        _W.partitionBy("user_id", hour).orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    closes = (
+        e.select("user_id", hour.alias("hour_start"), "value", rn.alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    dense = (
+        users.crossJoin(F.broadcast(grid))
+        .join(closes, ["user_id", "hour_start"], "left")
+    )
+    wp = (
+        _W.partitionBy("user_id")
+        .orderBy("hour_start")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    wn = (
+        _W.partitionBy("user_id")
+        .orderBy("hour_start")
+        .rowsBetween(_W.currentRow, _W.unboundedFollowing)
+    )
+    observed_hour = F.when(F.col("value").isNotNull(), F.col("hour_start"))
+    ctx = dense.select(
+        "user_id",
+        "hour_start",
+        "value",
+        F.last("value", ignorenulls=True).over(wp).alias("prev_val"),
+        F.last(observed_hour, ignorenulls=True).over(wp).alias("prev_hour"),
+        F.first("value", ignorenulls=True).over(wn).alias("next_val"),
+        F.first(observed_hour, ignorenulls=True).over(wn).alias("next_hour"),
+    )
+    ratio = (
+        (F.unix_timestamp("hour_start") - F.unix_timestamp("prev_hour")).cast("double")
+        / (F.unix_timestamp("next_hour") - F.unix_timestamp("prev_hour")).cast("double")
+    )
+    interp = (
+        F.when(F.col("value").isNotNull(), F.col("value"))
+        .when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .otherwise(
+            F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * ratio
+        )
+    )
+    return ctx.select(
+        "user_id",
+        F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        F.col("value").isNotNull().alias("observed"),
+        interp.alias("interp_value"),
+    )
