@@ -189,6 +189,8 @@ def ngram_jaccard_pairs(
         .filter(F.col("_df") > max_shingle_df)
         .select("s")
     )
+    # NOT persisted: re-deriving explode+anti-join per self-join side is
+    # cheaper than materializing the exploded postings (measured at sf0.1)
     ex = postings.join(hot, "s", "left_anti")
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
