@@ -378,3 +378,85 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# higher-order array functions + struct surface (SURVEY §2.8 completion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_higher_order_pack",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_WS_TOKENS.format(c='text')} AS toks
+               FROM documents WHERE doc_id < 300)
+    SELECT doc_id,
+           ARRAY_TO_STRING(LIST_TRANSFORM(toks, x -> LENGTH(x)), ',') AS len_list,
+           ARRAY_TO_STRING(LIST_FILTER(toks, x -> LENGTH(x) > 4), ',') AS long_tokens,
+           LEN(LIST_FILTER(toks, x -> LENGTH(x) > 8)) > 0 AS has_very_long,
+           LEN(LIST_FILTER(toks, x -> NOT (LENGTH(x) >= 1))) = 0 AS all_nonempty,
+           -- NOT list_reduce: DuckDB 1.0's list_reduce with a CASE merge
+           -- returns wrong values under batch vectorization (accumulators
+           -- leak across rows; verified 37/300 rows wrong, correct when the
+           -- input is a single row). LIST_MAX + COALESCE(…, 0) is the
+           -- value-equivalent of the Spark-side fold (token lengths >= 1).
+           CAST(COALESCE(LIST_MAX(LIST_TRANSFORM(toks,
+                x -> CAST(LENGTH(x) AS BIGINT))), 0) AS BIGINT) AS max_len,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(toks)), ',') AS sorted_vocab
+    FROM t
+    """,
+    tags=("relational", "function", "higher-order", "documents"),
+)
+def sql_higher_order_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as first-class query surface: transform /
+    filter / exists / forall / aggregate(fold) / array_sort — the lambda
+    expressions stay inside whole-stage codegen (no Python). exists/forall
+    are mirrored in DuckDB via filter-length identities; the fold uses a
+    CASE max so both engines run the identical comparison chain."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = ws_tokens("text")
+    fold_max = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.when(F.length(x) > acc, F.length(x).cast("long")).otherwise(
+            acc
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(F.transform(toks, F.length), ",").alias("len_list"),
+        F.array_join(F.filter(toks, lambda x: F.length(x) > 4), ",").alias(
+            "long_tokens"
+        ),
+        F.exists(toks, lambda x: F.length(x) > 8).alias("has_very_long"),
+        F.forall(toks, lambda x: F.length(x) >= 1).alias("all_nonempty"),
+        fold_max.alias("max_len"),
+        F.array_join(F.array_sort(F.array_distinct(toks)), ",").alias("sorted_vocab"),
+    )
+
+
+@query(
+    "sql_struct_pack",
+    oracle="""
+    SELECT o_orderkey,
+           STRUCT_EXTRACT(STRUCT_PACK(key := o_orderkey, priority := o_orderpriority),
+                          'priority') AS prio_field,
+           TO_JSON(STRUCT_PACK(key := o_orderkey,
+                               priority := o_orderpriority)) AS as_json
+    FROM orders WHERE o_custkey < 50
+    """,
+    tags=("relational", "function", "struct"),
+)
+def sql_struct_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct surface: named_struct construction, field access, and
+    canonical JSON serialization (ints/strings only — float JSON formatting
+    differs across engines)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    st = F.named_struct(
+        F.lit("key"), F.col("o_orderkey"), F.lit("priority"), F.col("o_orderpriority")
+    )
+    return o.select(
+        "o_orderkey",
+        st.getField("priority").alias("prio_field"),
+        F.to_json(st).alias("as_json"),
+    )
