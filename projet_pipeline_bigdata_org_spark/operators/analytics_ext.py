@@ -460,3 +460,41 @@ def sql_struct_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.getField("priority").alias("prio_field"),
         F.to_json(st).alias("as_json"),
     )
+
+
+@query(
+    "sql_collect_pack",
+    oracle="""
+    SELECT c_mktsegment,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(c_nationkey))), ',')
+             AS nations_sorted,
+           ARRAY_TO_STRING(LIST_SLICE(LIST_SORT(
+               LIST(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)), 'DESC'), 1, 3), ',')
+             AS top3_balance_cents,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "relational", "collect"),
+)
+def sql_collect_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set / collect_list as aggregation payloads (SURVEY §2.4):
+    distinct nations per segment and the top-3 balances, emitted as sorted
+    joined strings so the unordered collection is deterministic and
+    engine-neutral (balances as exact integer cents — double-to-string
+    formatting differs across engines).
+
+    Scale note: collect aggregates carry whole payloads through the shuffle
+    (no partial combine shrink) — the salted-aggregation fallback in
+    functions/skew.py is exactly for hot groups here."""
+    c = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    return c.groupBy("c_mktsegment").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("c_nationkey")), ","
+        ).alias("nations_sorted"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list(cents), asc=False), 1, 3), ","
+        ).alias("top3_balance_cents"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
