@@ -498,3 +498,58 @@ def sql_collect_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top3_balance_cents"),
         F.count(F.lit(1)).alias("n_customers"),
     )
+
+
+RANGE_RADIUS = 100
+
+
+@query(
+    "range_join_bucketized",
+    oracle=f"""
+    SELECT s_suppkey, s_name, COUNT(*) AS n_close_customers
+    FROM supplier JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - {RANGE_RADIUS} AND s_acctbal + {RANGE_RADIUS}
+    GROUP BY s_suppkey, s_name
+    """,
+    tags=("join", "relational", "range"),
+)
+def range_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join as a BUCKETIZED EQUI-JOIN — the shuffle-scalable plan for
+    join_nonequi_range's semantics (same oracle, different physical shape).
+
+    Each side maps its value to width-RANGE_RADIUS buckets: a customer to
+    floor(bal/W); a supplier to its bucket and both neighbors (any pair
+    within ±W differs by at most one bucket). The join becomes an equi-join
+    on the bucket key — hash-partitionable, AQE-skew-splittable — followed
+    by the exact BETWEEN filter; no pair is double-counted because the
+    customer bucket is unique. At 100 TB this replaces the
+    BroadcastNestedLoopJoin (which requires one side to fit in memory) with
+    an ordinary shuffle whose fan-out is 3x the small side."""
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    w = float(RANGE_RADIUS)
+    c_b = c.select(
+        "c_acctbal", F.floor(F.col("c_acctbal") / w).cast("long").alias("bucket")
+    )
+    s_b = s.select(
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        F.explode(
+            F.array(
+                F.floor(F.col("s_acctbal") / w).cast("long") - 1,
+                F.floor(F.col("s_acctbal") / w).cast("long"),
+                F.floor(F.col("s_acctbal") / w).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    return (
+        c_b.join(s_b, "bucket")
+        .filter(
+            F.col("c_acctbal").between(
+                F.col("s_acctbal") - RANGE_RADIUS, F.col("s_acctbal") + RANGE_RADIUS
+            )
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_close_customers"))
+    )
