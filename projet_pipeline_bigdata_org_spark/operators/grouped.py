@@ -294,3 +294,127 @@ def agg_approximate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    fwd = edges.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+    rev = edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
+    return fwd.union(rev).filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame, max_iter: int = 50, reliable_checkpoint: bool | None = None
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the at-scale alternative to plain min-label propagation: rounds needed
+    grow with log(diameter) rather than diameter, so long chains (the
+    worst case for dedup graphs with transitive near-dup paths) converge
+    in a handful of shuffles.
+
+    large-star: every node u computes m = min(Γ(u) ∪ {u}) and re-points
+    its LARGER neighbors at m; small-star orients edges (large, small) and
+    re-points the smaller neighborhood (plus u itself) at its minimum.
+    Both are one groupBy + one join on the node key. At the fixpoint the
+    edge set is the star forest {(node, component_min)}.
+
+    Convergence: a count + xxhash64-sum checksum of the canonical edge set
+    per round (single aggregate on the just-checkpointed edges; an exact
+    set-compare would cost an extra join — the 128-bit combined check makes
+    a false fixpoint astronomically unlikely, and the result is still
+    verified downstream by the oracle/tests)."""
+    e = _symmetric(edges).select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    sc = edges.sparkSession.sparkContext
+    if reliable_checkpoint is None:
+        reliable_checkpoint = sc.getCheckpointDir() is not None
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable_checkpoint else df.localCheckpoint(
+            eager=True
+        )
+
+    def _checksum(df: DataFrame) -> tuple:
+        # hash residues bounded to 2^40 so the sum stays exact in int64
+        # under ANSI for any realistic edge count (2^23 edges × 2^40 < 2^63)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 40))).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    def large_star(cur: DataFrame) -> DataFrame:
+        adj = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = adj.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(cur: DataFrame) -> DataFrame:
+        oriented = cur.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = oriented.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        joined = oriented.join(mins, "u")
+        repointed = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        self_edges = mins.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            repointed.union(self_edges)
+            .filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+        )
+
+    e = _ckpt(e)
+    prev_sum = _checksum(e)
+    converged = False
+    for _ in range(max_iter):
+        e = _ckpt(small_star(large_star(e)))
+        cur_sum = _checksum(e)
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge within {max_iter} rounds"
+        )
+    # fixpoint edge set is (node > center) pairs; centers label themselves
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+    centers = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "cluster_id", F.col("node")
+    )
+    return labels.union(centers).distinct()
+
+
+@query(
+    "star_cluster_components",
+    # identical oracle to dedup_cluster_components: two independent Spark
+    # implementations (min-label propagation vs large/small-star), one truth
+    oracle=f"""
+    WITH RECURSIVE {SQL_CC_LABELS}
+    SELECT node, cluster_id FROM labels
+    """,
+    tags=("llm", "dedup", "iterative", "documents"),
+)
+def star_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering via large-star/small-star connected components —
+    same contract as dedup_cluster_components, O(log diameter) rounds
+    instead of O(diameter): the variant to reach for when near-dup chains
+    get long at corpus scale."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    return connected_components_star(pairs).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )

@@ -195,3 +195,40 @@ def test_textops_zero_token_documents_yield_null_ratios(spark):
         assert quality[empty_id].quality_ok is False
     assert quality[1].punct_ratio is None  # zero-length text
     assert stats[3].avg_token_len is not None
+
+
+def test_star_cc_equals_minlabel_cc_on_adversarial_graphs(spark):
+    """large/small-star CC must agree with min-label CC on shapes that
+    stress it: a long chain (worst diameter), stars, a clique, disjoint
+    pairs, and a seeded random graph."""
+    import random
+
+    from projet_pipeline_bigdata_org_spark.operators.grouped import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    chain = [(i, i + 1) for i in range(100, 140)]          # diameter 40
+    star_lo = [(0, i) for i in range(1, 8)]                # center is min
+    star_hi = [(20, i) for i in range(10, 18)]             # center is max
+    clique = [(a, b) for a in range(50, 55) for b in range(50, 55) if a < b]
+    pairs = [(200 + 2 * i, 201 + 2 * i) for i in range(10)]
+    rand = [(rng.randrange(300, 360), rng.randrange(300, 360)) for _ in range(80)]
+    edges = [
+        (a, b) for a, b in chain + star_lo + star_hi + clique + pairs + rand if a != b
+    ]
+    df = spark.createDataFrame(edges, ["a_id", "b_id"])
+    base = {
+        (r.node, r.cluster_id) for r in connected_components(df, max_iter=60).collect()
+    }
+    star = {
+        (r.node, r.cluster_id) for r in connected_components_star(df).collect()
+    }
+    assert star == base
+    # labels must be the component minimum (a property, not just agreement)
+    by_cluster = {}
+    for node, cid in star:
+        by_cluster.setdefault(cid, []).append(node)
+    for cid, nodes in by_cluster.items():
+        assert cid == min(min(nodes), cid)
