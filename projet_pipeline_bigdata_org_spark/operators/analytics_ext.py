@@ -553,3 +553,94 @@ def range_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_close_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# modern SQL surface: LATERAL joins + recursive CTEs (Spark 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_lateral_top_lineitem",
+    oracle="""
+    SELECT o.o_orderkey,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+           t.l_linenumber, t.l_extendedprice
+    FROM orders o,
+    LATERAL (SELECT l_linenumber, l_extendedprice
+             FROM lineitem
+             WHERE l_orderkey = o.o_orderkey
+             ORDER BY l_extendedprice DESC, l_linenumber
+             LIMIT 1) t
+    WHERE o.o_custkey < 30
+    """,
+    tags=("relational", "sql-surface", "lateral"),
+)
+def sql_lateral_top_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (Spark 4 SQL): per order, its single most
+    expensive line item — the 'top-1 per key via subquery' idiom users
+    port from warehouse SQL. Catalyst decorrelates this into the same
+    window/limit plan the DataFrame top-k uses; o_orderdate is emitted as
+    a formatted string for engine-neutral hashing."""
+    from projet_pipeline_bigdata_org_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey,
+               DATE_FORMAT(o.o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate,
+               t.l_linenumber, t.l_extendedprice
+        FROM orders o,
+        LATERAL (SELECT l_linenumber, l_extendedprice
+                 FROM lineitem
+                 WHERE l_orderkey = o.o_orderkey
+                 ORDER BY l_extendedprice DESC, l_linenumber
+                 LIMIT 1) t
+        WHERE o.o_custkey < 30
+        """
+    )
+
+
+@query(
+    "sql_recursive_month_series",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01 00:00:00'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '2001-12-01 00:00:00')
+    SELECT STRFTIME(m, '%Y-%m-%d') AS month_start,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 0) AS DOUBLE)
+             AS month_value
+    FROM months LEFT JOIN orders
+      ON DATE_TRUNC('month', o_orderdate) = m
+    GROUP BY m
+    """,
+    tags=("relational", "sql-surface", "recursive"),
+)
+def sql_recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 SQL, SPARK-24497): generate the month grid
+    recursively and left-join order totals — the calendar-densify pattern
+    warehouse users write with WITH RECURSIVE (the Spark-native alternative
+    is sequence()+explode, see gapfill_hourly_events; this query proves the
+    recursive SQL surface itself). Bounded recursion depth (84 months)."""
+    from projet_pipeline_bigdata_org_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01 00:00:00'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP '2001-12-01 00:00:00')
+        SELECT DATE_FORMAT(m, 'yyyy-MM-dd') AS month_start,
+               COUNT(o_orderkey) AS n_orders,
+               CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 0) AS DOUBLE)
+                 AS month_value
+        FROM months LEFT JOIN orders
+          ON DATE_TRUNC('month', o_orderdate) = m
+        GROUP BY m
+        """
+    )
