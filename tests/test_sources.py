@@ -93,3 +93,55 @@ def test_salted_join_matches_plain(spark, sf_dir):
     plain = o.join(c, "o_custkey").count()
     salted = salted_join(o, c, "o_custkey").count()
     assert plain == salted
+
+
+def test_reddit_fixture_batch_source(spark):
+    """Spark 4 Python DataSource (S3 closure): deterministic, partitioned,
+    canonical record schema."""
+    from projet_pipeline_bigdata_org_spark.sources.reddit_source import register
+
+    register(spark)
+    df = (
+        spark.read.format("reddit_fixture")
+        .option("rows", 150)
+        .option("partitions", 4)
+        .load()
+    )
+    assert df.columns == ["id", "author", "subreddit", "text", "timestamp", "score"]
+    assert df.count() == 150
+    assert df.rdd.getNumPartitions() == 4
+    a = sorted(r.id for r in df.collect())
+    b = sorted(r.id for r in df.collect())
+    assert a == b and len(set(a)) == 150  # deterministic, unique ids
+    # records flow through the reference cleaning chain unchanged
+    from projet_pipeline_bigdata_org_spark.functions.cleaning import clean_text
+    from pyspark.sql import functions as F
+
+    cleaned = df.select(clean_text("text").alias("c")).collect()
+    assert all(r.c == r.c.strip().lower() for r in cleaned)
+
+
+def test_reddit_fixture_stream_source(spark, tmp_path):
+    """Streaming micro-batches advance an integer offset; availableNow
+    drains to the cap; replay-safe ranges (same records per offset range)."""
+    import uuid
+
+    from projet_pipeline_bigdata_org_spark.sources.reddit_source import register
+
+    register(spark)
+    name = f"rf_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("reddit_fixture")
+        .option("rows", 120)
+        .option("batchRows", 50)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT id, score FROM {name}").collect()
+    assert len(rows) == 120
+    assert len({r.id for r in rows}) == 120
