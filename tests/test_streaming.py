@@ -327,3 +327,70 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
     got = {(r.view_id, r.buy_id) for r in spark.sql(f"SELECT * FROM {name}").collect()}
     # user 1: purchase 10 min after the view → joins; user 2: 150 min later → no
     assert got == {(1, 11)}
+
+
+def test_reference_inference_pipeline_end_to_end(spark, tmp_path):
+    """The reference's flagship dataflow (SURVEY §3.1) as ONE streaming
+    pipeline on engine building blocks: Python-DataSource record stream →
+    clean → keyword relevance filter → time features → batched sentiment
+    stub (pandas_udf) → virality bucket → viral_posts sink projection →
+    foreachBatch failover sink. No Kafka, no driver collect — same
+    micro-batch lifecycle."""
+    from pyspark.sql import functions as F
+
+    from projet_pipeline_bigdata_org_spark.functions.buckets import virality_bucket
+    from projet_pipeline_bigdata_org_spark.functions.cleaning import clean_text
+    from projet_pipeline_bigdata_org_spark.functions.extraction import keyword_filter
+    from projet_pipeline_bigdata_org_spark.ml.enrich import LABELS, make_sentiment_udf
+    from projet_pipeline_bigdata_org_spark.sources.reddit_source import register
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        FailoverBatchSink,
+        parquet_batch_writer,
+        start_foreach_batch,
+    )
+
+    register(spark)
+    stream = (
+        spark.readStream.format("reddit_fixture")
+        .option("rows", 200)
+        .option("batchRows", 80)
+        .load()
+    )
+
+    def transform(df):
+        pseudo_pred = (F.col("score") / 100.0).cast("double")
+        return (
+            df.withColumn("text_content", clean_text("text"))
+            .filter(keyword_filter("text_content", ("btc", "eth", "coin", "market")))
+            .withColumn("creation_date", F.to_timestamp(F.col("timestamp")))
+            .withColumn("hour", F.hour("creation_date"))
+            .withColumn("sentiment", make_sentiment_udf()(F.col("text_content")))
+            .withColumn("score_predit", F.round(pseudo_pred, 2).cast("float"))
+            .withColumn("viralite", virality_bucket(pseudo_pred))
+            .select(
+                "id", "author", "subreddit", "text_content", "sentiment",
+                "score_predit", "viralite", "creation_date", "hour",
+            )
+        )
+
+    out_dir = str(tmp_path / "viral_posts")
+    sink = FailoverBatchSink(primary=parquet_batch_writer(out_dir), transform=transform)
+    q = start_foreach_batch(stream, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    rows = got.collect()
+    assert 0 < len(rows) <= 200            # keyword filter dropped some
+    # availableNow drains in one micro-batch; batchRows chunks it into
+    # parallel read partitions rather than separate triggers
+    assert sink.stats["batches"] >= 1
+    assert sink.stats["dropped"] == 0
+    assert {r.sentiment for r in rows} <= set(LABELS)
+    assert {r.viralite for r in rows} <= {"HOT", "UP", "LOW"}
+    assert all("btc" in r.text_content or "eth" in r.text_content
+               or "coin" in r.text_content or "market" in r.text_content
+               for r in rows)
+    assert set(got.columns) == {
+        "id", "author", "subreddit", "text_content", "sentiment",
+        "score_predit", "viralite", "creation_date", "hour",
+    }
