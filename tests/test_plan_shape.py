@@ -156,3 +156,57 @@ def test_partitioned_lake_prunes_partitions(spark, sf_dir, tmp_path):
     got = scan.count()
     want = e.filter(F.col("event_type") == "purchase").count()
     assert got == want
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling, demonstrated: a join where one key holds
+    ~100x the rows of any other must execute with the skewed partition
+    SPLIT (final adaptive plan marks the sort-merge join skew=true) —
+    the runtime safety net behind every fact-fact join in this engine."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.shuffle.partitions": "8",
+        # the terminal aggregate below would otherwise make AQE skip the
+        # split ("introduces extra shuffle"); real pipelines usually write
+        # after the join, where no force is needed
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # hot key 0 carries 200k rows; keys 1..99 carry ~2k each. The
+        # payload is incompressible (md5) AND referenced by the aggregate —
+        # a bare count() lets column pruning strip it from the shuffle and
+        # the hot partition compresses below any realistic threshold
+        big = spark.range(400_000).select(
+            F.when(F.col("id") < 200_000, 0)
+            .otherwise(F.col("id") % 99 + 1)
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        dim = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        # aggregate ON TOP of the join so executing THIS DataFrame finalizes
+        # its own adaptive plan (df.count() would run a separate execution)
+        j = (
+            big.join(dim, "k")
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"), F.max("payload").alias("mp"))
+        )
+        rows = j.collect()
+        assert rows[0].n == 400_000
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in p, p
+        assert "skew=true" in p, f"AQE did not mark the skewed join:\n{p}"
+        # reader line prints "skewed" or "skewed and coalesced" per confs
+        assert re.search(r"AQEShuffleRead.*skewed", p), p
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
