@@ -644,3 +644,32 @@ def sql_recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY m
         """
     )
+
+
+@query(
+    "sql_variant_pack",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_long,
+           JSON_EXTRACT_STRING(props, '$.k') AS k_string,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) IS NOT NULL AS has_k
+    FROM events WHERE event_id < 5000
+    """,
+    tags=("relational", "function", "variant", "events"),
+)
+def sql_variant_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): parse_json once into a
+    VariantType column, then typed try_variant_get path extraction — the
+    open-schema ingestion shape that replaces per-query get_json_object
+    re-parsing. At 100 TB a parsed variant column is stored once (shredded
+    parquet) and every downstream path read skips JSON re-parsing; the
+    oracle mirrors the extracted VALUES via DuckDB's JSON functions
+    (the variant binary itself is engine-internal)."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "long").alias("k_long"),
+        F.try_variant_get(v, "$.k", "string").alias("k_string"),
+        F.try_variant_get(v, "$.k", "long").isNotNull().alias("has_k"),
+    )
