@@ -673,3 +673,45 @@ def sql_variant_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "string").alias("k_string"),
         F.try_variant_get(v, "$.k", "long").isNotNull().alias("has_k"),
     )
+
+
+@query(
+    "sql_extrema_pack",
+    oracle="""
+    WITH k AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 1000000000
+               + o_orderkey AS ordkey
+      FROM orders)
+    SELECT o_orderpriority,
+           ARG_MAX(o_orderkey, ordkey) AS biggest_order,
+           ARG_MIN(o_orderkey, ordkey) AS smallest_order,
+           BOOL_AND(o_totalprice > 1000) AS all_over_1k,
+           BOOL_OR(o_totalprice > 400000) AS any_over_400k,
+           COUNT(*) AS n
+    FROM k
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "relational", "extrema"),
+)
+def sql_extrema_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extrema/boolean aggregates: max_by / min_by (argmax-argmin — the
+    'row that achieved the max' idiom that otherwise costs a window pass)
+    and bool_and / bool_or. The ordering key is a composite integer so
+    value ties break deterministically in both engines (DuckDB's arg_max
+    has no struct-ordered overload)."""
+    o = load(spark, sf_dir, "orders")
+    # composite BIGINT ordering key: exact cents * 1e9 + orderkey — ties on
+    # price break on orderkey; exact while cents*1e9 + key < 2^63 (holds
+    # through the tested SFs; at larger key ranges widen to DECIMAL)
+    ordkey = (
+        F.round(F.col("o_totalprice") * 100, 0).cast("long") * F.lit(1_000_000_000)
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", ordkey).alias("biggest_order"),
+        F.min_by("o_orderkey", ordkey).alias("smallest_order"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count(F.lit(1)).alias("n"),
+    )

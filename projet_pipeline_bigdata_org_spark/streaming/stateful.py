@@ -9,6 +9,12 @@ aggs can't express (e.g. lifetime counters, per-key ML feature state).
 State is a single tuple per key (bounded by key cardinality, not event
 volume); timeout handling evicts idle users so state can't grow forever at
 stream scale.
+
+Note: Spark 4's newer ``transformWithStateInPandas`` API is present but its
+Python state-server worker crashes in this container ("driver worker exited
+unexpectedly" after the handshake, RocksDB provider included) — so the
+stable ``applyInPandasWithState`` is the supported arbitrary-state surface
+here; the TWS migration is mechanical when the runtime supports it.
 """
 
 from __future__ import annotations
