@@ -715,3 +715,35 @@ def sql_extrema_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "sql_grouping_id_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+           GROUPING(r_name) = 1 AS is_grand_total_level,
+           COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("agg", "relational", "grouping"),
+)
+def sql_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping_id() / grouping() over a ROLLUP — the level-discriminator
+    columns BI layers key on to split subtotal rows from detail rows
+    (bit layout identical across engines: last grouping column is the least
+    significant bit)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        (F.grouping("r_name") == 1).alias("is_grand_total_level"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
