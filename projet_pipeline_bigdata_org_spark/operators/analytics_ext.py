@@ -747,3 +747,65 @@ def sql_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.grouping("r_name") == 1).alias("is_grand_total_level"),
         F.count(F.lit(1)).alias("n_customers"),
     )
+
+
+@query(
+    "sql_null_safe_join",
+    oracle="""
+    WITH k AS (SELECT n_nationkey, n_name, NULLIF(n_regionkey, 0) AS rk FROM nation)
+    SELECT a.n_nationkey AS a_key, b.n_nationkey AS b_key,
+           a.n_name AS a_name, b.n_name AS b_name,
+           a.rk IS NULL AS joined_on_null
+    FROM k a JOIN k b ON a.rk IS NOT DISTINCT FROM b.rk
+    """,
+    tags=("join", "relational", "null-semantics"),
+)
+def sql_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of vanishing — the semantics reconciliation joins
+    need for optional dimension keys. Plain equality would silently drop
+    every NULL-keyed row; the oracle pins the difference."""
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        F.nullif(F.col("n_regionkey"), F.lit(0)).alias("rk"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    return a.join(b, F.col("a.rk").eqNullSafe(F.col("b.rk"))).select(
+        F.col("a.n_nationkey").alias("a_key"),
+        F.col("b.n_nationkey").alias("b_key"),
+        F.col("a.n_name").alias("a_name"),
+        F.col("b.n_name").alias("b_name"),
+        F.col("a.rk").isNull().alias("joined_on_null"),
+    )
+
+
+@query(
+    "sql_try_cast_pack",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(SPLIT_PART(text, ' ', 1) AS BIGINT) AS first_token_int,
+           TRY_CAST(doc_id AS TINYINT) AS id_as_tinyint,
+           TRY_CAST(lang AS DOUBLE) AS lang_as_double,
+           CAST(doc_id AS DOUBLE) / NULLIF(doc_id % 3, 0) AS guarded_div
+    FROM documents WHERE doc_id < 400
+    """,
+    tags=("relational", "function", "error-handling", "documents"),
+)
+def sql_try_cast_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe conversion surface under ANSI mode: try_cast returns NULL
+    where CAST would raise (malformed ints, tinyint overflow), and
+    try_divide NULLs division by zero — the ingestion-hardening semantics
+    a permissive pipeline needs with ANSI enabled."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return d.select(
+        "doc_id",
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+        .try_cast("bigint")
+        .alias("first_token_int"),
+        F.col("doc_id").try_cast("tinyint").alias("id_as_tinyint"),
+        F.col("lang").try_cast("double").alias("lang_as_double"),
+        F.try_divide(F.col("doc_id").cast("double"), F.col("doc_id") % 3).alias(
+            "guarded_div"
+        ),
+    )
