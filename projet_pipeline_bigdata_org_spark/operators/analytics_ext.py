@@ -391,8 +391,8 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, {SQL_WS_TOKENS.format(c='text')} AS toks
                FROM documents WHERE doc_id < 300)
     SELECT doc_id,
-           ARRAY_TO_STRING(LIST_TRANSFORM(toks, x -> LENGTH(x)), ',') AS len_list,
-           ARRAY_TO_STRING(LIST_FILTER(toks, x -> LENGTH(x) > 4), ',') AS long_tokens,
+           COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM(toks, x -> LENGTH(x)), ','), '') AS len_list,
+           COALESCE(ARRAY_TO_STRING(LIST_FILTER(toks, x -> LENGTH(x) > 4), ','), '') AS long_tokens,
            LEN(LIST_FILTER(toks, x -> LENGTH(x) > 8)) > 0 AS has_very_long,
            LEN(LIST_FILTER(toks, x -> NOT (LENGTH(x) >= 1))) = 0 AS all_nonempty,
            -- NOT list_reduce: DuckDB 1.0's list_reduce with a CASE merge
@@ -402,7 +402,7 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- value-equivalent of the Spark-side fold (token lengths >= 1).
            CAST(COALESCE(LIST_MAX(LIST_TRANSFORM(toks,
                 x -> CAST(LENGTH(x) AS BIGINT))), 0) AS BIGINT) AS max_len,
-           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(toks)), ',') AS sorted_vocab
+           COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(toks)), ','), '') AS sorted_vocab
     FROM t
     """,
     tags=("relational", "function", "higher-order", "documents"),
@@ -466,10 +466,10 @@ def sql_struct_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_collect_pack",
     oracle="""
     SELECT c_mktsegment,
-           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(c_nationkey))), ',')
+           COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(c_nationkey))), ','), '')
              AS nations_sorted,
-           ARRAY_TO_STRING(LIST_SLICE(LIST_SORT(
-               LIST(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)), 'DESC'), 1, 3), ',')
+           COALESCE(ARRAY_TO_STRING(LIST_SLICE(LIST_SORT(
+               LIST(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)), 'DESC'), 1, 3), ','), '')
              AS top3_balance_cents,
            COUNT(*) AS n_customers
     FROM customer

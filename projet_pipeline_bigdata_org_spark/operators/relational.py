@@ -890,7 +890,7 @@ def func_math_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
            CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_distinct_tokens,
-           ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(text, ' '), 1, 3), '|') AS first3,
+           COALESCE(ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(text, ' '), 1, 3), '|'), '') AS first3,
            LIST_CONTAINS(STRING_SPLIT(text, ' '), 'spark') AS has_spark
     FROM documents
     """,

@@ -268,8 +268,8 @@ def ext_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_string_pack2",
     oracle="""
     SELECT p_partkey,
-           ARRAY_TO_STRING(LIST_TRANSFORM(STRING_SPLIT(p_name, ' '),
-                           w -> UPPER(w[1]) || LOWER(w[2:])), ' ') AS name_title,
+           COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM(STRING_SPLIT(p_name, ' '),
+                           w -> UPPER(w[1]) || LOWER(w[2:])), ' '), '') AS name_title,
            REVERSE(p_brand) AS brand_rev,
            REPEAT(p_type, 2) AS type_twice,
            LEFT(p_name, 4) AS name_left4,
@@ -425,8 +425,8 @@ def ext_sql_surface_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            ELEMENT_AT(mp, 'k')[1] AS k_val,
            CAST(CARDINALITY(mp) AS INT) AS map_size,
-           ARRAY_TO_STRING(MAP_KEYS(mp), '|') AS keys_joined,
-           ARRAY_TO_STRING(LIST_TRANSFORM(MAP_VALUES(mp), v -> CAST(v AS VARCHAR)), '|') AS values_joined
+           COALESCE(ARRAY_TO_STRING(MAP_KEYS(mp), '|'), '') AS keys_joined,
+           COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM(MAP_VALUES(mp), v -> CAST(v AS VARCHAR)), '|'), '') AS values_joined
     FROM m
     """,
     tags=("relational", "function", "map", "events"),

@@ -67,7 +67,7 @@ def pipe_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
              {SQL_REMOVE_STOPWORDS.format(toks=SQL_TOKENIZE.format(c=SQL_CLEAN.format(c='text')))} AS kept
       FROM documents)
     SELECT doc_id,
-           ARRAY_TO_STRING(kept, '|') AS tokens,
+           COALESCE(ARRAY_TO_STRING(kept, '|'), '') AS tokens,
            CAST(LEN(kept) AS BIGINT) AS n_tokens
     FROM toks
     """,

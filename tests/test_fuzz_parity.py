@@ -1,0 +1,109 @@
+"""Fuzzed cross-engine parity for the shared text twins.
+
+The oracle gate runs on the word-soup corpus; these tests push ~300
+adversarial strings (URLs, unicode, whitespace runs, punctuation, empties)
+through BOTH sides of each shared Spark/DuckDB template in one batch —
+the drift class ADVICE r1 found in the initcap twin, hunted proactively.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from projet_pipeline_bigdata_org_spark.functions.cleaning import SQL_CLEAN, clean_text
+from projet_pipeline_bigdata_org_spark.operators.textops import (
+    SQL_WS_TOKENS,
+    shingles,
+    sql_shingles,
+    ws_tokens,
+)
+
+_PIECES = (
+    "hello", "WORLD", "MiXeD", "btc", "émigré", "naïve", "日本語", "x" * 40,
+    "http://a.b/c?d=1", "https://long.example.com/path#frag", "www.site.io/x",
+    "a@b", "@mention", "#hashtag", "it's", "co-op", "1,234.56", "50%", "!!!",
+    "(parens)", "[brackets]", "tab\there", "new\nline", "trailing ", " leading",
+    "", " ", "   ", "\t", "under_score", "semi;colon", "um…", "emoji🙂", "９全",
+)
+
+
+def _fuzz_strings(n: int = 300) -> list[str]:
+    rng = random.Random(1234)
+    out = []
+    for _ in range(n):
+        k = rng.randint(0, 8)
+        sep = rng.choice([" ", "  ", " \t ", " "])
+        out.append(sep.join(rng.choice(_PIECES) for _ in range(k)))
+    out.extend(_PIECES)  # each piece alone too
+    return out
+
+
+@pytest.fixture(scope="module")
+def fuzz_df(spark):
+    data = _fuzz_strings()
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(data)), "text": data})
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": range(len(data)), "text": data}))
+    return sdf, con
+
+
+def test_clean_text_twins_agree_on_fuzz(fuzz_df):
+    sdf, con = fuzz_df
+    got = {
+        r.doc_id: r.c
+        for r in sdf.select("doc_id", clean_text("text").alias("c")).collect()
+    }
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {SQL_CLEAN.format(c='text')} FROM documents"
+        ).fetchall()
+    )
+    diffs = {i: (got[i], want[i]) for i in got if got[i] != want[i]}
+    assert not diffs, f"clean_text twin drift on {len(diffs)} inputs: {list(diffs.items())[:5]}"
+
+
+def test_ws_tokens_twins_agree_on_fuzz(fuzz_df):
+    sdf, con = fuzz_df
+    got = {
+        r.doc_id: r.t
+        for r in sdf.select(
+            "doc_id", F.array_join(ws_tokens("text"), "\x1f").alias("t")
+        ).collect()
+    }
+    # COALESCE is part of the twin contract: DuckDB ARRAY_TO_STRING([]) is
+    # NULL while Spark array_join([]) is '' — found by this very test; every
+    # joined-array oracle carries the same guard
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, COALESCE(ARRAY_TO_STRING({SQL_WS_TOKENS.format(c='text')}, chr(31)), '')"
+            " FROM documents"
+        ).fetchall()
+    )
+    diffs = {i: (got[i], want[i]) for i in got if got[i] != want[i]}
+    assert not diffs, f"ws_tokens twin drift: {list(diffs.items())[:5]}"
+
+
+def test_shingle_twins_agree_on_fuzz(fuzz_df):
+    sdf, con = fuzz_df
+    got = {
+        r.doc_id: r.s
+        for r in sdf.select(
+            "doc_id",
+            F.array_join(shingles(ws_tokens("text")), "\x1f").alias("s"),
+        ).collect()
+    }
+    want = dict(
+        con.execute(
+            "SELECT doc_id, ARRAY_TO_STRING("
+            f"{sql_shingles(SQL_WS_TOKENS.format(c='text'))}, chr(31)) FROM documents"
+        ).fetchall()
+    )
+    diffs = {i: (got[i], want[i]) for i in got if (got[i] or "") != (want[i] or "")}
+    assert not diffs, f"shingle twin drift: {list(diffs.items())[:5]}"
