@@ -107,3 +107,52 @@ def test_shingle_twins_agree_on_fuzz(fuzz_df):
     )
     diffs = {i: (got[i], want[i]) for i in got if (got[i] or "") != (want[i] or "")}
     assert not diffs, f"shingle twin drift: {list(diffs.items())[:5]}"
+
+
+def test_date_twins_agree_on_fuzz(spark):
+    """Timestamp twins (format, last_day, add_months, epoch, month-delta)
+    fuzzed across 1906-2096 — the oracle gate only ever sees 1995-2001
+    order dates and 2024 events."""
+    rng = random.Random(99)
+    epochs = [rng.randrange(-2_000_000_000, 4_000_000_000) for _ in range(400)]
+    # exact boundary cases
+    epochs += [0, -1, 86399, 951782400, 4102444800 - 1]  # 1970, 2000-02-29, 2099-12-31
+    pdf = pd.DataFrame({"i": range(len(epochs)), "e": epochs})
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r.i: (r.fmt, r.month_end, r.plus3, r.ep, r.months_since)
+        for r in sdf.select(
+            "i",
+            F.date_format(F.timestamp_seconds("e"), "yyyy-MM-dd HH:mm:ss").alias("fmt"),
+            F.date_format(F.last_day(F.timestamp_seconds("e")), "yyyy-MM-dd").alias(
+                "month_end"
+            ),
+            F.date_format(
+                F.add_months(F.timestamp_seconds("e"), 3), "yyyy-MM-dd"
+            ).alias("plus3"),
+            F.unix_timestamp(F.timestamp_seconds("e")).alias("ep"),
+            (
+                (F.year(F.timestamp_seconds("e")) - F.lit(1995)) * 12
+                + F.month(F.timestamp_seconds("e"))
+                - F.lit(1)
+            ).cast("long").alias("months_since"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            """
+            SELECT i,
+                   STRFTIME(TO_TIMESTAMP(e), '%Y-%m-%d %H:%M:%S'),
+                   STRFTIME(LAST_DAY(TO_TIMESTAMP(e)), '%Y-%m-%d'),
+                   STRFTIME(TO_TIMESTAMP(e) + INTERVAL 3 MONTH, '%Y-%m-%d'),
+                   CAST(EPOCH(TO_TIMESTAMP(e)) AS BIGINT),
+                   CAST(DATE_DIFF('month', TIMESTAMP '1995-01-01', TO_TIMESTAMP(e)) AS BIGINT)
+            FROM t
+            """
+        ).fetchall()
+    }
+    diffs = {i: (got[i], want[i]) for i in got if got[i] != want[i]}
+    assert not diffs, f"date twin drift on {len(diffs)}: {list(diffs.items())[:5]}"
