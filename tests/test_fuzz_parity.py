@@ -156,3 +156,75 @@ def test_date_twins_agree_on_fuzz(spark):
     }
     diffs = {i: (got[i], want[i]) for i in got if got[i] != want[i]}
     assert not diffs, f"date twin drift on {len(diffs)}: {list(diffs.items())[:5]}"
+
+
+def test_cosine_fold_twins_agree_on_fuzz(spark):
+    """The sequential-fold dot/norm twins must be bit-exact on adversarial
+    vectors: mixed magnitudes (1e-30..1e30), negatives, zeros within
+    vectors, cancellation-prone pairs — the embeddings corpus only ever
+    shows well-scaled random floats."""
+    from projet_pipeline_bigdata_org_spark.operators.similarity import (
+        SQL_DOT,
+        SQL_NORM,
+        dot,
+        norm,
+    )
+
+    rng = random.Random(7)
+
+    def vec():
+        out = []
+        for _ in range(16):
+            kind = rng.random()
+            if kind < 0.1:
+                out.append(0.0)
+            elif kind < 0.3:
+                out.append(rng.uniform(-1e-30, 1e-30))
+            elif kind < 0.5:
+                out.append(rng.uniform(-1e30, 1e30))
+            else:
+                out.append(rng.gauss(0, 1))
+        return out
+
+    rows = [(i, vec(), vec()) for i in range(200)]
+    # cancellation-prone: b = -a plus tiny noise
+    rows += [
+        (200 + i, v, [-x for x in v])
+        for i, v in ((j, vec()) for j in range(20))
+    ]
+    pdf = pd.DataFrame(rows, columns=["i", "a", "b"])
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r.i: (r.d, r.na, r.nb)
+        for r in sdf.select(
+            "i",
+            dot(F.col("a"), F.col("b")).alias("d"),
+            norm(F.col("a")).alias("na"),
+            norm(F.col("b")).alias("nb"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            f"""
+            SELECT i, {SQL_DOT.format(a='a', b='b')},
+                   {SQL_NORM.format(a='a')}, {SQL_NORM.format(a='b')}
+            FROM t
+            """
+        ).fetchall()
+    }
+
+    def same(x, y):
+        import math
+        if x is None or y is None:
+            return x is y
+        return (x == y) or (math.isnan(x) and math.isnan(y))
+
+    diffs = {
+        i: (got[i], want[i])
+        for i in got
+        if not all(same(a, b) for a, b in zip(got[i], want[i]))
+    }
+    assert not diffs, f"cosine fold drift on {len(diffs)}: {list(diffs.items())[:3]}"
