@@ -50,6 +50,12 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     queries = plans.all_queries()
 
+    # SPARK_GRAFT_BENCH_SET=all times EVERY registered query (round-over-
+    # round regression sweep); default stays the curated headline set
+    headline = HEADLINE
+    if os.environ.get("SPARK_GRAFT_BENCH_SET") == "all":
+        headline = tuple(queries)
+
     # Warm-up: run every headline query once at the SMALLEST scale factor.
     # Whole-stage codegen compiles per plan structure, so this JIT-compiles
     # the exact generated classes the measured runs will use — the sf0.1
@@ -58,11 +64,11 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in HEADLINE:
+    for name in headline:
         queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         df = queries[name](spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
