@@ -302,3 +302,113 @@ def text_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_re_tokens"),
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-hygiene operators (round 2): PII redaction + repetition detection
+# ---------------------------------------------------------------------------
+
+#: deliberately conservative patterns in the Java-regex ∩ RE2 common subset
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+PII_IPV4 = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Email → <EMAIL>, phone-like → <PHONE>, IPv4 → <IP> — the standard
+    pre-training scrub pass, all JVM-side regexp_replace."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return out
+
+
+@query(
+    "text_redact_pii",
+    oracle=f"""
+    SELECT doc_id,
+           REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+               '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_IPV4}', '<IP>', 'g'),
+               '{PII_PHONE}', '<PHONE>', 'g') AS redacted,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{PII_IPV4}')) AS BIGINT) AS n_ips
+    FROM documents WHERE doc_id < 300
+    """,
+    tags=("llm", "text", "pii", "documents"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (emails / IPv4 / phone-like → typed placeholders)
+    with per-document hit counts — the corpus-hygiene stage every
+    pre-training pipeline runs before tokenization. The synthetic corpus
+    carries no PII (counts are 0 here); the operator's behavior on real
+    PII is locked by unit tests on crafted strings."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return d.select(
+        "doc_id",
+        redact_pii("text").alias("redacted"),
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+    )
+
+
+@query(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_WS_TOKENS.format(c='text')} AS toks FROM documents),
+    tok AS (SELECT doc_id, UNNEST(toks) AS token FROM t),
+    tf AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token),
+    top AS (SELECT doc_id, MAX(c) AS max_tf FROM tf GROUP BY doc_id),
+    sz AS (SELECT doc_id, LEN(toks) AS n,
+                  GREATEST(LEN(toks) - 2, 0) AS n_sh,
+                  LEN(LIST_DISTINCT({sql_shingles('toks')})) AS n_dist_sh
+           FROM t)
+    SELECT sz.doc_id,
+           CAST(sz.n AS BIGINT) AS n_tokens,
+           CAST(top.max_tf AS BIGINT) AS max_token_freq,
+           CAST(top.max_tf AS DOUBLE) / NULLIF(sz.n, 0) AS top_token_ratio,
+           CAST(sz.n_sh - sz.n_dist_sh AS DOUBLE) / NULLIF(sz.n_sh, 0)
+             AS dup_shingle_ratio
+    FROM sz LEFT JOIN top ON top.doc_id = sz.doc_id
+    """,
+    tags=("llm", "text", "quality", "documents"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection — the filter that catches looping/boilerplate
+    generations: top-token frequency ratio and duplicated-shingle ratio
+    per document (NULL on empty docs, matching the zero-guard discipline).
+
+    Scale: one (doc, token) shuffle with map-side combine, shingle ratios
+    computed per-row with no shuffle; same cost class as token stats."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    tok = d.select("doc_id", F.explode(toks).alias("token"))
+    top = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_tf"))
+    )
+    sh = F.array_distinct(shingles(toks))
+    sz = d.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.greatest(F.size(toks) - 2, F.lit(0)).alias("n_sh"),
+        F.size(sh).alias("n_dist_sh"),
+    )
+    return (
+        sz.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.col("max_tf").cast("long").alias("max_token_freq"),
+            F.when(F.col("n") > 0, F.col("max_tf").cast("double") / F.col("n")).alias(
+                "top_token_ratio"
+            ),
+            F.when(
+                F.col("n_sh") > 0,
+                (F.col("n_sh") - F.col("n_dist_sh")).cast("double") / F.col("n_sh"),
+            ).alias("dup_shingle_ratio"),
+        )
+    )

@@ -232,3 +232,52 @@ def test_star_cc_equals_minlabel_cc_on_adversarial_graphs(spark):
         by_cluster.setdefault(cid, []).append(node)
     for cid, nodes in by_cluster.items():
         assert cid == min(min(nodes), cid)
+
+
+def test_redact_pii_on_crafted_strings(spark):
+    """The synthetic corpus has no PII, so the redaction behavior is locked
+    here on crafted strings (and its DuckDB twin agrees on them too)."""
+    import duckdb
+    import pandas as pd
+
+    from projet_pipeline_bigdata_org_spark.operators.textops import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+        redact_pii,
+    )
+    from pyspark.sql import functions as F
+
+    cases = [
+        "contact me at jane.doe+spam@example.co.uk today",
+        "server at 192.168.1.254 rebooted",
+        "call +1 (555) 123-4567 or 0044 20 7946 0958 now",
+        "mixed: a@b.io on 10.0.0.1 tel 555-867-5309!",
+        "no pii here at all",
+        "",
+    ]
+    pdf = pd.DataFrame({"i": range(len(cases)), "text": cases})
+    got = {
+        r.i: r.red
+        for r in spark.createDataFrame(pdf)
+        .select("i", redact_pii("text").alias("red"))
+        .collect()
+    }
+    assert "<EMAIL>" in got[0] and "jane" not in got[0]
+    assert got[1] == "server at <IP> rebooted"
+    assert got[2].count("<PHONE>") == 2
+    assert "<EMAIL>" in got[3] and "<IP>" in got[3] and "<PHONE>" in got[3]
+    assert got[4] == "no pii here at all"
+    assert got[5] == ""
+    # twin agreement on the crafted strings
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = dict(
+        con.execute(
+            f"""SELECT i, REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+                '{PII_EMAIL}', '<EMAIL>', 'g'),
+                '{PII_IPV4}', '<IP>', 'g'),
+                '{PII_PHONE}', '<PHONE>', 'g') FROM t"""
+        ).fetchall()
+    )
+    assert got == want
