@@ -809,3 +809,32 @@ def sql_try_cast_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "guarded_div"
         ),
     )
+
+
+@query(
+    "sql_bag_setops",
+    oracle="""
+    WITH big AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000),
+    urgent AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'except_all' AS op, k FROM (SELECT k FROM big EXCEPT ALL SELECT k FROM urgent)
+    UNION ALL
+    SELECT 'intersect_all' AS op, k FROM (SELECT k FROM big INTERSECT ALL SELECT k FROM urgent)
+    """,
+    tags=("setop", "relational"),
+)
+def sql_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL): duplicate
+    multiplicities subtract/intersect instead of collapsing — §2.7's
+    DISTINCT variants (combine_*/set_*) cover the other half. A customer
+    with 3 big orders and 1 urgent order keeps 2 rows in the except and 1
+    in the intersect."""
+    o = load(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("k")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    ex = big.exceptAll(urgent).select(F.lit("except_all").alias("op"), "k")
+    inter = big.intersectAll(urgent).select(F.lit("intersect_all").alias("op"), "k")
+    return ex.union(inter)
