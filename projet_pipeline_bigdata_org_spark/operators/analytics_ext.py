@@ -838,3 +838,33 @@ def sql_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = big.exceptAll(urgent).select(F.lit("except_all").alias("op"), "k")
     inter = big.intersectAll(urgent).select(F.lit("intersect_all").alias("op"), "k")
     return ex.union(inter)
+
+
+@query(
+    "sql_string_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           STRING_AGG(DISTINCT n_name, '|' ORDER BY n_name) AS nations,
+           COUNT(DISTINCT n_name) AS n_nations
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "relational", "string-agg"),
+)
+def sql_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP —
+    Spark 4 syntax) — the report-friendly twin of collect_list+array_join,
+    with DISTINCT + the ordering INSIDE the aggregate so results are
+    deterministic and bounded without a post-sort."""
+    from projet_pipeline_bigdata_org_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               listagg(DISTINCT n_name, '|') WITHIN GROUP (ORDER BY n_name) AS nations,
+               COUNT(DISTINCT n_name) AS n_nations
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY c_mktsegment
+        """
+    )
