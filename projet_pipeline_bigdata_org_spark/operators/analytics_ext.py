@@ -843,28 +843,33 @@ def sql_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sql_string_agg",
     oracle="""
+    WITH d AS (SELECT DISTINCT c_mktsegment, n_name
+               FROM customer JOIN nation ON c_nationkey = n_nationkey)
     SELECT c_mktsegment,
-           STRING_AGG(DISTINCT n_name, '|' ORDER BY n_name) AS nations,
-           COUNT(DISTINCT n_name) AS n_nations
-    FROM customer JOIN nation ON c_nationkey = n_nationkey
-    GROUP BY c_mktsegment
+           STRING_AGG(n_name, '|' ORDER BY n_name) AS nations,
+           COUNT(n_name) AS n_nations
+    FROM d GROUP BY c_mktsegment
     """,
     tags=("agg", "relational", "string-agg"),
 )
 def sql_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP —
-    Spark 4 syntax) — the report-friendly twin of collect_list+array_join,
-    with DISTINCT + the ordering INSIDE the aggregate so results are
-    deterministic and bounded without a post-sort."""
+    Spark 4 syntax) over a pre-deduplicated (segment, nation) set — the
+    report-friendly twin of collect_list+array_join with the ordering
+    INSIDE the aggregate. Dedup-then-agg rather than DISTINCT-inside-agg:
+    the partial-aggregatable shape at scale, and it sidesteps a Spark
+    4.1.2 ClassCastException when listagg(DISTINCT) WITHIN GROUP is
+    rewritten next to another distinct aggregate."""
     from projet_pipeline_bigdata_org_spark.catalog import register_views
 
     register_views(spark, sf_dir)
     return spark.sql(
         """
+        WITH d AS (SELECT DISTINCT c_mktsegment, n_name
+                   FROM customer JOIN nation ON c_nationkey = n_nationkey)
         SELECT c_mktsegment,
-               listagg(DISTINCT n_name, '|') WITHIN GROUP (ORDER BY n_name) AS nations,
-               COUNT(DISTINCT n_name) AS n_nations
-        FROM customer JOIN nation ON c_nationkey = n_nationkey
-        GROUP BY c_mktsegment
+               listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name) AS nations,
+               COUNT(n_name) AS n_nations
+        FROM d GROUP BY c_mktsegment
         """
     )
