@@ -873,3 +873,38 @@ def sql_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d GROUP BY c_mktsegment
         """
     )
+
+
+@query(
+    "sql_explode_outer",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_WS_TOKENS.format(c='text')} AS toks
+               FROM documents WHERE doc_id < 100),
+    sh AS (SELECT doc_id,
+                  CASE WHEN LEN(toks) >= 2
+                       THEN LIST_TRANSFORM(RANGE(1, LEN(toks)),
+                                           i -> toks[i] || ' ' || toks[i+1])
+                       ELSE [] END AS bigrams
+           FROM t)
+    SELECT doc_id,
+           UNNEST(CASE WHEN LEN(bigrams) = 0 THEN [NULL] ELSE bigrams END) AS bigram,
+           LEN(bigrams) = 0 AS was_empty
+    FROM sh
+    """,
+    tags=("relational", "function", "explode", "documents"),
+)
+def sql_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer null-preservation semantics: documents whose bigram
+    array is empty keep ONE null-extended row instead of vanishing — the
+    difference that silently drops rows when a pipeline uses plain explode
+    on sparse features (DuckDB lacks outer unnest; the oracle emulates it
+    with a [NULL] substitution, which is exactly the semantics)."""
+    from projet_pipeline_bigdata_org_spark.operators.textops import shingles
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = ws_tokens("text")
+    bigrams = shingles(toks, 2)
+    return d.select(
+        "doc_id", F.explode_outer(bigrams).alias("bigram"),
+        (F.size(bigrams) == 0).alias("was_empty"),
+    )
