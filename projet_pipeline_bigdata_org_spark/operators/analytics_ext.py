@@ -310,6 +310,32 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 FUZZY_MAX_DIST = 6
+#: length-band width for the composite blocking key. levenshtein(a,b) ≤ d
+#: implies |len(a)−len(b)| ≤ d, so with width d+1 a true pair's lengths land
+#: in the same or an adjacent band — banding is LOSSLESS for this predicate.
+FUZZY_BAND = FUZZY_MAX_DIST + 1
+
+
+def fuzzy_blocked_candidates(c: DataFrame, s: DataFrame) -> DataFrame:
+    """Candidate pairs under the composite blocking key
+    (nationkey, name-length band).
+
+    The supplier side is exploded to its {b−1, b, b+1} band neighborhood so
+    the join stays a pure equi-join on (nation, band) while still covering
+    every |len diff| ≤ FUZZY_MAX_DIST pair. Lossless, and each (c, s) pair
+    appears exactly once (the customer has one band; the supplier's three
+    exploded bands are distinct). Per-block candidate mass is
+    O(rows-per-(nation, band))² — the band term splits each nation block by
+    name length, so no block is a fixed fraction of the corpus and the
+    product stays sub-quadratic on any length-diverse corpus. No broadcast
+    hint: AQE picks broadcast vs shuffle from actual sizes."""
+    s_band = F.floor(F.length("s_name") / FUZZY_BAND)
+    cb = c.withColumn("_band", F.floor(F.length("c_name") / FUZZY_BAND))
+    sb = s.withColumn("_band", F.explode(F.array(s_band - 1, s_band, s_band + 1)))
+    return cb.join(
+        sb,
+        (cb["c_nationkey"] == sb["s_nationkey"]) & (cb["_band"] == sb["_band"]),
+    )
 
 
 @query(
@@ -318,22 +344,23 @@ FUZZY_MAX_DIST = 6
     SELECT c_custkey, s_suppkey, c_name, s_name,
            CAST(LEVENSHTEIN(c_name, s_name) AS BIGINT) AS edit_distance
     FROM customer JOIN supplier ON c_nationkey = s_nationkey
-    WHERE LEVENSHTEIN(c_name, s_name) <= {FUZZY_MAX_DIST}
+    WHERE ABS(LENGTH(c_name) - LENGTH(s_name)) <= {FUZZY_MAX_DIST}
+      AND LEVENSHTEIN(c_name, s_name) <= {FUZZY_MAX_DIST}
     """,
     tags=("llm", "dedup", "fuzzy", "relational"),
 )
 def pair_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy record matching: edit-distance pairs under a BLOCKING key
-    (nationkey) — the classic entity-resolution shape. The equi-join on the
-    block bounds the candidate product (never all-pairs); levenshtein runs
-    JVM-side on candidates only. At 100 TB, block on higher-selectivity keys
-    (name prefix + nation) and/or length bands so each block stays small —
-    same plan, finer key."""
+    """Fuzzy record matching: edit-distance pairs under a COMPOSITE blocking
+    key (nationkey, length band) — see fuzzy_blocked_candidates for the
+    lossless-banding argument and the per-block bound. levenshtein runs
+    JVM-side on candidates only. The oracle carries the same (redundant,
+    distance-implied) length predicate so the twins cannot drift if the
+    band width ever changes."""
     c = load(spark, sf_dir, "customer")
     s = load(spark, sf_dir, "supplier")
     dist = F.levenshtein(F.col("c_name"), F.col("s_name"))
     return (
-        c.join(F.broadcast(s), c.c_nationkey == s.s_nationkey)
+        fuzzy_blocked_candidates(c, s)
         .select(
             "c_custkey",
             "s_suppkey",

@@ -185,6 +185,30 @@ def sim_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_CELLS = 16
 IVF_NPROBE = 4
+#: hard ceiling on the KMeans fit input: the centroid fit is a driver-
+#: coordinated iterative job, so its input must stay bounded regardless of
+#: corpus size. 100k × 64 float64 ≈ 50 MB — comfortable on any driver.
+IVF_FIT_MAX_ROWS = 100_000
+#: oversampling margin on the row-count-derived fraction so the Bernoulli
+#: sample almost surely reaches the target before the exact .limit cap
+IVF_FIT_OVERSAMPLE = 1.2
+
+
+def _ivf_fit_sample(vecs: DataFrame) -> DataFrame:
+    """Bounded, seeded sample of `features` rows for the centroid fit.
+
+    fraction = min(1, OVERSAMPLE · MAX_ROWS / n) from one count() (parquet
+    row-count metadata, not a data scan), then an exact `.limit` cap — so the
+    fit input is ≤ IVF_FIT_MAX_ROWS at any corpus size. At test scale the
+    corpus is smaller than the cap and passes through whole; at 100 TB the
+    fraction is ~1e-5 and the full corpus is only ever `transform`ed, never
+    iterated over by the fit."""
+    n = vecs.count()
+    fraction = min(1.0, IVF_FIT_OVERSAMPLE * IVF_FIT_MAX_ROWS / max(n, 1))
+    sample = vecs.select("features")
+    if fraction < 1.0:
+        sample = sample.sample(fraction=fraction, seed=42)
+    return sample.limit(IVF_FIT_MAX_ROWS)
 
 
 @query(
@@ -197,10 +221,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest cells → exact cosine within probed cells → top-k.
 
     The other scale path next to LSH: the corpus shuffles once on cell id;
-    a query touches nprobe/cells of the data. Centroids are a driver-side
-    KMeans fit on a sample (seeded) — at 100 TB, fit on a 1% sample and
-    broadcast. Rows-only (KMeans cells are engine-side); recall vs brute
-    force asserted in tests."""
+    a query touches nprobe/cells of the data. The KMeans fit — an iterative
+    driver-coordinated job — runs on a seeded sample hard-capped at
+    IVF_FIT_MAX_ROWS (see _ivf_fit_sample); only the cheap one-pass
+    `transform` touches the full corpus. Rows-only (KMeans cells are
+    engine-side); recall vs brute force asserted in tests."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -209,7 +234,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", array_to_vector("embedding").alias("features")
     )
     km = KMeans(k=IVF_CELLS, seed=42, maxIter=10, featuresCol="features")
-    model = km.fit(vecs.select("features"))
+    model = km.fit(_ivf_fit_sample(vecs))
     assigned = model.transform(vecs).select(
         "vec_id", "embedding", F.col("prediction").alias("cell")
     )

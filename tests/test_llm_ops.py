@@ -146,6 +146,65 @@ def test_ann_ivf_recall_and_soundness(spark, sf_dir):
     assert len(got) <= N_QUERIES * TOPK
 
 
+def test_ivf_fit_input_is_bounded(spark, sf_dir):
+    """The KMeans centroid fit must never iterate over the full corpus: its
+    input is capped at IVF_FIT_MAX_ROWS regardless of corpus size (the
+    round-2 verdict's last LLM-operator scale-killer)."""
+    from projet_pipeline_bigdata_org_spark.operators.similarity import (
+        IVF_FIT_MAX_ROWS,
+        _ivf_fit_sample,
+    )
+
+    # corpus far above the cap → sample + limit binds
+    big = spark.range(3 * IVF_FIT_MAX_ROWS).withColumnRenamed("id", "features")
+    n_big = _ivf_fit_sample(big).count()
+    assert n_big <= IVF_FIT_MAX_ROWS
+    assert n_big >= IVF_FIT_MAX_ROWS // 2  # sample actually reaches the target
+    # corpus below the cap → passes through whole (KMeans needs >= k rows)
+    small = spark.range(500).withColumnRenamed("id", "features")
+    assert _ivf_fit_sample(small).count() == 500
+
+
+def test_fuzzy_length_banding_lossless_and_subquadratic(spark):
+    """The composite (nation, length-band) blocking key must (a) drop NO true
+    ≤FUZZY_MAX_DIST pair vs the plain nation-blocked join, and (b) keep the
+    candidate product well below the single-nation quadratic blowup on a
+    length-diverse corpus (the round-2 verdict's hot-block finding)."""
+    from projet_pipeline_bigdata_org_spark.operators.analytics_ext import (
+        FUZZY_MAX_DIST,
+        fuzzy_blocked_candidates,
+    )
+
+    # one nation (worst case for nation-only blocking), lengths spread 1..120
+    c = spark.createDataFrame(
+        [(i, 0, "c" * (1 + i % 120)) for i in range(240)],
+        ["c_custkey", "c_nationkey", "c_name"],
+    )
+    s = spark.createDataFrame(
+        [(i, 0, "s" * (1 + (i * 7) % 120)) for i in range(240)],
+        ["s_suppkey", "s_nationkey", "s_name"],
+    )
+    n_candidates = fuzzy_blocked_candidates(c, s).count()
+    assert n_candidates < 240 * 240 // 3  # banding prunes the nation block
+
+    dist = F.levenshtein(F.col("c_name"), F.col("s_name"))
+    blocked = {
+        (r.c_custkey, r.s_suppkey)
+        for r in fuzzy_blocked_candidates(c, s)
+        .select("c_custkey", "s_suppkey", dist.alias("d"))
+        .filter(F.col("d") <= FUZZY_MAX_DIST)
+        .collect()
+    }
+    exact = {
+        (r.c_custkey, r.s_suppkey)
+        for r in c.join(s, c["c_nationkey"] == s["s_nationkey"])
+        .select("c_custkey", "s_suppkey", dist.alias("d"))
+        .filter(F.col("d") <= FUZZY_MAX_DIST)
+        .collect()
+    }
+    assert blocked == exact  # lossless: banding drops no true pair
+
+
 def test_shingle_df_cap_keeps_hot_corpus_subquadratic(spark):
     """A boilerplate shingle shared by every document must not produce a
     quadratic pair blowup once its document frequency exceeds the cap.
