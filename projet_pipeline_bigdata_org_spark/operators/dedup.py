@@ -73,6 +73,15 @@ _CHUNK_PAIRS = [
     (i, j) for i in range(SIMHASH_CHUNKS) for j in range(SIMHASH_CHUNKS) if i < j
 ]
 SIMHASH_HAMMING_MAX = 12
+#: population cap per (band, bucket): simhash keys are NOT uniform —
+#: template-heavy corpora pile near-identical fingerprints into one bucket,
+#: and a bucket of B docs costs B² join pairs no matter how wide the band
+#: key is. Buckets over the cap are dropped from BOTH join sides before the
+#: self-join (the SimHash mirror of MAX_SHINGLE_DF): a dropped bucket is a
+#: template cluster that exact/normalized dedup already collapses. The d≤4
+#: pigeonhole recall guarantee holds for every pair whose intact band is a
+#: surviving bucket.
+SIMHASH_MAX_BUCKET = 1000
 
 
 @query(
@@ -336,14 +345,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     guaranteed recall for d ≤ 4; pairs in [5, SIMHASH_HAMMING_MAX] surface
     best-effort when their differing bits cluster in ≤4 chunks. Worst-case
     uniform bucket population is N/2^16 per band; simhash keys are NOT
-    uniform (template-heavy corpora cluster), so at cluster scale pair a
-    per-bucket size cap or salt on the residual bits with this plan.
+    uniform (template-heavy corpora cluster), so buckets whose population
+    exceeds SIMHASH_MAX_BUCKET are dropped before the self-join — see the
+    cap's docstring for the recall trade.
     Documents with <3 tokens have no shingle features and are excluded
     (they would all share fingerprint 0). 48 bits so every shift/sum stays
     exact in int64 under ANSI.
     No DuckDB oracle (xxhash64); invariants tested in pytest.
     """
-    d = load(spark, sf_dir, "documents")
+    return simhash_pairs(load(spark, sf_dir, "documents"))
+
+
+def simhash_pairs(
+    d: DataFrame, max_bucket_pop: int = SIMHASH_MAX_BUCKET
+) -> DataFrame:
+    """SimHash near-dup pairs over any (doc_id, text) DataFrame; the bucket
+    cap is a parameter so invariants can exercise template-heavy corpora
+    directly (see test_llm_ops.py)."""
     # hashes staged through a persisted select: projection collapse would
     # otherwise inline the shingle+hash expression into all 48 bit votes
     hashed_df = _persist_scoped(
@@ -371,7 +389,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         simhash = term if simhash is None else simhash + term
 
-    fp = hashed_df.select("doc_id", simhash.alias("simhash"))
+    # fingerprints persisted: read 3× below (hot-bucket census + both join
+    # sides); 16 bytes/row, so the cache is tiny even at corpus scale
+    fp = _persist_scoped(
+        "simhash_fp", hashed_df.select("doc_id", simhash.alias("simhash"))
+    )
 
     def _chunk_val(c: int) -> F.Column:
         return F.shiftright(F.col("simhash"), c * _CHUNK_BITS).bitwiseAND(
@@ -396,6 +418,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cc.chunk").alias("chunk"),
         F.col("cc.chunk_val").alias("chunk_val"),
     )
+    # hot-bucket cap (mirror of the shingle DF cap): census per band bucket,
+    # blacklist the over-populated ones (tiny by construction: ≤ rows/cap),
+    # anti-join them off both sides before the quadratic-in-bucket self-join
+    hot = (
+        chunks.groupBy("chunk", "chunk_val")
+        .agg(F.count(F.lit(1)).alias("_pop"))
+        .filter(F.col("_pop") > max_bucket_pop)
+        .select("chunk", "chunk_val")
+    )
+    chunks = chunks.join(hot, ["chunk", "chunk_val"], "left_anti")
     a, b = chunks.alias("a"), chunks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

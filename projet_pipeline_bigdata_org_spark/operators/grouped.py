@@ -96,6 +96,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = MAX_CC_ITERATIONS,
     reliable_checkpoint: bool | None = None,
+    fallback_to_star: bool = True,
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list (a_id, b_id) →
     (node, cluster_id = min reachable id). Iterates until fixpoint.
@@ -114,7 +115,14 @@ def connected_components(
     a checkpoint dir is configured — executor loss mid-iteration then replays
     from durable storage; ``localCheckpoint`` (executor-local, faster) is the
     fallback and the right choice in local mode. Override via
-    ``reliable_checkpoint=True/False``."""
+    ``reliable_checkpoint=True/False``.
+
+    Convergence guard: min-label needs ~diameter rounds, so a component whose
+    diameter exceeds ``max_iter`` cannot converge here. Rather than failing
+    the pipeline, the non-converged case falls back to the
+    large-star/small-star variant (O(log diameter) rounds) and returns its
+    result — same contract, proven equivalent in tests. Set
+    ``fallback_to_star=False`` to get the original RuntimeError instead."""
     fwd = edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     rev = edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
     adj = fwd.union(rev)
@@ -162,6 +170,10 @@ def connected_components(
         if changed == 0:
             break
     if changed != 0:
+        if fallback_to_star:
+            return connected_components_star(
+                edges, reliable_checkpoint=reliable_checkpoint
+            )
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} iterations "
             "(component diameter exceeds max_iter); raise max_iter or switch to "
@@ -319,10 +331,11 @@ def connected_components_star(
     edge set is the star forest {(node, component_min)}.
 
     Convergence: a count + xxhash64-sum checksum of the canonical edge set
-    per round (single aggregate on the just-checkpointed edges; an exact
-    set-compare would cost an extra join — the 128-bit combined check makes
-    a false fixpoint astronomically unlikely, and the result is still
-    verified downstream by the oracle/tests)."""
+    per round (single aggregate on the just-checkpointed edges) flags a
+    CANDIDATE fixpoint; an exact ``exceptAll(...).isEmpty()`` probe then
+    confirms it — the extra join runs only on the final round, so the
+    operator is exact (no hash-coincidence early stop) at the cost of one
+    join per full run, not per round."""
     e = _symmetric(edges).select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).distinct()
@@ -378,9 +391,13 @@ def connected_components_star(
     prev_sum = _checksum(e)
     converged = False
     for _ in range(max_iter):
+        prev_e = e
         e = _ckpt(small_star(large_star(e)))
         cur_sum = _checksum(e)
-        if cur_sum == prev_sum:
+        # checksum match → candidate fixpoint; confirm with an exact
+        # set-compare (equal counts + empty difference ⟺ equal sets; both
+        # sides are distinct canonical edges). Runs only on the final round.
+        if cur_sum == prev_sum and e.exceptAll(prev_e).isEmpty():
             converged = True
             break
         prev_sum = cur_sum

@@ -60,10 +60,10 @@ def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "mm_decode_metadata",
     oracle="""
     SELECT doc_id,
-           CAST(LENGTH(text) AS BIGINT) AS n_bytes,
-           CAST(LENGTH(text) % 640 + 1 AS BIGINT) AS width,
-           CAST(LENGTH(text) % 480 + 1 AS BIGINT) AS height,
-           CAST(LENGTH(text) % 30 + 1 AS BIGINT) AS n_frames,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+           CAST(OCTET_LENGTH(ENCODE(text)) % 640 + 1 AS BIGINT) AS width,
+           CAST(OCTET_LENGTH(ENCODE(text)) % 480 + 1 AS BIGINT) AS height,
+           CAST(OCTET_LENGTH(ENCODE(text)) % 30 + 1 AS BIGINT) AS n_frames,
            'application/octet-stream' AS mime
     FROM documents
     """,
@@ -73,7 +73,7 @@ def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode pipeline: text → binary payload (stand-in for
     image/audio bytes) → mapInPandas stub decode → typed metadata.
 
-    The oracle reproduces the stub's arithmetic from LENGTH(text) (documents
+    The oracle reproduces the stub's arithmetic from OCTET_LENGTH(ENCODE(text)) (documents
     are ASCII so chars == bytes), proving the Arrow round-trip end-to-end.
     Scale note: decode is embarrassingly parallel; repartition on doc_id
     keeps batches balanced when payload sizes are skewed.
@@ -108,11 +108,11 @@ def frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     "mm_frame_sample",
     oracle=f"""
     SELECT doc_id,
-           CAST(UNNEST(GENERATE_SERIES(0, LENGTH(text) % 30, {FRAME_STRIDE})) AS BIGINT)
+           CAST(UNNEST(GENERATE_SERIES(0, OCTET_LENGTH(ENCODE(text)) % 30, {FRAME_STRIDE})) AS BIGINT)
              AS frame_idx,
-           CAST(UNNEST(GENERATE_SERIES(0, LENGTH(text) % 30, {FRAME_STRIDE})) * 40 AS BIGINT)
+           CAST(UNNEST(GENERATE_SERIES(0, OCTET_LENGTH(ENCODE(text)) % 30, {FRAME_STRIDE})) * 40 AS BIGINT)
              AS frame_ms,
-           CAST(LENGTH(text) % 30 + 1 AS BIGINT) AS n_frames
+           CAST(OCTET_LENGTH(ENCODE(text)) % 30 + 1 AS BIGINT) AS n_frames
     FROM documents
     """,
     tags=("llm", "multimodal", "documents"),
@@ -123,7 +123,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (every 5th frame of the stub-decoded frame count). The kernel is
     the real Arrow fan-out plumbing a video pipeline needs; only the decode
     arithmetic is stubbed (and mirrored by the oracle via GENERATE_SERIES
-    over LENGTH(text) % 30). Scale: expansion is per-partition with no
+    over OCTET_LENGTH(ENCODE(text)) % 30). Scale: expansion is per-partition with no
     shuffle; output size is bounded by n_frames/stride per input row."""
     d = load(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
@@ -135,8 +135,8 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           CAST(SUM(CAST(LENGTH(text) AS BIGINT)) AS BIGINT) AS total_bytes,
-           CAST(MAX(LENGTH(text)) AS BIGINT) AS max_bytes
+           CAST(SUM(CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
+           CAST(MAX(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS max_bytes
     FROM documents
     GROUP BY source
     """,

@@ -165,6 +165,27 @@ def test_ivf_fit_input_is_bounded(spark, sf_dir):
     assert _ivf_fit_sample(small).count() == 500
 
 
+def test_simhash_bucket_cap_drops_template_clusters(spark):
+    """A template shared by every document piles identical fingerprints into
+    one bucket per band → B² join pairs regardless of band-key width. The
+    bucket-population cap must drop that cluster (exact dedup's job anyway)
+    while keeping genuinely-distinct near-dup pairs."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import simhash_pairs
+
+    n = 120
+    template = [(i, "all work and no play makes jack a dull boy") for i in range(n)]
+    uniq = [
+        (1000, "the quick brown fox jumps over the lazy dog at midnight"),
+        (1001, "the quick brown fox jumps over the lazy dog at noon"),
+    ]
+    docs = spark.createDataFrame(template + uniq, ["doc_id", "text"])
+    unc = {(r.a_id, r.b_id) for r in simhash_pairs(docs, max_bucket_pop=10**9).collect()}
+    cap = {(r.a_id, r.b_id) for r in simhash_pairs(docs, max_bucket_pop=n - 1).collect()}
+    assert len(unc) >= n * (n - 1) // 2  # the quadratic blowup the cap prevents
+    assert (1000, 1001) in cap  # distinct near-dups survive the cap
+    assert all(a >= 1000 for a, _ in cap)  # template cluster fully dropped
+
+
 def test_fuzzy_length_banding_lossless_and_subquadratic(spark):
     """The composite (nation, length-band) blocking key must (a) drop NO true
     ≤FUZZY_MAX_DIST pair vs the plain nation-blocked join, and (b) keep the
@@ -291,6 +312,65 @@ def test_star_cc_equals_minlabel_cc_on_adversarial_graphs(spark):
         by_cluster.setdefault(cid, []).append(node)
     for cid, nodes in by_cluster.items():
         assert cid == min(min(nodes), cid)
+
+
+def test_mm_decode_byte_length_agrees_on_non_ascii(spark):
+    """The synthetic corpus is ASCII, so the mm_* oracles' byte-length
+    expression (OCTET_LENGTH(ENCODE(text))) is locked against the Spark
+    pipeline here on crafted multi-byte strings (é=2B, 中=3B, 🚀=4B)."""
+    import duckdb
+    import pandas as pd
+
+    from projet_pipeline_bigdata_org_spark.operators.multimodal import (
+        decode_batches,
+    )
+
+    cases = ["plain ascii", "café crème", "中文文本测试", "🚀🚀🚀", "mixé 中 🚀", ""]
+    pdf = pd.DataFrame({"doc_id": range(len(cases)), "text": cases})
+    got = {
+        r.doc_id: (r.n_bytes, r.width, r.n_frames)
+        for r in spark.createDataFrame(pdf)
+        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+        .mapInPandas(
+            decode_batches,
+            schema="doc_id long, n_bytes long, width long, height long, "
+            "n_frames long, mime string",
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = {
+        d: (n, w, f)
+        for d, n, w, f in con.execute(
+            """SELECT doc_id, OCTET_LENGTH(ENCODE(text)),
+                      OCTET_LENGTH(ENCODE(text)) % 640 + 1,
+                      OCTET_LENGTH(ENCODE(text)) % 30 + 1 FROM t"""
+        ).fetchall()
+    }
+    assert got == want
+    assert got[3][0] == 12  # 3 rockets × 4 bytes: genuinely multi-byte
+
+
+def test_cc_long_chain_falls_back_to_star(spark):
+    """A component whose diameter exceeds max_iter must still resolve through
+    the public min-label entry point (auto-fallback to large/small-star)
+    instead of failing the pipeline; the opt-out still raises."""
+    import pytest as _pytest
+
+    from projet_pipeline_bigdata_org_spark.operators.grouped import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(100, 160)]  # diameter 60 >> max_iter
+    df = spark.createDataFrame(chain, ["a_id", "b_id"])
+    got = {
+        (r.node, r.cluster_id)
+        for r in connected_components(df, max_iter=5).collect()
+    }
+    assert got == {(i, 100) for i in range(100, 161)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=5, fallback_to_star=False)
 
 
 def test_redact_pii_on_crafted_strings(spark):

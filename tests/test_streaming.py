@@ -394,3 +394,83 @@ def test_reference_inference_pipeline_end_to_end(spark, tmp_path):
         "id", "author", "subreddit", "text_content", "sentiment",
         "score_predit", "viralite", "creation_date", "hour",
     }
+
+
+def test_poll_rows_rate_limits_each_trigger(spark, tmp_path):
+    """pollRows admission control: each latestOffset() poll advances the
+    offset by at most pollRows, so a processingTime-triggered run takes
+    multiple micro-batches (the reference's maxOffsetsPerTrigger), unlike
+    the default drain-in-one-poll mode."""
+    from projet_pipeline_bigdata_org_spark.sources.reddit_source import register
+
+    register(spark)
+    name = f"rl_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("reddit_fixture")
+        .option("rows", 120)
+        .option("pollRows", 40)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(f"SELECT id FROM {name}").collect()
+    assert len(rows) == 120 and len({r.id for r in rows}) == 120
+    batch_sizes = [
+        p["numInputRows"] for p in (q.recentProgress or []) if p["numInputRows"] > 0
+    ]
+    assert batch_sizes and max(batch_sizes) <= 40  # no trigger exceeded pollRows
+    assert len(batch_sizes) >= 3  # 120 rows at ≤40/trigger
+
+
+def test_checkpoint_restart_recovers_exactly_once(spark, tmp_path):
+    """T3/T5 across a RESTART: stop a rate-limited stream mid-run, restart
+    from the same checkpoint, and the manifest-committed parquet output
+    holds every record exactly once — no dupes (replay-safe ranges), no
+    gaps (offset log), despite the fresh reader's cursor re-syncing."""
+    import time
+
+    from projet_pipeline_bigdata_org_spark.sources.reddit_source import register
+
+    register(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def _start():
+        return (
+            spark.readStream.format("reddit_fixture")
+            .option("rows", 600)
+            .option("pollRows", 40)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    q1 = _start()
+    # stop mid-stream: wait until some batches committed but before the cap
+    import ast
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q1.lastProgress
+        off = p["sources"][0]["endOffset"] if p else None
+        if isinstance(off, str):  # Python-source offsets serialize as repr()
+            off = ast.literal_eval(off)
+        if off and off.get("offset", 0) >= 80:
+            break
+        time.sleep(0.2)
+    q1.stop()
+    partial = spark.read.parquet(out).count()
+    assert partial < 600  # genuinely interrupted mid-stream
+
+    q2 = _start()
+    q2.processAllAvailable()
+    q2.stop()
+    ids = [r.id for r in spark.read.parquet(out).collect()]
+    assert sorted(ids) == sorted(f"rf{i:08d}" for i in range(600))
