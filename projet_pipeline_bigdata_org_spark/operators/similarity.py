@@ -64,7 +64,7 @@ SQL_NORM = (
 
 
 @query(
-    "sim_embedding_norms",
+    "a0_sim_embedding_norms",
     oracle=f"""
     SELECT vec_id,
            CAST(LEN(embedding) AS BIGINT) AS dim,
