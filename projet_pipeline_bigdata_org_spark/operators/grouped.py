@@ -435,3 +435,84 @@ def star_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cogrouped-map applyInPandas (round 3): the cogroup API surface
+# ---------------------------------------------------------------------------
+
+_EPOCH = "1970-01-01"
+
+
+def _asof_last_order(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Cogroup kernel: per-user backward as-of match of each event day to the
+    latest STRICTLY earlier order day (pd.merge_asof, the canonical pandas
+    as-of). Ties among equal order days are value-identical, so the match is
+    deterministic even though merge_asof picks the last sorted row."""
+    cols = ["event_id", "user_id", "event_day", "last_order_day"]
+    if len(left) == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    left = left.sort_values("event_day", kind="mergesort")
+    if len(right) == 0:
+        out = left[["event_id", "user_id", "event_day"]].copy()
+        out["last_order_day"] = pd.array([None] * len(left), dtype="Int64")
+        return out
+    right = right.sort_values("order_day", kind="mergesort")
+    merged = pd.merge_asof(
+        left,
+        right[["order_day"]],
+        left_on="event_day",
+        right_on="order_day",
+        direction="backward",
+        allow_exact_matches=False,
+    )
+    out = merged[["event_id", "user_id", "event_day"]].copy()
+    out["last_order_day"] = merged["order_day"].astype("Int64")
+    return out
+
+
+@query(
+    "pair_cogrouped_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           DATE_DIFF('day', DATE '1970-01-01', CAST(e.ts AS DATE)) AS event_day,
+           DATE_DIFF('day', DATE '1970-01-01', MAX(CAST(o.o_orderdate AS DATE))) AS last_order_day
+    FROM events e LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND CAST(o.o_orderdate AS DATE) < CAST(e.ts AS DATE)
+    GROUP BY e.event_id, e.user_id, CAST(e.ts AS DATE)
+    """,
+    tags=("udf", "grouped", "cogroup", "asof", "events"),
+)
+def pair_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via ``groupBy(...).cogroup(...).applyInPandas`` — the
+    cogrouped-map operator surface (each user's events and orders arrive as
+    a pandas frame pair; pd.merge_asof does the backward match in-process).
+
+    The windowed form (event_asof_last_purchase) is the pure-JVM path; this
+    exemplar exists for as-of logic Spark expressions can't state (e.g.
+    tolerance bands, nearest-either-direction). Scale: one co-partitioned
+    shuffle on the user key, per-group work linear after the in-group sort;
+    group count = |users|, so no group outgrows an executor.
+    The oracle states the same contract relationally (max earlier order per
+    event via a <-join + GROUP BY)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit(_EPOCH).cast("date"))
+        .cast("long")
+        .alias("event_day"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit(_EPOCH).cast("date"))
+        .cast("long")
+        .alias("order_day"),
+    )
+    return (
+        e.groupBy("user_id")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            _asof_last_order,
+            schema="event_id long, user_id long, event_day long, last_order_day long",
+        )
+    )

@@ -412,3 +412,174 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_shingle_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules + benchmark decontamination (round 3)
+# ---------------------------------------------------------------------------
+
+#: Gopher-style rule thresholds (Rae et al. 2021, "Scaling Language Models:
+#: Methods, Analysis & Insights from Training Gopher", §A1.1), with the
+#: token-count band re-centered for this corpus's 10-99-token documents.
+#: All comparisons are integer cross-multiplications — no float division —
+#: so the rule booleans are bit-exact across engines.
+GOPHER_MIN_TOKENS = 30
+GOPHER_MAX_TOKENS = 80
+GOPHER_MIN_MEAN_WORD_LEN = 3   # 3 <= sum_chars/n_tokens <= 10
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_MAX_SYMBOL_PCT = 10     # symbol tokens <= 10% of tokens
+GOPHER_MIN_ALPHA_PCT = 80      # >= 80% of tokens contain a letter
+GOPHER_MIN_STOPWORDS = 2       # >= 2 distinct stopword hits
+
+
+@query(
+    "lex_gopher_rules",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_WS_TOKENS.format(c='text')} AS toks FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(LEN(toks) AS BIGINT) AS n_tokens,
+                 CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))), 0) AS BIGINT) AS n_chars,
+                 CAST(LEN(LIST_FILTER(toks, x -> REGEXP_MATCHES(x, '^[#]|^[.]{{3}}'))) AS BIGINT) AS n_symbol,
+                 CAST(LEN(LIST_FILTER(toks, x -> REGEXP_MATCHES(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+                 CAST(LEN(LIST_DISTINCT(LIST_FILTER(toks, x -> LIST_CONTAINS({_STOP_SQL}, x)))) AS BIGINT) AS n_stop
+          FROM t)
+    SELECT doc_id, n_tokens, n_chars, n_symbol, n_alpha, n_stop,
+           n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS} AS ok_length,
+           n_chars >= {GOPHER_MIN_MEAN_WORD_LEN} * n_tokens
+             AND n_chars <= {GOPHER_MAX_MEAN_WORD_LEN} * n_tokens AS ok_mean_word_len,
+           100 * n_symbol <= {GOPHER_MAX_SYMBOL_PCT} * n_tokens AS ok_symbol_ratio,
+           100 * n_alpha >= {GOPHER_MIN_ALPHA_PCT} * n_tokens AS ok_alpha_ratio,
+           n_stop >= {GOPHER_MIN_STOPWORDS} AS ok_stopwords,
+           (n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS})
+             AND n_chars >= {GOPHER_MIN_MEAN_WORD_LEN} * n_tokens
+             AND n_chars <= {GOPHER_MAX_MEAN_WORD_LEN} * n_tokens
+             AND 100 * n_symbol <= {GOPHER_MAX_SYMBOL_PCT} * n_tokens
+             AND 100 * n_alpha >= {GOPHER_MIN_ALPHA_PCT} * n_tokens
+             AND n_stop >= {GOPHER_MIN_STOPWORDS} AS keep
+    FROM m
+    """,
+    tags=("llm", "text", "quality", "documents"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus filter: per-document rule flags (length band,
+    mean word length, symbol ratio, alphabetic-word ratio, stopword
+    presence) and the conjunctive keep decision. Every ratio test is an
+    integer cross-multiplication (100·n_alpha >= 80·n_tokens), so flags are
+    bit-exact across engines and the whole filter is one codegen'd
+    projection — the shape a 100 TB quality pass wants (scan → flags, no
+    shuffle, no Python)."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.coalesce(
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ),
+        F.lit(0).cast("long"),
+    )
+    n_symbol = F.size(
+        F.filter(toks, lambda x: x.rlike(r"^[#]|^[.]{3}"))
+    ).cast("long")
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("long")
+    n_stop = F.size(
+        F.array_distinct(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    ).cast("long")
+    m = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        n_symbol.alias("n_symbol"),
+        n_alpha.alias("n_alpha"),
+        n_stop.alias("n_stop"),
+    )
+    ok_length = F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+    ok_mwl = (F.col("n_chars") >= GOPHER_MIN_MEAN_WORD_LEN * F.col("n_tokens")) & (
+        F.col("n_chars") <= GOPHER_MAX_MEAN_WORD_LEN * F.col("n_tokens")
+    )
+    ok_sym = 100 * F.col("n_symbol") <= GOPHER_MAX_SYMBOL_PCT * F.col("n_tokens")
+    ok_alpha = 100 * F.col("n_alpha") >= GOPHER_MIN_ALPHA_PCT * F.col("n_tokens")
+    ok_stop = F.col("n_stop") >= GOPHER_MIN_STOPWORDS
+    return m.select(
+        "doc_id", "n_tokens", "n_chars", "n_symbol", "n_alpha", "n_stop",
+        ok_length.alias("ok_length"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_length & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("keep"),
+    )
+
+
+#: every doc_id divisible by this is the stand-in "benchmark/eval" set the
+#: corpus is decontaminated against
+DECONTAM_BENCH_MOD = 89
+#: a document is contaminated when >= 10% of its shingles appear in the
+#: benchmark shingle dictionary (integer cross-multiplication, exact)
+DECONTAM_PCT = 10
+
+
+@query(
+    "lex_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      LIST_DISTINCT({sql_shingles(SQL_WS_TOKENS.format(c='text'))}) AS sh
+               FROM documents),
+    bench AS (SELECT DISTINCT UNNEST(sh) AS s FROM t WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+    corpus AS (SELECT doc_id, UNNEST(sh) AS s FROM t WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0),
+    hits AS (SELECT c.doc_id, COUNT(*) AS n_overlap
+             FROM corpus c JOIN bench b ON c.s = b.s GROUP BY c.doc_id),
+    sz AS (SELECT doc_id, CAST(LEN(sh) AS BIGINT) AS n_shingles FROM t
+           WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0)
+    SELECT sz.doc_id, sz.n_shingles,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           100 * COALESCE(h.n_overlap, 0) >= {DECONTAM_PCT} * sz.n_shingles
+             AND sz.n_shingles > 0 AS contaminated
+    FROM sz LEFT JOIN hits h ON h.doc_id = sz.doc_id
+    """,
+    tags=("llm", "text", "dedup", "documents"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-data hygiene pass that drops
+    documents overlapping an evaluation set: benchmark docs (stand-in:
+    doc_id % DECONTAM_BENCH_MOD == 0) contribute a DISTINCT shingle
+    dictionary; each corpus document counts its shingles present in that
+    dictionary and is flagged at >= DECONTAM_PCT% overlap.
+
+    Scale shape: the dictionary is the SMALL side (an eval benchmark is
+    KB-MB against a 100 TB corpus) — Spark broadcasts it under AQE, so the
+    corpus side streams through map-side with one final groupBy(doc_id)
+    shuffle; nothing all-pairs, no driver participation."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.array_distinct(shingles(ws_tokens("text"))).alias("sh")
+    )
+    is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == 0
+    bench = (
+        t.filter(is_bench)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    corpus = t.filter(~is_bench)
+    hits = (
+        corpus.select("doc_id", F.explode("sh").alias("s"))
+        .join(bench, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    sz = corpus.select("doc_id", F.size("sh").cast("long").alias("n_shingles"))
+    n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0).cast("long"))
+    return (
+        sz.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            n_overlap.alias("n_overlap"),
+            (
+                (100 * n_overlap >= DECONTAM_PCT * F.col("n_shingles"))
+                & (F.col("n_shingles") > 0)
+            ).alias("contaminated"),
+        )
+    )

@@ -26,6 +26,7 @@ def load_all() -> None:
         similarity,
         textops,
         timeseries,
+        udtf_ext,
     )
     from projet_pipeline_bigdata_org_spark import pipeline  # noqa: F401
     from projet_pipeline_bigdata_org_spark.ml import pipeline as ml_pipeline  # noqa: F401

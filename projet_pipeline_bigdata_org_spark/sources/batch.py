@@ -47,6 +47,26 @@ def read_csv(
     )
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan — the columnar format Spark supports natively besides
+    parquet (vectorized reader, predicate pushdown, column pruning all
+    apply). Schema optional: ORC files are self-describing; pass one to
+    enforce column types on heterogeneous directories."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC write (zlib default compression). Functionally parquet's peer in
+    this engine; exists so ORC-standardized lakes can adopt the pipeline
+    without a format migration."""
+    df.write.mode(mode).orc(path)
+
+
 def write_bronze_json(df: DataFrame, path: str) -> None:
     """Bronze archive: append JSON-lines (reference S7 buffers 10 records and
     appends to one ADLS file — a single-writer bottleneck; a directory of

@@ -145,3 +145,29 @@ def test_reddit_fixture_stream_source(spark, tmp_path):
     rows = spark.sql(f"SELECT id, score FROM {name}").collect()
     assert len(rows) == 120
     assert len({r.id for r in rows}) == 120
+
+
+def test_orc_round_trip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/scan: values survive a round trip bit-for-bit and a filter
+    reaches the ORC scan as a pushed predicate (same scan posture as
+    parquet: vectorized read, pushdown, pruning)."""
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.sources.batch import read_orc, write_orc
+
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    a = sorted(map(tuple, src.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+    plan = (
+        back.filter("o_custkey < 10")
+        .select("o_orderkey")
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_custkey), LessThan(o_custkey,10)]" in plan
