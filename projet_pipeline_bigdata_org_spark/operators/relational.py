@@ -926,3 +926,60 @@ def func_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return e.select("event_id", k.alias("prop_k"), (k % 10).alias("prop_k_mod10"))
+
+
+# ---------------------------------------------------------------------------
+# explicit skew-salting (round 3): the manual remedy AQE's skew split
+# automates, as a first-class operator with a plain-join oracle
+# ---------------------------------------------------------------------------
+
+SALT_BUCKETS = 8
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS segment_value
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "relational", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join: the fact side adds a deterministic salt
+    (xxhash64(row key) mod SALT_BUCKETS) and the dim side explodes into one
+    replica per salt value, so a hot join key's rows spread across
+    SALT_BUCKETS reducers instead of one. The oracle is the PLAIN join —
+    salting must be result-invariant.
+
+    When to reach for it over AQE's skew split (test_plan_shape.py): AQE
+    only splits post-shuffle partitions of sort-merge joins; salting also
+    covers stream-stream joins, pre-AQE clusters, and aggregations keyed on
+    the hot column. Cost: dim side × SALT_BUCKETS (bounded — it's the small
+    side) and a two-level aggregate. Result identity is oracle-gated."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    salted_fact = o.select(
+        "o_custkey",
+        "o_totalprice",
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(SALT_BUCKETS)).alias("_salt"),
+    )
+    salted_dim = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.array(*[F.lit(i) for i in range(SALT_BUCKETS)])).alias("_salt"),
+    )
+    return (
+        salted_fact.join(
+            salted_dim,
+            (salted_fact["o_custkey"] == salted_dim["c_custkey"])
+            & (salted_fact["_salt"] == salted_dim["_salt"]),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "segment_value"),
+        )
+    )

@@ -210,3 +210,37 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_gopher_rules_is_single_stage_projection(spark, sf_dir):
+    """The quality filter must be scan → flags with no shuffle: at 100 TB a
+    quality pass that exchanges data would dominate the job."""
+    df = _Q["lex_gopher_rules"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "Exchange" not in p, p
+    assert "Scan parquet" in p
+    # only doc_id and text leave the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", formatted_plan(df))
+    assert m and set(m.group(1).split(",")) == {"doc_id:bigint", "text:string"}, m
+
+
+def test_decontaminate_broadcasts_benchmark_dictionary(spark, sf_dir):
+    """The benchmark shingle dictionary is the small side by construction
+    (an eval set vs the corpus) — the hit join must be a broadcast join, so
+    the corpus postings stream map-side instead of shuffling."""
+    df = _Q["lex_decontaminate"].fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # finalize AQE
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_fuzzy_banding_broadcasts_exploded_supplier_side(spark, sf_dir):
+    """The (nation, length-band) blocking join: the exploded supplier side
+    stays the build/broadcast side under AQE; the customer side streams
+    with no pre-join shuffle."""
+    name = "a0_pair_fuzzy_levenshtein" if "a0_pair_fuzzy_levenshtein" in _Q else "pair_fuzzy_levenshtein"
+    df = _Q[name].fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
