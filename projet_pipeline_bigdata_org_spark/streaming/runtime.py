@@ -156,6 +156,21 @@ def json_batch_writer(path: str) -> BatchWriter:
     return write
 
 
+def idempotent_parquet_batch_writer(path: str) -> BatchWriter:
+    """Exactly-once foreachBatch parquet: each epoch OVERWRITES its own
+    ``epoch=<id>`` partition directory, so a replayed batch (checkpoint
+    restart after a half-committed epoch) rewrites the same partition
+    instead of appending duplicates — the idempotent-write discipline
+    foreachBatch needs for exactly-once (plain append writers are
+    at-least-once under replay). ``spark.read.parquet(path)`` recovers the
+    epoch as a partition column."""
+
+    def write(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{path}/epoch={epoch_id}")
+
+    return write
+
+
 @dataclass
 class FailoverBatchSink:
     """foreachBatch sink with primary→fallback failover (reference T4/S5/S6,

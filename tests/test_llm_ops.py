@@ -146,6 +146,32 @@ def test_ann_ivf_recall_and_soundness(spark, sf_dir):
     assert len(got) <= N_QUERIES * TOPK
 
 
+def test_lsh_numpy_and_jvm_bucketing_agree(spark, sf_dir):
+    """The matmul pandas-UDF bucketing (query path) and the pure-JVM fold
+    expression must assign identical (table, bucket) ids on the fixture
+    corpus — same planes, same sign rule, locked against drift."""
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.similarity import (
+        lsh_buckets_np,
+        lsh_table_buckets,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    jvm = {
+        (r.vec_id, r.tb.tbl, r.tb.bucket)
+        for r in e.select(
+            "vec_id", F.explode(lsh_table_buckets(F.col("embedding"))).alias("tb")
+        ).collect()
+    }
+    np_ = {
+        (r.vec_id, r.tb.tbl, r.tb.bucket)
+        for r in e.select(
+            "vec_id", F.explode(lsh_buckets_np()(F.col("embedding"))).alias("tb")
+        ).collect()
+    }
+    assert jvm == np_
+
+
 def test_ivf_fit_input_is_bounded(spark, sf_dir):
     """The KMeans centroid fit must never iterate over the full corpus: its
     input is capped at IVF_FIT_MAX_ROWS regardless of corpus size (the

@@ -474,3 +474,27 @@ def test_checkpoint_restart_recovers_exactly_once(spark, tmp_path):
     q2.stop()
     ids = [r.id for r in spark.read.parquet(out).collect()]
     assert sorted(ids) == sorted(f"rf{i:08d}" for i in range(600))
+
+
+def test_idempotent_batch_writer_dedupes_replayed_epoch(spark, tmp_path):
+    """foreachBatch replay semantics: re-running an epoch (what a restart
+    does to the last uncommitted batch) must not duplicate rows with the
+    idempotent writer, while the plain append writer is at-least-once."""
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        idempotent_parquet_batch_writer,
+        parquet_batch_writer,
+    )
+
+    df = _mk_events(spark, [(1, 0, 1, "view", 1), (2, 1, 2, "click", 2)])
+    idem = idempotent_parquet_batch_writer(str(tmp_path / "idem"))
+    idem(df, 7)
+    idem(df, 7)  # replayed epoch
+    idem(df, 8)
+    out = spark.read.parquet(str(tmp_path / "idem"))
+    assert out.filter("epoch = 7").count() == 2  # no dupes from the replay
+    assert out.count() == 4
+
+    app = parquet_batch_writer(str(tmp_path / "app"))
+    app(df, 7)
+    app(df, 7)
+    assert spark.read.parquet(str(tmp_path / "app")).count() == 4  # at-least-once
