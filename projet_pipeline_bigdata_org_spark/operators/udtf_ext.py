@@ -25,7 +25,10 @@ CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24
 
 
-@udtf(returnType="doc_id bigint, chunk_idx bigint, n_chunk_tokens bigint, chunk_text string")
+@udtf(
+    returnType="doc_id bigint, chunk_idx bigint, n_chunk_tokens bigint, chunk_text string",
+    useArrow=True,
+)
 class ChunkDocument:
     """Each (doc_id, text) row yields one row per overlapping token window.
     Tokenization is single-space split with empties dropped — the exact

@@ -146,6 +146,31 @@ def test_ann_ivf_recall_and_soundness(spark, sf_dir):
     assert len(got) <= N_QUERIES * TOPK
 
 
+def test_simhash_numpy_and_jvm_fingerprints_agree(spark, sf_dir):
+    """The vectorized fingerprint kernel (query path) and the 48-fold JVM
+    expression must produce identical 48-bit fingerprints on the fixture
+    corpus."""
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.dedup import (
+        shingles,
+        simhash_fingerprint_jvm,
+        simhash_fingerprint_np,
+        ws_tokens,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    hashed = (
+        d.select("doc_id", F.array_distinct(shingles(ws_tokens("text"))).alias("feats"))
+        .filter(F.size("feats") > 0)
+        .select("doc_id", F.transform("feats", lambda t: F.xxhash64(t)).alias("hh"))
+    )
+    jvm = dict(hashed.select("doc_id", simhash_fingerprint_jvm().alias("s")).collect())
+    np_ = dict(
+        hashed.select("doc_id", simhash_fingerprint_np()(F.col("hh")).alias("s")).collect()
+    )
+    assert jvm == np_ and len(jvm) > 0
+
+
 def test_lsh_numpy_and_jvm_bucketing_agree(spark, sf_dir):
     """The matmul pandas-UDF bucketing (query path) and the pure-JVM fold
     expression must assign identical (table, bucket) ids on the fixture
