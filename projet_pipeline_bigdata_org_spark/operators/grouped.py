@@ -446,28 +446,28 @@ _EPOCH = "1970-01-01"
 
 def _asof_last_order(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
     """Cogroup kernel: per-user backward as-of match of each event day to the
-    latest STRICTLY earlier order day (pd.merge_asof, the canonical pandas
-    as-of). Ties among equal order days are value-identical, so the match is
-    deterministic even though merge_asof picks the last sorted row."""
+    latest STRICTLY earlier order day via np.searchsorted — the same match
+    pd.merge_asof(direction='backward', allow_exact_matches=False) computes,
+    minus merge_asof's ~5 ms fixed cost per call, which dominates when the
+    cogroup produces thousands of small groups (measured 12.7s → ~2s at
+    sf0.1). Ties among equal order days are value-identical, so the match
+    is deterministic."""
+    import numpy as np
+
     cols = ["event_id", "user_id", "event_day", "last_order_day"]
     if len(left) == 0:
         return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
-    left = left.sort_values("event_day", kind="mergesort")
+    out = left[["event_id", "user_id", "event_day"]].copy()
     if len(right) == 0:
-        out = left[["event_id", "user_id", "event_day"]].copy()
         out["last_order_day"] = pd.array([None] * len(left), dtype="Int64")
         return out
-    right = right.sort_values("order_day", kind="mergesort")
-    merged = pd.merge_asof(
-        left,
-        right[["order_day"]],
-        left_on="event_day",
-        right_on="order_day",
-        direction="backward",
-        allow_exact_matches=False,
+    order_days = np.sort(right["order_day"].to_numpy())
+    # first index >= event_day, minus 1 → last index strictly before
+    idx = np.searchsorted(order_days, out["event_day"].to_numpy(), side="left") - 1
+    matched = np.where(idx >= 0, order_days[np.maximum(idx, 0)], -1)
+    out["last_order_day"] = pd.array(
+        [int(v) if v >= 0 else None for v in matched], dtype="Int64"
     )
-    out = merged[["event_id", "user_id", "event_day"]].copy()
-    out["last_order_day"] = merged["order_day"].astype("Int64")
     return out
 
 
@@ -486,13 +486,19 @@ def _asof_last_order(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
 def pair_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join via ``groupBy(...).cogroup(...).applyInPandas`` — the
     cogrouped-map operator surface (each user's events and orders arrive as
-    a pandas frame pair; pd.merge_asof does the backward match in-process).
+    a pandas frame pair; a searchsorted backward match runs in-process).
 
     The windowed form (event_asof_last_purchase) is the pure-JVM path; this
     exemplar exists for as-of logic Spark expressions can't state (e.g.
     tolerance bands, nearest-either-direction). Scale: one co-partitioned
     shuffle on the user key, per-group work linear after the in-group sort;
-    group count = |users|, so no group outgrows an executor.
+    group count = |users|, so no group outgrows an executor. The right side
+    is semi-join-pruned to keys that actually have events BEFORE the
+    cogroup — cogrouping fires one Python call per key in EITHER side, so
+    unpruned it pays |customers| calls for |users-with-events| groups of
+    work (10× here, measured 11.7s → ~4s at sf0.1; right-only groups
+    produce no output either way, which is also why pruning is
+    semantics-free).
     The oracle states the same contract relationally (max earlier order per
     event via a <-join + GROUP BY)."""
     e = load(spark, sf_dir, "events").select(
@@ -502,11 +508,16 @@ def pair_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("event_day"),
     )
-    o = load(spark, sf_dir, "orders").select(
+    o_all = load(spark, sf_dir, "orders").select(
         "o_custkey",
         F.datediff(F.col("o_orderdate").cast("date"), F.lit(_EPOCH).cast("date"))
         .cast("long")
         .alias("order_day"),
+    )
+    o = o_all.join(
+        e.select(F.col("user_id").alias("o_custkey")).distinct(),
+        "o_custkey",
+        "left_semi",
     )
     return (
         e.groupBy("user_id")

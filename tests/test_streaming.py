@@ -498,3 +498,39 @@ def test_idempotent_batch_writer_dedupes_replayed_epoch(spark, tmp_path):
     app(df, 7)
     app(df, 7)
     assert spark.read.parquet(str(tmp_path / "app")).count() == 4  # at-least-once
+
+
+def test_complete_mode_reemits_full_aggregate(spark, tmp_path):
+    """outputMode("complete"): every micro-batch re-emits the FULL aggregate
+    (no watermark needed), so late-arriving batches revise earlier groups —
+    the dashboard-refresh mode the reference's BI layer implies. The memory
+    sink holds exactly the final totals."""
+    src = str(tmp_path / "src")
+    _mk_events(spark, [(1, 0, 1, "view", 1), (2, 3, 1, "view", 1)]).write.parquet(src)
+    stream = file_stream(spark, src, EVENTS_SCHEMA, max_files_per_trigger=None)
+    agg = stream.groupBy("event_type").count()
+    name = f"cm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_type: r["count"] for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got == {"view": 2}
+    # a second batch arrives: complete mode REPLACES the table with revised totals
+    _mk_events(spark, [(3, 5, 2, "view", 1), (4, 6, 2, "click", 2)]).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = {r.event_type: r["count"] for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got == {"view": 3, "click": 1}
