@@ -153,3 +153,49 @@ def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(payload.cast("long")).alias("total_bytes"),
         F.max(payload).cast("long").alias("max_bytes"),
     )
+
+
+def arrow_byte_stats_batches(batches):
+    """mapInArrow kernel: pyarrow RecordBatch in, RecordBatch out, zero
+    pandas materialization — the lowest-overhead Python hook Spark offers.
+    Computes per-payload byte stats with pyarrow compute kernels (C++,
+    vectorized); the binary buffers are never copied into Python objects."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        payload = batch.column("payload")
+        n_bytes = pc.binary_length(payload)
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                pc.cast(n_bytes, pa.int64()),
+                pc.cast(pc.bit_wise_and(n_bytes, 4095), pa.int64()),
+            ],
+            ["doc_id", "n_bytes", "tail_block_bytes"],
+        )
+
+
+@query(
+    "mm_arrow_byte_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+           CAST(OCTET_LENGTH(ENCODE(text)) & 4095 AS BIGINT) AS tail_block_bytes
+    FROM documents
+    """,
+    tags=("llm", "multimodal", "arrow", "documents"),
+)
+def mm_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload byte statistics via ``mapInArrow`` — the zero-copy Arrow
+    surface (mapInPandas converts each batch to pandas; mapInArrow hands
+    the raw RecordBatch to pyarrow compute, which matters when payloads
+    are large media blobs: no per-row Python objects, no pandas copies).
+    tail_block_bytes (= n_bytes mod 4 KiB) is the alignment stat a blob
+    store packer wants. Embarrassingly parallel, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return payloads.mapInArrow(
+        arrow_byte_stats_batches,
+        schema="doc_id long, n_bytes long, tail_block_bytes long",
+    )

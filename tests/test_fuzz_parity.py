@@ -228,3 +228,39 @@ def test_cosine_fold_twins_agree_on_fuzz(spark):
         if not all(same(a, b) for a, b in zip(got[i], want[i]))
     }
     assert not diffs, f"cosine fold drift on {len(diffs)}: {list(diffs.items())[:3]}"
+
+
+def test_gopher_rules_twins_agree_on_fuzz(fuzz_df):
+    """The Gopher-rule flag expressions (token counts, char sums, regex
+    symbol/alpha filters, distinct-stopword counts, integer cross-mult
+    booleans) fuzzed through both engines — the oracle gate only sees the
+    word-soup corpus."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark import plans
+    from projet_pipeline_bigdata_org_spark.operators import textops
+
+    plans.load_all()
+    spec = plans.registry.all_specs()["lex_gopher_rules"]
+    sdf, con = fuzz_df
+    with mock.patch.object(textops, "load", lambda _s, _d, _t: sdf):
+        got = {tuple(r) for r in spec.fn(sdf.sparkSession, "ignored").collect()}
+    want = {tuple(r) for r in con.execute(spec.oracle).fetchall()}
+    assert got == want
+
+
+def test_chunker_twins_agree_on_fuzz(fuzz_df):
+    """The UDTF chunker (python split loop) against its RANGE+LIST_SLICE
+    oracle on adversarial strings — unicode, whitespace runs, empties."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark import plans
+    from projet_pipeline_bigdata_org_spark.operators import udtf_ext
+
+    plans.load_all()
+    spec = plans.registry.all_specs()["udtf_chunk_documents"]
+    sdf, con = fuzz_df
+    with mock.patch.object(udtf_ext, "load", lambda _s, _d, _t: sdf):
+        got = {tuple(r) for r in spec.fn(sdf.sparkSession, "ignored").collect()}
+    want = {tuple(r) for r in con.execute(spec.oracle).fetchall()}
+    assert got == want
