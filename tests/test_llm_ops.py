@@ -471,3 +471,28 @@ def test_redact_pii_on_crafted_strings(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_cc_reliable_checkpoint_path(spark, tmp_path):
+    """connected_components with a configured checkpoint dir takes the
+    reliable df.checkpoint() branch (durable materialization per round —
+    the executor-loss recovery path on a real cluster); labels must match
+    the localCheckpoint branch exactly."""
+    from projet_pipeline_bigdata_org_spark.operators.grouped import (
+        connected_components,
+    )
+
+    edges = [(i, i + 1) for i in range(10, 18)] + [(30, 31), (31, 32), (40, 41)]
+    df = spark.createDataFrame(edges, ["a_id", "b_id"])
+    local = {(r.node, r.cluster_id) for r in connected_components(df).collect()}
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        reliable = {
+            (r.node, r.cluster_id)
+            for r in connected_components(df, reliable_checkpoint=True).collect()
+        }
+    finally:
+        sc.setCheckpointDir(None) if hasattr(sc, "setCheckpointDir") else None
+    assert reliable == local
+    assert any((tmp_path / "ckpt").iterdir())  # durable round files were written
