@@ -1,0 +1,202 @@
+"""Sequence/bin packing for LLM pretraining shards (SURVEY.md §2.12 add-on).
+
+Two packing disciplines over the ``documents`` corpus, both sharded so no
+global single-partition window exists at scale:
+
+- ``pack_sequences`` — concat-and-split: documents are concatenated in a
+  deterministic per-shard order and cut into fixed ``SEQ_BUDGET``-token
+  training sequences; a document may straddle sequence boundaries. Pure
+  window arithmetic (running token sum), fully SQL-expressible.
+- ``pack_bins_nextfit`` — whole-document next-fit: a document never splits;
+  a bin closes when the next document would overflow the budget. The
+  per-shard scan is inherently sequential, so it runs as an
+  ``applyInPandas`` grouped-map kernel (one numpy pass per shard); the
+  DuckDB oracle replays the same recurrence with a recursive CTE.
+
+Scale posture: the shard key (``doc_id % N_SHARDS``) bounds every window /
+grouped-map to one shard; at 100 TB, N_SHARDS scales with the corpus (e.g.
+one shard per input split), keeping per-task state constant. No global
+ordering, no driver collect.
+
+Reference seed: the reference's micro-batch accumulation (SURVEY §2.1 S5)
+is record-oriented; packing is the training-side counterpart it lacks.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from projet_pipeline_bigdata_org_spark.catalog import load
+from projet_pipeline_bigdata_org_spark.operators.textops import SQL_WS_TOKENS, ws_tokens
+from projet_pipeline_bigdata_org_spark.plans.registry import query
+
+#: fixed token budget of one packed training sequence / bin
+SEQ_BUDGET = 256
+#: shard fan-out; scales with corpus size on a real cluster
+N_SHARDS = 8
+
+_TOK_SQL = SQL_WS_TOKENS.format(c="text")
+
+
+def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (F.col("doc_id") % N_SHARDS).cast("long").alias("shard"),
+        F.size(ws_tokens("text")).cast("long").alias("n_tokens"),
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             doc_id % {N_SHARDS} AS shard,
+             CAST(LEN({_TOK_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT *,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS tok_start,
+           CAST((cum - n_tokens) // {SEQ_BUDGET} AS BIGINT) AS seq_first,
+           CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // {SEQ_BUDGET}
+                     ELSE (cum - n_tokens) // {SEQ_BUDGET} END AS BIGINT) AS seq_last,
+           CAST(CASE WHEN n_tokens > 0
+                     THEN (cum - 1) // {SEQ_BUDGET} - (cum - n_tokens) // {SEQ_BUDGET} + 1
+                     ELSE 0 END AS BIGINT) AS n_seqs_spanned
+    FROM c
+    """,
+    tags=("llm", "packing", "documents"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split packing: per-shard running token offsets mapped to
+    fixed-budget sequence ids (a document spanning a boundary reports the
+    sequence range it lands in). One window per shard — no global sort."""
+    t = _token_counts(spark, sf_dir)
+    w = W.partitionBy("shard").orderBy("doc_id")
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    tok_start = F.col("cum") - F.col("n_tokens")
+    seq_first = F.expr(f"(cum - n_tokens) div {SEQ_BUDGET}")
+    seq_last = F.when(
+        F.col("n_tokens") > 0, F.expr(f"(cum - 1) div {SEQ_BUDGET}")
+    ).otherwise(seq_first)
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        tok_start.alias("tok_start"),
+        seq_first.alias("seq_first"),
+        seq_last.alias("seq_last"),
+        F.when(F.col("n_tokens") > 0, seq_last - seq_first + F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_seqs_spanned"),
+    )
+
+
+def nextfit_bins(counts: DataFrame, budget: int = SEQ_BUDGET) -> DataFrame:
+    """Assign whole documents to next-fit bins per shard.
+
+    Input: (doc_id, shard, n_tokens). Output adds ``bin_id``. The recurrence
+    (close the bin when the next doc would overflow a non-empty bin) is
+    order-sequential within a shard, so each shard runs one vectorizable
+    pandas kernel; shards themselves parallelize. Oversized documents
+    (n_tokens > budget) occupy a bin alone.
+    """
+    schema = "doc_id long, shard long, n_tokens long, bin_id long"
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", ignore_index=True)
+        bins = []
+        bin_id, acc = 0, 0
+        for n in pdf["n_tokens"].to_numpy():
+            if acc + n > budget and acc > 0:
+                bin_id += 1
+                acc = 0
+            acc += n
+            bins.append(bin_id)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf[["doc_id", "shard", "n_tokens", "bin_id"]]
+
+    return counts.groupBy("shard").applyInPandas(_pack, schema=schema)
+
+
+@query(
+    "pack_bins_nextfit",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             doc_id % {N_SHARDS} AS shard,
+             CAST(LEN({_TOK_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), s AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM t
+    ), r AS (
+      WITH RECURSIVE walk AS (
+        SELECT shard, rn, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS bin_id, n_tokens AS acc
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.shard, s.rn, s.doc_id, s.n_tokens,
+               CASE WHEN walk.acc + s.n_tokens > {SEQ_BUDGET} AND walk.acc > 0
+                    THEN walk.bin_id + 1 ELSE walk.bin_id END,
+               CASE WHEN walk.acc + s.n_tokens > {SEQ_BUDGET} AND walk.acc > 0
+                    THEN s.n_tokens ELSE walk.acc + s.n_tokens END
+        FROM walk JOIN s ON s.shard = walk.shard AND s.rn = walk.rn + 1
+      )
+      SELECT * FROM walk
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens, bin_id
+    FROM r
+    """,
+    tags=("llm", "packing", "documents", "applyInPandas"),
+)
+def pack_bins_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document next-fit bin packing per shard (grouped-map kernel;
+    recursive-CTE oracle replays the identical recurrence)."""
+    return nextfit_bins(_token_counts(spark, sf_dir))
+
+
+@query(
+    "pack_bin_fill",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             doc_id % {N_SHARDS} AS shard,
+             CAST(LEN({_TOK_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT *,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+      FROM t
+    ), d AS (
+      SELECT shard, (cum - n_tokens) // {SEQ_BUDGET} AS seq_first, n_tokens
+      FROM c
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(seq_first AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs_starting,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_started
+    FROM d
+    GROUP BY shard, seq_first
+    """,
+    tags=("llm", "packing", "documents"),
+)
+def pack_bin_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing diagnostics: per sequence, how many documents start in it and
+    the token mass they carry (boundary-straddle load profile)."""
+    seqs = pack_sequences(spark, sf_dir)
+    return seqs.groupBy("shard", F.col("seq_first").alias("seq_id")).agg(
+        F.count("*").alias("n_docs_starting"),
+        F.sum("n_tokens").cast("long").alias("tokens_started"),
+    )

@@ -21,6 +21,7 @@ def load_all() -> None:
         dedup,
         grouped,
         multimodal,
+        packing,
         relational,
         relational_ext,
         similarity,

@@ -496,3 +496,33 @@ def test_cc_reliable_checkpoint_path(spark, tmp_path):
         sc.setCheckpointDir(None) if hasattr(sc, "setCheckpointDir") else None
     assert reliable == local
     assert any((tmp_path / "ckpt").iterdir())  # durable round files were written
+
+
+def test_nextfit_bins_respect_budget_and_order(spark):
+    """Next-fit invariants on crafted data: a bin's token sum never exceeds
+    the budget unless it holds exactly one oversized document; bin ids are
+    contiguous and non-decreasing in doc order; zero-token docs never open
+    a bin."""
+    from projet_pipeline_bigdata_org_spark.operators.packing import nextfit_bins
+
+    rows = [
+        # (doc_id, shard, n_tokens) — one shard, adversarial mix
+        (0, 0, 100), (8, 0, 100), (16, 0, 100),   # 100+100 fits, third spills
+        (24, 0, 0),                                # empty doc rides along
+        (32, 0, 999),                              # oversized: bin alone
+        (40, 0, 1), (48, 0, 256),                  # exact-budget doc
+        (56, 0, 255), (64, 0, 1), (72, 0, 1),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "shard", "n_tokens"])
+    out = nextfit_bins(df, budget=256).toPandas().sort_values("doc_id")
+    per_bin = out.groupby(["shard", "bin_id"]).agg(
+        total=("n_tokens", "sum"), n=("doc_id", "count")
+    )
+    for (_, _), r in per_bin.iterrows():
+        assert r["total"] <= 256 or r["n"] == 1
+    bins = out["bin_id"].to_numpy()
+    assert (bins[1:] >= bins[:-1]).all()
+    assert set(bins) == set(range(bins.max() + 1))
+    # the oversized doc sits alone in its bin
+    over_bin = int(out.loc[out["doc_id"] == 32, "bin_id"].iloc[0])
+    assert (out["bin_id"] == over_bin).sum() == 1
