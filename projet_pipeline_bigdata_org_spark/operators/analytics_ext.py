@@ -935,3 +935,55 @@ def sql_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode_outer(bigrams).alias("bigram"),
         (F.size(bigrams) == 0).alias("was_empty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling (LLM corpus mixing)
+# ---------------------------------------------------------------------------
+
+#: per-language sampling modulus — keep 1-in-m per stratum (corpus mixing:
+#: upsample the head language, thin the tail). Deterministic on the key
+#: residue for the same reasons as ``sample_systematic``.
+STRATA_MOD: dict[str, int] = {"en": 2, "de": 5, "es": 5, "fr": 5, "zh": 10}
+_STRATA_DEFAULT_MOD = 20
+
+_STRATA_CASE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {m}" for k, m in STRATA_MOD.items())
+    + f" ELSE {_STRATA_DEFAULT_MOD} END"
+)
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, doc_id, {_STRATA_CASE_SQL} AS m FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE doc_id % m = 0) AS n_sampled,
+           CAST(SUM(CASE WHEN doc_id % m = 0 THEN m ELSE 0 END) AS BIGINT)
+             AS ht_estimate
+    FROM t
+    GROUP BY lang
+    """,
+    tags=("llm", "sampling", "documents"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified keyed sampling with per-stratum rates (corpus mixing):
+    keep 1-in-m documents per language on a stable key residue, plus the
+    Horvitz-Thompson population estimate the kept rows imply. Deterministic
+    across engines/retries (no RNG), the keep predicate is scan-pushable,
+    and the same residue keeps joins between sampled tables consistent."""
+    d = load(spark, sf_dir, "documents")
+    m = F.lit(_STRATA_DEFAULT_MOD)
+    for k, v in reversed(STRATA_MOD.items()):
+        m = F.when(F.col("lang") == k, F.lit(v)).otherwise(m)
+    t = d.select("lang", "doc_id", m.alias("m"))
+    kept = F.col("doc_id") % F.col("m") == 0
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(kept, 1)).alias("n_sampled"),
+        F.sum(F.when(kept, F.col("m")).otherwise(0)).cast("long").alias("ht_estimate"),
+    )

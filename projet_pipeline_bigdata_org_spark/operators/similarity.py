@@ -399,3 +399,165 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", cosine.alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COSINE)
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization (storage/serving compression)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embed_quantize_int8",
+    oracle=f"""
+    WITH t AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings
+    ), a AS (
+      SELECT vec_id, x, LIST_MAX(LIST_TRANSFORM(x, v -> ABS(v))) AS absmax
+      FROM t
+    ), s AS (
+      SELECT vec_id, x, absmax,
+             CASE WHEN absmax > 0 THEN absmax / 127.0 ELSE 1.0 END AS scale
+      FROM a
+    ), q AS (
+      SELECT vec_id, x, absmax, scale,
+             LIST_TRANSFORM(x, v -> CAST(FLOOR(v / scale + 0.5) AS INTEGER)) AS codes
+      FROM s
+    )
+    SELECT vec_id,
+           absmax,
+           codes,
+           LIST_REDUCE(
+             LIST_TRANSFORM(LIST_ZIP(x, codes),
+                            z -> (z[1] - z[2] * scale) * (z[1] - z[2] * scale)),
+             (acc, v) -> acc + v) / {EMBEDDING_DIM} AS mse
+    FROM q
+    """,
+    tags=("llm", "embedding", "quantize"),
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (absmax scaling — the
+    standard embedding-store compression) with reconstruction MSE.
+
+    All arithmetic is a fixed-order double pipeline (x/scale with
+    scale = absmax/127, floor(·+0.5) half-up-toward-+inf rounding) so the
+    codes AND the error fold are bit-identical across engines — no
+    tolerance. Single projection, no shuffle: at 100 TB this is a pure
+    map stage that rides whatever partitioning the scan produces."""
+    e = load(spark, sf_dir, "embeddings")
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    t = e.select("vec_id", x.alias("x"))
+    a = t.select(
+        "vec_id", "x", F.array_max(F.transform("x", F.abs)).alias("absmax")
+    )
+    s = a.withColumn(
+        "scale",
+        F.when(F.col("absmax") > 0, F.col("absmax") / 127.0).otherwise(F.lit(1.0)),
+    )
+    codes = F.transform(
+        "x", lambda v: F.floor(v / F.col("scale") + 0.5).cast("int")
+    )
+    q = s.withColumn("codes", codes)
+    diff_sq = F.zip_with(
+        "x",
+        "codes",
+        lambda v, c: (v - c * F.col("scale")) * (v - c * F.col("scale")),
+    )
+    mse = F.aggregate(diff_sq, F.lit(0.0), lambda acc, v: acc + v) / F.lit(
+        float(EMBEDDING_DIM)
+    )
+    return q.select("vec_id", "absmax", "codes", mse.alias("mse"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via cluster-then-prune (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.9
+#: per-cluster population cap before the within-cluster self-join — a
+#: pathological mega-cluster (all-near-identical corpus) would otherwise go
+#: quadratic; capped clusters are re-split by a vec_id residue sub-key, which
+#: only ever *separates* pairs (misses dups across sub-splits, never invents
+#: them) — the same soundness-over-recall trade the SimHash bucket cap makes.
+SEMDEDUP_MAX_CLUSTER = 2_000
+
+
+def semdedup_decisions(assigned: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """Keep/drop decisions from (vec_id, embedding, cell) cluster rows.
+
+    Within each (possibly sub-split) cluster: cosine ≥ tau against ANY
+    lower-id member ⇒ drop (keep-first; the canonical SemDeDup "keep one
+    per epsilon-ball" rule). Only the slim (id, cell, sub) rows shuffle for
+    the candidate join; embeddings re-attach by id afterward."""
+    sub = (
+        F.when(
+            F.col("n_cell") > SEMDEDUP_MAX_CLUSTER,
+            F.col("vec_id")
+            % F.ceil(F.col("n_cell") / F.lit(SEMDEDUP_MAX_CLUSTER)).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("sub")
+    )
+    sized = assigned.withColumn(
+        "n_cell", F.count(F.lit(1)).over(W.partitionBy("cell"))
+    ).select("vec_id", "embedding", "cell", sub)
+    lhs = sized.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        "cell",
+        "sub",
+    )
+    rhs = sized.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        "cell",
+        "sub",
+    )
+    cosine = dot(F.col("a_emb"), F.col("b_emb")) / (
+        norm(F.col("a_emb")) * norm(F.col("b_emb"))
+    )
+    dropped = (
+        lhs.join(rhs, ["cell", "sub"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("b_id", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= tau)
+        .groupBy(F.col("b_id").alias("vec_id"))
+        .agg(F.max("cosine").alias("max_dup_cosine"))
+    )
+    return (
+        sized.select("vec_id", "cell")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("max_dup_cosine").isNotNull().alias("is_dropped"),
+            "max_dup_cosine",
+        )
+    )
+
+
+@query(
+    "embed_semdedup",
+    tags=("llm", "dedup", "embeddings", "no-oracle"),
+)
+def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: KMeans-cluster the embedding space (sample-fit centroids,
+    one-pass transform — same bounded-fit discipline as sim_ann_ivf), then
+    drop any vector whose cosine to a lower-id member of its cluster is
+    ≥ SEMDEDUP_TAU. Near-dup work is confined to within-cluster joins on a
+    capped cluster key — never all-pairs, never a full-corpus fit. Rows-only
+    (KMeans cells are engine-side); soundness + injected-duplicate recall
+    asserted in tests."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", "embedding", array_to_vector("embedding").alias("features")
+    )
+    km = KMeans(k=IVF_CELLS, seed=42, maxIter=10, featuresCol="features")
+    model = km.fit(_ivf_fit_sample(vecs))
+    assigned = model.transform(vecs).select(
+        "vec_id", "embedding", F.col("prediction").alias("cell")
+    )
+    return semdedup_decisions(assigned)

@@ -526,3 +526,67 @@ def test_nextfit_bins_respect_budget_and_order(spark):
     # the oversized doc sits alone in its bin
     over_bin = int(out.loc[out["doc_id"] == 32, "bin_id"].iloc[0])
     assert (out["bin_id"] == over_bin).sum() == 1
+
+
+def test_semdedup_decisions_keep_first_and_soundness(spark):
+    """SemDeDup kernel on crafted clusters: exact/near duplicates drop in
+    favor of the lowest id; orthogonal members survive; pairs in different
+    cells never interact."""
+    from projet_pipeline_bigdata_org_spark.operators.similarity import (
+        semdedup_decisions,
+    )
+
+    dim = 8
+    e0 = [1.0] + [0.0] * (dim - 1)
+    near = [0.99] + [0.141] + [0.0] * (dim - 2)  # cosine ≈ 0.99 to e0
+    orth = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)
+    rows = [
+        (0, e0, 0),
+        (1, list(e0), 0),      # exact duplicate of 0
+        (2, near, 0),          # near duplicate of 0
+        (3, orth, 0),          # orthogonal: keep
+        (4, list(e0), 1),      # duplicate of 0 but in another cell: keep
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "cell"])
+    out = {r.vec_id: r.is_dropped for r in semdedup_decisions(df, tau=0.9).collect()}
+    assert out == {0: False, 1: True, 2: True, 3: False, 4: False}
+
+
+def test_semdedup_random_corpus_drops_nothing(spark, sf_dir):
+    """On the pure-random test embeddings (max pairwise cosine ≈ 0.48) a
+    tau=0.9 SemDeDup must be a no-op, and deterministic across runs."""
+    q = plans.get("embed_semdedup").fn
+    a = q(spark, sf_dir).toPandas().sort_values("vec_id", ignore_index=True)
+    assert not a["is_dropped"].any()
+    b = q(spark, sf_dir).toPandas().sort_values("vec_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_semdedup_mega_cluster_is_subsplit(spark):
+    """A cluster above SEMDEDUP_MAX_CLUSTER is re-split by id residue so the
+    self-join stays sub-quadratic; splits separate pairs but never invent
+    drops (soundness preserved)."""
+    from projet_pipeline_bigdata_org_spark.operators import similarity as S
+
+    n = 3 * S.SEMDEDUP_MAX_CLUSTER
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % 97).cast("float") + F.lit(float(i)) for i in range(4)]).alias(
+            "embedding"
+        ),
+        F.lit(0).alias("cell"),
+    )
+    out = S.semdedup_decisions(base, tau=1.1)  # tau > 1: nothing can drop
+    assert out.filter(F.col("is_dropped")).count() == 0
+    assert out.count() == n
+
+
+def test_quantize_int8_error_bound(spark, sf_dir):
+    """Int8 absmax quantization: codes stay in [-127, 127] and the
+    reconstruction MSE respects the half-step bound (scale/2)^2."""
+    out = plans.get("embed_quantize_int8").fn(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    for _, r in out.iterrows():
+        assert max(abs(c) for c in r["codes"]) <= 127
+        half_step_sq = (r["absmax"] / 127.0 / 2.0) ** 2
+        assert r["mse"] <= half_step_sq + 1e-18
