@@ -987,3 +987,83 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(kept, 1)).alias("n_sampled"),
         F.sum(F.when(kept, F.col("m")).otherwise(0)).cast("long").alias("ht_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable sketches & collation (Spark 3.5+/4 surfaces)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sketch_hll_distinct",
+    tags=("llm", "sketch", "documents", "no-oracle"),
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token cardinality via Apache DataSketches HLL: one sketch
+    per language (partial aggregation, map-side combined), then the
+    corpus-wide estimate from `hll_union_agg` over the per-language
+    sketches — the mergeable-sketch discipline that replaces a full
+    COUNT(DISTINCT) re-shuffle at 100 TB: sketches are ~KB-sized and
+    re-aggregable across shards/days without touching raw data again.
+    Rows-only (sketch binaries and estimates are engine-side; ±5% accuracy
+    vs exact is asserted in tests)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(ws_tokens("text")).alias("tok"))
+    per_lang = toks.groupBy("lang").agg(
+        F.hll_sketch_agg("tok").alias("sk"), F.count(F.lit(1)).alias("n_tokens")
+    )
+    est = per_lang.select(
+        "lang",
+        "n_tokens",
+        F.hll_sketch_estimate("sk").cast("long").alias("est_distinct_tokens"),
+    )
+    total = per_lang.agg(
+        F.lit("__all__").alias("lang"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias(
+            "est_distinct_tokens"
+        ),
+    )
+    return est.unionByName(total)
+
+
+@query(
+    "sql_collated_group",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN UPPER(c_mktsegment)
+                  ELSE LOWER(c_mktsegment) END AS v,
+             c_nationkey
+      FROM customer
+    )
+    SELECT LOWER(v) AS segment,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT c_nationkey) AS n_nations
+    FROM t
+    GROUP BY LOWER(v)
+    """,
+    tags=("relational", "collation", "customer"),
+)
+def sql_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 string collations: rows whose
+    keys differ only by case fold into one group under UTF8_LCASE — the
+    collation rides the grouping key natively (no LOWER() rewrite in the
+    aggregation path). The emitted key is lowercased explicitly so output
+    is deterministic; the oracle states the same semantics as GROUP BY
+    LOWER(v). (ASCII corpus: LCASE collation and LOWER agree; locale-heavy
+    text can diverge on e.g. dotted-I — the collation is the correct
+    primitive there, which is why it, not the rewrite, is the operator.)"""
+    c = load(spark, sf_dir, "customer")
+    v = F.when(
+        F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+    ).otherwise(F.lower("c_mktsegment"))
+    t = c.select(v.alias("v"), "c_nationkey")
+    return (
+        t.groupBy(F.expr("v COLLATE UTF8_LCASE").alias("k"))
+        .agg(
+            F.min(F.lower("v")).alias("segment"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+        .select("segment", "n_rows", "n_nations")
+    )

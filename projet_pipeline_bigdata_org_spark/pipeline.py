@@ -249,3 +249,30 @@ def pipe_enrich_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sent = make_sentiment_udf()
     return d.select("doc_id", sent(F.col("text")).alias("sentiment"))
+
+
+def with_quality_metrics(df: DataFrame, text_col: str = "text"):
+    """Attach free-riding data-quality metrics to a DataFrame via
+    ``df.observe``: row count, null/empty-text count, and total text bytes
+    are accumulated DURING whatever action the caller runs next — no second
+    scan, no extra job. This is the 100 TB way to monitor a pipeline stage:
+    a COUNT-based quality probe re-reads the corpus; an Observation rides
+    the existing pass for free (Spark aggregates the metrics per task and
+    merges on the driver).
+
+    Returns ``(df, observation)``; read ``observation.get`` after an action.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("quality")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col(text_col).isNull() | (F.length(text_col) == 0), 1
+            ).otherwise(0)
+        ).alias("n_null_or_empty"),
+        F.sum(F.octet_length(text_col)).alias("text_bytes"),
+    )
+    return observed, obs

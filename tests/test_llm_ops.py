@@ -590,3 +590,55 @@ def test_quantize_int8_error_bound(spark, sf_dir):
         assert max(abs(c) for c in r["codes"]) <= 127
         half_step_sq = (r["absmax"] / 127.0 / 2.0) ** 2
         assert r["mse"] <= half_step_sq + 1e-18
+
+
+def test_hll_sketch_estimates_within_tolerance(spark, sf_dir):
+    """HLL estimates land within 5% of exact distinct counts, and the
+    unioned sketch estimates the cross-language union (not the sum)."""
+    import duckdb
+
+    out = plans.get("sketch_hll_distinct").fn(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exact = dict(
+        con.execute(
+            """
+        SELECT lang, COUNT(DISTINCT tok) FROM (
+          SELECT lang, UNNEST(LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '')) AS tok
+          FROM documents) GROUP BY lang
+        """
+        ).fetchall()
+    )
+    exact["__all__"] = con.execute(
+        """
+        SELECT COUNT(DISTINCT tok) FROM (
+          SELECT UNNEST(LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '')) AS tok
+          FROM documents)
+        """
+    ).fetchone()[0]
+    for _, r in out.iterrows():
+        want = exact[r["lang"]]
+        assert abs(r["est_distinct_tokens"] - want) <= max(2, 0.05 * want), (
+            r["lang"], r["est_distinct_tokens"], want,
+        )
+
+
+def test_observe_quality_metrics_ride_the_action(spark, sf_dir):
+    """with_quality_metrics accumulates row/null/byte metrics during the
+    caller's own action — values must match an independent aggregation."""
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.pipeline import with_quality_metrics
+
+    d = load(spark, sf_dir, "documents")
+    observed, obs = with_quality_metrics(d)
+    n_written = observed.filter(F.col("doc_id") >= 0).count()  # the one action
+    m = obs.get
+    want = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length("text")).alias("b"),
+    ).first()
+    assert m["n_rows"] == want["n"] == n_written
+    assert m["n_null_or_empty"] == 0
+    assert m["text_bytes"] == want["b"]
