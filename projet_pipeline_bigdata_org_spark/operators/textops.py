@@ -583,3 +583,115 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LM-lite fluency scoring (CCNet-style corpus-frequency proxy)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_SQL = sql_shingles(SQL_WS_TOKENS.format(c="text"), 2)
+
+
+@query(
+    "lex_bigram_fluency",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, UNNEST({_BIGRAM_SQL}) AS bigram FROM documents
+    ), dict AS (
+      SELECT bigram, COUNT(*) AS freq FROM b GROUP BY bigram
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(dict.freq) AS BIGINT) AS freq_mass,
+           CAST(SUM(dict.freq) AS DOUBLE) / COUNT(*) AS mean_bigram_freq
+    FROM b JOIN dict USING (bigram)
+    GROUP BY b.doc_id
+    """,
+    tags=("llm", "text", "quality", "documents"),
+)
+def lex_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-lite fluency proxy (the CCNet/KenLM filter reduced to exact
+    integer arithmetic): build the corpus bigram dictionary, score each
+    document by the mean corpus frequency of its bigrams — word salad made
+    of rare transitions scores low, boilerplate scores high; both tails get
+    filtered in a real pipeline. Two shuffles total (dict groupBy + doc
+    re-agg), dictionary join is a plain equi-join on the bigram key — at
+    100 TB the dict is Zipf-compact and AQE broadcast-joins it when it fits.
+    Documents with <2 tokens have no bigrams and drop out (same in oracle,
+    inner join)."""
+    d = load(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id", F.explode(shingles(ws_tokens("text"), 2)).alias("bigram")
+    )
+    dict_df = b.groupBy("bigram").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        b.join(dict_df, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("freq").cast("long").alias("freq_mass"),
+            (F.sum("freq").cast("double") / F.count(F.lit(1))).alias(
+                "mean_bigram_freq"
+            ),
+        )
+    )
+
+
+@query(
+    "text_extract_urls",
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id,
+             UNNEST(REGEXP_EXTRACT_ALL(text, 'https?://[^\s]+')) AS url
+      FROM documents
+    ), n AS (
+      SELECT doc_id,
+             LOWER(REGEXP_EXTRACT(url, 'https?://([^/\s?#]+)', 1)) AS domain,
+             LOWER(REGEXP_EXTRACT(url, '^(https?://[^/\s?#]+)', 1)) ||
+               REGEXP_REPLACE(REGEXP_REPLACE(url, '^https?://[^/\s?#]+', ''),
+                              '[?#].*$', '') AS url_clean
+      FROM u
+    )
+    SELECT domain,
+           COUNT(*) AS n_urls,
+           COUNT(DISTINCT url_clean) AS n_distinct_urls,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM n
+    GROUP BY domain
+    """,
+    tags=("llm", "text", "url", "documents"),
+)
+def text_extract_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + normalization + domain rollup (the crawl-curation
+    primitive behind domain blocklists and per-domain caps): pull URLs out
+    of raw text, strip query/fragment (tracking params), lowercase the
+    registrable host, aggregate per domain. All JVM regex — one explode,
+    one shuffle on domain. (The synthetic corpus has no URLs, so at test
+    scale this returns an empty rollup through the exact same plan; the
+    regex twins are exercised on crafted strings in tests.)"""
+    d = load(spark, sf_dir, "documents")
+    u = d.select(
+        "doc_id",
+        F.explode(
+            # idx=0 (full match): Spark defaults the group index to 1, which
+            # errors on a group-less pattern; DuckDB's default is already 0
+            F.regexp_extract_all("text", F.lit(r"https?://[^\s]+"), 0)
+        ).alias("url"),
+    )
+    n = u.select(
+        "doc_id",
+        F.lower(F.regexp_extract("url", r"https?://([^/\s?#]+)", 1)).alias("domain"),
+        # canonical form: scheme+host case-folded, query/fragment stripped,
+        # path case preserved (paths are case-sensitive, hosts are not)
+        F.concat(
+            F.lower(F.regexp_extract("url", r"^(https?://[^/\s?#]+)", 1)),
+            F.regexp_replace(
+                F.regexp_replace("url", r"^https?://[^/\s?#]+", ""), r"[?#].*$", ""
+            ),
+        ).alias("url_clean"),
+    )
+    return n.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("url_clean").alias("n_distinct_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

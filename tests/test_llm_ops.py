@@ -642,3 +642,48 @@ def test_observe_quality_metrics_ride_the_action(spark, sf_dir):
     assert m["n_rows"] == want["n"] == n_written
     assert m["n_null_or_empty"] == 0
     assert m["text_bytes"] == want["b"]
+
+
+def test_extract_urls_on_crafted_strings(spark):
+    """The synthetic corpus has no URLs, so the extraction/normalization
+    twins are locked here on crafted documents run through BOTH engines'
+    full query plans (Spark query vs DuckDB oracle on the same rows)."""
+    import tempfile
+
+    import duckdb
+
+    cases = [
+        (0, "see https://Example.COM/a/b?utm_source=x&id=7 and http://example.com/a/b#frag"),
+        (1, "dup https://example.com/a/b?other=1 plus https://sub.other.org/p"),
+        (2, "no urls at all"),
+        (3, "bare http://EXAMPLE.com trailing text"),
+        (4, ""),
+    ]
+    pdf = pd.DataFrame(cases, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "crafted"
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    with tempfile.TemporaryDirectory() as tmp:
+        pdf.to_parquet(f"{tmp}/documents.parquet")
+        got = (
+            plans.get("text_extract_urls")
+            .fn(spark, tmp)
+            .toPandas()
+            .sort_values("domain", ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp}/documents.parquet')"
+        )
+        want = (
+            con.execute(plans.get("text_extract_urls").oracle)
+            .df()
+            .sort_values("domain", ignore_index=True)
+        )
+    assert list(got["domain"]) == list(want["domain"])
+    for c in ["n_urls", "n_distinct_urls", "n_docs"]:
+        assert list(got[c]) == list(want[c]), c
+    # normalization semantics: example.com collapses case + tracking params
+    ex = got.set_index("domain").loc["example.com"]
+    # 4 raw urls -> 3 canonical (host case + params fold; scheme stays distinct)
+    assert ex["n_urls"] == 4 and ex["n_distinct_urls"] == 3 and ex["n_docs"] == 3
