@@ -244,3 +244,58 @@ def test_fuzzy_banding_broadcasts_exploded_supplier_side(spark, sf_dir):
     p = plan_of(df)
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime bloom-filter injection (Spark 3.3+): a selective dim-side
+    filter materializes a bloom filter that is pushed onto the fact side
+    BEFORE its shuffle — at 100 TB this drops most fact rows at the scan
+    instead of shuffling them. The thresholds are lowered to make the
+    optimizer fire at toy scale; the assertion is the plan shape itself
+    (bloom_filter_agg on the creation side, might_contain on the fact
+    side), which is scale-independent."""
+    from projet_pipeline_bigdata_org_spark.catalog import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load(spark, sf_dir, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plan_of(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        # the probe sits on the fact (lineitem) side, below its exchange
+        fact_filter = [
+            ln for ln in plan.splitlines() if "might_contain" in ln
+        ][0]
+        assert "l_orderkey" in fact_filter
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+
+
+def test_pack_sequences_windows_per_shard_not_single_partition(spark, sf_dir):
+    """The packing window partitions by shard — the plan must hash-partition
+    on shard, never collapse to SinglePartition (the global-ORDER-BY window
+    trap that serializes a 100 TB sort onto one task)."""
+    df = _Q["pack_sequences"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert re.search(r"hashpartitioning\(shard", plan)
+    assert "SinglePartition" not in plan
