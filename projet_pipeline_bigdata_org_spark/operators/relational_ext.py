@@ -606,3 +606,62 @@ def ext_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("secs_from_start"),
     )
+
+
+@query(
+    "sql_surface_q18",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+    )
+    SELECT c_custkey,
+           o_orderkey,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("relational", "sql", "join", "subquery"),
+)
+def sql_surface_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): HAVING-gated aggregate
+    subquery feeding an IN filter over a 3-way join, re-aggregated on the
+    survivors. The IN subquery plans as a left-semi join on l_orderkey —
+    at 100 TB the semi side is the already-aggregated big-orders set
+    (orders of magnitude smaller than lineitem), so AQE broadcasts it and
+    the fact table is filtered before the wide join shuffles."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("sq"))
+        .filter(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(big, "l_orderkey", "left_semi")
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qty).cast("double").alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )

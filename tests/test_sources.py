@@ -171,3 +171,38 @@ def test_orc_round_trip_and_pushdown(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(o_custkey), LessThan(o_custkey,10)]" in plan
+
+
+def test_write_governance_caps_file_size_and_sorts_within_files(spark, sf_dir, tmp_path):
+    """Lake-write governance for 100 TB layouts: repartition by a key,
+    sortWithinPartitions, and cap rows per file — every output file must
+    respect the cap and be internally sorted (sorted row groups are what
+    make min/max zone maps effective for later scans)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from projet_pipeline_bigdata_org_spark.catalog import load
+
+    out = str(tmp_path / "governed")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    n = li.count()
+    cap = 1000
+    (
+        li.repartition(4, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.option("maxRecordsPerFile", cap)
+        .parquet(out)
+    )
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    assert len(files) >= max(4, n // cap)
+    total = 0
+    for f in files:
+        t = pq.read_table(f, columns=["l_orderkey"])
+        total += t.num_rows
+        assert t.num_rows <= cap
+        keys = t.column("l_orderkey").to_pylist()
+        assert keys == sorted(keys), f"file {f} not sorted"
+    assert total == n
