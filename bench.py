@@ -44,6 +44,8 @@ HEADLINE = (
     "func_json_pack",                    # JSON extraction
     "sql_surface_q3",                    # TPC-H Q3 shape: subquery-era SQL surface (new r3)
     "sql_window_range_frame",            # RANGE frame window (new r3)
+    "pack_sequences",                    # token packing via per-shard windows (new r3)
+    "lex_bigram_fluency",                # LM-lite corpus-frequency scoring (new r3)
 )
 
 #: tier annotations surfaced in the bench JSON: "audit" = the query's
