@@ -264,3 +264,50 @@ def test_chunker_twins_agree_on_fuzz(fuzz_df):
         got = {tuple(r) for r in spec.fn(sdf.sparkSession, "ignored").collect()}
     want = {tuple(r) for r in con.execute(spec.oracle).fetchall()}
     assert got == want
+
+
+def _fuzz_query_twins(fuzz_df, module, name):
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark import plans
+
+    plans.load_all()
+    spec = plans.registry.all_specs()[name]
+    sdf, con = fuzz_df
+    with mock.patch.object(module, "load", lambda _s, _d, _t: sdf):
+        got = {tuple(r) for r in spec.fn(sdf.sparkSession, "ignored").collect()}
+    want = {tuple(r) for r in con.execute(spec.oracle).fetchall()}
+    assert got == want
+
+
+def test_pack_sequences_twins_agree_on_fuzz(fuzz_df):
+    """Packing arithmetic (token counts → shard windows → integer div) on
+    adversarial strings: unicode tokens, whitespace runs, empties (zero-
+    token docs exercise the n_tokens=0 branch both sides)."""
+    from projet_pipeline_bigdata_org_spark.operators import packing
+
+    _fuzz_query_twins(fuzz_df, packing, "pack_sequences")
+
+
+def test_pack_bins_nextfit_twins_agree_on_fuzz(fuzz_df):
+    """The pandas next-fit kernel vs the recursive-CTE oracle on the fuzz
+    corpus — empty docs and giant single tokens ride through both."""
+    from projet_pipeline_bigdata_org_spark.operators import packing
+
+    _fuzz_query_twins(fuzz_df, packing, "pack_bins_nextfit")
+
+
+def test_bigram_fluency_twins_agree_on_fuzz(fuzz_df):
+    """Dictionary-join fluency scoring fuzzed: bigram construction +
+    corpus-frequency join + integer/double division on adversarial text."""
+    from projet_pipeline_bigdata_org_spark.operators import textops
+
+    _fuzz_query_twins(fuzz_df, textops, "lex_bigram_fluency")
+
+
+def test_extract_urls_twins_agree_on_fuzz(fuzz_df):
+    """URL extraction/canonicalization twins on the fuzz corpus (contains
+    real URL shapes plus unicode/punctuation decoys)."""
+    from projet_pipeline_bigdata_org_spark.operators import textops
+
+    _fuzz_query_twins(fuzz_df, textops, "text_extract_urls")
