@@ -687,3 +687,17 @@ def test_extract_urls_on_crafted_strings(spark):
     ex = got.set_index("domain").loc["example.com"]
     # 4 raw urls -> 3 canonical (host case + params fold; scheme stays distinct)
     assert ex["n_urls"] == 4 and ex["n_distinct_urls"] == 3 and ex["n_docs"] == 3
+
+
+def test_triangle_count_on_crafted_graph(spark):
+    """Absolute truth check: one 4-part order forms K4 (C(4,3)=4 triangles);
+    two chain orders add edges but no triangles."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import grouped
+
+    rows = [(1, p) for p in (1, 2, 3, 4)] + [(2, 4), (2, 5), (3, 5), (3, 6)]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    with mock.patch.object(grouped, "load", lambda _s, _d, _t: li):
+        out = plans.get("graph_triangle_count").fn(spark, "ignored").first()
+    assert (out.n_vertices, out.n_edges, out.n_triangles) == (6, 8, 4)
