@@ -665,3 +665,36 @@ def sql_surface_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_totalprice < 150000.0
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "sql", "orders"),
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+/4 named parameter markers): values bind
+    server-side as typed literals — the injection-safe templating surface a
+    query service needs; Catalyst constant-folds them exactly like inline
+    literals, so pushdown/pruning are unchanged. The oracle states the same
+    query with the parameters inlined."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_orderdate >= :cutoff AND o_totalprice < :cap
+        GROUP BY o_orderpriority
+        """,
+        args={"cutoff": "1996-01-01", "cap": 150000.0},
+    )
