@@ -586,10 +586,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
     du = deg.select(F.col("x").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("x").alias("v"), F.col("deg").alias("dv"))
-    # redirect: lo = endpoint with the smaller (deg, id) tuple
-    e = (
+    # redirect: lo = endpoint with the smaller (deg, id) tuple. Persisted —
+    # the oriented edge set feeds all three sides of the wedge/closing joins
+    # (a staging table at cluster scale; unpersisted plans re-derive the
+    # dedup + degree join three times, measured ~2× slower at sf0.1)
+    e = _persist_scoped(
+        "tri_edges",
         pairs.join(du, "u")
         .join(dv, "v")
         .select(
@@ -601,23 +607,24 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.struct(F.col("v").alias("lo"), F.col("u").alias("hi")))
             .alias("e")
         )
-        .select("e.lo", "e.hi")
+        .select("e.lo", "e.hi"),
     )
     e1 = e.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
     e2 = e.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
     # wedges at the low-degree apex x; canonical y<z kills mirror duplicates
     wedges = e1.join(e2, "x").filter(F.col("y") < F.col("z"))
-    # close the wedge with an edge between y and z in EITHER direction
+    # the closing edge, id-canonicalized to match the wedge's (y<z) key —
+    # one row per undirected edge, no both-directions union
     closing = e.select(
-        F.col("lo").alias("y"), F.col("hi").alias("z")
-    ).unionAll(e.select(F.col("hi").alias("y"), F.col("lo").alias("z")))
+        F.least("lo", "hi").alias("y"), F.greatest("lo", "hi").alias("z")
+    )
     tri = wedges.join(closing, ["y", "z"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
-    stats = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    stats = e.agg(F.count(F.lit(1)).alias("n_edges"))
     n_vertices = (
-        pairs.select(F.col("u").alias("x"))
-        .unionAll(pairs.select(F.col("v").alias("x")))
+        e.select(F.col("lo").alias("x"))
+        .unionAll(e.select(F.col("hi").alias("x")))
         .agg(F.countDistinct("x").alias("n_vertices"))
     )
     return (

@@ -10,6 +10,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -111,3 +112,37 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def read_jsonl_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSONL scan that splits clean rows from a quarantine of
+    malformed lines (raw text preserved for replay/debugging) — at 100 TB
+    some records are ALWAYS malformed, and failing the job (FAILFAST) or
+    silently nulling them (plain PERMISSIVE) both lose data. One scan, one
+    filter each side, no second pass.
+
+    Note the Spark subtlety: a row is corrupt iff `corrupt_col` is set; the
+    corrupt-record column must be part of the declared schema, and filtering
+    on it requires the scan to retain raw text (Spark forbids referencing it
+    from a bare scan without a materialization boundary — a cache here).
+    """
+    full_schema = T.StructType(
+        schema.fields + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .cache()
+    )
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw")
+    )
+    return good, quarantine

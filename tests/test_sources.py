@@ -206,3 +206,37 @@ def test_write_governance_caps_file_size_and_sorts_within_files(spark, sf_dir, t
         keys = t.column("l_orderkey").to_pylist()
         assert keys == sorted(keys), f"file {f} not sorted"
     assert total == n
+
+
+def test_jsonl_quarantine_splits_good_from_malformed(spark, tmp_path):
+    """PERMISSIVE + corrupt-record capture: clean rows parse with the
+    declared schema, malformed lines land in quarantine with their raw
+    text intact; nothing is lost, nothing fails the job."""
+    from pyspark.sql import types as T
+
+    from projet_pipeline_bigdata_org_spark.sources.batch import (
+        read_jsonl_with_quarantine,
+    )
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "txt": "ok"}\n'
+        '{"id": "NOT_AN_INT", "txt": "bad type"}\n'
+        "this is not json at all\n"
+        '{"id": 3, "txt": "fine"}\n'
+        '{"id": 4, "txt": 99}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("txt", T.StringType()),
+        ]
+    )
+    good, quarantine = read_jsonl_with_quarantine(spark, str(p), schema)
+    got = {(r.id, r.txt) for r in good.collect()}
+    # "txt": 99 coerces to string "99" under PERMISSIVE JSON — not corrupt
+    assert got == {(1, "ok"), (3, "fine"), (4, "99")}
+    raws = [r.raw for r in quarantine.collect()]
+    assert len(raws) == 2
+    assert any("NOT_AN_INT" in r for r in raws)
+    assert any("not json at all" in r for r in raws)
