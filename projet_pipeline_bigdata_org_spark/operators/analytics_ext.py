@@ -1067,3 +1067,48 @@ def sql_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("segment", "n_rows", "n_nations")
     )
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey,
+             c_mktsegment,
+             c_custkey % 10 AS age_band,
+             COUNT(*) AS grp_n
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment, c_custkey % 10
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) FILTER (WHERE grp_n < 5) AS BIGINT) AS n_small_groups,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+             AS n_rows_suppressed,
+           CAST(MIN(grp_n) AS BIGINT) AS min_group_size
+    FROM g
+    """,
+    tags=("llm", "privacy", "customer"),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (nation, segment,
+    age band): how many QI groups fall below k=5, and how many rows a
+    suppress-small-groups release would drop. The partner operator to PII
+    redaction in a privacy-preserving training-data pipeline: redaction
+    removes direct identifiers, k-audit quantifies re-identification risk
+    from the quasi-identifiers that remain. One groupBy + one scalar agg —
+    partial-aggregates map-side at any scale."""
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("c_custkey") % 10).alias("age_band"),
+    ).agg(F.count(F.lit(1)).alias("grp_n"))
+    small = F.col("grp_n") < 5
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(small, 1)).alias("n_small_groups"),
+        F.sum(F.when(small, F.col("grp_n")).otherwise(0)).cast("long").alias(
+            "n_rows_suppressed"
+        ),
+        F.min("grp_n").alias("min_group_size"),
+    )

@@ -240,3 +240,19 @@ def test_jsonl_quarantine_splits_good_from_malformed(spark, tmp_path):
     assert len(raws) == 2
     assert any("NOT_AN_INT" in r for r in raws)
     assert any("not json at all" in r for r in raws)
+
+
+def test_merge_schema_reads_evolved_lake_layout(spark, tmp_path):
+    """Schema evolution on a parquet lake: files written before a column
+    existed read back as NULL for that column under mergeSchema — the
+    append-only evolution discipline a long-lived 100 TB dataset needs
+    (never rewrite old files to add a column)."""
+    out = str(tmp_path / "lake")
+    spark.createDataFrame([(1, "a")], ["id", "v"]).write.parquet(out)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "v", "score"]
+    ).write.mode("append").parquet(out)
+    df = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(df.columns) == {"id", "v", "score"}
+    rows = {r.id: (r.v, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
