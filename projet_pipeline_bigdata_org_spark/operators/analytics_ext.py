@@ -1112,3 +1112,126 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("grp_n").alias("min_group_size"),
     )
+
+
+#: Knuth multiplicative constant / large 32-bit prime: a deterministic,
+#: engine-portable pseudo-shuffle key (doc_id·K mod P) — unlike rand()/
+#: TABLESAMPLE, both engines and every retry agree on the order
+_KNUTH = 2654435761
+_PRIME32 = 4294967291
+
+
+@query(
+    "sample_fixed_per_group",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             (doc_id * {_KNUTH}) % {_PRIME32} AS shuffle_key
+      FROM documents
+    ), r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY shuffle_key, doc_id) AS rn
+      FROM h
+    )
+    SELECT doc_id, lang, CAST(shuffle_key AS BIGINT) AS shuffle_key,
+           CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 20
+    """,
+    tags=("llm", "sampling", "documents"),
+)
+def sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sampling: exactly min(20, |group|) documents per
+    language, chosen by a deterministic multiplicative-hash shuffle order —
+    the bounded "give me K examples per stratum" primitive (eval set
+    construction, few-shot pools). Per-group top-K plans as partial
+    per-partition heaps below the rank shuffle, so no group ever
+    materializes fully; every engine/retry picks the same rows."""
+    d = load(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        "lang",
+        ((F.col("doc_id") * _KNUTH) % _PRIME32).alias("shuffle_key"),
+    )
+    w = W.partitionBy("lang").orderBy("shuffle_key", "doc_id")
+    return (
+        h.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", F.col("shuffle_key").cast("long"), "rn")
+    )
+
+
+@query(
+    "stat_winsorize",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority AS prio,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), c AS (
+      SELECT *, CUME_DIST() OVER (PARTITION BY prio ORDER BY cents) AS cd
+      FROM t
+    ), b AS (
+      SELECT *,
+             MIN(CASE WHEN cd >= 0.05 THEN cents END) OVER (PARTITION BY prio) AS lo,
+             MIN(CASE WHEN cd >= 0.95 THEN cents END) OVER (PARTITION BY prio) AS hi
+      FROM c
+    )
+    SELECT prio,
+           COUNT(*) AS n_orders,
+           CAST(lo AS DOUBLE) / 100.0 AS p05,
+           CAST(hi AS DOUBLE) / 100.0 AS p95,
+           CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) / 100.0 / COUNT(*)
+             AS mean_raw,
+           CAST(SUM(CAST(LEAST(GREATEST(cents, lo), hi) AS DECIMAL(38,0)))
+                AS DOUBLE) / 100.0 / COUNT(*) AS mean_winsorized
+    FROM b
+    GROUP BY prio, lo, hi
+    """,
+    tags=("relational", "stats", "orders"),
+)
+def stat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clipped) means per order priority — the robust
+    aggregate that tames heavy tails before averaging. Exact percentiles
+    via cume_dist + conditional window min (no approx sketch); all money
+    rides as exact integer cents and both means come out of DECIMAL(38,0)
+    sums through one correctly-rounded double cast and a FIXED division
+    tree (the integer-scaling parity rule, cf. stat_moments_pack — a plain
+    DECIMAL(18,6) sum diverged from Spark in the last ulp here). One
+    shuffle on the group key feeds both window passes and the final agg."""
+    o = load(spark, sf_dir, "orders")
+    t = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    wo = W.partitionBy("prio").orderBy("cents")
+    wp = W.partitionBy("prio")
+    D38 = T.DecimalType(38, 0)
+    b = t.withColumn("cd", F.cume_dist().over(wo)).select(
+        "prio",
+        "cents",
+        F.min(F.when(F.col("cd") >= 0.05, F.col("cents"))).over(wp).alias("lo"),
+        F.min(F.when(F.col("cd") >= 0.95, F.col("cents"))).over(wp).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    n = F.count(F.lit(1))
+    return (
+        b.groupBy("prio", "lo", "hi")
+        .agg(
+            n.alias("n_orders"),
+            (F.sum(F.col("cents").cast(D38)).cast("double") / 100.0 / n).alias(
+                "mean_raw"
+            ),
+            (F.sum(clipped.cast(D38)).cast("double") / 100.0 / n).alias(
+                "mean_winsorized"
+            ),
+        )
+        .select(
+            "prio",
+            "n_orders",
+            (F.col("lo").cast("double") / 100.0).alias("p05"),
+            (F.col("hi").cast("double") / 100.0).alias("p95"),
+            "mean_raw",
+            "mean_winsorized",
+        )
+    )
