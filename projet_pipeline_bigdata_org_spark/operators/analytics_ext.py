@@ -29,7 +29,7 @@ from projet_pipeline_bigdata_org_spark.plans.registry import query
 
 
 @query(
-    "a0_regexp_functions_pack",
+    "regexp_functions_pack",
     oracle=r"""
     SELECT doc_id,
            REGEXP_EXTRACT(text, '([a-z]{7,})', 1) AS first_long_word,
@@ -63,7 +63,7 @@ def regexp_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
-    "a0_stat_moments_pack",
+    "stat_moments_pack",
     # integer-scaled power sums: quantities/prices carry <=2 decimal digits,
     # so ROUND(x*100) is an exact integer ("cents"); products of cents fit
     # int64 per row; sums go through DECIMAL(38,0). An INTEGER decimal ->
@@ -276,7 +276,7 @@ SAMPLE_SLOT = 3
 
 
 @query(
-    "a0_sample_systematic",
+    "sample_systematic",
     oracle=f"""
     SELECT o_orderpriority,
            COUNT(*) AS n_sampled,
@@ -339,7 +339,7 @@ def fuzzy_blocked_candidates(c: DataFrame, s: DataFrame) -> DataFrame:
 
 
 @query(
-    "a0_pair_fuzzy_levenshtein",
+    "pair_fuzzy_levenshtein",
     oracle=f"""
     SELECT c_custkey, s_suppkey, c_name, s_name,
            CAST(LEVENSHTEIN(c_name, s_name) AS BIGINT) AS edit_distance
@@ -413,7 +413,7 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_higher_order_pack",
+    "sql_higher_order_pack",
     oracle=f"""
     WITH t AS (SELECT doc_id, {SQL_WS_TOKENS.format(c='text')} AS toks
                FROM documents WHERE doc_id < 300)
@@ -463,7 +463,7 @@ def sql_higher_order_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_struct_pack",
+    "sql_struct_pack",
     oracle="""
     SELECT o_orderkey,
            STRUCT_EXTRACT(STRUCT_PACK(key := o_orderkey, priority := o_orderpriority),
@@ -490,7 +490,7 @@ def sql_struct_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_collect_pack",
+    "sql_collect_pack",
     oracle="""
     SELECT c_mktsegment,
            COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(c_nationkey))), ','), '')
@@ -531,7 +531,7 @@ RANGE_RADIUS = 100
 
 
 @query(
-    "a0_range_join_bucketized",
+    "range_join_bucketized",
     oracle=f"""
     SELECT s_suppkey, s_name, COUNT(*) AS n_close_customers
     FROM supplier JOIN customer
@@ -588,7 +588,7 @@ def range_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_lateral_top_lineitem",
+    "sql_lateral_top_lineitem",
     oracle="""
     SELECT o.o_orderkey,
            STRFTIME(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
@@ -629,7 +629,7 @@ def sql_lateral_top_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_recursive_month_series",
+    "sql_recursive_month_series",
     oracle="""
     WITH RECURSIVE months(m) AS (
       SELECT TIMESTAMP '1995-01-01 00:00:00'
@@ -674,7 +674,7 @@ def sql_recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_variant_pack",
+    "sql_variant_pack",
     oracle="""
     SELECT event_id,
            CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_long,
@@ -703,7 +703,7 @@ def sql_variant_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_extrema_pack",
+    "sql_extrema_pack",
     oracle="""
     WITH k AS (
       SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -745,7 +745,7 @@ def sql_extrema_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_grouping_id_rollup",
+    "sql_grouping_id_rollup",
     oracle="""
     SELECT r_name, n_name,
            CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
@@ -777,7 +777,7 @@ def sql_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_null_safe_join",
+    "sql_null_safe_join",
     oracle="""
     WITH k AS (SELECT n_nationkey, n_name, NULLIF(n_regionkey, 0) AS rk FROM nation)
     SELECT a.n_nationkey AS a_key, b.n_nationkey AS b_key,
@@ -808,7 +808,7 @@ def sql_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_try_cast_pack",
+    "sql_try_cast_pack",
     oracle="""
     SELECT doc_id,
            TRY_CAST(SPLIT_PART(text, ' ', 1) AS BIGINT) AS first_token_int,
@@ -839,7 +839,7 @@ def sql_try_cast_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_bag_setops",
+    "sql_bag_setops",
     oracle="""
     WITH big AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000),
     urgent AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
@@ -868,7 +868,7 @@ def sql_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_string_agg",
+    "sql_string_agg",
     oracle="""
     WITH d AS (SELECT DISTINCT c_mktsegment, n_name
                FROM customer JOIN nation ON c_nationkey = n_nationkey)
@@ -903,7 +903,7 @@ def sql_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_explode_outer",
+    "sql_explode_outer",
     oracle=f"""
     WITH t AS (SELECT doc_id, {SQL_WS_TOKENS.format(c='text')} AS toks
                FROM documents WHERE doc_id < 100),

@@ -414,7 +414,7 @@ def connected_components_star(
 
 
 @query(
-    "a0_star_cluster_components",
+    "star_cluster_components",
     # identical oracle to dedup_cluster_components: two independent Spark
     # implementations (min-label propagation vs large/small-star), one truth
     oracle=f"""

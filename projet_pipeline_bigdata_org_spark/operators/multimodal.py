@@ -131,7 +131,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_mm_payload_stats",
+    "mm_payload_stats",
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,

@@ -739,7 +739,7 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_set_intersect",
+    "set_intersect",
     oracle="""
     SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer WHERE c_acctbal > 9500
     INTERSECT
@@ -757,7 +757,7 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_set_except",
+    "set_except",
     oracle="""
     SELECT CAST(n_nationkey AS INT) AS nationkey FROM nation
     EXCEPT

@@ -22,7 +22,7 @@ PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
 
 
 @query(
-    "a0_sql_pivot_priority_counts",
+    "sql_pivot_priority_counts",
     oracle="""
     SELECT o_orderstatus,
            COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
@@ -53,7 +53,7 @@ def ext_pivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_unpivot_lineitem_metrics",
+    "sql_unpivot_lineitem_metrics",
     oracle="""
     SELECT l_orderkey, l_linenumber, 'qty' AS metric, l_quantity AS val
     FROM lineitem WHERE l_orderkey < 100
@@ -78,7 +78,7 @@ def ext_unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_grouping_sets",
+    "sql_grouping_sets",
     oracle="""
     SELECT r_name, c_mktsegment, COUNT(*) AS n,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS balance
@@ -108,7 +108,7 @@ def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_having",
+    "sql_having",
     oracle="""
     SELECT o_custkey, COUNT(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend
@@ -129,7 +129,7 @@ def ext_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_conditional_agg",
+    "sql_conditional_agg",
     oracle="""
     SELECT l_returnflag,
            COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted,
@@ -160,7 +160,7 @@ def ext_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_exists_subquery",
+    "sql_exists_subquery",
     oracle="""
     SELECT s_suppkey, s_name FROM supplier
     WHERE EXISTS (SELECT 1 FROM lineitem
@@ -189,7 +189,7 @@ def ext_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_scalar_subquery",
+    "sql_scalar_subquery",
     oracle="""
     SELECT c_custkey, c_acctbal
     FROM customer
@@ -215,7 +215,7 @@ def ext_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_median_quantity",
+    "sql_median_quantity",
     oracle="""
     SELECT l_returnflag,
            MEDIAN(l_quantity) AS median_qty,
@@ -240,7 +240,7 @@ def ext_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_null_handling",
+    "sql_null_handling",
     oracle="""
     SELECT event_id,
            COALESCE(CASE WHEN value > 10 THEN value END, -1) AS value_or_default,
@@ -265,7 +265,7 @@ def ext_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_string_pack2",
+    "sql_string_pack2",
     oracle="""
     SELECT p_partkey,
            COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM(STRING_SPLIT(p_name, ' '),
@@ -303,7 +303,7 @@ def ext_string_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_date_pack2",
+    "sql_date_pack2",
     oracle="""
     SELECT o_orderkey,
            STRFTIME(LAST_DAY(o_orderdate), '%Y-%m-%d') AS month_end,
@@ -338,7 +338,7 @@ def ext_date_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_window_range_frame",
+    "sql_window_range_frame",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice,
            COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
@@ -372,7 +372,7 @@ def ext_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_surface_q3",
+    "sql_surface_q3",
     oracle="""
     SELECT l_orderkey,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
@@ -414,7 +414,7 @@ def ext_sql_surface_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_map_functions",
+    "sql_map_functions",
     oracle="""
     WITH m AS (
       SELECT event_id,
@@ -451,7 +451,7 @@ def ext_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_merge_upsert",
+    "sql_merge_upsert",
     oracle="""
     WITH upd AS (
       SELECT c_custkey, c_acctbal + 1000 AS new_bal FROM customer WHERE c_custkey % 7 = 0
@@ -494,7 +494,7 @@ def ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_bitwise_pack",
+    "sql_bitwise_pack",
     oracle="""
     SELECT event_id,
            event_id & 255 AS low_byte,
@@ -523,7 +523,7 @@ def ext_bitwise_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_union_by_name",
+    "sql_union_by_name",
     oracle="""
     SELECT c_custkey AS entity_id, c_acctbal AS balance, 'customer' AS kind
     FROM customer WHERE c_acctbal > 9900
@@ -549,7 +549,7 @@ def ext_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_window_analytic_pack",
+    "sql_window_analytic_pack",
     oracle="""
     SELECT s_suppkey, s_acctbal,
            PERCENT_RANK() OVER w AS pct_rank,
@@ -580,7 +580,7 @@ def ext_window_analytic_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_sql_interval_arithmetic",
+    "sql_interval_arithmetic",
     oracle="""
     SELECT event_id,
            STRFTIME(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS plus_90m,

@@ -64,7 +64,7 @@ SQL_NORM = (
 
 
 @query(
-    "a0_sim_embedding_norms",
+    "sim_embedding_norms",
     oracle=f"""
     SELECT vec_id,
            CAST(LEN(embedding) AS BIGINT) AS dim,

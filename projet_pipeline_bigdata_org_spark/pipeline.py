@@ -60,7 +60,7 @@ def pipe_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_pipe_tokenize_stopwords",
+    "pipe_tokenize_stopwords",
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
@@ -85,7 +85,7 @@ def pipe_tokenize_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_pipe_time_features",
+    "pipe_time_features",
     oracle="""
     SELECT event_id,
            CAST(YEAR(ts) AS BIGINT) AS yr,
@@ -118,7 +118,7 @@ def pipe_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_pipe_keyword_filter",
+    "pipe_keyword_filter",
     oracle=r"""
     SELECT doc_id, lang
     FROM documents
@@ -134,7 +134,7 @@ def pipe_keyword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_pipe_extract_entities",
+    "pipe_extract_entities",
     oracle=r"""
     SELECT doc_id,
            COALESCE(ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(text, '@(\w+)', 1), '|'), '') AS mentions,
@@ -160,7 +160,7 @@ def pipe_extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_pipe_virality_bucket",
+    "pipe_virality_bucket",
     oracle=f"""
     SELECT event_id, value,
            {sql_virality_bucket('value')} AS viralite
@@ -211,7 +211,7 @@ def pipe_sink_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_pipe_dedup_keep_first",
+    "pipe_dedup_keep_first",
     oracle="""
     SELECT doc_id, lang, source FROM (
       SELECT doc_id, lang, source,
@@ -235,7 +235,7 @@ def pipe_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_pipe_enrich_sentiment",
+    "pipe_enrich_sentiment",
     oracle=f"""
     SELECT doc_id, {SQL_STUB_SENTIMENT.format(c='text')} AS sentiment
     FROM documents

