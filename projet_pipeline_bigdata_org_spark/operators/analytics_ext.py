@@ -1192,39 +1192,63 @@ def sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized (5%/95%-clipped) means per order priority — the robust
-    aggregate that tames heavy tails before averaging. Exact percentiles
-    via cume_dist + conditional window min (no approx sketch); all money
-    rides as exact integer cents and both means come out of DECIMAL(38,0)
-    sums through one correctly-rounded double cast and a FIXED division
-    tree (the integer-scaling parity rule, cf. stat_moments_pack — a plain
-    DECIMAL(18,6) sum diverged from Spark in the last ulp here). One
-    shuffle on the group key feeds both window passes and the final agg."""
+    aggregate that tames heavy tails before averaging.
+
+    Scale shape: the raw table NEVER enters a window. Rows first compress
+    to the distinct ``(prio, cents) -> count`` distribution (bounded by the
+    price domain, not the row count); cume_dist is recovered exactly as a
+    running sum of counts over that compressed distribution, the 5%/95%
+    thresholds reduce to a per-prio aggregate, and the bounded threshold
+    table broadcast-joins back onto the distribution for the final
+    count-weighted means. With 5 priority values, the naive plan
+    (``W.partitionBy(prio)`` over raw orders) puts ~20% of the table in one
+    task at any scale; this plan's window input is ~|distinct prices| rows.
+
+    Exactness: cume_dist(x) == (#rows <= x)/total, reproduced as
+    running/total in the SAME long/long->double division both engines use,
+    so threshold selection is bit-identical to the oracle's window form.
+    All money rides as exact integer cents; count-weighted DECIMAL(38,0)
+    sums equal the oracle's row-level sums exactly, and both means go
+    through one correctly-rounded double cast and a FIXED division tree
+    (the integer-scaling parity rule, cf. stat_moments_pack)."""
     o = load(spark, sf_dir, "orders")
     t = o.select(
         F.col("o_orderpriority").alias("prio"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
     )
-    wo = W.partitionBy("prio").orderBy("cents")
-    wp = W.partitionBy("prio")
-    D38 = T.DecimalType(38, 0)
-    b = t.withColumn("cd", F.cume_dist().over(wo)).select(
-        "prio",
-        "cents",
-        F.min(F.when(F.col("cd") >= 0.05, F.col("cents"))).over(wp).alias("lo"),
-        F.min(F.when(F.col("cd") >= 0.95, F.col("cents"))).over(wp).alias("hi"),
+    # distinct-value compression: the only full-table pass, a partial-agg
+    # groupBy; everything after runs on the bounded distribution
+    dist = t.groupBy("prio", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wo = (
+        W.partitionBy("prio")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    cd = (F.sum("cnt").over(wo) / F.sum("cnt").over(W.partitionBy("prio"))).alias("cd")
+    thresholds = (
+        dist.select("prio", "cents", "cnt", cd)
+        .groupBy("prio")
+        .agg(
+            F.min(F.when(F.col("cd") >= 0.05, F.col("cents"))).alias("lo"),
+            F.min(F.when(F.col("cd") >= 0.95, F.col("cents"))).alias("hi"),
+        )
+    )
+    D38 = T.DecimalType(38, 0)
     clipped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
-    n = F.count(F.lit(1))
+    n = F.sum("cnt")
     return (
-        b.groupBy("prio", "lo", "hi")
+        dist.join(F.broadcast(thresholds), "prio")
+        .groupBy("prio", "lo", "hi")
         .agg(
             n.alias("n_orders"),
-            (F.sum(F.col("cents").cast(D38)).cast("double") / 100.0 / n).alias(
-                "mean_raw"
-            ),
-            (F.sum(clipped.cast(D38)).cast("double") / 100.0 / n).alias(
-                "mean_winsorized"
-            ),
+            (
+                F.sum(F.col("cents").cast(D38) * F.col("cnt")).cast("double")
+                / 100.0
+                / n
+            ).alias("mean_raw"),
+            (
+                F.sum(clipped.cast(D38) * F.col("cnt")).cast("double") / 100.0 / n
+            ).alias("mean_winsorized"),
         )
         .select(
             "prio",

@@ -291,6 +291,24 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
 
 
+def test_winsorize_windows_over_compressed_distribution_not_raw_rows(spark, sf_dir):
+    """stat_winsorize partitions its window by a 5-value key — safe ONLY
+    because the window input is the distinct (prio, cents) -> count
+    distribution, not the raw orders table. Pin that: below the LAST Window
+    node the plan must compress via a HashAggregate keyed on (prio, cents)
+    before any file scan, and the bounded threshold table must come back
+    via a broadcast join (no second shuffle of the distribution)."""
+    df = _Q["stat_winsorize"].fn(spark, sf_dir)
+    p = plan_of(df)
+    last_window = p.rfind("Window")
+    assert last_window != -1, p
+    below = p[last_window:]
+    assert re.search(r"HashAggregate\(keys=\[prio#\d+, cents#\d+L\]", below), (
+        f"window input is not the compressed (prio, cents) distribution:\n{p}"
+    )
+    assert "BroadcastHashJoin" in p, p
+
+
 def test_pack_sequences_windows_per_shard_not_single_partition(spark, sf_dir):
     """The packing window partitions by shard — the plan must hash-partition
     on shard, never collapse to SinglePartition (the global-ORDER-BY window
