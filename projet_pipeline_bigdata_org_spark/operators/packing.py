@@ -14,15 +14,23 @@ global single-partition window exists at scale:
   DuckDB oracle replays the same recurrence with a recursive CTE.
 
 Scale posture: the shard key (``doc_id % N_SHARDS``) bounds every window /
-grouped-map to one shard; at 100 TB, N_SHARDS scales with the corpus (e.g.
-one shard per input split), keeping per-task state constant. No global
-ordering, no driver collect.
+grouped-map to one shard. N_SHARDS is CONFIGURATION, not a constant:
+``$SPARK_GRAFT_PACK_SHARDS`` if set, else the engine's shuffle fan-out
+(``session.DEFAULT_SHUFFLE_PARTITIONS``) — so a cluster deployment that
+raises shuffle parallelism for 100 TB gets matching packing fan-out, and
+per-task window state stays constant. The registered oracles render from
+the same resolved value, so Spark and DuckDB always agree on the shard
+layout. Every query also has a ``*_at(spark, sf_dir, n_shards)`` builder +
+``*_oracle(n_shards)`` template pair so tests prove parity holds at
+non-default fan-outs. No global ordering, no driver collect.
 
 Reference seed: the reference's micro-batch accumulation (SURVEY §2.1 S5)
 is record-oriented; packing is the training-side counterpart it lacks.
 """
 
 from __future__ import annotations
+
+import os
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -32,30 +40,41 @@ from pyspark.sql import functions as F
 from projet_pipeline_bigdata_org_spark.catalog import load
 from projet_pipeline_bigdata_org_spark.operators.textops import SQL_WS_TOKENS, ws_tokens
 from projet_pipeline_bigdata_org_spark.plans.registry import query
+from projet_pipeline_bigdata_org_spark.session import DEFAULT_SHUFFLE_PARTITIONS
 
 #: fixed token budget of one packed training sequence / bin
 SEQ_BUDGET = 256
-#: shard fan-out; scales with corpus size on a real cluster
-N_SHARDS = 8
+
+
+def resolve_shards() -> int:
+    """Shard fan-out: $SPARK_GRAFT_PACK_SHARDS, else the engine's shuffle
+    parallelism — the knob a deployment already scales with data volume."""
+    env = os.environ.get("SPARK_GRAFT_PACK_SHARDS")
+    if env:
+        return max(1, int(env))
+    return DEFAULT_SHUFFLE_PARTITIONS
+
+
+#: resolved once per process; registered oracles render from the same value
+N_SHARDS = resolve_shards()
 
 _TOK_SQL = SQL_WS_TOKENS.format(c="text")
 
 
-def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _token_counts(spark: SparkSession, sf_dir: str, n_shards: int) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        (F.col("doc_id") % N_SHARDS).cast("long").alias("shard"),
+        (F.col("doc_id") % n_shards).cast("long").alias("shard"),
         F.size(ws_tokens("text")).cast("long").alias("n_tokens"),
     )
 
 
-@query(
-    "pack_sequences",
-    oracle=f"""
+def pack_sequences_oracle(n_shards: int) -> str:
+    return f"""
     WITH t AS (
       SELECT doc_id,
-             doc_id % {N_SHARDS} AS shard,
+             doc_id % {n_shards} AS shard,
              CAST(LEN({_TOK_SQL}) AS BIGINT) AS n_tokens
       FROM documents
     ), c AS (
@@ -74,14 +93,11 @@ def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      THEN (cum - 1) // {SEQ_BUDGET} - (cum - n_tokens) // {SEQ_BUDGET} + 1
                      ELSE 0 END AS BIGINT) AS n_seqs_spanned
     FROM c
-    """,
-    tags=("llm", "packing", "documents"),
-)
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-split packing: per-shard running token offsets mapped to
-    fixed-budget sequence ids (a document spanning a boundary reports the
-    sequence range it lands in). One window per shard — no global sort."""
-    t = _token_counts(spark, sf_dir)
+    """
+
+
+def pack_sequences_at(spark: SparkSession, sf_dir: str, n_shards: int) -> DataFrame:
+    t = _token_counts(spark, sf_dir, n_shards)
     w = W.partitionBy("shard").orderBy("doc_id")
     c = t.withColumn("cum", F.sum("n_tokens").over(w))
     tok_start = F.col("cum") - F.col("n_tokens")
@@ -101,6 +117,18 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_seqs_spanned"),
     )
+
+
+@query(
+    "pack_sequences",
+    oracle=pack_sequences_oracle(N_SHARDS),
+    tags=("llm", "packing", "documents"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split packing: per-shard running token offsets mapped to
+    fixed-budget sequence ids (a document spanning a boundary reports the
+    sequence range it lands in). One window per shard — no global sort."""
+    return pack_sequences_at(spark, sf_dir, N_SHARDS)
 
 
 def nextfit_bins(counts: DataFrame, budget: int = SEQ_BUDGET) -> DataFrame:
@@ -130,12 +158,11 @@ def nextfit_bins(counts: DataFrame, budget: int = SEQ_BUDGET) -> DataFrame:
     return counts.groupBy("shard").applyInPandas(_pack, schema=schema)
 
 
-@query(
-    "pack_bins_nextfit",
-    oracle=f"""
+def pack_bins_nextfit_oracle(n_shards: int) -> str:
+    return f"""
     WITH t AS (
       SELECT doc_id,
-             doc_id % {N_SHARDS} AS shard,
+             doc_id % {n_shards} AS shard,
              CAST(LEN({_TOK_SQL}) AS BIGINT) AS n_tokens
       FROM documents
     ), s AS (
@@ -158,21 +185,29 @@ def nextfit_bins(counts: DataFrame, budget: int = SEQ_BUDGET) -> DataFrame:
     )
     SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens, bin_id
     FROM r
-    """,
+    """
+
+
+def pack_bins_nextfit_at(spark: SparkSession, sf_dir: str, n_shards: int) -> DataFrame:
+    return nextfit_bins(_token_counts(spark, sf_dir, n_shards))
+
+
+@query(
+    "pack_bins_nextfit",
+    oracle=pack_bins_nextfit_oracle(N_SHARDS),
     tags=("llm", "packing", "documents", "applyInPandas"),
 )
 def pack_bins_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document next-fit bin packing per shard (grouped-map kernel;
     recursive-CTE oracle replays the identical recurrence)."""
-    return nextfit_bins(_token_counts(spark, sf_dir))
+    return pack_bins_nextfit_at(spark, sf_dir, N_SHARDS)
 
 
-@query(
-    "pack_bin_fill",
-    oracle=f"""
+def pack_bin_fill_oracle(n_shards: int) -> str:
+    return f"""
     WITH t AS (
       SELECT doc_id,
-             doc_id % {N_SHARDS} AS shard,
+             doc_id % {n_shards} AS shard,
              CAST(LEN({_TOK_SQL}) AS BIGINT) AS n_tokens
       FROM documents
     ), c AS (
@@ -189,14 +224,23 @@ def pack_bins_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_tokens) AS BIGINT) AS tokens_started
     FROM d
     GROUP BY shard, seq_first
-    """,
+    """
+
+
+def pack_bin_fill_at(spark: SparkSession, sf_dir: str, n_shards: int) -> DataFrame:
+    seqs = pack_sequences_at(spark, sf_dir, n_shards)
+    return seqs.groupBy("shard", F.col("seq_first").alias("seq_id")).agg(
+        F.count("*").alias("n_docs_starting"),
+        F.sum("n_tokens").cast("long").alias("tokens_started"),
+    )
+
+
+@query(
+    "pack_bin_fill",
+    oracle=pack_bin_fill_oracle(N_SHARDS),
     tags=("llm", "packing", "documents"),
 )
 def pack_bin_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing diagnostics: per sequence, how many documents start in it and
     the token mass they carry (boundary-straddle load profile)."""
-    seqs = pack_sequences(spark, sf_dir)
-    return seqs.groupBy("shard", F.col("seq_first").alias("seq_id")).agg(
-        F.count("*").alias("n_docs_starting"),
-        F.sum("n_tokens").cast("long").alias("tokens_started"),
-    )
+    return pack_bin_fill_at(spark, sf_dir, N_SHARDS)
