@@ -762,13 +762,22 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n_nationkey AS INT) AS nationkey FROM nation
     EXCEPT
     SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+    WHERE s_acctbal > 5000
     """,
     tags=("setop", "relational"),
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct) — nations with no supplier."""
+    """EXCEPT (distinct) — nations with no high-balance supplier. The
+    balance predicate keeps the right side a strict subset of nation keys
+    at every test SF, so the driver row certifies non-empty EXCEPT
+    semantics (every nation has SOME supplier — the unfiltered form is
+    vacuously empty, the round-1 anti-join lesson)."""
     n = load(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
-    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return n.subtract(s)
 
 

@@ -637,13 +637,36 @@ def lex_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Crafted URL-bearing rows unioned into text_extract_urls below: the
+# synthetic corpus is URL-free, so without these the query certifies only
+# an empty rollup. Negative doc_ids cannot collide with corpus ids. The
+# rows exercise every normalization branch: host case-folding, query/
+# fragment stripping, path-case preservation, http vs https, multiple
+# URLs per document, and cross-document duplicate canonical forms.
+URL_FIXTURE_ROWS: tuple[tuple[int, str], ...] = (
+    (-1, "see https://Example.COM/Path/One?utm=x#frag and http://example.com/two"),
+    (-2, "dup https://example.com/Path/One#other plus https://CDN.example.net/a?b=c"),
+    (-3, "plain text with no links at all"),
+    (-4, "http://example.com/two?session=9 again and https://cdn.example.net/a"),
+)
+
+_URL_FIXTURE_SQL = " UNION ALL ".join(
+    "SELECT CAST({} AS BIGINT) AS doc_id, '{}' AS text".format(i, t.replace("'", "''"))
+    for i, t in URL_FIXTURE_ROWS
+)
+
+
 @query(
     "text_extract_urls",
-    oracle=r"""
-    WITH u AS (
+    oracle=rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      {_URL_FIXTURE_SQL}
+    ), u AS (
       SELECT doc_id,
              UNNEST(REGEXP_EXTRACT_ALL(text, 'https?://[^\s]+')) AS url
-      FROM documents
+      FROM corpus
     ), n AS (
       SELECT doc_id,
              LOWER(REGEXP_EXTRACT(url, 'https?://([^/\s?#]+)', 1)) AS domain,
@@ -666,10 +689,13 @@ def text_extract_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive behind domain blocklists and per-domain caps): pull URLs out
     of raw text, strip query/fragment (tracking params), lowercase the
     registrable host, aggregate per domain. All JVM regex — one explode,
-    one shuffle on domain. (The synthetic corpus has no URLs, so at test
-    scale this returns an empty rollup through the exact same plan; the
-    regex twins are exercised on crafted strings in tests.)"""
-    d = load(spark, sf_dir, "documents")
+    one shuffle on domain. The synthetic corpus is URL-free, so a small
+    crafted fixture (URL_FIXTURE_ROWS, mirrored in the oracle) unions
+    through the SAME plan to keep the certified rollup non-empty; the
+    union is a zero-shuffle append of 4 rows."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        spark.createDataFrame(list(URL_FIXTURE_ROWS), "doc_id long, text string")
+    )
     u = d.select(
         "doc_id",
         F.explode(

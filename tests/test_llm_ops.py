@@ -683,10 +683,11 @@ def test_extract_urls_on_crafted_strings(spark):
     assert list(got["domain"]) == list(want["domain"])
     for c in ["n_urls", "n_distinct_urls", "n_docs"]:
         assert list(got[c]) == list(want[c]), c
-    # normalization semantics: example.com collapses case + tracking params
+    # normalization semantics: example.com collapses case + tracking params.
+    # Both plans also union URL_FIXTURE_ROWS (4 urls / 2 canonical / 3 docs
+    # for example.com) on top of this test's corpus (4 / 3 / 3).
     ex = got.set_index("domain").loc["example.com"]
-    # 4 raw urls -> 3 canonical (host case + params fold; scheme stays distinct)
-    assert ex["n_urls"] == 4 and ex["n_distinct_urls"] == 3 and ex["n_docs"] == 3
+    assert ex["n_urls"] == 8 and ex["n_distinct_urls"] == 5 and ex["n_docs"] == 6
 
 
 def test_triangle_count_on_crafted_graph(spark):
