@@ -702,3 +702,16 @@ def test_triangle_count_on_crafted_graph(spark):
     with mock.patch.object(grouped, "load", lambda _s, _d, _t: li):
         out = plans.get("graph_triangle_count").fn(spark, "ignored").first()
     assert (out.n_vertices, out.n_edges, out.n_triangles) == (6, 8, 4)
+
+
+def test_decontaminate_flags_fire_at_test_scale(spark, sf_dir):
+    """The contamination flag path must be exercised end-to-end, not
+    vacuously green: the synthetic corpus's benchmark split (doc_id % 89)
+    shares enough shingles with the train split that >=1 document crosses
+    the 10% overlap threshold at every test SF (6 at sf0.001, 5 at
+    sf0.01 — rechecked here so corpus regeneration can't silently turn
+    the driver's row into an all-False rollup)."""
+    d = plans.get("lex_decontaminate").fn(spark, sf_dir)
+    flagged = d.filter(F.col("contaminated")).count()
+    assert flagged >= 1, "no contaminated docs at test scale — flag path vacuous"
+    assert flagged < d.count(), "every doc contaminated — threshold degenerate"
