@@ -212,6 +212,52 @@ def test_aqe_splits_skewed_join(spark):
             spark.conf.set(k, v)
 
 
+def test_salted_join_spreads_hot_key_across_partitions(spark):
+    """The salted join must do what salting is FOR: a hot key's rows, which
+    a plain hash-partitioned join sends to ONE reducer, must land in many
+    shuffle partitions under salting. Measured directly (spark_partition_id
+    on the joined rows), not inferred from the plan text — AQE off so
+    coalescing can't merge the spread away at test scale."""
+    from pyspark.sql import functions as F
+
+    from projet_pipeline_bigdata_org_spark.functions.skew import salted_join
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": "16",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        hot, n_hot = 42, 20_000
+        big = spark.range(n_hot + 1_000).select(
+            F.when(F.col("id") < n_hot, hot).otherwise(F.col("id") % 50).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 7).alias("v"))
+
+        def hot_partitions(joined):
+            return (
+                joined.withColumn("pid", F.spark_partition_id())
+                .filter(F.col("k") == hot)
+                .select("pid")
+                .distinct()
+                .count()
+            )
+
+        assert hot_partitions(big.join(dim, "k")) == 1  # the problem
+        spread = hot_partitions(salted_join(big, dim, "k", n_salts=16))
+        assert spread >= 8, f"hot key only spread to {spread} partitions"
+        # result invariance rides the registered query's plain-join oracle;
+        # re-assert the row count here so the spread isn't from dup/drop
+        assert salted_join(big, dim, "k", n_salts=16).count() == n_hot + 1_000
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_gopher_rules_is_single_stage_projection(spark, sf_dir):
     """The quality filter must be scan → flags with no shuffle: at 100 TB a
     quality pass that exchanges data would dominate the job."""
