@@ -41,10 +41,14 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark lacks;
-    with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as LongType
-    nanos and is floored to microsecond TimestampType here — the same
-    truncation DuckDB applies when surfacing ns timestamps.
+    ``events.ts`` has shipped in two physical layouts across testdata
+    generations: parquet TIMESTAMP(NANOS) — which Spark lacks, arriving as
+    LongType nanos under ``spark.sql.legacy.parquet.nanosAsLong`` — and
+    plain TIMESTAMP_MICROS without a UTC flag, arriving as TIMESTAMP_NTZ.
+    Both normalize here to microsecond TimestampType in the session's UTC
+    zone (the naive values ARE UTC, per TESTDATA.md), so every downstream
+    expression (``unix_micros``, windowing, date_format) sees one stable
+    type regardless of which generation wrote the files.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -52,10 +56,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ensure_runtime_confs(spark)  # driver-built sessions lack our configs
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) floored to micros
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":  # naive UTC micros -> session-UTC
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -1,0 +1,155 @@
+"""Corpus curation operators (SURVEY §2.12 add-on, round 5): the selection
+step of a pretraining-data pipeline — which documents make the training mix
+— as distinct from cleaning (textops), dedup (dedup/similarity), and
+packing (packing).
+
+- ``mix_temperature_sources`` — temperature-flattened source mixture
+  (T=2): big sources are down-sampled toward sqrt-proportional weight, the
+  standard multilingual/multi-source rebalancing rule. Selection is a
+  deterministic multiplicative-hash coin per document, so every engine,
+  retry, and resample picks the same rows.
+- ``select_token_budget`` — greedy per-shard document selection under a
+  fixed token budget (longest-first): the "fill the training budget"
+  primitive. Same per-shard window discipline as packing.pack_sequences —
+  no global sort, fan-out follows ``packing.resolve_shards()``.
+
+Exactness: thresholds go through SQRT (IEEE correctly-rounded in both
+engines) and FLOOR to integers; the coin is pure int64 arithmetic — so the
+DuckDB twins are bit-exact, no float tolerance anywhere.
+
+Reference seed: the reference pipeline ingests everything it scrapes
+(data_ingestion.py:121-141) — mixture control is the curation layer it
+lacks for training-scale corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from projet_pipeline_bigdata_org_spark.catalog import load
+from projet_pipeline_bigdata_org_spark.operators.packing import N_SHARDS, SEQ_BUDGET
+from projet_pipeline_bigdata_org_spark.operators.textops import SQL_WS_TOKENS, ws_tokens
+from projet_pipeline_bigdata_org_spark.plans.registry import query
+
+#: deterministic coin: (doc_id * KNUTH) mod PRIME, uniform over [0, PRIME)
+_KNUTH = 2654435761
+_PRIME32 = 4294967291
+
+_TOK_SQL = SQL_WS_TOKENS.format(c="text")
+
+
+@query(
+    "mix_temperature_sources",
+    oracle=f"""
+    WITH n AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), m AS (
+      SELECT MIN(n_docs) AS n_min FROM n
+    ), thr AS (
+      SELECT source, n_docs,
+             CAST(FLOOR(({_PRIME32} * SQRT(n_min)) / SQRT(n_docs)) AS BIGINT)
+               AS threshold
+      FROM n CROSS JOIN m
+    )
+    SELECT d.source,
+           thr.n_docs,
+           thr.threshold,
+           COUNT(CASE WHEN (d.doc_id * {_KNUTH}) % {_PRIME32} < thr.threshold
+                      THEN 1 END) AS n_kept
+    FROM documents d JOIN thr ON d.source = thr.source
+    GROUP BY d.source, thr.n_docs, thr.threshold
+    """,
+    tags=("llm", "curation", "sampling", "documents"),
+)
+def mix_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture (T=2): per-source keep
+    probability sqrt(n_min/n_source), so the kept mass scales with
+    sqrt(n_source) — large sources flatten, the smallest keeps everything.
+
+    Scale shape: source counts are a partial-agg'd rollup (|sources| rows);
+    the min is one more scalar agg; both ride broadcast joins back onto the
+    corpus — the only full-corpus pass is the final filter+agg. The keep
+    coin is a multiplicative hash of doc_id (no rand(): deterministic
+    across engines and task retries). Thresholds are FLOOR(PRIME *
+    sqrt(n_min)/sqrt(n)) — SQRT is IEEE correctly-rounded in Spark and
+    DuckDB alike, so the integer thresholds (and therefore every keep
+    decision) are bit-identical."""
+    d = load(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    # global min via an unpartitioned window over the COUNTS table — its
+    # input is already compressed to |sources| rows, so the SinglePartition
+    # window is bounded by construction (and saves a second corpus scan
+    # that a separate scalar-agg branch would cost)
+    n_min = F.min("n_docs").over(W.partitionBy())
+    thr = n.select(
+        "source",
+        "n_docs",
+        F.floor((F.lit(_PRIME32) * F.sqrt(n_min)) / F.sqrt("n_docs"))
+        .cast("long")
+        .alias("threshold"),
+    )
+    coin = (F.col("doc_id") * _KNUTH) % _PRIME32
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(thr), "source")
+        .groupBy("source", "n_docs", "threshold")
+        .agg(F.count(F.when(coin < F.col("threshold"), 1)).alias("n_kept"))
+    )
+
+
+#: per-shard token budget for greedy selection; one shard's selection is
+#: independent of every other shard, so total selected tokens scale as
+#: budget × resolve_shards() — raise either knob for a bigger training mix
+SELECT_BUDGET = SEQ_BUDGET
+
+
+@query(
+    "select_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             doc_id % {N_SHARDS} AS shard,
+             CAST(LEN({_TOK_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT *,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY n_tokens DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens, cum_tokens,
+           cum_tokens <= {SELECT_BUDGET} AS selected
+    FROM c
+    """,
+    tags=("llm", "curation", "packing", "documents"),
+)
+def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-first document selection under a per-shard token
+    budget: within each shard, documents are taken in (n_tokens DESC,
+    doc_id) order while the running total stays within SELECT_BUDGET.
+
+    Scale shape: identical to pack_sequences — the window partitions by the
+    configurable shard key (packing.resolve_shards), never a global sort;
+    per-task state is one shard's running sum. The greedy-by-length rule is
+    a stand-in for greedy-by-quality: swap the ORDER BY for a quality score
+    column and the plan is unchanged."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % N_SHARDS).cast("long").alias("shard"),
+        F.size(ws_tokens("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy(F.col("n_tokens").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        (F.sum("n_tokens").over(w) <= SELECT_BUDGET).alias("selected"),
+    )

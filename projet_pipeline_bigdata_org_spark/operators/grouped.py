@@ -636,3 +636,48 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_triangles").cast("long"),
         )
     )
+
+
+@query(
+    "graph_degree_histogram",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT x, COUNT(*) AS deg FROM (
+        SELECT u AS x FROM pairs UNION ALL SELECT v FROM pairs)
+      GROUP BY x
+    )
+    SELECT deg, COUNT(*) AS n_vertices
+    FROM deg GROUP BY deg
+    """,
+    tags=("graph", "join", "lineitem"),
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph — the skew radar
+    that decides whether the wedge join (graph_triangle_count) or CC label
+    propagation needs hub handling. Same edge derivation as the triangle
+    count (per-order pair generation, bounded by basket size; undirected
+    edges deduped as u<v); two partial-agg'd shuffles end-to-end, output
+    bounded by the max degree."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    deg = (
+        pairs.select(F.col("u").alias("x"))
+        .unionAll(pairs.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return deg.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))

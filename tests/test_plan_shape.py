@@ -365,6 +365,27 @@ def test_pack_sequences_windows_per_shard_not_single_partition(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_select_token_budget_windows_per_shard(spark, sf_dir):
+    """The budget-selection window partitions by the configurable shard key
+    — same discipline as pack_sequences, never SinglePartition."""
+    df = _Q["select_token_budget"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert re.search(r"hashpartitioning\(shard", plan)
+    assert "SinglePartition" not in plan
+
+
+def test_mix_temperature_broadcasts_thresholds(spark, sf_dir):
+    """The per-source threshold table (|sources| rows) must broadcast back
+    onto the corpus; the only corpus-wide exchange is the final partial-
+    agg'd rollup on source."""
+    df = _Q["mix_temperature_sources"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p, p
+    # corpus-side shuffles: the final rollup only (threshold aggs are on
+    # the tiny counts side and also partial-agg'd)
+    assert p.count("Exchange hashpartitioning") <= 2, p
+
+
 def test_pack_shard_fanout_tracks_config(spark, sf_dir, monkeypatch):
     """N_SHARDS is configuration, not a constant: it follows
     $SPARK_GRAFT_PACK_SHARDS (else the engine's shuffle fan-out), and the
