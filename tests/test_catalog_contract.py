@@ -1,0 +1,92 @@
+"""Testdata schema contract — the regeneration radar.
+
+The driver regenerates /root/testdata between rounds and has already
+changed physical layouts once (events.ts: TIMESTAMP(NANOS)-as-long →
+TIMESTAMP_MICROS/NTZ, which silently broke every unix_micros query until
+catalog.load learned both forms). This test pins the POST-normalization
+schema of every table, so the next generation shift fails here with a
+one-line diff instead of as analysis errors scattered across 141 queries.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from projet_pipeline_bigdata_org_spark.catalog import TABLES, load
+
+EXPECTED = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [("n_nationkey", "int"), ("n_name", "string"), ("n_regionkey", "int")],
+    "customer": [
+        ("c_custkey", "bigint"),
+        ("c_name", "string"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "double"),
+        ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "bigint"),
+        ("s_name", "string"),
+        ("s_nationkey", "int"),
+        ("s_acctbal", "double"),
+    ],
+    "part": [
+        ("p_partkey", "bigint"),
+        ("p_name", "string"),
+        ("p_brand", "string"),
+        ("p_type", "string"),
+        ("p_size", "int"),
+        ("p_retailprice", "double"),
+    ],
+    "orders": [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp_ntz"),
+        ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "bigint"),
+        ("l_partkey", "bigint"),
+        ("l_suppkey", "bigint"),
+        ("l_linenumber", "int"),
+        ("l_quantity", "double"),
+        ("l_extendedprice", "double"),
+        ("l_discount", "double"),
+        ("l_tax", "double"),
+        ("l_returnflag", "string"),
+        ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp_ntz"),
+    ],
+    # ts is the NORMALIZED type: catalog.load maps both historical physical
+    # layouts (nanos-as-long, micros-NTZ) to session-UTC timestamp
+    "events": [
+        ("event_id", "bigint"),
+        ("ts", "timestamp"),
+        ("user_id", "bigint"),
+        ("event_type", "string"),
+        ("value", "double"),
+        ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "bigint"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "bigint"),
+    ],
+    "embeddings": [
+        ("vec_id", "bigint"),
+        ("embedding", "array<float>"),
+        ("label", "int"),
+    ],
+}
+
+
+@pytest.mark.parametrize("table", TABLES)
+def test_normalized_table_schema_is_stable(spark, sf_dir, table):
+    assert load(spark, sf_dir, table).dtypes == EXPECTED[table], (
+        f"{table}: testdata generation changed shape — update catalog.load "
+        "normalization (and this contract) deliberately, not by surprise"
+    )
