@@ -1114,6 +1114,119 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: l-diversity floor: a QI group whose sensitive attribute shows fewer
+#: distinct values than this is re-identifiable by attribute disclosure
+L_DIVERSITY = 3
+
+
+@query(
+    "privacy_l_diversity",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, c_custkey % 10 AS age_band,
+             COUNT(*) AS grp_n,
+             COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS l_div
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment, c_custkey % 10
+    )
+    SELECT COUNT(*) AS n_groups,
+           COUNT(CASE WHEN l_div < {L_DIVERSITY} THEN 1 END) AS n_low_diversity,
+           CAST(SUM(CASE WHEN l_div < {L_DIVERSITY} THEN grp_n ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(MIN(l_div) AS BIGINT) AS min_diversity
+    FROM g
+    """,
+    tags=("llm", "privacy", "customer"),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's partner check: a QI group can be
+    large (k-safe) yet still leak if everyone in it shares the same
+    sensitive value. Counts QI groups whose sensitive attribute (account-
+    balance band) shows < L distinct values, and the rows exposed to
+    attribute disclosure. Same shape as privacy_k_anonymity: one groupBy
+    with a distinct-count (partial-agg'd map-side) + one scalar rollup."""
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("c_custkey") % 10).alias("age_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("grp_n"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("long")
+        ).alias("l_div"),
+    )
+    low = F.col("l_div") < L_DIVERSITY
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(low, 1)).alias("n_low_diversity"),
+        F.sum(F.when(low, F.col("grp_n")).otherwise(0)).cast("long").alias(
+            "n_rows_at_risk"
+        ),
+        F.min("l_div").alias("min_diversity"),
+    )
+
+
+@query(
+    "stat_exact_percentiles",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority AS prio,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), c AS (
+      SELECT *, CUME_DIST() OVER (PARTITION BY prio ORDER BY cents) AS cd
+      FROM t
+    )
+    SELECT prio,
+           COUNT(*) AS n_orders,
+           CAST(MIN(CASE WHEN cd >= 0.25 THEN cents END) AS DOUBLE) / 100.0 AS p25,
+           CAST(MIN(CASE WHEN cd >= 0.50 THEN cents END) AS DOUBLE) / 100.0 AS p50,
+           CAST(MIN(CASE WHEN cd >= 0.75 THEN cents END) AS DOUBLE) / 100.0 AS p75,
+           CAST(MIN(CASE WHEN cd >= 0.95 THEN cents END) AS DOUBLE) / 100.0 AS p95
+    FROM c GROUP BY prio
+    """,
+    tags=("relational", "stats", "orders"),
+)
+def stat_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped percentiles (p25/p50/p75/p95) without an approx
+    sketch, via the same compressed-distribution discipline as
+    stat_winsorize: the raw table never enters a window. Rows compress to
+    the distinct (prio, cents) -> count distribution; cume_dist is
+    recovered exactly as running_count/total (the long/long->double
+    division both engines use), and each percentile reduces to a
+    conditional MIN in one per-prio aggregate. The oracle runs the
+    textbook raw-row window form — agreement proves the compression is
+    semantics-preserving. Window input is ~|distinct prices| rows, not the
+    corpus; the pattern is the 100 TB answer to "exact p99 by group"."""
+    o = load(spark, sf_dir, "orders")
+    t = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    dist = t.groupBy("prio", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wo = (
+        W.partitionBy("prio")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cd = (F.sum("cnt").over(wo) / F.sum("cnt").over(W.partitionBy("prio"))).alias("cd")
+    c = dist.select("prio", "cents", "cnt", cd)
+
+    def pctl(p: float, name: str):
+        return (
+            F.min(F.when(F.col("cd") >= p, F.col("cents"))).cast("double") / 100.0
+        ).alias(name)
+
+    return c.groupBy("prio").agg(
+        F.sum("cnt").alias("n_orders"),
+        pctl(0.25, "p25"),
+        pctl(0.50, "p50"),
+        pctl(0.75, "p75"),
+        pctl(0.95, "p95"),
+    )
+
+
 #: Knuth multiplicative constant / large 32-bit prime: a deterministic,
 #: engine-portable pseudo-shuffle key (doc_id·K mod P) — unlike rand()/
 #: TABLESAMPLE, both engines and every retry agree on the order

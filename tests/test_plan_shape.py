@@ -355,6 +355,19 @@ def test_winsorize_windows_over_compressed_distribution_not_raw_rows(spark, sf_d
     assert "BroadcastHashJoin" in p, p
 
 
+def test_exact_percentiles_window_over_compressed_distribution(spark, sf_dir):
+    """stat_exact_percentiles shares stat_winsorize's scale contract: the
+    window input must be the distinct (prio, cents) aggregate, never the
+    raw orders rows."""
+    df = _Q["stat_exact_percentiles"].fn(spark, sf_dir)
+    p = plan_of(df)
+    last_window = p.rfind("Window")
+    assert last_window != -1, p
+    assert re.search(
+        r"HashAggregate\(keys=\[prio#\d+, cents#\d+L\]", p[last_window:]
+    ), f"window input is not the compressed distribution:\n{p}"
+
+
 def test_pack_sequences_windows_per_shard_not_single_partition(spark, sf_dir):
     """The packing window partitions by shard — the plan must hash-partition
     on shard, never collapse to SinglePartition (the global-ORDER-BY window
