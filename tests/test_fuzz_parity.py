@@ -311,3 +311,12 @@ def test_extract_urls_twins_agree_on_fuzz(fuzz_df):
     from projet_pipeline_bigdata_org_spark.operators import textops
 
     _fuzz_query_twins(fuzz_df, textops, "text_extract_urls")
+
+
+def test_select_token_budget_twins_agree_on_fuzz(fuzz_df):
+    """Budget selection (token counts → per-shard longest-first running
+    sum → boolean gate) on adversarial strings; zero-token docs sort last
+    and exercise the cum==prev branch in both engines."""
+    from projet_pipeline_bigdata_org_spark.operators import curation
+
+    _fuzz_query_twins(fuzz_df, curation, "select_token_budget")
