@@ -121,6 +121,11 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
         spread[name] = [round(min(samples), 3), round(max(samples), 3)]
+        # drop caches between queries: operators persist staging tables
+        # (scoped, one per operator), and across a 140-query sweep the
+        # accumulated pins inflate later queries ~1.5-3x via memory
+        # pressure — each query should be timed against a clean executor
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     tiers = {
