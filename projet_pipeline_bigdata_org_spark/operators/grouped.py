@@ -662,7 +662,9 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation needs hub handling. Same edge derivation as the triangle
     count (per-order pair generation, bounded by basket size; undirected
     edges deduped as u<v); two partial-agg'd shuffles end-to-end, output
-    bounded by the max degree."""
+    bounded by the max degree. Both endpoints leave one pairs pass via
+    explode — a unionAll of per-endpoint projections would re-derive the
+    join+dedup subtree twice (the plan's heaviest work) at any scale."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     pairs = (
@@ -675,8 +677,7 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["u", "v"])
     )
     deg = (
-        pairs.select(F.col("u").alias("x"))
-        .unionAll(pairs.select(F.col("v").alias("x")))
+        pairs.select(F.explode(F.array("u", "v")).alias("x"))
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
