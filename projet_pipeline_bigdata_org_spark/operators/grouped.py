@@ -569,6 +569,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     its low-degree neighbors do). Three equi-join shuffles, no all-pairs.
     The oracle counts the same triangles with the plain a<b<c form —
     the count is ordering-invariant, which is the cross-check."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     pairs = (
@@ -580,14 +582,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .dropDuplicates(["u", "v"])
     )
+    # both endpoints leave ONE pairs pass via explode; the unionAll-of-
+    # projections form would re-derive the self-join+dedup subtree per
+    # endpoint. (Persisting pairs instead measured SLOWER at sf0.1: the
+    # materialization barrier costs more than one pipelined recompute —
+    # the oriented edge set e below, reused by three joins, stays the
+    # persist point.)
     deg = (
-        pairs.select(F.col("u").alias("x"))
-        .unionAll(pairs.select(F.col("v").alias("x")))
+        pairs.select(F.explode(F.array("u", "v")).alias("x"))
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
-
     du = deg.select(F.col("x").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("x").alias("v"), F.col("deg").alias("dv"))
     # redirect: lo = endpoint with the smaller (deg, id) tuple. Persisted —
