@@ -123,14 +123,6 @@ def connected_components(
     large-star/small-star variant (O(log diameter) rounds) and returns its
     result — same contract, proven equivalent in tests. Set
     ``fallback_to_star=False`` to get the original RuntimeError instead."""
-    fwd = edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-    rev = edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
-    adj = fwd.union(rev)
-    labels = (
-        adj.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("cluster_id", F.col("node"))
-    )
     sc = edges.sparkSession.sparkContext
     if reliable_checkpoint is None:
         reliable_checkpoint = sc.getCheckpointDir() is not None
@@ -140,6 +132,26 @@ def connected_components(
         return df.checkpoint(eager=True) if reliable_checkpoint else df.localCheckpoint(
             eager=True
         )
+
+    # symmetrize in ONE pass over the (possibly expensive) input subtree —
+    # explode, not union-of-projections — and checkpoint the adjacency once:
+    # every round's neighbor_min joins adj, so an unmaterialized adj would
+    # re-derive the upstream pair generation 2x per iteration at any scale
+    adj = _checkpoint(
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a_id").alias("src"), F.col("b_id").alias("dst")),
+                    F.struct(F.col("b_id").alias("src"), F.col("a_id").alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
+    )
+    labels = (
+        adj.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+    )
 
     changed = -1
     for _ in range(max_iter):
@@ -309,9 +321,21 @@ def agg_approximate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _symmetric(edges: DataFrame) -> DataFrame:
-    fwd = edges.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
-    rev = edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
-    return fwd.union(rev).filter(F.col("u") != F.col("v")).distinct()
+    # one pass over the input subtree (explode), not a union of two
+    # projections that would each re-derive it
+    return (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a_id").alias("u"), F.col("b_id").alias("v")),
+                    F.struct(F.col("b_id").alias("u"), F.col("a_id").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
 
 
 def connected_components_star(
