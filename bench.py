@@ -97,7 +97,11 @@ def main() -> None:
         headline = tuple(queries)
     else:
         headline = tuple(_resolve(queries, n) for n in HEADLINE)
-    runs = 1 if full_sweep else int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    raw_runs = os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")
+    try:
+        runs = 1 if full_sweep else max(1, int(raw_runs))
+    except ValueError:
+        sys.exit(f"SPARK_GRAFT_BENCH_RUNS must be an integer, got {raw_runs!r}")
 
     # Warm-up: run every headline query once at the SMALLEST scale factor.
     # Whole-stage codegen compiles per plan structure, so this JIT-compiles

@@ -1,0 +1,39 @@
+"""Deterministic, engine-portable pseudo-random coin: ``(key·K) mod P``
+with K = Knuth's multiplicative constant and P the largest 32-bit prime.
+Unlike ``rand()``/TABLESAMPLE, both engines, every task retry, and every
+resample agree on the value — the ordering/selection primitive behind
+``sample_fixed_per_group``, ``mix_temperature_sources``.
+
+Overflow safety: a raw ``key * K`` wraps int64 once key exceeds ~3.5e9 —
+and it wraps *differently* across engines (Spark non-ANSI wraps silently,
+DuckDB raises). The coin therefore reduces ``key mod P`` first and
+multiplies in two 16-bit limbs of K, keeping every intermediate below
+2^49, so the result equals the mathematical ``(key·K) mod P`` at ANY key
+magnitude, identically in Spark and DuckDB. (K < P, so the mod-P
+reduction of the key loses nothing.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Knuth multiplicative constant / largest 32-bit prime
+KNUTH = 2654435761
+PRIME32 = 4294967291
+
+_K_HI, _K_LO = KNUTH >> 16, KNUTH & 0xFFFF
+
+
+def hash_coin(key: Column | str) -> Column:
+    """``(key·KNUTH) mod PRIME32`` — uniform over [0, PRIME32), wrap-free."""
+    k = F.col(key) if isinstance(key, str) else key
+    d0 = k % PRIME32
+    hi = (d0 * _K_HI) % PRIME32
+    return (hi * 65536 + d0 * _K_LO) % PRIME32
+
+
+def sql_hash_coin(key: str) -> str:
+    """The identical coin as DuckDB SQL (same limb decomposition)."""
+    d0 = f"({key} % {PRIME32})"
+    return f"((({d0} * {_K_HI}) % {PRIME32}) * 65536 + {d0} * {_K_LO}) % {PRIME32}"

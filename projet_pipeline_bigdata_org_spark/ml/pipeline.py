@@ -148,8 +148,35 @@ def attach_topics(scored: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+#: hard ceiling on the pipeline fit input. W2V/LDA/RF are driver-coordinated
+#: iterative multi-pass fits — at 100 TB an unbounded .fit() over the corpus
+#: is a scale-killer (the round-5 sweep's single most expensive query). Same
+#: discipline as similarity.IVF_FIT_MAX_ROWS / SemDeDup: bounded seeded
+#: sample for the fit, full-corpus transform unchanged. The reference's own
+#: training corpus is a bounded 1,135-record file (spark/model_training.py:31).
+TRAIN_MAX_ROWS = 100_000
+#: oversampling margin so the Bernoulli sample almost surely reaches the
+#: target before the exact .limit cap
+TRAIN_OVERSAMPLE = 1.2
+
+
+def _train_fit_sample(prepared: DataFrame) -> DataFrame:
+    """Bounded, seeded sample of prepared training rows for the fit.
+
+    fraction = min(1, OVERSAMPLE · MAX_ROWS / n) from one count(), then an
+    exact `.limit` cap — fit input ≤ TRAIN_MAX_ROWS at any corpus size. At
+    test scale (≤ 50k docs) the corpus passes through whole, so fitted
+    weights — and every determinism test — are unchanged."""
+    n = prepared.count()
+    fraction = min(1.0, TRAIN_OVERSAMPLE * TRAIN_MAX_ROWS / max(n, 1))
+    sample = prepared
+    if fraction < 1.0:
+        sample = sample.sample(fraction=fraction, seed=SEED)
+    return sample.limit(TRAIN_MAX_ROWS)
+
+
 def train(documents: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> PipelineModel:
-    return build_feature_pipeline(cfg).fit(prepare_documents(documents))
+    return build_feature_pipeline(cfg).fit(_train_fit_sample(prepare_documents(documents)))
 
 
 @query(

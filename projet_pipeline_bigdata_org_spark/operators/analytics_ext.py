@@ -20,6 +20,7 @@ from pyspark.sql import types as T
 
 from projet_pipeline_bigdata_org_spark.catalog import load
 from projet_pipeline_bigdata_org_spark.functions.exact import dsum
+from projet_pipeline_bigdata_org_spark.functions.hashing import hash_coin, sql_hash_coin
 from projet_pipeline_bigdata_org_spark.operators.textops import SQL_WS_TOKENS, ws_tokens
 from projet_pipeline_bigdata_org_spark.plans.registry import query
 
@@ -1227,19 +1228,12 @@ def stat_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Knuth multiplicative constant / large 32-bit prime: a deterministic,
-#: engine-portable pseudo-shuffle key (doc_id·K mod P) — unlike rand()/
-#: TABLESAMPLE, both engines and every retry agree on the order
-_KNUTH = 2654435761
-_PRIME32 = 4294967291
-
-
 @query(
     "sample_fixed_per_group",
     oracle=f"""
     WITH h AS (
       SELECT doc_id, lang,
-             (doc_id * {_KNUTH}) % {_PRIME32} AS shuffle_key
+             {sql_hash_coin("doc_id")} AS shuffle_key
       FROM documents
     ), r AS (
       SELECT *,
@@ -1255,7 +1249,8 @@ _PRIME32 = 4294967291
 )
 def sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size per-group sampling: exactly min(20, |group|) documents per
-    language, chosen by a deterministic multiplicative-hash shuffle order —
+    language, chosen by a deterministic multiplicative-hash shuffle order
+    (functions.hashing.hash_coin — wrap-free at any doc_id magnitude) —
     the bounded "give me K examples per stratum" primitive (eval set
     construction, few-shot pools). Per-group top-K plans as partial
     per-partition heaps below the rank shuffle, so no group ever
@@ -1264,7 +1259,7 @@ def sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = d.select(
         "doc_id",
         "lang",
-        ((F.col("doc_id") * _KNUTH) % _PRIME32).alias("shuffle_key"),
+        hash_coin("doc_id").alias("shuffle_key"),
     )
     w = W.partitionBy("lang").orderBy("shuffle_key", "doc_id")
     return (

@@ -6,16 +6,21 @@ packing (packing).
 - ``mix_temperature_sources`` — temperature-flattened source mixture
   (T=2): big sources are down-sampled toward sqrt-proportional weight, the
   standard multilingual/multi-source rebalancing rule. Selection is a
-  deterministic multiplicative-hash coin per document, so every engine,
-  retry, and resample picks the same rows.
+  deterministic hash coin per document (functions.hashing — wrap-free at
+  any doc_id magnitude), so every engine, retry, and resample picks the
+  same rows.
 - ``select_token_budget`` — greedy per-shard document selection under a
   fixed token budget (longest-first): the "fill the training budget"
-  primitive. Same per-shard window discipline as packing.pack_sequences —
-  no global sort, fan-out follows ``packing.resolve_shards()``.
+  primitive. Same per-shard window discipline and shard fan-out as
+  packing.pack_sequences (``packing.resolve_shards()``); like the three
+  ``pack_*`` queries it ships a ``select_token_budget_at(spark, sf_dir,
+  n_shards)`` + ``select_token_budget_oracle(n_shards)`` pair so tests
+  prove parity at non-default fan-outs too.
 
 Exactness: thresholds go through SQRT (IEEE correctly-rounded in both
-engines) and FLOOR to integers; the coin is pure int64 arithmetic — so the
-DuckDB twins are bit-exact, no float tolerance anywhere.
+engines) and FLOOR to integers; the coin is pure int64 arithmetic with
+every intermediate below 2^49 — so the DuckDB twins are bit-exact at any
+corpus scale, no float tolerance anywhere.
 
 Reference seed: the reference pipeline ingests everything it scrapes
 (data_ingestion.py:121-141) — mixture control is the curation layer it
@@ -29,13 +34,18 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from projet_pipeline_bigdata_org_spark.catalog import load
-from projet_pipeline_bigdata_org_spark.operators.packing import N_SHARDS, SEQ_BUDGET
-from projet_pipeline_bigdata_org_spark.operators.textops import SQL_WS_TOKENS, ws_tokens
+from projet_pipeline_bigdata_org_spark.functions.hashing import (
+    PRIME32,
+    hash_coin,
+    sql_hash_coin,
+)
+from projet_pipeline_bigdata_org_spark.operators.packing import (
+    N_SHARDS,
+    SEQ_BUDGET,
+    _token_counts,
+)
+from projet_pipeline_bigdata_org_spark.operators.textops import SQL_WS_TOKENS
 from projet_pipeline_bigdata_org_spark.plans.registry import query
-
-#: deterministic coin: (doc_id * KNUTH) mod PRIME, uniform over [0, PRIME)
-_KNUTH = 2654435761
-_PRIME32 = 4294967291
 
 _TOK_SQL = SQL_WS_TOKENS.format(c="text")
 
@@ -49,14 +59,14 @@ _TOK_SQL = SQL_WS_TOKENS.format(c="text")
       SELECT MIN(n_docs) AS n_min FROM n
     ), thr AS (
       SELECT source, n_docs,
-             CAST(FLOOR(({_PRIME32} * SQRT(n_min)) / SQRT(n_docs)) AS BIGINT)
+             CAST(FLOOR(({PRIME32} * SQRT(n_min)) / SQRT(n_docs)) AS BIGINT)
                AS threshold
       FROM n CROSS JOIN m
     )
     SELECT d.source,
            thr.n_docs,
            thr.threshold,
-           COUNT(CASE WHEN (d.doc_id * {_KNUTH}) % {_PRIME32} < thr.threshold
+           COUNT(CASE WHEN {sql_hash_coin("d.doc_id")} < thr.threshold
                       THEN 1 END) AS n_kept
     FROM documents d JOIN thr ON d.source = thr.source
     GROUP BY d.source, thr.n_docs, thr.threshold
@@ -71,11 +81,11 @@ def mix_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: source counts are a partial-agg'd rollup (|sources| rows);
     the min is one more scalar agg; both ride broadcast joins back onto the
     corpus — the only full-corpus pass is the final filter+agg. The keep
-    coin is a multiplicative hash of doc_id (no rand(): deterministic
-    across engines and task retries). Thresholds are FLOOR(PRIME *
-    sqrt(n_min)/sqrt(n)) — SQRT is IEEE correctly-rounded in Spark and
-    DuckDB alike, so the integer thresholds (and therefore every keep
-    decision) are bit-identical."""
+    coin is the shared wrap-free multiplicative hash of doc_id (no rand():
+    deterministic across engines and task retries). Thresholds are
+    FLOOR(PRIME * sqrt(n_min)/sqrt(n)) — SQRT is IEEE correctly-rounded in
+    Spark and DuckDB alike, so the integer thresholds (and therefore every
+    keep decision) are bit-identical."""
     d = load(spark, sf_dir, "documents")
     n = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     # global min via an unpartitioned window over the COUNTS table — its
@@ -86,16 +96,19 @@ def mix_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = n.select(
         "source",
         "n_docs",
-        F.floor((F.lit(_PRIME32) * F.sqrt(n_min)) / F.sqrt("n_docs"))
+        F.floor((F.lit(PRIME32) * F.sqrt(n_min)) / F.sqrt("n_docs"))
         .cast("long")
         .alias("threshold"),
     )
-    coin = (F.col("doc_id") * _KNUTH) % _PRIME32
     return (
         d.select("doc_id", "source")
         .join(F.broadcast(thr), "source")
         .groupBy("source", "n_docs", "threshold")
-        .agg(F.count(F.when(coin < F.col("threshold"), 1)).alias("n_kept"))
+        .agg(
+            F.count(
+                F.when(hash_coin("doc_id") < F.col("threshold"), 1)
+            ).alias("n_kept")
+        )
     )
 
 
@@ -105,12 +118,11 @@ def mix_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT_BUDGET = SEQ_BUDGET
 
 
-@query(
-    "select_token_budget",
-    oracle=f"""
+def select_token_budget_oracle(n_shards: int) -> str:
+    return f"""
     WITH t AS (
       SELECT doc_id,
-             doc_id % {N_SHARDS} AS shard,
+             doc_id % {n_shards} AS shard,
              CAST(LEN({_TOK_SQL}) AS BIGINT) AS n_tokens
       FROM documents
     ), c AS (
@@ -122,25 +134,11 @@ SELECT_BUDGET = SEQ_BUDGET
     SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens, cum_tokens,
            cum_tokens <= {SELECT_BUDGET} AS selected
     FROM c
-    """,
-    tags=("llm", "curation", "packing", "documents"),
-)
-def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy longest-first document selection under a per-shard token
-    budget: within each shard, documents are taken in (n_tokens DESC,
-    doc_id) order while the running total stays within SELECT_BUDGET.
+    """
 
-    Scale shape: identical to pack_sequences — the window partitions by the
-    configurable shard key (packing.resolve_shards), never a global sort;
-    per-task state is one shard's running sum. The greedy-by-length rule is
-    a stand-in for greedy-by-quality: swap the ORDER BY for a quality score
-    column and the plan is unchanged."""
-    d = load(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id",
-        (F.col("doc_id") % N_SHARDS).cast("long").alias("shard"),
-        F.size(ws_tokens("text")).cast("long").alias("n_tokens"),
-    )
+
+def select_token_budget_at(spark: SparkSession, sf_dir: str, n_shards: int) -> DataFrame:
+    t = _token_counts(spark, sf_dir, n_shards)
     w = (
         W.partitionBy("shard")
         .orderBy(F.col("n_tokens").desc(), "doc_id")
@@ -153,3 +151,21 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").over(w).alias("cum_tokens"),
         (F.sum("n_tokens").over(w) <= SELECT_BUDGET).alias("selected"),
     )
+
+
+@query(
+    "select_token_budget",
+    oracle=select_token_budget_oracle(N_SHARDS),
+    tags=("llm", "curation", "packing", "documents"),
+)
+def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-first document selection under a per-shard token
+    budget: within each shard, documents are taken in (n_tokens DESC,
+    doc_id) order while the running total stays within SELECT_BUDGET.
+
+    Scale shape: identical to pack_sequences — the window partitions by the
+    configurable shard key (packing.resolve_shards), never a global sort;
+    per-task state is one shard's running sum. The greedy-by-length rule is
+    a stand-in for greedy-by-quality: swap the ORDER BY for a quality score
+    column and the plan is unchanged."""
+    return select_token_budget_at(spark, sf_dir, N_SHARDS)

@@ -558,6 +558,53 @@ def pair_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def copurchase_pairs(li: DataFrame) -> DataFrame:
+    """Undirected co-purchase edges (u < v) from (l_orderkey, l_partkey)
+    rows: parts are connected when one order contains both. Per-order pair
+    generation — bounded by basket size, never all-pairs over parts."""
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def oriented_edges(pairs: DataFrame) -> DataFrame:
+    """Degree-ordered orientation of undirected (u, v) edges: each edge is
+    redirected from the (degree, id)-smaller endpoint (``lo``) to the larger
+    (``hi``), so every wedge is enumerated at its LOWEST-degree vertex. A
+    hub of degree d has out-degree 0 and enumerates NO wedges — its
+    low-degree neighbors enumerate O(1) each — which is the whole skew
+    bound (tested adversarially on a crafted hub graph in test_llm_ops).
+    Both endpoint degrees derive from ONE pairs pass via explode."""
+    deg = (
+        pairs.select(F.explode(F.array("u", "v")).alias("x"))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("deg").alias("dv"))
+    return (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("lo"), F.col("v").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("v").alias("lo"), F.col("u").alias("hi")))
+            .alias("e")
+        )
+        .select("e.lo", "e.hi")
+    )
+
+
 @query(
     "graph_triangle_count",
     oracle="""
@@ -596,48 +643,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .dropDuplicates(["u", "v"])
-    )
-    # both endpoints leave ONE pairs pass via explode; the unionAll-of-
-    # projections form would re-derive the self-join+dedup subtree per
-    # endpoint. (Persisting pairs instead measured SLOWER at sf0.1: the
+    # (Persisting pairs instead measured SLOWER at sf0.1: the
     # materialization barrier costs more than one pipelined recompute —
     # the oriented edge set e below, reused by three joins, stays the
-    # persist point.)
-    deg = (
-        pairs.select(F.explode(F.array("u", "v")).alias("x"))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    du = deg.select(F.col("x").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("x").alias("v"), F.col("deg").alias("dv"))
-    # redirect: lo = endpoint with the smaller (deg, id) tuple. Persisted —
-    # the oriented edge set feeds all three sides of the wedge/closing joins
-    # (a staging table at cluster scale; unpersisted plans re-derive the
-    # dedup + degree join three times, measured ~2× slower at sf0.1)
-    e = _persist_scoped(
-        "tri_edges",
-        pairs.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(
-                (F.col("du") < F.col("dv"))
-                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-                F.struct(F.col("u").alias("lo"), F.col("v").alias("hi")),
-            )
-            .otherwise(F.struct(F.col("v").alias("lo"), F.col("u").alias("hi")))
-            .alias("e")
-        )
-        .select("e.lo", "e.hi"),
-    )
+    # persist point; unpersisted plans re-derive the dedup + degree join
+    # three times, measured ~2× slower at sf0.1.)
+    e = _persist_scoped("tri_edges", oriented_edges(copurchase_pairs(li)))
     e1 = e.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
     e2 = e.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
     # wedges at the low-degree apex x; canonical y<z kills mirror duplicates
@@ -695,18 +706,9 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode — a unionAll of per-endpoint projections would re-derive the
     join+dedup subtree twice (the plan's heaviest work) at any scale."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .dropDuplicates(["u", "v"])
-    )
     deg = (
-        pairs.select(F.explode(F.array("u", "v")).alias("x"))
+        copurchase_pairs(li)
+        .select(F.explode(F.array("u", "v")).alias("x"))
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("deg"))
     )

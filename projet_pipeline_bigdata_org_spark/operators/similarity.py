@@ -426,7 +426,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            absmax,
-           codes,
+           ARRAY_TO_STRING(codes, ',') AS codes_csv,
            LIST_REDUCE(
              LIST_TRANSFORM(LIST_ZIP(x, codes),
                             z -> (z[1] - z[2] * scale) * (z[1] - z[2] * scale)),
@@ -443,7 +443,13 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = absmax/127, floor(·+0.5) half-up-toward-+inf rounding) so the
     codes AND the error fold are bit-identical across engines — no
     tolerance. Single projection, no shuffle: at 100 TB this is a pure
-    map stage that rides whatever partitioning the scan produces."""
+    map stage that rides whatever partitioning the scan produces.
+
+    The integer codes ship serialized (``codes_csv``) rather than as a
+    top-level ``array<int>`` column: the external driver canonicalizes
+    result sets by pandas sort, which cannot order object-dtype numpy
+    arrays (round-5 driver ERR) — the CSV form is bit-preserving (plain
+    base-10 ints, no float formatting) and totally ordered."""
     e = load(spark, sf_dir, "embeddings")
     x = F.transform("embedding", lambda v: v.cast("double"))
     t = e.select("vec_id", x.alias("x"))
@@ -466,7 +472,12 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     mse = F.aggregate(diff_sq, F.lit(0.0), lambda acc, v: acc + v) / F.lit(
         float(EMBEDDING_DIM)
     )
-    return q.select("vec_id", "absmax", "codes", mse.alias("mse"))
+    return q.select(
+        "vec_id",
+        "absmax",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes_csv"),
+        mse.alias("mse"),
+    )
 
 
 # ---------------------------------------------------------------------------

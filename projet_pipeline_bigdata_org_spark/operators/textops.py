@@ -656,6 +656,40 @@ _URL_FIXTURE_SQL = " UNION ALL ".join(
 )
 
 
+def url_domain_rollup(d: DataFrame) -> DataFrame:
+    """The bare URL-extraction operator over any (doc_id, text) frame:
+    extract URLs, strip query/fragment, case-fold scheme+host (path case
+    preserved — paths are case-sensitive, hosts are not), roll up per
+    domain. No fixture rows — callers get only what their corpus contains;
+    the registered ``text_extract_urls`` certification query unions
+    URL_FIXTURE_ROWS explicitly (and its oracle mirrors them) because the
+    synthetic corpus is URL-free and a bare run would certify only an
+    empty rollup."""
+    u = d.select(
+        "doc_id",
+        F.explode(
+            # idx=0 (full match): Spark defaults the group index to 1, which
+            # errors on a group-less pattern; DuckDB's default is already 0
+            F.regexp_extract_all("text", F.lit(r"https?://[^\s]+"), 0)
+        ).alias("url"),
+    )
+    n = u.select(
+        "doc_id",
+        F.lower(F.regexp_extract("url", r"https?://([^/\s?#]+)", 1)).alias("domain"),
+        F.concat(
+            F.lower(F.regexp_extract("url", r"^(https?://[^/\s?#]+)", 1)),
+            F.regexp_replace(
+                F.regexp_replace("url", r"^https?://[^/\s?#]+", ""), r"[?#].*$", ""
+            ),
+        ).alias("url_clean"),
+    )
+    return n.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("url_clean").alias("n_distinct_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
 @query(
     "text_extract_urls",
     oracle=rf"""
@@ -686,38 +720,12 @@ _URL_FIXTURE_SQL = " UNION ALL ".join(
 )
 def text_extract_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL extraction + normalization + domain rollup (the crawl-curation
-    primitive behind domain blocklists and per-domain caps): pull URLs out
-    of raw text, strip query/fragment (tracking params), lowercase the
-    registrable host, aggregate per domain. All JVM regex — one explode,
-    one shuffle on domain. The synthetic corpus is URL-free, so a small
-    crafted fixture (URL_FIXTURE_ROWS, mirrored in the oracle) unions
-    through the SAME plan to keep the certified rollup non-empty; the
-    union is a zero-shuffle append of 4 rows."""
+    primitive behind domain blocklists and per-domain caps) — the
+    CERTIFICATION form: corpus ∪ URL_FIXTURE_ROWS through the bare
+    ``url_domain_rollup`` operator (fixture mirrored in the oracle; the
+    union is a zero-shuffle append of 4 rows). Production callers use
+    ``url_domain_rollup`` directly and see only real corpus URLs."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
         spark.createDataFrame(list(URL_FIXTURE_ROWS), "doc_id long, text string")
     )
-    u = d.select(
-        "doc_id",
-        F.explode(
-            # idx=0 (full match): Spark defaults the group index to 1, which
-            # errors on a group-less pattern; DuckDB's default is already 0
-            F.regexp_extract_all("text", F.lit(r"https?://[^\s]+"), 0)
-        ).alias("url"),
-    )
-    n = u.select(
-        "doc_id",
-        F.lower(F.regexp_extract("url", r"https?://([^/\s?#]+)", 1)).alias("domain"),
-        # canonical form: scheme+host case-folded, query/fragment stripped,
-        # path case preserved (paths are case-sensitive, hosts are not)
-        F.concat(
-            F.lower(F.regexp_extract("url", r"^(https?://[^/\s?#]+)", 1)),
-            F.regexp_replace(
-                F.regexp_replace("url", r"^https?://[^/\s?#]+", ""), r"[?#].*$", ""
-            ),
-        ).alias("url_clean"),
-    )
-    return n.groupBy("domain").agg(
-        F.count(F.lit(1)).alias("n_urls"),
-        F.countDistinct("url_clean").alias("n_distinct_urls"),
-        F.countDistinct("doc_id").alias("n_docs"),
-    )
+    return url_domain_rollup(d)

@@ -316,7 +316,43 @@ def test_extract_urls_twins_agree_on_fuzz(fuzz_df):
 def test_select_token_budget_twins_agree_on_fuzz(fuzz_df):
     """Budget selection (token counts → per-shard longest-first running
     sum → boolean gate) on adversarial strings; zero-token docs sort last
-    and exercise the cum==prev branch in both engines."""
-    from projet_pipeline_bigdata_org_spark.operators import curation
+    and exercise the cum==prev branch in both engines. The scan lives in
+    packing._token_counts (shared with the pack_* queries), so the corpus
+    patch targets packing, not curation."""
+    from projet_pipeline_bigdata_org_spark.operators import packing
 
-    _fuzz_query_twins(fuzz_df, curation, "select_token_budget")
+    _fuzz_query_twins(fuzz_df, packing, "select_token_budget")
+
+
+def test_hash_coin_wrap_free_at_any_id_magnitude(spark):
+    """The shared multiplicative-hash coin must equal the mathematical
+    (id·KNUTH) mod PRIME32 even where a naive id*KNUTH overflows int64
+    (ids > ~3.5e9): Spark expr vs DuckDB SQL vs Python big-int, all three
+    identical (ADVICE r5: the naive form wraps silently in Spark and
+    raises in DuckDB)."""
+    from projet_pipeline_bigdata_org_spark.functions.hashing import (
+        KNUTH,
+        PRIME32,
+        hash_coin,
+        sql_hash_coin,
+    )
+
+    ids = [
+        0, 1, 12345, 2**31 - 1, 2**32, 4_000_000_000, 10**12,
+        2**62, 2**63 - 1,  # far beyond the naive form's overflow point
+    ]
+    truth = {i: (i * KNUTH) % PRIME32 for i in ids}
+    sdf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got_spark = {
+        r.doc_id: r.coin
+        for r in sdf.select("doc_id", hash_coin("doc_id").alias("coin")).collect()
+    }
+    assert got_spark == truth
+    con = duckdb.connect()
+    con.register("ids", pd.DataFrame({"doc_id": ids}))
+    got_duck = dict(
+        con.execute(
+            f"SELECT doc_id, {sql_hash_coin('doc_id')} AS coin FROM ids"
+        ).fetchall()
+    )
+    assert got_duck == truth

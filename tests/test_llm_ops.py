@@ -587,7 +587,8 @@ def test_quantize_int8_error_bound(spark, sf_dir):
     out = plans.get("embed_quantize_int8").fn(spark, sf_dir).toPandas()
     assert len(out) > 0
     for _, r in out.iterrows():
-        assert max(abs(c) for c in r["codes"]) <= 127
+        codes = [int(c) for c in r["codes_csv"].split(",")]
+        assert max(abs(c) for c in codes) <= 127
         half_step_sq = (r["absmax"] / 127.0 / 2.0) ** 2
         assert r["mse"] <= half_step_sq + 1e-18
 
@@ -690,6 +691,20 @@ def test_extract_urls_on_crafted_strings(spark):
     assert ex["n_urls"] == 8 and ex["n_distinct_urls"] == 5 and ex["n_docs"] == 6
 
 
+def test_bare_url_rollup_reports_only_corpus_urls(spark, sf_dir):
+    """The bare operator (url_domain_rollup) must not inject fixture rows:
+    production callers see only their corpus' URLs. The fixture union lives
+    solely in the registered certification query."""
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.textops import url_domain_rollup
+
+    corpus = load(spark, sf_dir, "documents").select("doc_id", "text")
+    domains = {r.domain for r in url_domain_rollup(corpus).collect()}
+    assert "example.com" not in domains and "cdn.example.net" not in domains
+    # synthetic corpus is URL-free → the bare rollup is empty on it
+    assert domains == set()
+
+
 def test_triangle_count_on_crafted_graph(spark):
     """Absolute truth check: one 4-part order forms K4 (C(4,3)=4 triangles);
     two chain orders add edges but no triangles."""
@@ -702,6 +717,43 @@ def test_triangle_count_on_crafted_graph(spark):
     with mock.patch.object(grouped, "load", lambda _s, _d, _t: li):
         out = plans.get("graph_triangle_count").fn(spark, "ignored").first()
     assert (out.n_vertices, out.n_edges, out.n_triangles) == (6, 8, 4)
+
+
+def test_degree_ordering_caps_hub_wedges_on_crafted_hub_graph(spark):
+    """Adversarial skew proof for the wedge join (the invariant
+    graph_degree_histogram exists to monitor): one hub part sits in EVERY
+    order (degree 2N); with degree-ordered orientation the hub's out-degree
+    is 0 — it enumerates NO wedges — and total wedge count stays linear in
+    N. A naive orient-by-id (hub = smallest id) would give the hub
+    C(2N, 2) ≈ 2N² wedges; that quadratic blowup is exactly what the
+    (deg, id) redirect prevents at 100 TB."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import grouped
+    from projet_pipeline_bigdata_org_spark.operators.grouped import (
+        copurchase_pairs,
+        oriented_edges,
+    )
+
+    HUB, N = 0, 40
+    # order i = {hub, leaf 2i+1, leaf 2i+2}: hub in 100% of orders (>50%),
+    # hub degree 2N, every leaf degree 2, one triangle per order
+    rows = []
+    for i in range(N):
+        rows += [(i, HUB), (i, 2 * i + 1), (i, 2 * i + 2)]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+
+    pairs = copurchase_pairs(li)
+    e = oriented_edges(pairs)
+    out_deg = {r.lo: r.n for r in e.groupBy("lo").agg(F.count("*").alias("n")).collect()}
+    assert out_deg.get(HUB, 0) == 0, "hub enumerates wedges — degree ordering broken"
+    # total wedges = sum over vertices of C(outdeg, 2): linear in N, not ~2N^2
+    n_wedges = sum(d * (d - 1) // 2 for d in out_deg.values())
+    assert n_wedges == N  # exactly one wedge per order's leaf pair
+    # and the full operator still counts the truth on this graph
+    with mock.patch.object(grouped, "load", lambda _s, _d, _t: li):
+        out = plans.get("graph_triangle_count").fn(spark, "ignored").first()
+    assert (out.n_vertices, out.n_edges, out.n_triangles) == (2 * N + 1, 3 * N, N)
 
 
 def test_decontaminate_flags_fire_at_test_scale(spark, sf_dir):

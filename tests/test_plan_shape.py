@@ -404,15 +404,24 @@ def test_pack_shard_fanout_tracks_config(spark, sf_dir, monkeypatch):
     $SPARK_GRAFT_PACK_SHARDS (else the engine's shuffle fan-out), and the
     shard layout actually changes with it — the registered default must
     produce more distinct shards than the old hard-coded 8 ever could."""
+    import os
+
     from projet_pipeline_bigdata_org_spark.operators import packing
     from projet_pipeline_bigdata_org_spark.session import DEFAULT_SHUFFLE_PARTITIONS
 
+    # N_SHARDS froze at module import from whatever the env held THEN —
+    # compare against that resolution, not a bare DEFAULT, so a session
+    # started with $SPARK_GRAFT_PACK_SHARDS already set still passes
+    # (monkeypatch cannot undo import-time state)
+    import_env = os.environ.get("SPARK_GRAFT_PACK_SHARDS")
+    expected = max(1, int(import_env)) if import_env else DEFAULT_SHUFFLE_PARTITIONS
+    assert packing.N_SHARDS == expected
     monkeypatch.delenv("SPARK_GRAFT_PACK_SHARDS", raising=False)
     assert packing.resolve_shards() == DEFAULT_SHUFFLE_PARTITIONS
     monkeypatch.setenv("SPARK_GRAFT_PACK_SHARDS", "96")
     assert packing.resolve_shards() == 96
-    # registered default: shard domain == N_SHARDS, not 8
-    assert packing.N_SHARDS == DEFAULT_SHUFFLE_PARTITIONS > 8
+    # the engine default beats the old hard-coded 8-shard fan-out
+    assert DEFAULT_SHUFFLE_PARTITIONS > 8
     df = _Q["pack_sequences"].fn(spark, sf_dir)
     n_shards = df.select("shard").distinct().count()
     assert n_shards == packing.N_SHARDS, (
@@ -420,21 +429,26 @@ def test_pack_shard_fanout_tracks_config(spark, sf_dir, monkeypatch):
     )
 
 
-@pytest.mark.parametrize("qname", ["pack_sequences", "pack_bins_nextfit", "pack_bin_fill"])
-def test_pack_queries_parity_at_non_default_shard_count(spark, sf_dir, qname):
-    """Full Spark-vs-DuckDB parity for all three packing queries at a
-    NON-default fan-out (5 shards): the `*_at` builders and `*_oracle`
-    templates must agree for any shard count, proving the fan-out knob is
+@pytest.mark.parametrize(
+    "qname",
+    ["pack_sequences", "pack_bins_nextfit", "pack_bin_fill", "select_token_budget"],
+)
+def test_sharded_queries_parity_at_non_default_shard_count(spark, sf_dir, qname):
+    """Full Spark-vs-DuckDB parity for every shard-fanned query (the three
+    packing queries + the curation token-budget selection) at a NON-default
+    fan-out (5 shards): the `*_at` builders and `*_oracle` templates must
+    agree for any shard count, proving the fan-out knob is
     semantics-preserving (reshard at will as the corpus grows)."""
     from tests.parity import _table_to_rows, duckdb_connect
 
-    from projet_pipeline_bigdata_org_spark.operators import packing
+    from projet_pipeline_bigdata_org_spark.operators import curation, packing
 
+    mod = curation if qname == "select_token_budget" else packing
     n = 5
-    sdf = getattr(packing, f"{qname}_at")(spark, sf_dir, n)
+    sdf = getattr(mod, f"{qname}_at")(spark, sf_dir, n)
     con = duckdb_connect(sf_dir)
     try:
-        d_tbl = con.execute(getattr(packing, f"{qname}_oracle")(n)).fetch_arrow_table()
+        d_tbl = con.execute(getattr(mod, f"{qname}_oracle")(n)).fetch_arrow_table()
     finally:
         con.close()
     s_cols, s_rows = _table_to_rows(sdf.toArrow())
