@@ -176,7 +176,15 @@ def _train_fit_sample(prepared: DataFrame) -> DataFrame:
 
 
 def train(documents: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> PipelineModel:
-    return build_feature_pipeline(cfg).fit(_train_fit_sample(prepare_documents(documents)))
+    # Pipeline.fit runs each estimator's jobs against the input lineage —
+    # W2V/CV/LDA/indexer/RF would each re-evaluate the scan+clean subtree.
+    # The fit frame is bounded (≤ TRAIN_MAX_ROWS by construction), so
+    # persist it for the duration of the fit and release it after.
+    fit_input = _train_fit_sample(prepare_documents(documents)).persist()
+    try:
+        return build_feature_pipeline(cfg).fit(fit_input)
+    finally:
+        fit_input.unpersist()
 
 
 @query(
