@@ -44,7 +44,7 @@ from projet_pipeline_bigdata_org_spark.operators.packing import (
     SEQ_BUDGET,
     _token_counts,
 )
-from projet_pipeline_bigdata_org_spark.operators.textops import SQL_WS_TOKENS
+from projet_pipeline_bigdata_org_spark.operators.textops import SQL_WS_TOKENS, ws_tokens
 from projet_pipeline_bigdata_org_spark.plans.registry import query
 
 _TOK_SQL = SQL_WS_TOKENS.format(c="text")
@@ -109,6 +109,56 @@ def mix_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(hash_coin("doc_id") < F.col("threshold"), 1)
             ).alias("n_kept")
         )
+    )
+
+
+#: holdout coin threshold: PRIME32 // 10 ⇒ exactly the ids whose coin lands
+#: in the first tenth of [0, PRIME32) — an integer constant, so the split
+#: decision is pure int64 comparison in both engines
+HOLDOUT_THRESHOLD = PRIME32 // 10
+
+
+@query(
+    "curate_split_holdout",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             CASE WHEN {sql_hash_coin("doc_id")} < {HOLDOUT_THRESHOLD}
+                  THEN 'holdout' ELSE 'train' END AS split,
+             CAST(LEN({_TOK_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT source, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS token_mass
+    FROM t GROUP BY source, split
+    """,
+    tags=("llm", "curation", "sampling", "documents"),
+)
+def curate_split_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% train/holdout split by content-independent hash
+    coin — the eval-hygiene primitive: the split must survive reshuffles,
+    re-ingestion, engine changes, and task retries without a membership
+    file (rand()/TABLESAMPLE give a different holdout every run; a stored
+    id list doesn't scale to 10^11 docs). The wrap-free coin
+    (functions.hashing) makes the assignment bit-identical at any doc_id
+    magnitude in Spark AND DuckDB, so downstream systems recompute
+    membership locally instead of joining against it.
+
+    Scale shape: one projection + one partial-agg'd rollup; output bounded
+    by |sources| × 2. Reports per-(source, split) doc and token mass — the
+    sanity sheet checked before a training run."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        F.when(hash_coin("doc_id") < HOLDOUT_THRESHOLD, "holdout")
+        .otherwise("train")
+        .alias("split"),
+        F.size(ws_tokens("text")).cast("long").alias("n_tokens"),
+    )
+    return t.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("token_mass"),
     )
 
 

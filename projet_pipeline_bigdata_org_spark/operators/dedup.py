@@ -110,6 +110,94 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from projet_pipeline_bigdata_org_spark.functions.cleaning import SQL_CLEAN as _SQL_CLEAN
 
+#: deterministic history/batch partition of the corpus for the incremental
+#: exemplar: doc_id % 10 < 8 plays the already-deduped historical corpus,
+#: the rest the incoming crawl shard
+_INCREMENTAL_BATCH_RESIDUE = 8
+
+# Crafted rows unioned into dedup_incremental_exact below: the synthetic
+# corpus has ZERO exact duplicates at sf0.001/sf0.01 (and only 3 cross-split
+# at sf0.1), so without these the dup-vs-history column certifies only
+# zeros. Ids start at 10^9 (far above any corpus id); residues place one
+# copy in history, its duplicate plus one novel doc in the batch — the
+# 'fixture' source row is therefore (n_incoming=2, n_novel=1, n_dup=1) at
+# every SF. Same certification pattern as textops.URL_FIXTURE_ROWS.
+INCREMENTAL_FIXTURE_ROWS: tuple[tuple[int, str, str], ...] = (
+    (1_000_000_000, "incremental dedup fixture: duplicate payload alpha", "fixture"),
+    (1_000_000_008, "incremental dedup fixture: duplicate payload alpha", "fixture"),
+    (1_000_000_018, "incremental dedup fixture: novel payload beta", "fixture"),
+)
+
+_INCREMENTAL_FIXTURE_SQL = " UNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text, '{s}' AS source"
+    for i, t, s in INCREMENTAL_FIXTURE_ROWS
+)
+
+
+@query(
+    "dedup_incremental_exact",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      {_INCREMENTAL_FIXTURE_SQL}
+    ), history AS (
+      SELECT DISTINCT SHA256(text) AS content_sha
+      FROM corpus WHERE doc_id % 10 < {_INCREMENTAL_BATCH_RESIDUE}
+    ), batch AS (
+      SELECT doc_id, source, SHA256(text) AS content_sha
+      FROM corpus WHERE doc_id % 10 >= {_INCREMENTAL_BATCH_RESIDUE}
+    )
+    SELECT b.source,
+           COUNT(*) AS n_incoming,
+           COUNT(CASE WHEN h.content_sha IS NULL THEN 1 END) AS n_novel,
+           COUNT(h.content_sha) AS n_dup_vs_history
+    FROM batch b LEFT JOIN history h ON b.content_sha = h.content_sha
+    GROUP BY b.source
+    """,
+    tags=("llm", "dedup", "documents", "incremental"),
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: an incoming batch checked against an
+    existing historical corpus — the steady-state form of corpus dedup
+    (every within-corpus query here assumes a one-shot build; real crawls
+    arrive as shards against petabytes of history).
+
+    Scale shape: only content hashes join — the history side reduces to
+    its distinct sha set (at 100 TB a bucketed-by-sha staging table, making
+    this join zero-shuffle on the history side per sources/batch.py's
+    write_bucketed_table); the incoming shard shuffles only its own delta.
+    Output is the per-source admission report (novel vs already-seen), the
+    thing a crawl scheduler consumes. History/batch split is a
+    deterministic doc_id residue so both engines replay it exactly; a
+    3-row crafted fixture (INCREMENTAL_FIXTURE_ROWS, mirrored in the
+    oracle) keeps the dup-vs-history path non-vacuous on the
+    duplicate-free synthetic corpus."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "source").unionByName(
+        spark.createDataFrame(
+            list(INCREMENTAL_FIXTURE_ROWS), "doc_id long, text string, source string"
+        )
+    )
+    sha = F.sha2(F.col("text"), 256)
+    history = (
+        d.filter(F.col("doc_id") % 10 < _INCREMENTAL_BATCH_RESIDUE)
+        .select(sha.alias("content_sha"))
+        .distinct()
+        .withColumn("in_history", F.lit(1))
+    )
+    batch = d.filter(F.col("doc_id") % 10 >= _INCREMENTAL_BATCH_RESIDUE).select(
+        "doc_id", "source", sha.alias("content_sha")
+    )
+    return (
+        batch.join(history, "content_sha", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.count(F.when(F.col("in_history").isNull(), 1)).alias("n_novel"),
+            F.count("in_history").alias("n_dup_vs_history"),
+        )
+    )
+
 
 @query(
     "dedup_exact_normalized",

@@ -767,3 +767,27 @@ def test_decontaminate_flags_fire_at_test_scale(spark, sf_dir):
     flagged = d.filter(F.col("contaminated")).count()
     assert flagged >= 1, "no contaminated docs at test scale — flag path vacuous"
     assert flagged < d.count(), "every doc contaminated — threshold degenerate"
+
+
+def test_incremental_dedup_fixture_and_consistency(spark, sf_dir):
+    """Incremental dedup must exercise its dup-vs-history path (the corpus
+    itself is duplicate-free at small SFs — the fixture guarantees one
+    cross-split duplicate), and per-source counts must reconcile."""
+    out = {r.source: r for r in plans.get("dedup_incremental_exact").fn(spark, sf_dir).collect()}
+    fx = out["fixture"]
+    assert (fx.n_incoming, fx.n_novel, fx.n_dup_vs_history) == (2, 1, 1)
+    for r in out.values():
+        assert r.n_novel + r.n_dup_vs_history == r.n_incoming
+
+
+def test_holdout_split_fraction_and_determinism(spark, sf_dir):
+    """The hash-coin holdout lands near 10% and is identical across runs
+    (no rand() anywhere — membership is recomputable by any engine)."""
+    fn = plans.get("curate_split_holdout").fn
+    rows = fn(spark, sf_dir).collect()
+    n = {s: 0 for s in ("train", "holdout")}
+    for r in rows:
+        n[r.split] += r.n_docs
+    total = n["train"] + n["holdout"]
+    assert 0.04 <= n["holdout"] / total <= 0.16, n  # ~10% at 500+ docs
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, fn(spark, sf_dir).collect()))
