@@ -454,3 +454,36 @@ def test_sharded_queries_parity_at_non_default_shard_count(spark, sf_dir, qname)
     s_cols, s_rows = _table_to_rows(sdf.toArrow())
     d_cols, d_rows = _table_to_rows(d_tbl)
     assert s_cols == d_cols and s_rows == d_rows
+
+
+def test_incremental_dedup_joins_slim_hash_keys_only(spark, sf_dir):
+    """dedup_incremental_exact's join must carry content hashes, never the
+    text column: the scan prunes to (doc_id, text, source), text dies at
+    the sha2 projection below the exchange, and the rollup partial-aggs
+    map-side. No nested-loop/cartesian anywhere."""
+    df = _Q["dedup_incremental_exact"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    # partial aggregation before the final rollup exchange
+    assert re.search(r"partial_count", p), p
+    # every exchange ships hash/source/count columns only — the raw text
+    # column never crosses a shuffle boundary
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+    assert exchanges, f"no hash exchanges found (plan form changed?):\n{p}"
+    for ex in exchanges:
+        assert "text" not in ex, f"text column shuffles: {ex}\n{p}"
+
+
+def test_holdout_split_single_pass_partial_agg(spark, sf_dir):
+    """curate_split_holdout is one corpus pass: pruned scan, one
+    hash-partitioned exchange for the (source, split) rollup, partial
+    aggregation below it."""
+    df = _Q["curate_split_holdout"].fn(spark, sf_dir)
+    p = plan_of(df)
+    # pruned scan: only the 3 referenced columns of documents' 5
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and sorted(c.split(":")[0] for c in m.group(1).split(",")) == [
+        "doc_id", "source", "text",
+    ], p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert re.search(r"partial_count", p), p
