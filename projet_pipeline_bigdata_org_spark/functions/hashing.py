@@ -34,6 +34,8 @@ def hash_coin(key: Column | str) -> Column:
 
 
 def sql_hash_coin(key: str) -> str:
-    """The identical coin as DuckDB SQL (same limb decomposition)."""
+    """The identical coin as DuckDB SQL (same limb decomposition).
+    Fully parenthesized so the fragment composes safely into any
+    surrounding arithmetic."""
     d0 = f"({key} % {PRIME32})"
-    return f"((({d0} * {_K_HI}) % {PRIME32}) * 65536 + {d0} * {_K_LO}) % {PRIME32}"
+    return f"(((({d0} * {_K_HI}) % {PRIME32}) * 65536 + {d0} * {_K_LO}) % {PRIME32})"

@@ -165,14 +165,23 @@ def _train_fit_sample(prepared: DataFrame) -> DataFrame:
 
     fraction = min(1, OVERSAMPLE · MAX_ROWS / n) from one count(), then an
     exact `.limit` cap — fit input ≤ TRAIN_MAX_ROWS at any corpus size. At
-    test scale (≤ 50k docs) the corpus passes through whole, so fitted
-    weights — and every determinism test — are unchanged."""
+    test scale (≤ 100k docs) the corpus passes through whole — untouched
+    plan, so fitted weights and every determinism test are unchanged.
+
+    When the cap binds, the capped frame is re-spread across the engine's
+    shuffle fan-out: GlobalLimit collapses its output to ONE partition, and
+    without the repartition every iterative estimator (W2V/CV/LDA/RF) would
+    fit at parallelism 1 — exactly at the corpus sizes the cap exists for."""
+    from projet_pipeline_bigdata_org_spark.session import DEFAULT_SHUFFLE_PARTITIONS
+
     n = prepared.count()
-    fraction = min(1.0, TRAIN_OVERSAMPLE * TRAIN_MAX_ROWS / max(n, 1))
+    if n <= TRAIN_MAX_ROWS:
+        return prepared
+    fraction = min(1.0, TRAIN_OVERSAMPLE * TRAIN_MAX_ROWS / n)
     sample = prepared
     if fraction < 1.0:
         sample = sample.sample(fraction=fraction, seed=SEED)
-    return sample.limit(TRAIN_MAX_ROWS)
+    return sample.limit(TRAIN_MAX_ROWS).repartition(DEFAULT_SHUFFLE_PARTITIONS)
 
 
 def train(documents: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> PipelineModel:

@@ -129,7 +129,9 @@ INCREMENTAL_FIXTURE_ROWS: tuple[tuple[int, str, str], ...] = (
 )
 
 _INCREMENTAL_FIXTURE_SQL = " UNION ALL ".join(
-    f"SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text, '{s}' AS source"
+    "SELECT CAST({} AS BIGINT) AS doc_id, '{}' AS text, '{}' AS source".format(
+        i, t.replace("'", "''"), s.replace("'", "''")
+    )
     for i, t, s in INCREMENTAL_FIXTURE_ROWS
 )
 

@@ -426,7 +426,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            absmax,
-           ARRAY_TO_STRING(codes, ',') AS codes_csv,
+           COALESCE(ARRAY_TO_STRING(codes, ','), '') AS codes_csv,
            LIST_REDUCE(
              LIST_TRANSFORM(LIST_ZIP(x, codes),
                             z -> (z[1] - z[2] * scale) * (z[1] - z[2] * scale)),

@@ -87,8 +87,11 @@ EXPECTED = {
 # all three generated scale factors: sf0.001 feeds the smoke/test gate,
 # sf0.01 the driver oracle, sf0.1 the bench — each regenerates
 # independently, so each can drift independently (the TIMESTAMP_NTZ
-# incident arrived via exactly such a silent regeneration)
-SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+# incident arrived via exactly such a silent regeneration). The first two
+# come from conftest so this contract follows any testdata-root move.
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+SF_DIRS = [SF_SMOKE, SF_ORACLE, SF_ORACLE.replace("sf0.01", "sf0.1")]
 
 
 @pytest.mark.parametrize("sf", SF_DIRS, ids=lambda p: p.rsplit("/", 1)[-1])

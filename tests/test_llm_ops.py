@@ -773,11 +773,21 @@ def test_incremental_dedup_fixture_and_consistency(spark, sf_dir):
     """Incremental dedup must exercise its dup-vs-history path (the corpus
     itself is duplicate-free at small SFs — the fixture guarantees one
     cross-split duplicate), and per-source counts must reconcile."""
+    from projet_pipeline_bigdata_org_spark.catalog import load
+
     out = {r.source: r for r in plans.get("dedup_incremental_exact").fn(spark, sf_dir).collect()}
     fx = out["fixture"]
     assert (fx.n_incoming, fx.n_novel, fx.n_dup_vs_history) == (2, 1, 1)
-    for r in out.values():
-        assert r.n_novel + r.n_dup_vs_history == r.n_incoming
+    # the batch partition is exactly the residue-split corpus + 2 fixture
+    # batch rows — nothing dropped or double-counted by the join/rollup
+    want_batch = (
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 >= 8).count() + 2
+    )
+    assert sum(r.n_incoming for r in out.values()) == want_batch
+    # corpus is duplicate-free at test SFs: every non-fixture batch doc is novel
+    for src, r in out.items():
+        if src != "fixture":
+            assert r.n_dup_vs_history == 0 and r.n_novel == r.n_incoming
 
 
 def test_holdout_split_fraction_and_determinism(spark, sf_dir):

@@ -73,9 +73,13 @@ def test_train_fit_input_is_bounded(spark):
 
     # corpus far above the cap → sample + limit binds
     big = spark.range(3 * TRAIN_MAX_ROWS).withColumnRenamed("id", "doc_id")
-    n_big = _train_fit_sample(big).count()
+    capped = _train_fit_sample(big)
+    n_big = capped.count()
     assert n_big <= TRAIN_MAX_ROWS
     assert n_big >= TRAIN_MAX_ROWS // 2  # sample actually reaches the target
+    # the capped frame must NOT collapse to GlobalLimit's single partition:
+    # the iterative estimators fit in parallel at exactly these sizes
+    assert capped.rdd.getNumPartitions() > 1
     # corpus below the cap → passes through whole (fitted weights unchanged
     # at test scale, so the determinism/goldens suite is unaffected)
     small = spark.range(500).withColumnRenamed("id", "doc_id")
