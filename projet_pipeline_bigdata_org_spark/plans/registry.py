@@ -35,29 +35,15 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
-# Round-6 verification-window rotation (see README "verification-window
-# rotation"). The external driver hash-checks roughly the first 50 names of
-# ``all_queries()`` in alphabetical order each round. After round 5, exactly
-# 7 oracle-gated queries lack a green driver CORRECTNESS row: the 5 round-5
-# additions that postdate the round-5 window, the de-vacuated ``set_except``
-# (its only driver row is round-4's vacuous 0==0 form), and
-# ``embed_quantize_int8`` (round-5 driver ERR: the harness canonicalizer
-# could not sort its former ``array<int>`` codes column — now serialized).
-# Exporting them under a temporary ``a0_`` prefix sorts them into the
-# driver's window; registrations, tests, and ``get()`` keep the canonical
-# names. Once these 7 land green, every oracle-gated registry name has
-# driver evidence and the rotation mechanism retires.
-ROTATED: frozenset[str] = frozenset(
-    {
-        "embed_quantize_int8",
-        "graph_degree_histogram",
-        "mix_temperature_sources",
-        "privacy_l_diversity",
-        "select_token_budget",
-        "set_except",
-        "stat_exact_percentiles",
-    }
-)
+# Verification-window rotation: RETIRED as of round 7. Rounds 3-6 exported
+# never-driver-checked queries under a temporary ``a0_`` prefix to sort them
+# into the driver's ~50-name alphabetical hash-check window; with
+# CORRECTNESS_r06.json the final 7 rotated names landed green, so every
+# oracle-gated registry name now has cumulative driver evidence and the
+# registry exports canonical names only. ``ROTATED`` stays (empty) and
+# ``bench.py:_resolve`` keeps accepting ``a0_``-prefixed names so archived
+# artifacts (BENCH_r03..r06, CORRECTNESS_r03..r06) remain readable.
+ROTATED: frozenset[str] = frozenset()
 
 
 def display_name(name: str) -> str:

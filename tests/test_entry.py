@@ -2,7 +2,12 @@
 
 from __future__ import annotations
 
+import pathlib
+import re
+
 import __spark_entry__ as entrymod
+
+README = pathlib.Path(__file__).resolve().parent.parent / "README.md"
 
 
 def test_entry_returns_rows(spark):
@@ -22,3 +27,26 @@ def test_every_query_has_callable():
 def test_oracles_subset_of_queries():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert set(os_) <= set(qs)
+
+
+def test_registry_exports_canonical_names_only():
+    """Rotation retired in round 7: no ``a0_`` (or other prefixed) exports."""
+    assert not [n for n in entrymod.queries() if n.startswith("a0_")]
+
+
+def test_every_no_oracle_query_has_readme_rationale():
+    """Hygiene sweep: every registry name either carries a DuckDB oracle or
+    appears by name in README's "rows-only forever" rationale section, so
+    the oracle/no-oracle split can't silently drift as queries are added."""
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    no_oracle = sorted(set(qs) - set(os_))
+    text = README.read_text()
+    m = re.search(
+        r"### Why the remaining no-oracle queries are rows-only forever(.*?)\n## ",
+        text,
+        re.S,
+    )
+    assert m, "README no-oracle rationale section missing"
+    section = m.group(1)
+    undocumented = [n for n in no_oracle if f"`{n}`" not in section]
+    assert not undocumented, f"no-oracle queries lacking README rationale: {undocumented}"

@@ -284,8 +284,7 @@ def test_fuzzy_banding_broadcasts_exploded_supplier_side(spark, sf_dir):
     """The (nation, length-band) blocking join: the exploded supplier side
     stays the build/broadcast side under AQE; the customer side streams
     with no pre-join shuffle."""
-    name = "a0_pair_fuzzy_levenshtein" if "a0_pair_fuzzy_levenshtein" in _Q else "pair_fuzzy_levenshtein"
-    df = _Q[name].fn(spark, sf_dir)
+    df = _Q["pair_fuzzy_levenshtein"].fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     p = plan_of(df)
     assert "BroadcastHashJoin" in p, p
