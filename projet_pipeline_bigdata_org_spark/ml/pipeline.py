@@ -163,20 +163,31 @@ TRAIN_OVERSAMPLE = 1.2
 def _train_fit_sample(prepared: DataFrame) -> DataFrame:
     """Bounded, seeded sample of prepared training rows for the fit.
 
-    fraction = min(1, OVERSAMPLE · MAX_ROWS / n) from one count(), then an
-    exact `.limit` cap — fit input ≤ TRAIN_MAX_ROWS at any corpus size. At
-    test scale (≤ 100k docs) the corpus passes through whole — untouched
-    plan, so fitted weights and every determinism test are unchanged.
+    The bound check is a `limit(MAX+1).count()` probe, not a full count:
+    CollectLimit early-exits once MAX+1 rows are found, so a small corpus
+    (the common passthrough case) costs a partial scan instead of a full
+    corpus pass (ADVICE r6). Only when the probe shows the cap binds does
+    the full count run to size the sample fraction:
+    fraction = min(1, OVERSAMPLE · MAX_ROWS / n), then an exact `.limit`
+    cap — fit input ≤ TRAIN_MAX_ROWS at any corpus size. At test scale
+    (≤ 100k docs) the corpus passes through whole — untouched plan, so
+    fitted weights and every determinism test are unchanged.
 
     When the cap binds, the capped frame is re-spread across the engine's
     shuffle fan-out: GlobalLimit collapses its output to ONE partition, and
     without the repartition every iterative estimator (W2V/CV/LDA/RF) would
-    fit at parallelism 1 — exactly at the corpus sizes the cap exists for."""
+    fit at parallelism 1 — exactly at the corpus sizes the cap exists for.
+
+    Determinism caveat: the seed fixes the Bernoulli draw per row, but
+    `.sample().limit()` keeps whichever sampled rows the scan yields first,
+    which depends on file/partition layout — the capped fit input is
+    reproducible only for an identical layout, not across re-partitioned
+    copies of the same corpus."""
     from projet_pipeline_bigdata_org_spark.session import DEFAULT_SHUFFLE_PARTITIONS
 
-    n = prepared.count()
-    if n <= TRAIN_MAX_ROWS:
+    if prepared.limit(TRAIN_MAX_ROWS + 1).count() <= TRAIN_MAX_ROWS:
         return prepared
+    n = prepared.count()
     fraction = min(1.0, TRAIN_OVERSAMPLE * TRAIN_MAX_ROWS / n)
     sample = prepared
     if fraction < 1.0:

@@ -426,7 +426,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            absmax,
-           COALESCE(ARRAY_TO_STRING(codes, ','), '') AS codes_csv,
+           ARRAY_TO_STRING(codes, ',') AS codes_csv,
            LIST_REDUCE(
              LIST_TRANSFORM(LIST_ZIP(x, codes),
                             z -> (z[1] - z[2] * scale) * (z[1] - z[2] * scale)),
@@ -449,7 +449,10 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-level ``array<int>`` column: the external driver canonicalizes
     result sets by pandas sort, which cannot order object-dtype numpy
     arrays (round-5 driver ERR) — the CSV form is bit-preserving (plain
-    base-10 ints, no float formatting) and totally ordered."""
+    base-10 ints, no float formatting) and totally ordered. Both twins
+    propagate NULL for a (currently unreachable) null embedding — the
+    oracle deliberately carries no COALESCE so the twins can't encode
+    different null semantics (ADVICE r6)."""
     e = load(spark, sf_dir, "embeddings")
     x = F.transform("embedding", lambda v: v.cast("double"))
     t = e.select("vec_id", x.alias("x"))

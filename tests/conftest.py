@@ -13,6 +13,7 @@ if str(REPO) not in sys.path:
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
+SF_BENCH = "/root/testdata/sf0.1"
 
 
 @pytest.fixture(scope="session")

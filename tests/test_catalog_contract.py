@@ -87,11 +87,14 @@ EXPECTED = {
 # all three generated scale factors: sf0.001 feeds the smoke/test gate,
 # sf0.01 the driver oracle, sf0.1 the bench — each regenerates
 # independently, so each can drift independently (the TIMESTAMP_NTZ
-# incident arrived via exactly such a silent regeneration). The first two
-# come from conftest so this contract follows any testdata-root move.
-from tests.conftest import SF_ORACLE, SF_SMOKE
+# incident arrived via exactly such a silent regeneration). All three are
+# explicit conftest constants (ADVICE r6: a string .replace could silently
+# no-op into a duplicate and lose the sf0.1 coverage); the distinctness
+# assert makes any future constant drift loud.
+from tests.conftest import SF_BENCH, SF_ORACLE, SF_SMOKE
 
-SF_DIRS = [SF_SMOKE, SF_ORACLE, SF_ORACLE.replace("sf0.01", "sf0.1")]
+SF_DIRS = [SF_SMOKE, SF_ORACLE, SF_BENCH]
+assert len(set(SF_DIRS)) == 3, f"SF dirs must be distinct: {SF_DIRS}"
 
 
 @pytest.mark.parametrize("sf", SF_DIRS, ids=lambda p: p.rsplit("/", 1)[-1])

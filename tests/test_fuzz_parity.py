@@ -329,7 +329,9 @@ def test_hash_coin_wrap_free_at_any_id_magnitude(spark):
     (id·KNUTH) mod PRIME32 even where a naive id*KNUTH overflows int64
     (ids > ~3.5e9): Spark expr vs DuckDB SQL vs Python big-int, all three
     identical (ADVICE r5: the naive form wraps silently in Spark and
-    raises in DuckDB)."""
+    raises in DuckDB). Negative ids included (ADVICE r6): both engines'
+    ``%`` follows the dividend's sign, so the coin canonicalizes to the
+    nonnegative residue — Python's ``%`` is already that residue."""
     from projet_pipeline_bigdata_org_spark.functions.hashing import (
         KNUTH,
         PRIME32,
@@ -340,6 +342,7 @@ def test_hash_coin_wrap_free_at_any_id_magnitude(spark):
     ids = [
         0, 1, 12345, 2**31 - 1, 2**32, 4_000_000_000, 10**12,
         2**62, 2**63 - 1,  # far beyond the naive form's overflow point
+        -1, -12345, -(2**31), -(2**62),  # sign-safety (ADVICE r6)
     ]
     truth = {i: (i * KNUTH) % PRIME32 for i in ids}
     sdf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
