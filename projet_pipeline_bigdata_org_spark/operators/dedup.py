@@ -201,6 +201,105 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Crafted cross-split NEAR-duplicate fixture for dedup_incremental_minhash:
+# the synthetic corpus's near-dup pairs are generation artifacts that may or
+# may not straddle the doc_id-residue split, so without these rows the
+# batch-vs-history hit path could certify vacuously. Ids start at 2·10^9
+# (above the corpus AND the exact-dedup fixture); residues place the base
+# document in history and its near-duplicate (one token rewritten out of 26
+# — ~3 of ~24 word-3-gram shingles change, Jaccard ≈ 0.78) plus one novel
+# document in the batch.
+_INC_NEARDUP_BASE = (
+    "incremental minhash fixture the steady state crawler revisits large "
+    "boilerplate corpora every day and the near duplicate detector must flag "
+    "refreshed copies of historical pages before they reenter the training "
+    "data pool"
+)
+INCREMENTAL_NEARDUP_FIXTURE_ROWS: tuple[tuple[int, str, str], ...] = (
+    (2_000_000_000, _INC_NEARDUP_BASE, "fixture_near"),
+    (2_000_000_008, _INC_NEARDUP_BASE.replace("refreshed", "rescraped"), "fixture_near"),
+    (
+        2_000_000_018,
+        "incremental minhash fixture novel payload gamma with entirely "
+        "different vocabulary about orbital mechanics and tidal resonance",
+        "fixture_near",
+    ),
+)
+
+
+@query(
+    "dedup_incremental_minhash",
+    tags=("llm", "dedup", "documents", "incremental", "no-oracle"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash+LSH near-dedup: an incoming crawl shard's band
+    signatures joined against the historical corpus's band table — the
+    steady-state form of ``dedup_minhash_lsh`` the same way
+    ``dedup_incremental_exact`` is the steady-state form of exact dedup.
+    The reference's only dedup is a driver-side id-skip
+    (test/data_ingestion/testpy.py:130-131); this is what a daily 100 TB
+    crawl pipeline actually runs.
+
+    Scale shape, staged like the one-shot query:
+    1. one persisted shingle+hash table feeds signatures for both sides and
+       the verify step;
+    2. the history side reduces to its (doc_id, band, bucket) band table —
+       24 bytes/row; at cluster scale this is a staging table written once
+       per corpus epoch and bucketed by (band, bucket) via
+       sources/batch.py's write_bucketed_table, making the candidate join
+       zero-shuffle on the history side while each daily shard shuffles
+       only its own delta;
+    3. batch bands equi-join history bands (band, bucket) — never a
+       self-join, never all-pairs — and candidates re-join the persisted
+       shingle table by doc_id for the exact-Jaccard verify on candidates
+       only.
+    History/batch split is the same deterministic doc_id residue as the
+    exact sibling; INCREMENTAL_NEARDUP_FIXTURE_ROWS keeps the cross-split
+    hit path non-vacuous. No DuckDB oracle (xxhash64 band buckets aren't
+    reproducible there — same rationale as dedup_minhash_lsh); invariants:
+    output equals the one-shot LSH result restricted to cross-split pairs,
+    and the crafted fixture pair is flagged (tests/test_llm_ops.py)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "source").unionByName(
+        spark.createDataFrame(
+            list(INCREMENTAL_NEARDUP_FIXTURE_ROWS),
+            "doc_id long, text string, source string",
+        )
+    )
+    sh = _persist_scoped(
+        "inc_minhash_sh",
+        d.select("doc_id", F.array_distinct(shingles(ws_tokens("text"))).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", "sh", shingle_hashes(F.col("sh")).alias("hh")),
+    )
+    is_batch = F.col("doc_id") % 10 >= _INCREMENTAL_BATCH_RESIDUE
+    hist_bands = minhash_band_table(sh.filter(~is_batch))
+    batch_bands = minhash_band_table(sh.filter(is_batch))
+    cand = (
+        batch_bands.alias("b")
+        .join(
+            hist_bands.alias("h"),
+            (F.col("b.band") == F.col("h.band"))
+            & (F.col("b.bucket") == F.col("h.bucket")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_id"), F.col("h.doc_id").alias("history_id")
+        )
+        .dropDuplicates(["batch_id", "history_id"])
+    )
+    sh_b = sh.select(F.col("doc_id").alias("batch_id"), F.col("sh").alias("sh_b"))
+    sh_h = sh.select(F.col("doc_id").alias("history_id"), F.col("sh").alias("sh_h"))
+    inter = F.size(F.array_intersect("sh_b", "sh_h"))
+    union = F.size("sh_b") + F.size("sh_h") - inter
+    return (
+        cand.join(sh_b, "batch_id")
+        .join(sh_h, "history_id")
+        .select(
+            "batch_id", "history_id", (inter.cast("double") / union).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
 @query(
     "dedup_exact_normalized",
     oracle=f"""
@@ -352,6 +451,33 @@ def shingle_hashes(sh: F.Column) -> F.Column:
     return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P31)))
 
 
+def minhash_bands(sig: F.Column) -> F.Column:
+    """``array<struct<band,bucket>>``: the signature sliced into
+    MINHASH_BANDS contiguous MINHASH_ROWS-row bands, each bucketed by one
+    JVM hash of its slice. Shared by the one-shot and incremental LSH
+    queries so their band keys can never drift."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(F.slice(sig, b * MINHASH_ROWS + 1, MINHASH_ROWS)).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+
+
+def minhash_band_table(sh_df: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) from a (doc_id, hh) hashed-shingle frame —
+    24 bytes/row, the only thing an LSH candidate join ever shuffles."""
+    sig = sh_df.select("doc_id", minhash_signature(F.col("hh")).alias("sig"))
+    return sig.select("doc_id", F.explode(minhash_bands(F.col("sig"))).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 @query(
     "dedup_minhash_lsh",
     tags=("llm", "dedup", "documents", "no-oracle"),
@@ -381,21 +507,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # permutation mins (32× xxhash64 per shingle)
         .select("doc_id", "sh", shingle_hashes(F.col("sh")).alias("hh")),
     )
-    sig = sh.select("doc_id", minhash_signature(F.col("hh")).alias("sig"))
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.hash(F.slice(F.col("sig"), b * MINHASH_ROWS + 1, MINHASH_ROWS)).alias(
-                    "bucket"
-                ),
-            )
-            for b in range(MINHASH_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    bands = minhash_band_table(sh)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -790,6 +790,58 @@ def test_incremental_dedup_fixture_and_consistency(spark, sf_dir):
             assert r.n_dup_vs_history == 0 and r.n_novel == r.n_incoming
 
 
+def test_incremental_minhash_equals_oneshot_cross_split(spark, sf_dir, exact_jaccard_pairs):
+    """The incremental LSH result must be exactly the one-shot LSH result
+    restricted to cross-split pairs: same shingles, same signatures, same
+    band keys (shared minhash_band_table), same verify — a batch-vs-history
+    collision happens iff the unioned corpus collides in that band. Also
+    soundness: every non-fixture pair is a true exact-Jaccard pair with the
+    identical value."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import (
+        _INCREMENTAL_BATCH_RESIDUE,
+    )
+
+    inc = {
+        (r.batch_id, r.history_id): r.jaccard
+        for r in plans.get("dedup_incremental_minhash").fn(spark, sf_dir).collect()
+    }
+    inc_corpus = {k: v for k, v in inc.items() if max(k) < 2_000_000_000}
+    one_shot = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in plans.get("dedup_minhash_lsh").fn(spark, sf_dir).collect()
+    }
+
+    def is_batch(i: int) -> bool:
+        return i % 10 >= _INCREMENTAL_BATCH_RESIDUE
+
+    want = {}
+    for (a, b), v in one_shot.items():
+        if is_batch(a) != is_batch(b):  # pair straddles the split
+            batch_id, hist_id = (a, b) if is_batch(a) else (b, a)
+            want[(batch_id, hist_id)] = v
+    assert inc_corpus == want
+    # soundness vs the exact inverted-index ground truth
+    for k, v in inc_corpus.items():
+        a, b = min(k), max(k)
+        assert abs(v - exact_jaccard_pairs[(a, b)]) < 1e-12
+
+
+def test_incremental_minhash_fixture_flagged(spark, sf_dir):
+    """The crafted cross-split near-duplicate must be flagged (hit path
+    non-vacuous) and the novel fixture document must not pair with
+    anything."""
+    rows = plans.get("dedup_incremental_minhash").fn(spark, sf_dir).collect()
+    got = {(r.batch_id, r.history_id): r.jaccard for r in rows}
+    assert (2_000_000_008, 2_000_000_000) in got
+    j = got[(2_000_000_008, 2_000_000_000)]
+    assert 0.5 < j < 1.0, j  # near-dup, not an exact copy
+    assert not any(r.batch_id == 2_000_000_018 for r in rows)
+    # batch ids are batch-residue, history ids history-residue — no
+    # within-split pair can leak through the two-sided join
+    for r in rows:
+        assert r.batch_id % 10 >= 8 and r.history_id % 10 < 8
+
+
 def test_holdout_split_fraction_and_determinism(spark, sf_dir):
     """The hash-coin holdout lands near 10% and is identical across runs
     (no rand() anywhere — membership is recomputable by any engine)."""

@@ -473,6 +473,27 @@ def test_incremental_dedup_joins_slim_hash_keys_only(spark, sf_dir):
         assert "text" not in ex, f"text column shuffles: {ex}\n{p}"
 
 
+def test_incremental_minhash_band_join_is_slim_and_staged(spark, sf_dir):
+    """dedup_incremental_minhash's candidate join must be an equi-join on
+    (band, bucket) — no cartesian/nested-loop anywhere — and both LSH sides
+    plus the verify step must read the ONE persisted shingle stage
+    (InMemoryTableScan), not re-shingle the corpus per side. The band-join
+    exchanges carry only slim band keys: the shingle array never crosses a
+    band-join shuffle (it ships only in the by-doc_id verify joins)."""
+    df = _Q["dedup_incremental_minhash"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "InMemoryTableScan" in p, p
+    band_exchanges = [
+        ex
+        for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+        if "band" in ex or "bucket" in ex
+    ]
+    assert band_exchanges, f"no band-key exchanges found (plan form changed?):\n{p}"
+    for ex in band_exchanges:
+        assert "sh" not in ex.split(", ") and "text" not in ex, ex
+
+
 def test_holdout_split_single_pass_partial_agg(spark, sf_dir):
     """curate_split_holdout is one corpus pass: pruned scan, one
     hash-partitioned exchange for the (source, split) rollup, partial
