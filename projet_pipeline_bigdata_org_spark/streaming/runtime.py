@@ -218,6 +218,91 @@ class FailoverBatchSink:
                 )
 
 
+@dataclass
+class HistoryDedupSink:
+    """Exactly-once streaming dedup against a persisted historical corpus —
+    the foreachBatch form of ``operators.dedup.dedup_incremental_exact``
+    (reference analogue: S8's driver-side id-skip,
+    test/data_ingestion/testpy.py:130-131, made streaming-native and
+    content-addressed).
+
+    Per micro-batch (epoch ``e``):
+    1. within-batch duplicates collapse to the min-id keeper (map-side
+       partial agg, same keeper rule as ``dedup_exact_hash``); upstream
+       ``dedup_within_watermark`` already bounds in-flight dups across
+       batches — this is the at-rest guard;
+    2. admission: an anti-join drops rows whose content sha exists in the
+       history table *from epochs strictly before e* — the strict bound is
+       the replay-safety invariant: a restarted epoch sees exactly the
+       history state its first run saw, so it can never anti-join away its
+       own (already-recorded) shas;
+    3. admitted rows overwrite ``out/epoch=e`` and their shas overwrite
+       ``history/epoch=e`` (both idempotent epoch-partition writes, like
+       ``idempotent_parquet_batch_writer``) — replaying an epoch rewrites
+       both partitions identically instead of appending duplicates.
+
+    Scale shape: only 64-hex shas join — at 100 TB the history side is a
+    bucketed-by-sha staging table (sources/batch.py: write_bucketed_table),
+    making the per-batch anti-join zero-shuffle on the history side while
+    each micro-batch shuffles only its own delta; epoch partition pruning
+    keeps the strict-epoch filter a metadata operation."""
+
+    spark: SparkSession
+    out_path: str
+    history_path: str
+    content_col: str = "text"
+    id_col: str = "event_id"
+    stats: dict = field(default_factory=lambda: {"batches": 0, "admitted": 0, "rejected": 0})
+
+    def _history_before(self, epoch_id: int) -> DataFrame:
+        import os
+
+        if not os.path.isdir(self.history_path):
+            return self.spark.createDataFrame([], "content_sha string")
+        return (
+            self.spark.read.parquet(self.history_path)
+            .filter(F.col("epoch") < epoch_id)
+            .select("content_sha")
+            .distinct()
+        )
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        self.stats["batches"] += 1
+        if batch_df.isEmpty():  # P9 empty-batch guard
+            return
+        hashed = batch_df.withColumn(
+            "content_sha", F.sha2(F.col(self.content_col), 256)
+        )
+        keeper = hashed.groupBy("content_sha").agg(
+            F.min(self.id_col).alias(self.id_col)
+        )
+        batch = hashed.join(keeper, ["content_sha", self.id_col])
+        # one membership join, persisted for the batch: the stats agg, the
+        # output write, and the history write all read the cache — no
+        # separate count() job per consumer (the reference's per-batch
+        # count() at engine.py:204 is the anti-pattern this avoids)
+        joined = batch.join(
+            self._history_before(epoch_id).withColumn("in_history", F.lit(1)),
+            "content_sha",
+            "left",
+        ).persist()
+        try:
+            n_batch, n_dup = joined.agg(
+                F.count(F.lit(1)), F.count("in_history")
+            ).first()
+            self.stats["admitted"] += n_batch - n_dup
+            self.stats["rejected"] += n_dup
+            admitted = joined.filter(F.col("in_history").isNull())
+            admitted.drop("content_sha", "in_history").write.mode(
+                "overwrite"
+            ).parquet(f"{self.out_path}/epoch={epoch_id}")
+            admitted.select("content_sha").write.mode("overwrite").parquet(
+                f"{self.history_path}/epoch={epoch_id}"
+            )
+        finally:
+            joined.unpersist()
+
+
 def start_foreach_batch(
     df: DataFrame,
     sink: FailoverBatchSink,

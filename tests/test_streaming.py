@@ -534,3 +534,88 @@ def test_complete_mode_reemits_full_aggregate(spark, tmp_path):
     q2.awaitTermination(120)
     got = {r.event_type: r["count"] for r in spark.sql(f"SELECT * FROM {name}").collect()}
     assert got == {"view": 3, "click": 1}
+
+
+def test_history_dedup_sink_cross_batch_and_replay(spark, tmp_path):
+    """Exactly-once dedup vs history under foreachBatch replay: within-batch
+    dups collapse to the min-id keeper, cross-batch dups are rejected
+    against strictly-earlier epochs, and replaying either epoch (what a
+    checkpoint restart does) rewrites its partitions identically — zero
+    duplicate admissions, zero lost rows."""
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import HistoryDedupSink
+
+    out, hist = str(tmp_path / "out"), str(tmp_path / "hist")
+    sink = HistoryDedupSink(spark, out, hist, content_col="text", id_col="doc_id")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    b1 = mk([(1, "alpha"), (2, "beta"), (3, "alpha")])  # within-batch dup
+    sink(b1, 0)
+    assert sink.stats["admitted"] == 2 and sink.stats["rejected"] == 0
+    b2 = mk([(4, "beta"), (5, "gamma")])  # beta duplicates history
+    sink(b2, 1)
+    assert sink.stats["admitted"] == 3 and sink.stats["rejected"] == 1
+
+    want = {(1, "alpha"), (2, "beta"), (5, "gamma")}
+
+    def admitted():
+        return {
+            (r.doc_id, r.text)
+            for r in spark.read.parquet(out).select("doc_id", "text").collect()
+        }
+
+    assert admitted() == want
+    # replay both epochs, newest first (the worst case: epoch 0 replays
+    # AFTER history already contains its shas under epoch=0) — the
+    # strict `epoch < e` membership bound keeps both rewrites identical
+    sink(b2, 1)
+    sink(b1, 0)
+    assert admitted() == want
+    hist_rows = spark.read.parquet(hist)
+    assert hist_rows.count() == 3  # one sha per admitted content, no dupes
+
+
+def test_streaming_history_dedup_zero_dup_admissions_across_restart(spark, tmp_path):
+    """End-to-end T3/T5 + S8: a checkpointed foreachBatch stream admits each
+    content exactly once even when a later run (fresh sink instance, same
+    checkpoint — a restart) brings a duplicate of an earlier epoch's
+    content."""
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        HistoryDedupSink,
+        file_stream,
+    )
+
+    src = str(tmp_path / "src")
+    out, hist, ckpt = (
+        str(tmp_path / "out"),
+        str(tmp_path / "hist"),
+        str(tmp_path / "ckpt"),
+    )
+    schema = "doc_id long, text string"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    def run(sink):
+        q = (
+            file_stream(spark, src, schema, max_files_per_trigger=1)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    mk([(1, "alpha"), (2, "beta")]).write.mode("append").parquet(src)
+    run(HistoryDedupSink(spark, out, hist, content_col="text", id_col="doc_id"))
+
+    # second drop: one duplicate of epoch-0 content, one novel document;
+    # restart from the same checkpoint with a FRESH sink (process restart)
+    mk([(3, "beta"), (4, "gamma")]).write.mode("append").parquet(src)
+    sink2 = HistoryDedupSink(spark, out, hist, content_col="text", id_col="doc_id")
+    run(sink2)
+
+    texts = [r.text for r in spark.read.parquet(out).collect()]
+    assert sorted(texts) == ["alpha", "beta", "gamma"]  # each admitted once
+    assert sink2.stats["rejected"] == 1  # the replayed-content doc
