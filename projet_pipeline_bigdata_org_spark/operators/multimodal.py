@@ -1,11 +1,15 @@
 """Multimodal column handling (SURVEY.md §2.12): opaque binary payloads with
 typed metadata, decoded/feature-extracted through ``mapInPandas``.
 
-The container has no image/audio libraries, so the *decode kernel* is a
-clearly-marked deterministic stub (``decode_media_stub``) / NotImplementedError
-(``decode_media_real``) — but the Spark-side plumbing is real and tested:
-binary column construction, Arrow batch iteration, output schema, and the
-partitioning that keeps decode batches balanced.
+The container has no image/audio codec libraries, so decoding is split:
+``decode_media_real`` parses PNG/JPEG/GIF dimensions from their fixed
+header bytes in pure Python (no codec needed — the formats publish the
+offsets), and everything else falls back to the clearly-marked
+deterministic stub (``decode_media_stub``) so full pixel/sample decode
+remains the explicit PIL/ffmpeg integration point. The Spark-side plumbing
+is real and tested either way: binary column construction, Arrow batch
+iteration, output schema, and the partitioning that keeps decode batches
+balanced.
 """
 
 from __future__ import annotations
@@ -25,10 +29,59 @@ DECODE_SCHEMA = (
 
 
 def decode_media_real(payload: bytes) -> dict:
-    """Real media decode — requires image/audio libs not present in this
-    environment. Kept as the explicit integration point."""
+    """Header-level media decode for the common image formats — dimensions
+    live at fixed, published offsets, so no codec library is needed:
+
+    - PNG: 8-byte signature, then the IHDR chunk is REQUIRED first —
+      width/height are big-endian uint32 at bytes 16-23;
+    - GIF87a/89a: logical screen width/height are little-endian uint16 at
+      bytes 6-9; frame count = graphic-control-extension blocks
+      (``21 F9 04``), one per frame in animations, floor 1;
+    - JPEG: walk the ``FF xx`` marker segments from SOI to the first SOF
+      (C0-CF except C4/C8/CC) — height/width are big-endian uint16 at
+      segment offsets +5/+7.
+
+    Anything else (video containers, audio, truncated headers) raises
+    NotImplementedError — full pixel/sample decode stays the documented
+    PIL/ffmpeg integration point and falls back to the stub in the
+    mapInPandas kernel."""
+    n = len(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        return {
+            "n_bytes": n,
+            "width": int.from_bytes(payload[16:20], "big"),
+            "height": int.from_bytes(payload[20:24], "big"),
+            "n_frames": 1,
+            "mime": "image/png",
+        }
+    if payload[:6] in (b"GIF87a", b"GIF89a") and n >= 10:
+        return {
+            "n_bytes": n,
+            "width": int.from_bytes(payload[6:8], "little"),
+            "height": int.from_bytes(payload[8:10], "little"),
+            "n_frames": max(1, payload.count(b"\x21\xf9\x04")),
+            "mime": "image/gif",
+        }
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= n and payload[i] == 0xFF:
+            marker = payload[i + 1]
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:  # standalone
+                i += 2
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return {
+                    "n_bytes": n,
+                    "width": int.from_bytes(payload[i + 7 : i + 9], "big"),
+                    "height": int.from_bytes(payload[i + 5 : i + 7], "big"),
+                    "n_frames": 1,
+                    "mime": "image/jpeg",
+                }
+            i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+        raise NotImplementedError("JPEG without a SOF header (truncated?)")
     raise NotImplementedError(
-        "media decoding requires PIL/ffmpeg; use decode_media_stub in tests"
+        "only PNG/JPEG/GIF headers are parseable without codec libs; "
+        "full decode requires PIL/ffmpeg (falls back to decode_media_stub)"
     )
 
 
@@ -45,20 +98,90 @@ def decode_media_stub(payload: bytes) -> dict:
     }
 
 
+def decode_media(payload: bytes) -> dict:
+    """The kernel's decode dispatch: real header parse where the format
+    allows it, deterministic stub otherwise."""
+    try:
+        return decode_media_real(bytes(payload))
+    except NotImplementedError:
+        return decode_media_stub(payload)
+
+
 def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: binary payload column → typed media metadata.
     Operates on whole Arrow batches; per-row decode happens in-process
     (at scale: one task per input partition, no driver involvement)."""
     for pdf in batches:
-        metas = [decode_media_stub(p) for p in pdf["payload"]]
+        metas = [decode_media(p) for p in pdf["payload"]]
         out = pd.DataFrame(metas)
         out.insert(0, "doc_id", pdf["doc_id"].values)
         yield out[["doc_id", "n_bytes", "width", "height", "n_frames", "mime"]]
 
 
+# Crafted real-media fixture payloads: minimal headers CONSTRUCTED from the
+# (w, h, frames) constants below per each format's published layout, then
+# PARSED back by decode_media_real — the oracle carries the same constants
+# as literal rows, so a parser bug (offset, endianness, marker walk) breaks
+# bit-exact parity instead of passing silently. Ids start at 3·10^9, above
+# the corpus and both dedup fixtures.
+_MM_PNG = (3_000_000_001, 640, 360)
+_MM_JPEG = (3_000_000_002, 1024, 768)
+_MM_GIF = (3_000_000_003, 320, 200, 3)  # 3 animation frames
+
+
+def _png_fixture(w: int, h: int) -> bytes:
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 6, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + len(ihdr).to_bytes(4, "big")
+        + b"IHDR"
+        + ihdr
+        + b"\x00\x00\x00\x00"  # CRC placeholder (header parse ignores it)
+    )
+
+
+def _jpeg_fixture(w: int, h: int) -> bytes:
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    sof0 = (
+        b"\xff\xc0"
+        + (11).to_bytes(2, "big")
+        + bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([1, 0x11, 0x00])
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _gif_fixture(w: int, h: int, frames: int) -> bytes:
+    screen = w.to_bytes(2, "little") + h.to_bytes(2, "little") + bytes([0, 0, 0])
+    gce = b"\x21\xf9\x04" + bytes([0, 0, 0, 0]) + b"\x00"
+    return b"GIF89a" + screen + gce * frames + b"\x3b"
+
+
+MM_MEDIA_FIXTURE_ROWS: tuple[tuple[int, bytes], ...] = (
+    (_MM_PNG[0], _png_fixture(_MM_PNG[1], _MM_PNG[2])),
+    (_MM_JPEG[0], _jpeg_fixture(_MM_JPEG[1], _MM_JPEG[2])),
+    (_MM_GIF[0], _gif_fixture(_MM_GIF[1], _MM_GIF[2], _MM_GIF[3])),
+)
+
+_MM_FIXTURE_ORACLE_ROWS = (
+    (_MM_PNG[0], len(MM_MEDIA_FIXTURE_ROWS[0][1]), _MM_PNG[1], _MM_PNG[2], 1, "image/png"),
+    (_MM_JPEG[0], len(MM_MEDIA_FIXTURE_ROWS[1][1]), _MM_JPEG[1], _MM_JPEG[2], 1, "image/jpeg"),
+    (_MM_GIF[0], len(MM_MEDIA_FIXTURE_ROWS[2][1]), _MM_GIF[1], _MM_GIF[2], _MM_GIF[3], "image/gif"),
+)
+
+_MM_FIXTURE_SQL = " UNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS doc_id, CAST({nb} AS BIGINT) AS n_bytes,"
+    f" CAST({w} AS BIGINT) AS width, CAST({h} AS BIGINT) AS height,"
+    f" CAST({nf} AS BIGINT) AS n_frames, '{mime}' AS mime"
+    for i, nb, w, h, nf, mime in _MM_FIXTURE_ORACLE_ROWS
+)
+
+
 @query(
     "mm_decode_metadata",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
            CAST(OCTET_LENGTH(ENCODE(text)) % 640 + 1 AS BIGINT) AS width,
@@ -66,20 +189,35 @@ def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
            CAST(OCTET_LENGTH(ENCODE(text)) % 30 + 1 AS BIGINT) AS n_frames,
            'application/octet-stream' AS mime
     FROM documents
+    UNION ALL
+    {_MM_FIXTURE_SQL}
     """,
     tags=("llm", "multimodal", "documents"),
 )
 def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column decode pipeline: text → binary payload (stand-in for
-    image/audio bytes) → mapInPandas stub decode → typed metadata.
+    """Binary-column decode pipeline: binary payloads → mapInPandas decode
+    kernel → typed metadata, with BOTH decode paths exercised:
 
-    The oracle reproduces the stub's arithmetic from OCTET_LENGTH(ENCODE(text)) (documents
-    are ASCII so chars == bytes), proving the Arrow round-trip end-to-end.
+    - corpus rows (text bytes playing opaque payloads) miss every format
+      magic and take the stub path — the oracle reproduces the stub's
+      arithmetic from OCTET_LENGTH(ENCODE(text)) (documents are ASCII so
+      chars == bytes), proving the Arrow round-trip;
+    - MM_MEDIA_FIXTURE_ROWS carry real PNG/JPEG/GIF headers and take the
+      decode_media_real header parse — the oracle carries the construction
+      constants as literal rows, so parse offsets/endianness are verified
+      bit-exact, not assumed.
+
     Scale note: decode is embarrassingly parallel; repartition on doc_id
     keeps batches balanced when payload sizes are skewed.
     """
     d = load(spark, sf_dir, "documents")
-    payloads = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).unionByName(
+        spark.createDataFrame(
+            list(MM_MEDIA_FIXTURE_ROWS), "doc_id long, payload binary"
+        )
+    )
     return payloads.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
 
 

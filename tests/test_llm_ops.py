@@ -98,15 +98,31 @@ def test_enrichment_udf_fallback_and_chunking(spark):
     assert {r.s for r in got} == {"neutral"}
 
 
-def test_multimodal_real_decoder_is_explicit_stub():
+def test_multimodal_real_decoder_parses_headers_and_stubs_the_rest():
+    """decode_media_real is a real header parser for PNG/JPEG/GIF (fixed
+    published offsets, no codec libs) and an explicit NotImplementedError
+    integration point for everything else (full decode needs PIL/ffmpeg)."""
     from projet_pipeline_bigdata_org_spark.operators.multimodal import (
+        MM_MEDIA_FIXTURE_ROWS,
+        decode_media,
         decode_media_real,
         decode_media_stub,
     )
 
+    png, jpeg, gif = (decode_media_real(p) for _, p in MM_MEDIA_FIXTURE_ROWS)
+    assert (png["width"], png["height"], png["mime"]) == (640, 360, "image/png")
+    assert (jpeg["width"], jpeg["height"], jpeg["mime"]) == (1024, 768, "image/jpeg")
+    assert (gif["width"], gif["height"], gif["n_frames"], gif["mime"]) == (
+        320, 200, 3, "image/gif",
+    )
+    # non-media bytes and truncated JPEG stay explicit integration points
     with pytest.raises(NotImplementedError):
         decode_media_real(b"xx")
-    m = decode_media_stub(b"abcd")
+    with pytest.raises(NotImplementedError):
+        decode_media_real(b"\xff\xd8\xff\xe0\x00\x04\x00\x00")  # no SOF
+    # the kernel dispatch falls back to the stub for those
+    m = decode_media(b"abcd")
+    assert m == decode_media_stub(b"abcd")
     assert m["n_bytes"] == 4 and m["width"] == 5 and m["n_frames"] == 5
 
 
