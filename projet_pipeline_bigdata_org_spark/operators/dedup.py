@@ -301,6 +301,71 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_simhash",
+    tags=("llm", "dedup", "documents", "incremental", "no-oracle"),
+)
+def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SimHash near-dedup: the incoming shard's chunk-pair band
+    keys joined against the historical fingerprint band table — completing
+    the steady-state near-dedup family (exact → MinHash → SimHash; a real
+    crawl pipeline runs whichever fingerprint family it standardized on).
+
+    Scale shape mirrors ``dedup_incremental_minhash``: fingerprints are
+    16 bytes/row, the band table 24; at cluster scale the history band
+    table is a staging table bucketed by (chunk, chunk_val) — zero-shuffle
+    on the history side, each shard shuffles only its delta. The hot-bucket
+    census runs over the unioned corpus (exactly what the one-shot query
+    sees, so the restriction invariant is exact; at scale the census is a
+    maintained property of the history table that the much smaller shard
+    perturbs negligibly). The batch-vs-history join needs no ``a_id < b_id``
+    ordering — the sides are disjoint by construction.
+
+    No DuckDB oracle (xxhash64 features, same rationale as
+    ``dedup_simhash``); invariants: output equals the one-shot SimHash
+    result restricted to cross-split pairs, and the crafted near-duplicate
+    fixture pair (shared with the MinHash sibling) is flagged."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "source").unionByName(
+        spark.createDataFrame(
+            list(INCREMENTAL_NEARDUP_FIXTURE_ROWS),
+            "doc_id long, text string, source string",
+        )
+    )
+    hashed_df = _persist_scoped(
+        "inc_simhash_hashed",
+        d.select(
+            "doc_id",
+            F.array_distinct(shingles(ws_tokens("text"))).alias("feats"),
+        )
+        .filter(F.size("feats") > 0)
+        .select("doc_id", F.transform("feats", lambda t: F.xxhash64(t)).alias("hh")),
+    )
+    fp = _persist_scoped(
+        "inc_simhash_fp",
+        hashed_df.select(
+            "doc_id", simhash_fingerprint_np()(F.col("hh")).alias("simhash")
+        ),
+    )
+    chunks = _drop_hot_simhash_buckets(simhash_chunk_table(fp), SIMHASH_MAX_BUCKET)
+    is_batch = F.col("doc_id") % 10 >= _INCREMENTAL_BATCH_RESIDUE
+    b, h = chunks.filter(is_batch).alias("b"), chunks.filter(~is_batch).alias("h")
+    ham = F.bit_count(F.col("b.simhash").bitwiseXOR(F.col("h.simhash")))
+    return (
+        b.join(
+            h,
+            (F.col("b.chunk") == F.col("h.chunk"))
+            & (F.col("b.chunk_val") == F.col("h.chunk_val")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_id"),
+            F.col("h.doc_id").alias("history_id"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["batch_id", "history_id"])
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+    )
+
+
+@query(
     "dedup_exact_normalized",
     oracle=f"""
     WITH n AS (SELECT doc_id, {_SQL_CLEAN.format(c='text')} AS norm FROM documents)
@@ -613,6 +678,50 @@ def simhash_fingerprint_np():
     return F.pandas_udf(_fp, "long")
 
 
+def simhash_chunk_table(fp: DataFrame) -> DataFrame:
+    """(doc_id, simhash, chunk, chunk_val) — one row per chunk-PAIR band of
+    each fingerprint (16-bit band keys; see the module constants). Shared
+    by the one-shot and incremental SimHash queries so their band keys can
+    never drift."""
+
+    def _chunk_val(c: int) -> F.Column:
+        return F.shiftright(F.col("simhash"), c * _CHUNK_BITS).bitwiseAND(
+            F.lit((1 << _CHUNK_BITS) - 1)
+        )
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("chunk"),
+                # 16-bit band key: both chunk values of the pair
+                (F.shiftleft(_chunk_val(i), _CHUNK_BITS) + _chunk_val(j)).alias(
+                    "chunk_val"
+                ),
+            )
+            for band, (i, j) in enumerate(_CHUNK_PAIRS)
+        ]
+    )
+    return fp.select("doc_id", "simhash", F.explode(band_structs).alias("cc")).select(
+        "doc_id",
+        "simhash",
+        F.col("cc.chunk").alias("chunk"),
+        F.col("cc.chunk_val").alias("chunk_val"),
+    )
+
+
+def _drop_hot_simhash_buckets(chunks: DataFrame, max_bucket_pop: int) -> DataFrame:
+    """Hot-bucket cap (mirror of the shingle DF cap): census per band
+    bucket, blacklist the over-populated ones (tiny by construction:
+    ≤ rows/cap), anti-join them off before the quadratic-in-bucket join."""
+    hot = (
+        chunks.groupBy("chunk", "chunk_val")
+        .agg(F.count(F.lit(1)).alias("_pop"))
+        .filter(F.col("_pop") > max_bucket_pop)
+        .select("chunk", "chunk_val")
+    )
+    return chunks.join(hot, ["chunk", "chunk_val"], "left_anti")
+
+
 def simhash_pairs(
     d: DataFrame, max_bucket_pop: int = SIMHASH_MAX_BUCKET
 ) -> DataFrame:
@@ -640,39 +749,8 @@ def simhash_pairs(
         ),
     )
 
-    def _chunk_val(c: int) -> F.Column:
-        return F.shiftright(F.col("simhash"), c * _CHUNK_BITS).bitwiseAND(
-            F.lit((1 << _CHUNK_BITS) - 1)
-        )
-
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("chunk"),
-                # 16-bit band key: both chunk values of the pair
-                (F.shiftleft(_chunk_val(i), _CHUNK_BITS) + _chunk_val(j)).alias(
-                    "chunk_val"
-                ),
-            )
-            for band, (i, j) in enumerate(_CHUNK_PAIRS)
-        ]
-    )
-    chunks = fp.select("doc_id", "simhash", F.explode(band_structs).alias("cc")).select(
-        "doc_id",
-        "simhash",
-        F.col("cc.chunk").alias("chunk"),
-        F.col("cc.chunk_val").alias("chunk_val"),
-    )
-    # hot-bucket cap (mirror of the shingle DF cap): census per band bucket,
-    # blacklist the over-populated ones (tiny by construction: ≤ rows/cap),
-    # anti-join them off both sides before the quadratic-in-bucket self-join
-    hot = (
-        chunks.groupBy("chunk", "chunk_val")
-        .agg(F.count(F.lit(1)).alias("_pop"))
-        .filter(F.col("_pop") > max_bucket_pop)
-        .select("chunk", "chunk_val")
-    )
-    chunks = chunks.join(hot, ["chunk", "chunk_val"], "left_anti")
+    chunks = simhash_chunk_table(fp)
+    chunks = _drop_hot_simhash_buckets(chunks, max_bucket_pop)
     a, b = chunks.alias("a"), chunks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

@@ -858,6 +858,41 @@ def test_incremental_minhash_fixture_flagged(spark, sf_dir):
         assert r.batch_id % 10 >= 8 and r.history_id % 10 < 8
 
 
+def test_incremental_simhash_equals_oneshot_cross_split(spark, sf_dir):
+    """Same restriction invariant as the MinHash sibling: identical
+    features, fingerprints, band keys (shared simhash_chunk_table) and
+    hot-bucket census mean a batch-vs-history collision happens iff the
+    one-shot self-join collides cross-split — so the incremental result
+    must be exactly the one-shot result restricted to cross-split pairs."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import (
+        _INCREMENTAL_BATCH_RESIDUE,
+    )
+
+    inc = {
+        (r.batch_id, r.history_id): r.hamming
+        for r in plans.get("dedup_incremental_simhash").fn(spark, sf_dir).collect()
+    }
+    inc_corpus = {k: v for k, v in inc.items() if max(k) < 2_000_000_000}
+    one_shot = {
+        (r.a_id, r.b_id): r.hamming
+        for r in plans.get("dedup_simhash").fn(spark, sf_dir).collect()
+    }
+
+    def is_batch(i: int) -> bool:
+        return i % 10 >= _INCREMENTAL_BATCH_RESIDUE
+
+    want = {}
+    for (a, b), v in one_shot.items():
+        if is_batch(a) != is_batch(b):
+            batch_id, hist_id = (a, b) if is_batch(a) else (b, a)
+            want[(batch_id, hist_id)] = v
+    assert inc_corpus == want
+    # the shared near-dup fixture pair is flagged (hamming ≤ 12, > 0)
+    assert 0 < inc[(2_000_000_008, 2_000_000_000)] <= 12
+    for batch_id, hist_id in inc:
+        assert batch_id % 10 >= 8 and hist_id % 10 < 8
+
+
 def test_holdout_split_fraction_and_determinism(spark, sf_dir):
     """The hash-coin holdout lands near 10% and is identical across runs
     (no rand() anywhere — membership is recomputable by any engine)."""
