@@ -713,3 +713,130 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("deg"))
     )
     return deg.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+
+
+# ---------------------------------------------------------------------------
+# PageRank ([GAP→add] SURVEY §2.15 graph analytics; joins graph_triangle_count
+# / star_cluster_components as the third iterative-graph exemplar)
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for PageRank mass (integer arithmetic keeps every
+#: iteration exact and order-independent — see docstring)
+PR_SCALE = 1_000_000_000_000_000  # 10^15
+PR_ITERS = 3
+PR_TOPK = 20
+
+
+def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fixed-point (node, rank_scaled) table after PR_ITERS power
+    iterations — the tested core behind graph_pagerank; see its docstring
+    for exactness and scale rationale."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = copurchase_pairs(li)
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n = outdeg.agg(F.count(F.lit(1)).alias("n"))
+    # edges ride every iteration; persist the (src, dst, outdeg) side once
+    # so pair generation + dedup isn't re-derived per iteration
+    esrc = edges.join(outdeg, "src").persist()
+    ranks = (
+        outdeg.select(F.col("src").alias("node"))
+        .crossJoin(F.broadcast(n))
+        .select("node", F.expr(f"{PR_SCALE} DIV n").alias("rank_scaled"))
+    )
+    for _ in range(PR_ITERS):
+        gathered = (
+            esrc.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("rank_scaled DIV outdeg")).alias("mass"))
+        )
+        ranks = gathered.crossJoin(F.broadcast(n)).select(
+            "node",
+            F.expr(
+                f"(15 * CAST({PR_SCALE} AS BIGINT)) DIV (100 * n)"
+                " + (85 * mass) DIV 100"
+            ).alias("rank_scaled"),
+        )
+    return ranks
+
+
+def _pagerank_iteration_sql(prev: str, out: str) -> str:
+    """One unrolled PageRank iteration over the symmetrized edge list."""
+    return f"""
+    {out} AS (
+      SELECT s.node,
+             (15 * {PR_SCALE}) // (100 * (SELECT n FROM n))
+             + (85 * s.mass) // 100 AS rank_scaled
+      FROM (
+        SELECT e.dst AS node,
+               CAST(SUM(r.rank_scaled // o.outdeg) AS BIGINT) AS mass
+        FROM edges e
+        JOIN {prev} r ON e.src = r.node
+        JOIN outdeg o ON e.src = o.src
+        GROUP BY e.dst) s)"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    edges AS (
+      SELECT u AS src, v AS dst FROM pairs
+      UNION ALL
+      SELECT v AS src, u AS dst FROM pairs),
+    outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS n FROM outdeg),
+    r0 AS (
+      SELECT src AS node, {PR_SCALE} // (SELECT n FROM n) AS rank_scaled
+      FROM outdeg),
+    {_pagerank_iteration_sql('r0', 'r1')},
+    {_pagerank_iteration_sql('r1', 'r2')},
+    {_pagerank_iteration_sql('r2', 'r3')}
+    SELECT node, CAST(rank_scaled AS BIGINT) AS rank_scaled,
+           CAST(rank_scaled AS DOUBLE) / {PR_SCALE} AS rank,
+           CAST(ROW_NUMBER() OVER (ORDER BY rank_scaled DESC, node) AS BIGINT)
+             AS rnk
+    FROM r3
+    QUALIFY rnk <= {PR_TOPK}
+    """,
+    tags=("graph", "iterative", "lineitem"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k PageRank over the part co-purchase graph, 3 unrolled power
+    iterations with damping 0.85 in FIXED-POINT integer arithmetic: ranks
+    carry as mass scaled by 10^15, per-edge contributions are integer
+    divisions (rank DIV outdeg), and each iteration's gather is an exact
+    BIGINT sum — order-independent by construction, so the result (and the
+    top-k ordering) is bit-identical across engines, partitionings, and
+    retries, where a double-summed PageRank drifts in the last ulps per
+    shuffle layout.
+
+    Scale shape: the symmetrized edge list and out-degrees derive from one
+    copurchase_pairs pass; each iteration is one shuffle-join of the edge
+    list with the current (node, rank) table — both hash-partitioned on
+    the join key, and AQE handles the skewed hub fan-in. K=3 keeps the
+    unrolled lineage trivially small; a converging variant would
+    checkpoint per iteration like star_cluster_components. The dangling-
+    node correction is unnecessary here: symmetrized edges give every node
+    out-degree ≥ 1. Output is the global top-20, a row_number over the
+    final rank table."""
+    ranks = pagerank_ranks(spark, sf_dir)
+    from pyspark.sql import Window as _W
+
+    rnk = F.row_number().over(_W.orderBy(F.col("rank_scaled").desc(), "node"))
+    out = (
+        ranks.select(
+            "node",
+            F.col("rank_scaled").cast("long").alias("rank_scaled"),
+            (F.col("rank_scaled").cast("double") / PR_SCALE).alias("rank"),
+        )
+        .withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= PR_TOPK)
+    )
+    return out

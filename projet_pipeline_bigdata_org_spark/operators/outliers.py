@@ -1,0 +1,221 @@
+"""Distribution analytics: robust (MAD) outlier detection and the
+two-sample Kolmogorov-Smirnov statistic over the events stream.
+
+Both are data-quality gates a training pipeline runs before ingesting a
+telemetry batch: MAD flags per-metric anomalies without assuming
+normality (reference surfaces raw `value` untouched —
+`main/data_processing/data_processing.py` has no outlier handling; this
+is a [GAP→add] per SURVEY §2.13), and KS quantifies drift between two
+event populations.
+
+Scale shape (shared): the ONLY full-table pass is the distinct-value
+compression groupBy (value domain is 2-decimal bounded, so the
+compressed distribution is |domain| rows, not |events| rows). Every
+median / running-CDF window afterwards runs over the compressed
+distribution — the same discipline as stat_exact_percentiles
+(analytics_ext.py), which keeps the unpartitioned windows bounded by
+construction at any corpus size.
+
+Exactness: values ride as integer cents; medians are the explicit lower
+median (MIN x with cume ≥ 0.5) in both engines rather than engine
+``median()`` (DuckDB interpolates even-count medians, Spark's
+percentile differs — the explicit form is engine-independent); every
+division is the same long/long → double tree both engines use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from projet_pipeline_bigdata_org_spark.catalog import load
+from projet_pipeline_bigdata_org_spark.plans.registry import query
+
+#: 3 sigma-equivalents under normality: 3 × 1.4826 (the MAD→sigma
+#: consistency constant). A single double literal in both engines.
+MAD_K = 4.4478
+
+
+@query(
+    "anomaly_mad_outliers",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events),
+    dist AS (
+      SELECT event_type, cents, COUNT(*) AS cnt
+      FROM t GROUP BY event_type, cents),
+    cd AS (
+      SELECT event_type, cents, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING)
+             / SUM(cnt) OVER (PARTITION BY event_type) AS cume
+      FROM dist),
+    med AS (
+      SELECT event_type,
+             MIN(CASE WHEN cume >= 0.5 THEN cents END) AS med
+      FROM cd GROUP BY event_type),
+    dev AS (
+      SELECT d.event_type, ABS(d.cents - d.med) AS dev, d.med,
+             SUM(d.cnt) AS cnt
+      FROM (SELECT dist.event_type, dist.cents, dist.cnt, med.med
+            FROM dist JOIN med USING (event_type)) d
+      GROUP BY d.event_type, ABS(d.cents - d.med), d.med),
+    cd2 AS (
+      SELECT event_type, dev, med, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev
+                            ROWS UNBOUNDED PRECEDING)
+             / SUM(cnt) OVER (PARTITION BY event_type) AS cume
+      FROM dev),
+    mad AS (
+      SELECT event_type, med,
+             MIN(CASE WHEN cume >= 0.5 THEN dev END) AS mad
+      FROM cd2 GROUP BY event_type, med)
+    SELECT d.event_type,
+           CAST(SUM(d.cnt) AS BIGINT) AS n_events,
+           CAST(m.med AS DOUBLE) / 100.0 AS median_value,
+           CAST(m.mad AS DOUBLE) / 100.0 AS mad_value,
+           CAST(SUM(CASE WHEN ABS(d.cents - m.med) > {MAD_K} * m.mad
+                         THEN d.cnt ELSE 0 END) AS BIGINT) AS n_outliers,
+           SUM(CASE WHEN ABS(d.cents - m.med) > {MAD_K} * m.mad
+                    THEN d.cnt ELSE 0 END) * 1.0 / SUM(d.cnt) AS outlier_rate
+    FROM dist d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.med, m.mad
+    """,
+    tags=("llm", "quality", "outliers", "events"),
+)
+def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier audit: median + MAD (median absolute
+    deviation), flagging values beyond 3 MAD-sigmas (|x - med| > 4.4478 ×
+    MAD). Robust to the very outliers it hunts — unlike z-scores, one
+    extreme value cannot inflate its own threshold.
+
+    Scale shape: one full-corpus partial-agg compression to the
+    (event_type, cents) distribution; the two median extractions are
+    windows OVER THE COMPRESSED distribution (bounded by the value
+    domain), and the MAD table broadcast-joins back. Output is
+    |event_types| rows."""
+    e = load(spark, sf_dir, "events")
+    t = e.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    dist = t.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def lower_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        wo = (
+            W.partitionBy("event_type")
+            .orderBy(val)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        cume = F.sum("cnt").over(wo) / F.sum("cnt").over(W.partitionBy("event_type"))
+        return (
+            df.withColumn("cume", cume)
+            .groupBy("event_type")
+            .agg(F.min(F.when(F.col("cume") >= 0.5, F.col(val))).alias(out))
+        )
+
+    med = lower_median(dist, "cents", "med")
+    dev = (
+        dist.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", F.abs(F.col("cents") - F.col("med")).alias("dev"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mad = lower_median(dev, "dev", "mad")
+    thresholds = med.join(mad, "event_type")
+    is_out = F.abs(F.col("cents") - F.col("med")) > F.lit(MAD_K) * F.col("mad")
+    return (
+        dist.join(F.broadcast(thresholds), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_events"),
+            F.sum(F.when(is_out, F.col("cnt")).otherwise(0)).cast("long").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("med").cast("double") / 100.0).alias("median_value"),
+            (F.col("mad").cast("double") / 100.0).alias("mad_value"),
+            "n_outliers",
+            (F.col("n_outliers") * 1.0 / F.col("n_events")).alias("outlier_rate"),
+        )
+    )
+
+
+#: the two event populations whose value distributions KS compares
+KS_A, KS_B = "click", "view"
+
+
+@query(
+    "dist_ks_two_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             CASE WHEN event_type = '{KS_A}' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('{KS_A}', '{KS_B}')),
+    dist AS (
+      SELECT cents, SUM(is_a) AS na, SUM(1 - is_a) AS nb
+      FROM t GROUP BY cents),
+    cum AS (
+      SELECT cents,
+             SUM(na) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+             / SUM(na) OVER () AS fa,
+             SUM(nb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+             / SUM(nb) OVER () AS fb,
+             SUM(na) OVER () AS ta, SUM(nb) OVER () AS tb
+      FROM dist)
+    SELECT CAST(MAX(ta) AS BIGINT) AS n_{KS_A},
+           CAST(MAX(tb) AS BIGINT) AS n_{KS_B},
+           MAX(ABS(fa - fb)) AS ks_stat,
+           CAST(MIN(CASE WHEN ABS(fa - fb) = (SELECT MAX(ABS(fa - fb)) FROM cum)
+                         THEN cents END) AS DOUBLE) / 100.0 AS ks_location
+    FROM cum
+    """,
+    tags=("llm", "quality", "drift", "events"),
+)
+def dist_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two event populations (click vs view): D = max over x
+    of |F_a(x) - F_b(x)| — the standard drift gate between a reference and
+    a candidate batch before admitting telemetry into a training mix.
+
+    Scale shape: the empirical CDFs are running sums over the COMPRESSED
+    (cents → counts) distribution, so the unpartitioned window's input is
+    bounded by the value domain, not the event count (cf. the module
+    docstring). The max and its location are one more agg over the same
+    bounded frame. Output is a single row.
+
+    Exactness: both CDFs are long/long → double divisions in the same
+    shape; the double subtraction/ABS/MAX tree is identical cross-engine,
+    so the argmax location (selected by double equality against the max)
+    is bit-deterministic too."""
+    e = load(spark, sf_dir, "events")
+    t = e.filter(F.col("event_type").isin(KS_A, KS_B)).select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.when(F.col("event_type") == KS_A, 1).otherwise(0).alias("is_a"),
+    )
+    dist = t.groupBy("cents").agg(
+        F.sum("is_a").alias("na"), F.sum(1 - F.col("is_a")).alias("nb")
+    )
+    wo = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    cum = dist.select(
+        "cents",
+        (F.sum("na").over(wo) / F.sum("na").over(wall)).alias("fa"),
+        (F.sum("nb").over(wo) / F.sum("nb").over(wall)).alias("fb"),
+        F.sum("na").over(wall).alias("ta"),
+        F.sum("nb").over(wall).alias("tb"),
+    )
+    diff = F.abs(F.col("fa") - F.col("fb"))
+    # ks rides a second bounded window so the argmax row can compare
+    # against it without a self-join
+    with_max = cum.withColumn("ks", F.max(diff).over(wall))
+    return with_max.agg(
+        F.max("ta").cast("long").alias(f"n_{KS_A}"),
+        F.max("tb").cast("long").alias(f"n_{KS_B}"),
+        F.max(diff).alias("ks_stat"),
+        (
+            F.min(F.when(diff == F.col("ks"), F.col("cents"))).cast("double") / 100.0
+        ).alias("ks_location"),
+    )

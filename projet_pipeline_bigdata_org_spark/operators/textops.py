@@ -729,3 +729,198 @@ def text_extract_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(list(URL_FIXTURE_ROWS), "doc_id long, text string")
     )
     return url_domain_rollup(d)
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance ranking ([GAP→add] SURVEY §2.12 — retrieval scoring for
+# curation/dedup triage; the reference has keyword membership only, P8)
+# ---------------------------------------------------------------------------
+
+#: fixed query terms BM25 ranks against (present in the corpus vocabulary)
+BM25_TERMS = ("spark", "join", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+@query(
+    "bm25_rank_documents",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({SQL_WS_TOKENS.format(c='text')}) AS token
+      FROM documents),
+    dl AS (
+      SELECT doc_id, CAST(LEN({SQL_WS_TOKENS.format(c='text')}) AS BIGINT) AS dl
+      FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token IN {BM25_TERMS!r}
+      GROUP BY doc_id, token),
+    df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    term_scores AS (
+      SELECT tf.doc_id, tf.token,
+             ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+             * (CAST(tf AS DOUBLE) * ({BM25_K1} + 1.0))
+             / (CAST(tf AS DOUBLE)
+                + {BM25_K1} * (1.0 - {BM25_B}
+                               + {BM25_B} * CAST(dl.dl AS DOUBLE)
+                                 / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+               AS s
+      FROM tf
+      JOIN df USING (token)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats),
+    scored AS (
+      SELECT doc_id,
+             COALESCE(MAX(CASE WHEN token = '{BM25_TERMS[0]}' THEN s END), 0.0)
+             + COALESCE(MAX(CASE WHEN token = '{BM25_TERMS[1]}' THEN s END), 0.0)
+             + COALESCE(MAX(CASE WHEN token = '{BM25_TERMS[2]}' THEN s END), 0.0)
+               AS bm25,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      FROM term_scores
+      GROUP BY doc_id)
+    SELECT doc_id, n_terms_hit, bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk
+    FROM scored
+    QUALIFY rnk <= {BM25_TOPK}
+    """,
+    tags=("llm", "text", "retrieval", "documents"),
+)
+def bm25_rank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents by BM25 relevance to a fixed term set — the lexical
+    retrieval scorer used to triage a corpus against a probe query (e.g.
+    finding benchmark contamination or topic-targeted curation). Uses the
+    RATIONAL idf form (N - df + 0.5)/(df + 0.5) — same ranking as the log
+    form, but a fixed tree of correctly-rounded IEEE ops, so scores are
+    bit-exact cross-engine (cf. text_tfidf_topterms).
+
+    Scale shape: tokens are filtered to the |query| terms BEFORE the
+    (doc, token) groupBy, so the tf shuffle carries only matching
+    postings, not the corpus token stream; df and the corpus stats
+    (n_docs, avgdl) are tiny aggregates riding broadcast joins. The final
+    global top-k is a row_number window over only the scored (matching)
+    docs. Per-term idf saturation weights each term's contribution by the
+    BM25 tf-saturation curve with document-length normalization."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", ws_tokens("text").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("token"))
+        .filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    idf = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    tf_d = F.col("tf").cast("double")
+    term_score = idf * (tf_d * (BM25_K1 + 1.0)) / (
+        tf_d
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / avgdl)
+    )
+    # per-term scores summed in FIXED term order via a conditional-agg
+    # pivot — a SUM over doubles is shuffle-order-dependent (measured
+    # last-ulp drift vs the oracle); the coalesced three-term add is the
+    # same deterministic tree in both engines
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("token") == t, term_score)), F.lit(0.0)
+        )
+        for t in BM25_TERMS
+    ]
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            (per_term[0] + per_term[1] + per_term[2]).alias("bm25"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    rnk = F.row_number().over(_W.orderBy(F.col("bm25").desc(), "doc_id"))
+    return (
+        scored.select("doc_id", "n_terms_hit", "bm25")
+        .withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring ([GAP→add] SURVEY §2.12 — a quality-curation signal
+# alongside lex_quality_score / lex_gopher_rules)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curate_readability",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(LEN({SQL_WS_TOKENS.format(c='text')}) AS BIGINT) AS n_words,
+             CAST(GREATEST(LEN(REGEXP_EXTRACT_ALL(text, '[.!?]+')), 1) AS BIGINT)
+               AS n_sentences,
+             CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[aeiouy]+')) AS BIGINT)
+               AS n_syllables
+      FROM documents)
+    SELECT doc_id, source, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words = 0 THEN NULL
+                ELSE 206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+           END AS flesch
+    FROM t
+    """,
+    tags=("llm", "text", "quality", "documents"),
+)
+def curate_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Flesch reading-ease estimate: 206.835 − 1.015·(words/
+    sentence) − 84.6·(syllables/word), with syllables approximated by
+    vowel-group runs ([aeiouy]+) — the standard no-dictionary estimator.
+    A curation signal: very low scores flag run-on machine-generated text,
+    very high flag fragment noise.
+
+    Scale shape: a single narrow projection — three regex/split column
+    expressions per row, all whole-stage-codegen'd JVM-side, no shuffle at
+    all. Empty documents yield NULL score (guarded division).
+
+    Exactness: counts are integers; the score is a fixed tree of IEEE
+    double ops identical in both engines."""
+    return readability(load(spark, sf_dir, "documents"))
+
+
+def readability(d: DataFrame) -> DataFrame:
+    """Tested core of curate_readability over any (doc_id, source, text)
+    frame — see the query docstring."""
+    n_words = F.size(ws_tokens("text")).cast("long")
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)), F.lit(1)
+    ).cast("long")
+    n_syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    ).cast("long")
+    t = d.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    flesch = F.when(F.col("n_words") == 0, F.lit(None).cast("double")).otherwise(
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double"))
+    )
+    return t.withColumn("flesch", flesch)

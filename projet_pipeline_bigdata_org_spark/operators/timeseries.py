@@ -236,3 +236,91 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNotNull().alias("observed"),
         interp.alias("interp_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (SURVEY §2.11 event analytics; [GAP→add] — the reference's
+# PowerBI layer charts event volumes but never computes ordered funnels)
+# ---------------------------------------------------------------------------
+
+#: ordered funnel stages over the events stream; each stage must occur
+#: STRICTLY AFTER the previous stage's first occurrence for the same user
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@query(
+    "event_funnel_steps",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = '{FUNNEL_STAGES[0]}' THEN ts END) AS t1
+      FROM events GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts > s1.t1
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts > s2.t2
+      GROUP BY e.user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(s1.t1) AS BIGINT) AS n_stage1,
+           CAST(COUNT(s2.t2) AS BIGINT) AS n_stage2,
+           CAST(COUNT(s3.t3) AS BIGINT) AS n_stage3,
+           COUNT(s2.t2) * 1.0 / COUNT(s1.t1) AS conv_1_to_2,
+           COUNT(s3.t3) * 1.0 / COUNT(s2.t2) AS conv_2_to_3
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+    tags=("relational", "timeseries", "funnel", "events"),
+)
+def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel (view → click → purchase): a user
+    counts for stage k only if their first stage-k event lands AFTER their
+    first stage-(k-1) event — the sessionless funnel every product
+    analytics stack computes, and the order-sensitive form a naive
+    per-type MIN() cannot express.
+
+    Scale shape: each stage is one partial-agg'd groupBy(user_id); the
+    stage-gating joins are all keyed on user_id, so every shuffle in the
+    chain reuses ONE hash partitioning on user_id (Spark's
+    EnsureRequirements elides the re-exchange between co-partitioned
+    stages). The funnel summary is a single-row final agg — no per-user
+    data leaves the cluster."""
+    return funnel_steps(load(spark, sf_dir, "events"))
+
+
+def funnel_steps(e: DataFrame) -> DataFrame:
+    """Tested core of event_funnel_steps over any (user_id, event_type, ts)
+    frame — see the query docstring for semantics and scale shape."""
+    s1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == FUNNEL_STAGES[0], F.col("ts"))).alias("t1")
+    )
+    s2 = (
+        e.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.count("t1").cast("long").alias("n_stage1"),
+            F.count("t2").cast("long").alias("n_stage2"),
+            F.count("t3").cast("long").alias("n_stage3"),
+            (F.count("t2") * 1.0 / F.count("t1")).alias("conv_1_to_2"),
+            (F.count("t3") * 1.0 / F.count("t2")).alias("conv_2_to_3"),
+        )
+    )

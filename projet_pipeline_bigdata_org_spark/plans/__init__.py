@@ -22,6 +22,7 @@ def load_all() -> None:
         dedup,
         grouped,
         multimodal,
+        outliers,
         packing,
         relational,
         relational_ext,

@@ -904,3 +904,75 @@ def test_holdout_split_fraction_and_determinism(spark, sf_dir):
     total = n["train"] + n["holdout"]
     assert 0.04 <= n["holdout"] / total <= 0.16, n  # ~10% at 500+ docs
     assert sorted(map(tuple, rows)) == sorted(map(tuple, fn(spark, sf_dir).collect()))
+
+
+def test_pagerank_fixed_point_mass_conservation(spark, sf_dir):
+    """Integer PageRank must conserve scaled mass up to truncation loss:
+    each iteration only loses the integer-division remainders (< 1 per
+    edge contribution plus < 2 per node), so the total over ALL nodes
+    stays within a 1e-6 relative band of PR_SCALE — and a rerun is
+    bit-identical (pure integer arithmetic, no FP drift)."""
+    from projet_pipeline_bigdata_org_spark.operators.grouped import (
+        PR_SCALE,
+        pagerank_ranks,
+    )
+
+    ranks = pagerank_ranks(spark, sf_dir)
+    rows = {r.node: r.rank_scaled for r in ranks.collect()}
+    total = sum(rows.values())
+    assert PR_SCALE * (1 - 1e-6) <= total <= PR_SCALE, total
+    assert all(v > 0 for v in rows.values())
+    again = {r.node: r.rank_scaled for r in pagerank_ranks(spark, sf_dir).collect()}
+    assert rows == again
+
+
+def test_funnel_counts_only_strictly_ordered_stages(spark):
+    """The funnel is order-sensitive: a click BEFORE the user's first view
+    must not count stage 2, and a purchase before the qualifying click
+    must not count stage 3 — the cases a naive per-type MIN() gets wrong."""
+    import datetime as dt
+
+    from projet_pipeline_bigdata_org_spark.operators.timeseries import funnel_steps
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, typ, minute):
+        return (uid, typ, t0 + dt.timedelta(minutes=minute))
+
+    rows = [
+        # user 1: view -> click -> purchase, fully ordered: all 3 stages
+        ev(1, "view", 0), ev(1, "click", 1), ev(1, "purchase", 2),
+        # user 2: click BEFORE first view, no later click: stage 1 only
+        ev(2, "click", 0), ev(2, "view", 1),
+        # user 3: view -> click, but purchase PRECEDES the click: stage 2
+        ev(3, "view", 0), ev(3, "purchase", 1), ev(3, "click", 2),
+        # user 4: never views -> no stages (not even stage 1)
+        ev(4, "purchase", 0),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = funnel_steps(e).collect()[0]
+    assert (got.n_users, got.n_stage1, got.n_stage2, got.n_stage3) == (4, 3, 2, 1)
+
+
+def test_readability_guards_empty_documents_and_counts(spark):
+    """Zero-word documents must score NULL (guarded division); counts and
+    the Flesch formula are pinned on crafted texts (the corpus has no
+    empty/punctuated docs at small SFs, so the guard is crafted here)."""
+    from projet_pipeline_bigdata_org_spark.operators.textops import readability
+
+    d = spark.createDataFrame(
+        [
+            (1, "s", ""),                        # empty: NULL score
+            (2, "s", "   "),                     # whitespace only: NULL
+            (3, "s", "the cat sat. it ran!"),    # 2 sentences, 5 words
+            (4, "s", "zzz"),                     # 0 syllables, finite score
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r.doc_id: r for r in readability(d).collect()}
+    assert rows[1].n_words == 0 and rows[1].flesch is None
+    assert rows[2].n_words == 0 and rows[2].flesch is None
+    r3 = rows[3]
+    assert (r3.n_words, r3.n_sentences, r3.n_syllables) == (5, 2, 5)
+    assert abs(r3.flesch - (206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5))) < 1e-12
+    assert rows[4].n_syllables == 0 and rows[4].flesch is not None

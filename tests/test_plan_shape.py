@@ -507,3 +507,57 @@ def test_holdout_split_single_pass_partial_agg(spark, sf_dir):
     ], p
     assert p.count("Exchange hashpartitioning") == 1, p
     assert re.search(r"partial_count", p), p
+
+
+def test_mad_outliers_windows_over_compressed_distribution(spark, sf_dir):
+    """anomaly_mad_outliers' median/MAD windows must run over the distinct
+    (event_type, cents) aggregate — never the raw events rows — and the
+    bounded threshold table must ride back on a broadcast join."""
+    df = _Q["anomaly_mad_outliers"].fn(spark, sf_dir)
+    p = plan_of(df)
+    last_window = p.rfind("Window")
+    assert last_window != -1, p
+    assert re.search(
+        r"HashAggregate\(keys=\[event_type#\d+, cents#\d+L\]", p[last_window:]
+    ), f"window input is not the compressed (event_type, cents) distribution:\n{p}"
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_ks_windows_over_compressed_value_distribution(spark, sf_dir):
+    """dist_ks_two_sample's unpartitioned CDF windows are safe only because
+    their input is the compressed per-cents count table (bounded by the
+    value domain); pin the compression below the last Window."""
+    df = _Q["dist_ks_two_sample"].fn(spark, sf_dir)
+    p = plan_of(df)
+    last_window = p.rfind("Window")
+    assert last_window != -1, p
+    assert re.search(
+        r"HashAggregate\(keys=\[cents#\d+L\]", p[last_window:]
+    ), f"window input is not the compressed cents distribution:\n{p}"
+
+
+def test_bm25_filters_terms_before_tf_shuffle(spark, sf_dir):
+    """bm25_rank_documents must drop non-query tokens BEFORE the (doc,
+    token) aggregate, so the tf shuffle carries only matching postings —
+    at corpus scale the unfiltered token stream is ~1000× the postings."""
+    df = _Q["bm25_rank_documents"].fn(spark, sf_dir)
+    p = plan_of(df)
+    first_agg = p.find("HashAggregate")
+    m = re.search(r"token#\d+ IN \(", p)
+    assert m, f"term membership filter missing from plan:\n{p}"
+    # the filter sits below (later in the string than) every aggregate
+    assert m.start() > first_agg, (
+        f"token filter did not reach below the tf aggregate:\n{p}"
+    )
+    assert "CartesianProduct" not in p, p
+
+
+def test_pagerank_gathers_with_partial_aggregation(spark, sf_dir):
+    """Each PageRank iteration's mass gather must map-side combine
+    (partial_sum before the exchange) and the 1-row node-count side must
+    ride broadcast — no CartesianProduct anywhere in the unrolled plan."""
+    df = _Q["graph_pagerank"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p, p
+    assert "partial_sum" in p, f"no map-side combine in the mass gather:\n{p}"
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
