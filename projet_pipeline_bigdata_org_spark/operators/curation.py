@@ -219,3 +219,76 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     a stand-in for greedy-by-quality: swap the ORDER BY for a quality score
     column and the plan is unchanged."""
     return select_token_budget_at(spark, sf_dir, N_SHARDS)
+
+
+# ---------------------------------------------------------------------------
+# Epoch / repetition schedule ([GAP→add] SURVEY §2.12: data-constrained
+# mixing — how many epochs of each source a target token budget implies)
+# ---------------------------------------------------------------------------
+
+#: total token budget the mixture must fill (uniform target share per
+#: source); small enough that every source oversamples at test SFs while
+#: the integer arithmetic is identical at any corpus size
+EPOCH_BUDGET = 200_000
+#: cap on repetition before a source is flagged (the ~4-epoch rule of
+#: thumb from data-constrained scaling studies)
+EPOCH_CAP = 4
+
+
+@query(
+    "curate_epoch_schedule",
+    oracle=f"""
+    WITH src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(LEN({_TOK_SQL})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tgt AS (
+      SELECT *,
+             CAST({EPOCH_BUDGET} AS BIGINT)
+               // (SELECT COUNT(*) FROM src) AS target_tokens
+      FROM src)
+    SELECT source, n_docs, n_tokens, target_tokens,
+           CAST((target_tokens + n_tokens - 1) // n_tokens AS BIGINT) AS epochs,
+           (target_tokens + n_tokens - 1) // n_tokens > {EPOCH_CAP}
+             AS over_repeated
+    FROM tgt
+    """,
+    tags=("llm", "curation", "mixing", "documents"),
+)
+def curate_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition schedule for a token-budgeted training mixture: each
+    source owes an equal share of EPOCH_BUDGET tokens; `epochs` is the
+    ceiling of target/available — how many passes over that source the
+    sampler must take — and `over_repeated` flags sources pushed past the
+    EPOCH_CAP repetition rule of thumb (data-constrained scaling: value
+    decays fast beyond ~4 epochs). The planner a mixture-weighted
+    training-data pipeline runs before writing its sampling manifest.
+
+    Scale shape: one partial-agg'd rollup to |sources| rows; the target
+    share is a window-free scalar (count of the rollup) riding a
+    broadcast; all arithmetic is exact integer ceil-division — bit-
+    identical in both engines (Spark DIV and DuckDB // both truncate)."""
+    d = load(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(ws_tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    nsrc = src.agg(F.count(F.lit(1)).alias("n_sources"))
+    tgt = src.crossJoin(F.broadcast(nsrc)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr(f"CAST({EPOCH_BUDGET} AS BIGINT) DIV n_sources").alias(
+            "target_tokens"
+        ),
+    )
+    epochs = F.expr("(target_tokens + n_tokens - 1) DIV n_tokens")
+    return tgt.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "target_tokens",
+        epochs.cast("long").alias("epochs"),
+        (epochs > EPOCH_CAP).alias("over_repeated"),
+    )

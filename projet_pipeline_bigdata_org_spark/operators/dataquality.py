@@ -1,0 +1,168 @@
+"""Data-quality expectations audit (SURVEY §2.13 [GAP→add]): the
+pre-ingestion contract check a production pipeline runs before admitting
+a batch — referential integrity, domain ranges, nullability, and key
+uniqueness, reported as one bounded violations sheet.
+
+The reference validates nothing beyond Kafka JSON shredding
+(`spark/engine.py:101` from_json nulls on malformed rows); a 100 TB
+pipeline needs explicit, queryable expectations — this operator is the
+Spark-first equivalent of a Great-Expectations-style suite expressed as
+ONE declarative plan.
+
+Scale shape: every expectation is either a partial-agg'd single-pass
+aggregate over one table or a broadcast/shuffle anti-join for
+referential integrity; the result is a union of one-row frames —
+bounded output regardless of corpus size, no driver-side iteration
+(the union is in the PLAN, not a Python loop over results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_pipeline_bigdata_org_spark.catalog import load
+from projet_pipeline_bigdata_org_spark.plans.registry import query
+
+#: o_orderdate must land inside the generator's population window
+#: (TESTDATA.md: 1995-01-01 .. 2001-08-01)
+DATE_LO, DATE_HI = "1995-01-01", "2001-12-31"
+#: l_quantity domain per the TPC-H spec
+QTY_LO, QTY_HI = 1, 50
+
+
+def _expect(name: str, checked, violations) -> F.Column:
+    return F.struct(
+        F.lit(name).alias("expectation"),
+        checked.cast("long").alias("n_checked"),
+        violations.cast("long").alias("n_violations"),
+    )
+
+
+@query(
+    "dq_expectations_audit",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT 'orders.custkey_in_customer' AS expectation,
+             (SELECT COUNT(*) FROM orders) AS n_checked,
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)) AS n_violations
+      UNION ALL
+      SELECT 'orders.totalprice_positive',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders WHERE NOT (o_totalprice > 0))
+      UNION ALL
+      SELECT 'orders.orderdate_in_range',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders
+              WHERE o_orderdate < DATE '{DATE_LO}'
+                 OR o_orderdate > DATE '{DATE_HI}')
+      UNION ALL
+      SELECT 'orders.orderkey_unique',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+      UNION ALL
+      SELECT 'orders.priority_not_null',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NULL)
+      UNION ALL
+      SELECT 'lineitem.quantity_in_domain',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_quantity < {QTY_LO} OR l_quantity > {QTY_HI})
+    )
+    SELECT expectation, CAST(n_checked AS BIGINT) AS n_checked,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations * 1.0 / n_checked AS violation_rate,
+           n_violations = 0 AS passed
+    FROM rows_
+    """,
+    tags=("relational", "quality", "orders", "lineitem", "customer"),
+)
+def dq_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-expectation data-quality suite over orders/lineitem: referential
+    integrity (custkey → customer via anti-join count), positive prices,
+    date-domain membership, key uniqueness (COUNT vs COUNT DISTINCT),
+    nullability, and quantity domain — one row per expectation with
+    checked/violation counts, rate, and pass flag.
+
+    Scale shape: the orders expectations share ONE single-pass conditional
+    aggregate (not five scans); referential integrity is a broadcast
+    anti-join against the customer key column only; lineitem is one more
+    single-pass agg. Output: 6 rows."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    li = load(spark, sf_dir, "lineitem")
+
+    orphan = (
+        o.select("o_custkey")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v_orphan"))
+    )
+    # the four single-table orders expectations ride ONE pass
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(~(F.col("o_totalprice") > 0), 1)).alias("v_price"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < F.lit(DATE_LO).cast("date"))
+                | (F.col("o_orderdate") > F.lit(DATE_HI).cast("date")),
+                1,
+            )
+        ).alias("v_date"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias("v_uniq"),
+        F.count(F.when(F.col("o_orderpriority").isNull(), 1)).alias("v_null"),
+    )
+    li_agg = li.agg(
+        F.count(F.lit(1)).alias("n_li"),
+        F.count(
+            F.when(
+                (F.col("l_quantity") < QTY_LO) | (F.col("l_quantity") > QTY_HI), 1
+            )
+        ).alias("v_qty"),
+    )
+    # assemble the bounded sheet: cross-join the three 1-row aggregates,
+    # then explode a struct array — the union lives in the plan
+    sheet = (
+        o_agg.crossJoin(orphan)
+        .crossJoin(li_agg)
+        .select(
+            F.explode(
+                F.array(
+                    _expect(
+                        "orders.custkey_in_customer",
+                        F.col("n_orders"),
+                        F.col("v_orphan"),
+                    ),
+                    _expect(
+                        "orders.totalprice_positive",
+                        F.col("n_orders"),
+                        F.col("v_price"),
+                    ),
+                    _expect(
+                        "orders.orderdate_in_range",
+                        F.col("n_orders"),
+                        F.col("v_date"),
+                    ),
+                    _expect(
+                        "orders.orderkey_unique", F.col("n_orders"), F.col("v_uniq")
+                    ),
+                    _expect(
+                        "orders.priority_not_null", F.col("n_orders"), F.col("v_null")
+                    ),
+                    _expect(
+                        "lineitem.quantity_in_domain", F.col("n_li"), F.col("v_qty")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.expectation", "e.n_checked", "e.n_violations")
+    )
+    return sheet.select(
+        "expectation",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") * 1.0 / F.col("n_checked")).alias("violation_rate"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

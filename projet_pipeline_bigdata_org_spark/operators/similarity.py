@@ -575,3 +575,134 @@ def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", F.col("prediction").alias("cell")
     )
     return semdedup_decisions(assigned)
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration dominant direction ([GAP→add] SURVEY §2.12: the
+# "all-but-the-top" common-direction extraction step used to post-process
+# embedding spaces before similarity / dedup; Mu & Viswanath 2018)
+# ---------------------------------------------------------------------------
+
+#: fixed-point scales: embeddings and the direction vector both carry 6
+#: decimal digits; every matvec rescale is an exact integer division
+PW_XS = 1_000_000  # embedding quantization scale
+PW_VS = 1_000_000  # direction vector scale
+PW_ITERS = 2
+
+
+def _pw_iter_sql(prev: str, s_out: str, y_out: str, v_out: str) -> str:
+    """One power iteration X_cᵀ(X_c v) in exact integer arithmetic."""
+    return f"""
+    {s_out} AS (
+      SELECT vec_id,
+             CAST(SUM(xc * v) AS BIGINT) // (1000 * (SELECT n FROM n)) AS s
+      FROM xc JOIN {prev} USING (dim) GROUP BY vec_id),
+    {y_out} AS (
+      SELECT dim, CAST(SUM(xc * s) AS BIGINT) AS y
+      FROM xc JOIN {s_out} USING (vec_id) GROUP BY dim),
+    {v_out} AS (
+      SELECT dim,
+             y // (SELECT GREATEST(MAX(ABS(y)) // {PW_VS}, 1) FROM {y_out}) AS v
+      FROM {y_out})"""
+
+
+@query(
+    "embed_power_iteration",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {PW_XS}, 0) AS BIGINT) AS xs
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS t(i)),
+    n AS (SELECT COUNT(*) AS n FROM embeddings),
+    mu AS (
+      SELECT dim, CAST(SUM(xs) AS BIGINT) // (SELECT n FROM n) AS mu
+      FROM x GROUP BY dim),
+    xc AS (
+      SELECT vec_id, x.dim, xs - mu AS xc FROM x JOIN mu USING (dim)),
+    v0 AS (SELECT dim, CAST({PW_VS} AS BIGINT) AS v FROM mu),
+    {_pw_iter_sql('v0', 's1', 'y1', 'v1')},
+    {_pw_iter_sql('v1', 's2', 'y2', 'v2')}
+    SELECT dim, CAST(v AS BIGINT) AS v_scaled,
+           CAST(v AS DOUBLE) / {PW_VS} AS v
+    FROM v2
+    """,
+    tags=("llm", "embedding", "iterative", "embeddings"),
+)
+def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the (mean-centered) embedding matrix
+    by PW_ITERS=2 power iterations — the common-direction estimate that
+    "all-but-the-top" embedding post-processing subtracts before cosine
+    similarity / SemDeDup. Entirely FIXED-POINT: embeddings quantize to
+    integer millionths, the mean is an exact integer division, and each
+    iteration is two exact BIGINT matvecs (Σ xc·v per row, Σ xc·s per dim)
+    with deterministic truncating rescales — bit-identical across engines,
+    partitionings, and retries, where a double-summed power iteration
+    drifts per shuffle layout.
+
+    Overflow posture (the 100 TB guard): the per-row projection s is
+    rescaled by DIV (1000·n) BEFORE the gather, which makes the per-dim
+    gather sum bounded by dim·XS·VS/1000 ≈ 1e17 — INDEPENDENT of corpus
+    size n — and the direction renormalizes to ±VS by max-abs each
+    iteration. Scale shape: explode to (vec_id, dim, x) triples — a narrow
+    3-column shuffle keyed alternately on dim (d rows out) and vec_id; the
+    64-row direction vector rides broadcast joins; nothing materializes a
+    d×d covariance.
+
+    Convergence caveat (documented honestly): rate is (λ2/λ1)^k, so the
+    2-iteration estimate is only the dominant direction when the spectrum
+    has a real gap — the crafted planted-direction test pins that case;
+    on a near-isotropic corpus the output is a deterministic, exact
+    2-step Krylov direction (still the quantity the "all-but-the-top"
+    recipe subtracts, just not yet converged). Raise PW_ITERS for gappier
+    corpora — the plan repeats, lineage stays linear in k."""
+    return power_iteration_direction(load(spark, sf_dir, "embeddings"))
+
+
+def power_iteration_direction(e: DataFrame) -> DataFrame:
+    """Tested core of embed_power_iteration over any (vec_id, embedding)
+    frame — see the query docstring for exactness/overflow rationale."""
+    x = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "xv"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("xv").cast("double") * PW_XS, 0).cast("long").alias("xs"),
+    )
+    n = e.agg(F.count(F.lit(1)).alias("n"))
+    mu = (
+        x.groupBy("dim")
+        .agg(F.sum("xs").alias("sx"))
+        .crossJoin(F.broadcast(n))
+        .select("dim", F.expr("sx DIV n").alias("mu"))
+    )
+    xc = (
+        x.join(F.broadcast(mu), "dim")
+        .select("vec_id", "dim", (F.col("xs") - F.col("mu")).alias("xc"))
+        .persist()
+    )
+    v = mu.select("dim", F.lit(PW_VS).cast("long").alias("v"))
+    for _ in range(PW_ITERS):
+        s = (
+            xc.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("xc") * F.col("v")).alias("sv"))
+            .crossJoin(F.broadcast(n))
+            .select("vec_id", F.expr("sv DIV (1000 * n)").alias("s"))
+        )
+        y = (
+            xc.join(s, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("xc") * F.col("s")).alias("y"))
+        )
+        m = y.agg(
+            F.greatest(
+                F.expr(f"MAX(ABS(y)) DIV {PW_VS}"), F.lit(1).cast("long")
+            ).alias("m")
+        )
+        v = y.crossJoin(F.broadcast(m)).select("dim", F.expr("y DIV m").alias("v"))
+    return v.select(
+        "dim",
+        F.col("v").cast("long").alias("v_scaled"),
+        (F.col("v").cast("double") / PW_VS).alias("v"),
+    )

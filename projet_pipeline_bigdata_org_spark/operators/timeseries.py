@@ -324,3 +324,63 @@ def funnel_steps(e: DataFrame) -> DataFrame:
             (F.count("t3") * 1.0 / F.count("t2")).alias("conv_2_to_3"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 interval derivation (SURVEY §2.11 [GAP→add] — the lakehouse
+# dimension-versioning pattern; complements sql_merge_upsert's upsert form)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dim_scd2_intervals",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, value,
+             ROW_NUMBER() OVER w AS version,
+             LEAD(ts) OVER w AS next_ts
+      FROM events
+      WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(version AS BIGINT) AS version,
+           value,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           STRFTIME(next_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           next_ts IS NULL AS is_current
+    FROM p
+    """,
+    tags=("relational", "timeseries", "scd2", "events"),
+)
+def dim_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension intervals from an event stream:
+    each user's purchase history becomes a versioned chain with
+    [valid_from, valid_to) bounds — valid_to is the NEXT version's start
+    (LEAD), NULL marks the current version. The derivation step behind
+    every dimension-history table in a lakehouse; sql_merge_upsert covers
+    the upsert half, this covers interval versioning.
+
+    Scale shape: one filter pushed to the scan, one window partitioned by
+    user_id (row_number + lead share the SAME window spec, so Spark plans
+    ONE sort+window pass, no second exchange). Output is |purchases|
+    rows — bounded by the filtered event count."""
+    from pyspark.sql import Window as _W
+
+    e = load(spark, sf_dir, "events")
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "value",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    return p.select(
+        "user_id",
+        "version",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("next_ts", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.col("next_ts").isNull().alias("is_current"),
+    )

@@ -19,6 +19,7 @@ def load_all() -> None:
     from projet_pipeline_bigdata_org_spark.operators import (  # noqa: F401
         analytics_ext,
         curation,
+        dataquality,
         dedup,
         grouped,
         multimodal,

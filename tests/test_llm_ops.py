@@ -976,3 +976,91 @@ def test_readability_guards_empty_documents_and_counts(spark):
     assert (r3.n_words, r3.n_sentences, r3.n_syllables) == (5, 2, 5)
     assert abs(r3.flesch - (206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5))) < 1e-12
     assert rows[4].n_syllables == 0 and rows[4].flesch is not None
+
+
+def test_power_iteration_recovers_planted_direction(spark):
+    """On a spectrum WITH a real gap (planted dominant direction + small
+    orthogonal noise), two fixed-point iterations must align with the
+    planted direction (|cos| > 0.99) — and a rerun is bit-identical
+    (pure integer arithmetic). The corpus itself is near-isotropic
+    (eigengap ≈ 1.01), which is exactly why this invariant uses a
+    crafted fixture; the oracle parity gate covers the corpus run."""
+    import math
+    import random
+
+    from projet_pipeline_bigdata_org_spark.operators.similarity import (
+        power_iteration_direction,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    d = [rng.gauss(0, 1) for _ in range(dim)]
+    nd = math.sqrt(sum(t * t for t in d))
+    d = [t / nd for t in d]
+    rows = []
+    for i in range(200):
+        alpha = rng.gauss(0, 1.0)
+        vec = [alpha * d[k] + rng.gauss(0, 0.05) for k in range(dim)]
+        rows.append((i, [float(t) for t in vec]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.dim: r.v for r in power_iteration_direction(e).collect()}
+    v = [out[k] for k in range(dim)]
+    nv = math.sqrt(sum(t * t for t in v))
+    cos = abs(sum(v[k] * d[k] for k in range(dim))) / nv
+    assert cos > 0.99, cos
+    again = {r.dim: r.v for r in power_iteration_direction(e).collect()}
+    assert out == again
+
+
+def test_dq_expectations_sheet_shape_and_clean_corpus(spark, sf_dir):
+    """The audit emits exactly the six declared expectations with
+    consistent counts; the synthetic corpus is contract-clean, so every
+    expectation passes with violation_rate 0.0 (a non-zero rate here
+    would mean the generator or the audit broke)."""
+    rows = {r.expectation: r for r in plans.get("dq_expectations_audit").fn(spark, sf_dir).collect()}
+    want = {
+        "orders.custkey_in_customer",
+        "orders.totalprice_positive",
+        "orders.orderdate_in_range",
+        "orders.orderkey_unique",
+        "orders.priority_not_null",
+        "lineitem.quantity_in_domain",
+    }
+    assert set(rows) == want
+    for r in rows.values():
+        assert r.n_checked > 0
+        assert r.n_violations == 0 and r.passed and r.violation_rate == 0.0
+
+
+def test_epoch_schedule_ceiling_arithmetic(spark, sf_dir):
+    """epochs must equal ceil(target/available) exactly, and the uniform
+    target share must divide the budget by the live source count."""
+    from projet_pipeline_bigdata_org_spark.operators.curation import EPOCH_BUDGET
+
+    rows = plans.get("curate_epoch_schedule").fn(spark, sf_dir).collect()
+    n_sources = len(rows)
+    for r in rows:
+        assert r.target_tokens == EPOCH_BUDGET // n_sources
+        assert r.epochs == -(-r.target_tokens // r.n_tokens)  # ceil
+        assert r.epochs >= 1
+
+
+def test_scd2_intervals_tile_each_users_timeline(spark, sf_dir):
+    """Per user: versions are dense from 1, exactly one current row,
+    valid_from strictly increases, and each valid_to equals the next
+    version's valid_from (half-open interval chain with no gaps)."""
+    from collections import defaultdict
+
+    rows = plans.get("dim_scd2_intervals").fn(spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    assert by_user, "no purchase events at this SF"
+    for chain in by_user.values():
+        chain.sort(key=lambda r: r.version)
+        assert [r.version for r in chain] == list(range(1, len(chain) + 1))
+        assert sum(r.is_current for r in chain) == 1 and chain[-1].is_current
+        for a, b in zip(chain, chain[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.valid_from < b.valid_from
+        assert chain[-1].valid_to is None

@@ -561,3 +561,37 @@ def test_pagerank_gathers_with_partial_aggregation(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert "partial_sum" in p, f"no map-side combine in the mass gather:\n{p}"
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_scd2_plans_one_window_pass_and_pushes_type_filter(spark, sf_dir):
+    """row_number and lead share one window spec, so the plan must contain
+    exactly ONE Window node (one sort pass, no second exchange), and the
+    event_type predicate must reach the parquet scan."""
+    df = _Q["dim_scd2_intervals"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert len(re.findall(r"\bWindow \[", p)) == 1, p
+    pf = formatted_plan(df)
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(event_type,purchase\)", pf), pf
+
+
+def test_power_iteration_broadcasts_direction_no_cartesian(spark, sf_dir):
+    """The d-row direction vector and 1-row count must ride broadcasts;
+    the matvec gathers must map-side combine; no CartesianProduct."""
+    df = _Q["embed_power_iteration"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p, p
+    assert "partial_sum" in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_dq_audit_prunes_columns_and_single_lineitem_pass(spark, sf_dir):
+    """The lineitem expectation must scan only l_quantity (column pruning)
+    and orders must not be scanned more than twice (the one-pass
+    conditional aggregate + the pruned o_custkey side of the anti-join)."""
+    df = _Q["dq_expectations_audit"].fn(spark, sf_dir)
+    p = formatted_plan(df)
+    m = re.search(r"ReadSchema: struct<l_quantity:[^>]*>", p)
+    assert m, f"lineitem scan not pruned to l_quantity:\n{p}"
+    assert p.count("lineitem.parquet") <= 1 or p.count("lineitem") <= 2, p
+    orders_scans = len(re.findall(r"FileScan parquet.*orders\.parquet", p))
+    assert orders_scans <= 2, f"orders scanned {orders_scans} times:\n{p}"
