@@ -66,6 +66,7 @@ HEADLINE = (
 TIERS = {
     "dedup_ngram_jaccard": "audit",
     "graph_triangle_count": "graph",
+    "graph_pagerank": "graph",
     "pair_cogrouped_asof": "api-exemplar",
 }
 
@@ -97,9 +98,15 @@ def main() -> None:
         headline = tuple(queries)
     else:
         headline = tuple(_resolve(queries, n) for n in HEADLINE)
-    raw_runs = os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")
+    # full sweep default stays 1 run/query (the driver's quick regression
+    # signal), but SPARK_GRAFT_BENCH_RUNS now overrides it too: the
+    # archived BENCH_r{N}_full artifacts are cut at 3-run medians, which
+    # absorbs the single-JVM GC transients a 150-query sweep accumulates
+    # (r6 archived an 8.4s reading of a 1.0s query; r7's first cut
+    # inflated six queries 2-4x vs their standalone medians)
+    raw_runs = os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1" if full_sweep else "3")
     try:
-        runs = 1 if full_sweep else max(1, int(raw_runs))
+        runs = max(1, int(raw_runs))
     except ValueError:
         sys.exit(f"SPARK_GRAFT_BENCH_RUNS must be an integer, got {raw_runs!r}")
 
@@ -113,6 +120,11 @@ def main() -> None:
         warm_dir = sf_dir
     for name in headline:
         queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        # drop each warm-up's persisted staging tables immediately: across
+        # a 150-query sweep the accumulated pins otherwise sit as live-set
+        # pressure under the FIRST measured queries (the measurement loop
+        # only clears between measured queries)
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

@@ -384,3 +384,76 @@ def dim_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("next_ts", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         F.col("next_ts").isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (SURVEY §2.11 [GAP→add] — the weekly-cohort activity
+# matrix; complements event_funnel_steps' within-journey ordering)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS week FROM events),
+    cohort_size AS (
+      SELECT cohort_week, COUNT(*) AS n_cohort
+      FROM first_seen GROUP BY cohort_week)
+    SELECT STRFTIME(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST((EPOCH(a.week) - EPOCH(f.cohort_week)) // 604800 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(MAX(s.n_cohort) AS BIGINT) AS n_cohort,
+           COUNT(*) * 1.0 / MAX(s.n_cohort) AS retention
+    FROM activity a
+    JOIN first_seen f USING (user_id)
+    JOIN cohort_size s USING (cohort_week)
+    GROUP BY f.cohort_week, (EPOCH(a.week) - EPOCH(f.cohort_week)) // 604800
+    """,
+    tags=("relational", "timeseries", "retention", "events"),
+)
+def event_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by first-seen week,
+    activity counted per distinct (user, week), offsets in whole weeks
+    (both ends week-truncated, so the epoch difference is an exact
+    multiple of 604800 — integer division, no rounding). The standard
+    product-analytics retention triangle.
+
+    Scale shape: first-seen and activity both shuffle on user_id — ONE
+    hash partitioning reused by the cohort join (EnsureRequirements
+    elides the re-exchange); cohort sizes are |weeks| rows riding a
+    broadcast. Output is |weeks|² / 2 rows — bounded by the calendar, not
+    the event count."""
+    e = load(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    size = first.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_cohort"))
+    return (
+        activity.join(first, "user_id")
+        .join(F.broadcast(size), "cohort_week")
+        .groupBy(
+            "cohort_week",
+            F.expr("(unix_timestamp(week) - unix_timestamp(cohort_week)) DIV 604800")
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.max("n_cohort").cast("long").alias("n_cohort"),
+        )
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            (F.col("n_active") * 1.0 / F.col("n_cohort")).alias("retention"),
+        )
+    )

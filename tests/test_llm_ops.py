@@ -1064,3 +1064,16 @@ def test_scd2_intervals_tile_each_users_timeline(spark, sf_dir):
             assert a.valid_to == b.valid_from
             assert a.valid_from < b.valid_from
         assert chain[-1].valid_to is None
+
+
+def test_retention_cohort_week_zero_is_complete(spark, sf_dir):
+    """Offset-0 retention is 1.0 by construction (every user is active in
+    their own first-seen week), offsets are non-negative, and no offset
+    cell exceeds its cohort size."""
+    rows = plans.get("event_retention_cohorts").fn(spark, sf_dir).collect()
+    assert rows, "no cohorts"
+    for r in rows:
+        assert r.week_offset >= 0
+        assert 0 < r.n_active <= r.n_cohort
+        if r.week_offset == 0:
+            assert r.n_active == r.n_cohort and r.retention == 1.0
