@@ -66,7 +66,7 @@ HEADLINE = (
 TIERS = {
     "dedup_ngram_jaccard": "audit",
     "graph_triangle_count": "graph",
-    "graph_pagerank": "graph",
+    "algo_pagerank": "graph",
     "pair_cogrouped_asof": "api-exemplar",
 }
 

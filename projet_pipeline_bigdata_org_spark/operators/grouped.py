@@ -729,7 +729,7 @@ PR_TOPK = 20
 
 def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full fixed-point (node, rank_scaled) table after PR_ITERS power
-    iterations — the tested core behind graph_pagerank; see its docstring
+    iterations — the tested core behind algo_pagerank; see its docstring
     for exactness and scale rationale."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = copurchase_pairs(li)
@@ -784,7 +784,7 @@ def _pagerank_iteration_sql(prev: str, out: str) -> str:
 
 
 @query(
-    "graph_pagerank",
+    "algo_pagerank",
     oracle=f"""
     WITH pairs AS (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -556,7 +556,7 @@ def test_pagerank_gathers_with_partial_aggregation(spark, sf_dir):
     """Each PageRank iteration's mass gather must map-side combine
     (partial_sum before the exchange) and the 1-row node-count side must
     ride broadcast — no CartesianProduct anywhere in the unrolled plan."""
-    df = _Q["graph_pagerank"].fn(spark, sf_dir)
+    df = _Q["algo_pagerank"].fn(spark, sf_dir)
     p = plan_of(df)
     assert "CartesianProduct" not in p, p
     assert "partial_sum" in p, f"no map-side combine in the mass gather:\n{p}"
