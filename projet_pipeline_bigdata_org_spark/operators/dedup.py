@@ -314,10 +314,12 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 bytes/row, the band table 24; at cluster scale the history band
     table is a staging table bucketed by (chunk, chunk_val) — zero-shuffle
     on the history side, each shard shuffles only its delta. The hot-bucket
-    census runs over the unioned corpus (exactly what the one-shot query
-    sees, so the restriction invariant is exact; at scale the census is a
-    maintained property of the history table that the much smaller shard
-    perturbs negligibly). The batch-vs-history join needs no ``a_id < b_id``
+    census runs over the CORPUS rows only — the certification fixture rows
+    are excluded so the blacklist is identical to the one-shot query's by
+    construction (a fixture fingerprint landing in a bucket at exactly the
+    cap would otherwise diverge them); at scale the census is a maintained
+    property of the history table that the much smaller shard perturbs
+    negligibly. The batch-vs-history join needs no ``a_id < b_id``
     ordering — the sides are disjoint by construction.
 
     No DuckDB oracle (xxhash64 features, same rationale as
@@ -345,7 +347,17 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", simhash_fingerprint_np()(F.col("hh")).alias("simhash")
         ),
     )
-    chunks = _drop_hot_simhash_buckets(simhash_chunk_table(fp), SIMHASH_MAX_BUCKET)
+    all_chunks = simhash_chunk_table(fp)
+    # census over CORPUS rows only (fixture ids sit at ≥2e9): the one-shot
+    # query's census sees no fixture fingerprints, so the incremental
+    # blacklist must not either — a fixture landing in a bucket at exactly
+    # the cap would otherwise diverge the two and break the
+    # restriction-equality invariant
+    chunks = _drop_hot_simhash_buckets(
+        all_chunks,
+        SIMHASH_MAX_BUCKET,
+        census_over=all_chunks.filter(F.col("doc_id") < 2_000_000_000),
+    )
     is_batch = F.col("doc_id") % 10 >= _INCREMENTAL_BATCH_RESIDUE
     b, h = chunks.filter(is_batch).alias("b"), chunks.filter(~is_batch).alias("h")
     ham = F.bit_count(F.col("b.simhash").bitwiseXOR(F.col("h.simhash")))
@@ -709,12 +721,22 @@ def simhash_chunk_table(fp: DataFrame) -> DataFrame:
     )
 
 
-def _drop_hot_simhash_buckets(chunks: DataFrame, max_bucket_pop: int) -> DataFrame:
+def _drop_hot_simhash_buckets(
+    chunks: DataFrame, max_bucket_pop: int, census_over: DataFrame | None = None
+) -> DataFrame:
     """Hot-bucket cap (mirror of the shingle DF cap): census per band
     bucket, blacklist the over-populated ones (tiny by construction:
-    ≤ rows/cap), anti-join them off before the quadratic-in-bucket join."""
+    ≤ rows/cap), anti-join them off before the quadratic-in-bucket join.
+
+    ``census_over`` lets the caller pin WHICH rows the census counts while
+    still filtering the full ``chunks`` frame — the incremental query
+    passes its corpus-only subset so certification fixture rows cannot
+    perturb a bucket across the cap boundary and silently diverge its
+    blacklist from the one-shot query's (the restriction-equality
+    invariant's edge case)."""
     hot = (
-        chunks.groupBy("chunk", "chunk_val")
+        (census_over if census_over is not None else chunks)
+        .groupBy("chunk", "chunk_val")
         .agg(F.count(F.lit(1)).alias("_pop"))
         .filter(F.col("_pop") > max_bucket_pop)
         .select("chunk", "chunk_val")

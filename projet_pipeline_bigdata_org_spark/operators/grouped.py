@@ -736,16 +736,23 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
     # out-degrees are |nodes| rows but their lineage re-derives the pair
     # join; persist the SMALL table so the v0/n branch and the esrc join
     # all read it from cache (persisting the full pair table instead was
     # measured 60% SLOWER — it trades the cheap recompute for a 2|E|-row
-    # materialization wave)
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    # materialization wave). Scoped persists: a re-invocation (3-run bench,
+    # repeated tests) unpersists the previous call's pins instead of
+    # accumulating live-set pressure.
+    outdeg = _persist_scoped(
+        "pagerank_outdeg",
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")),
+    )
     n = outdeg.agg(F.count(F.lit(1)).alias("n"))
     # edges ride every iteration; persist the (src, dst, outdeg) side once
     # so pair generation + dedup isn't re-derived per iteration
-    esrc = edges.join(outdeg, "src").persist()
+    esrc = _persist_scoped("pagerank_esrc", edges.join(outdeg, "src"))
     ranks = (
         outdeg.select(F.col("src").alias("node"))
         .crossJoin(F.broadcast(n))

@@ -28,18 +28,71 @@ DECODE_SCHEMA = (
 )
 
 
+def _gif_frame_count(payload: bytes) -> int:
+    """Frame count by walking GIF's length-prefixed block structure — the
+    only correct way without decoding: every data stream (extension
+    payloads AND LZW image data) rides in ≤255-byte sub-blocks with length
+    prefixes, so image descriptors (0x2C) are countable by skipping sized
+    regions, never by scanning raw bytes for signatures (which can occur
+    inside compressed data). Truncated structures raise — the caller's
+    dispatch falls back to the stub."""
+    n = len(payload)
+    # logical screen descriptor: flags at byte 10; global color table size
+    flags = payload[10]
+    i = 13
+    if flags & 0x80:
+        i += 3 * (2 << (flags & 0x07))
+
+    def skip_subblocks(j: int) -> int:
+        while True:
+            if j >= n:
+                raise NotImplementedError("truncated GIF sub-blocks")
+            size = payload[j]
+            j += 1
+            if size == 0:
+                return j
+            j += size
+
+    frames = 0
+    while i < n:
+        b = payload[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label byte then sub-blocks
+            if i + 2 > n:
+                raise NotImplementedError("truncated GIF extension")
+            i = skip_subblocks(i + 2)
+        elif b == 0x2C:  # image descriptor
+            if i + 10 > n:
+                raise NotImplementedError("truncated GIF image descriptor")
+            frames += 1
+            lflags = payload[i + 9]
+            i += 10
+            if lflags & 0x80:
+                i += 3 * (2 << (lflags & 0x07))
+            i += 1  # LZW minimum code size byte
+            i = skip_subblocks(i)
+        else:
+            raise NotImplementedError("unrecognized GIF block")
+    return max(1, frames)
+
+
 def decode_media_real(payload: bytes) -> dict:
     """Header-level media decode for the common image formats — dimensions
     live at fixed, published offsets, so no codec library is needed:
 
     - PNG: 8-byte signature, then the IHDR chunk is REQUIRED first —
-      width/height are big-endian uint32 at bytes 16-23;
+      width/height are big-endian uint32 at bytes 16-23 (header must be
+      ≥24 bytes, else truncated → NotImplementedError);
     - GIF87a/89a: logical screen width/height are little-endian uint16 at
-      bytes 6-9; frame count = graphic-control-extension blocks
-      (``21 F9 04``), one per frame in animations, floor 1;
+      bytes 6-9; frame count = IMAGE DESCRIPTORS counted by walking the
+      length-prefixed block structure (no LZW decode needed — data rides
+      in sized sub-blocks), never by scanning raw bytes (the GCE
+      signature can occur inside compressed pixel data);
     - JPEG: walk the ``FF xx`` marker segments from SOI to the first SOF
-      (C0-CF except C4/C8/CC) — height/width are big-endian uint16 at
-      segment offsets +5/+7.
+      (C0-CF except C4/C8/CC), skipping 0xFF fill bytes before markers
+      (the spec allows any number) — height/width are big-endian uint16
+      at segment offsets +5/+7.
 
     Anything else (video containers, audio, truncated headers) raises
     NotImplementedError — full pixel/sample decode stays the documented
@@ -47,6 +100,8 @@ def decode_media_real(payload: bytes) -> dict:
     mapInPandas kernel."""
     n = len(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        if n < 24:
+            raise NotImplementedError("truncated PNG IHDR")
         return {
             "n_bytes": n,
             "width": int.from_bytes(payload[16:20], "big"),
@@ -54,17 +109,24 @@ def decode_media_real(payload: bytes) -> dict:
             "n_frames": 1,
             "mime": "image/png",
         }
-    if payload[:6] in (b"GIF87a", b"GIF89a") and n >= 10:
+    if payload[:6] in (b"GIF87a", b"GIF89a") and n >= 13:
         return {
             "n_bytes": n,
             "width": int.from_bytes(payload[6:8], "little"),
             "height": int.from_bytes(payload[8:10], "little"),
-            "n_frames": max(1, payload.count(b"\x21\xf9\x04")),
+            "n_frames": _gif_frame_count(payload),
             "mime": "image/gif",
         }
     if payload[:2] == b"\xff\xd8":
         i = 2
-        while i + 4 <= n and payload[i] == 0xFF:
+        while i + 1 < n:
+            if payload[i] != 0xFF:
+                break  # lost sync: not at a marker boundary
+            # the spec allows any number of 0xFF fill bytes before a marker
+            while i + 1 < n and payload[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > n:
+                break
             marker = payload[i + 1]
             if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:  # standalone
                 i += 2
@@ -154,9 +216,23 @@ def _jpeg_fixture(w: int, h: int) -> bytes:
 
 
 def _gif_fixture(w: int, h: int, frames: int) -> bytes:
+    """Structurally-valid animated GIF: per frame a graphic-control
+    extension AND an image descriptor with a 1-byte LZW sub-block — the
+    block-walking frame counter counts IMAGE DESCRIPTORS, so a fixture of
+    bare GCEs would read as 1 frame (and real decoders agree: frames
+    without descriptors render nothing)."""
     screen = w.to_bytes(2, "little") + h.to_bytes(2, "little") + bytes([0, 0, 0])
     gce = b"\x21\xf9\x04" + bytes([0, 0, 0, 0]) + b"\x00"
-    return b"GIF89a" + screen + gce * frames + b"\x3b"
+    img = (
+        b"\x2c"
+        + bytes(4)  # left, top
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0])  # no local color table
+        + bytes([2])  # LZW minimum code size
+        + bytes([1, 0, 0])  # one 1-byte data sub-block + terminator
+    )
+    return b"GIF89a" + screen + (gce + img) * frames + b"\x3b"
 
 
 MM_MEDIA_FIXTURE_ROWS: tuple[tuple[int, bytes], ...] = (

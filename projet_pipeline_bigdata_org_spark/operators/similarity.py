@@ -658,9 +658,12 @@ def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_iteration_direction(load(spark, sf_dir, "embeddings"))
 
 
-def power_iteration_direction(e: DataFrame) -> DataFrame:
-    """Tested core of embed_power_iteration over any (vec_id, embedding)
-    frame — see the query docstring for exactness/overflow rationale."""
+def _centered_triples(e: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(xc, n, dims): the quantized mean-centered (vec_id, dim, xc) triples
+    (scope-persisted — read many times by every consumer) and the 1-row
+    vector count. Shared by power_iteration_direction and
+    embed_remove_top_direction so the corpus explode + mean aggregation
+    are derived (and cached) ONCE per pipeline, not per consumer."""
     x = e.select(
         "vec_id",
         F.posexplode("embedding").alias("dim", "xv"),
@@ -676,12 +679,29 @@ def power_iteration_direction(e: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .select("dim", F.expr("sx DIV n").alias("mu"))
     )
-    xc = (
-        x.join(F.broadcast(mu), "dim")
-        .select("vec_id", "dim", (F.col("xs") - F.col("mu")).alias("xc"))
-        .persist()
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    xc = _persist_scoped(
+        "power_iter_xc",
+        x.join(F.broadcast(mu), "dim").select(
+            "vec_id", "dim", (F.col("xs") - F.col("mu")).alias("xc")
+        ),
     )
-    v = mu.select("dim", F.lit(PW_VS).cast("long").alias("v"))
+    return xc, n, mu.select("dim")
+
+
+def power_iteration_direction(e: DataFrame) -> DataFrame:
+    """Tested core of embed_power_iteration over any (vec_id, embedding)
+    frame — see the query docstring for exactness/overflow rationale."""
+    xc, n, dims = _centered_triples(e)
+    return _direction_from(xc, n, dims)
+
+
+def _direction_from(xc: DataFrame, n: DataFrame, dims: DataFrame) -> DataFrame:
+    """PW_ITERS fixed-point power iterations over pre-centered triples;
+    ``dims`` is the bounded per-dimension frame (from the mean table — a
+    distinct over the triples would cost an extra full shuffle)."""
+    v = dims.select("dim", F.lit(PW_VS).cast("long").alias("v"))
     for _ in range(PW_ITERS):
         s = (
             xc.join(F.broadcast(v), "dim")
@@ -753,26 +773,13 @@ def embed_remove_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: everything through v2 is embed_power_iteration's plan
     (broadcast direction, bounded gathers); the apply step is ONE more
-    per-vector aggregate over the same (vec_id, dim, xc) triples with the
-    64-row direction broadcast — no second corpus shuffle (xc is already
-    keyed by vec_id from the projection gather)."""
+    per-vector aggregate over the SAME scope-persisted (vec_id, dim, xc)
+    triples the direction extraction used (_centered_triples is shared —
+    the corpus explode + mean aggregation are derived once, not once per
+    consumer), with the 64-row direction broadcast."""
     e = load(spark, sf_dir, "embeddings")
-    x = e.select("vec_id", F.posexplode("embedding").alias("dim", "xv")).select(
-        "vec_id",
-        "dim",
-        F.round(F.col("xv").cast("double") * PW_XS, 0).cast("long").alias("xs"),
-    )
-    n = e.agg(F.count(F.lit(1)).alias("n"))
-    mu = (
-        x.groupBy("dim")
-        .agg(F.sum("xs").alias("sx"))
-        .crossJoin(F.broadcast(n))
-        .select("dim", F.expr("sx DIV n").alias("mu"))
-    )
-    xc = x.join(F.broadcast(mu), "dim").select(
-        "vec_id", "dim", (F.col("xs") - F.col("mu")).alias("xc")
-    )
-    v = power_iteration_direction(e).select("dim", F.col("v_scaled").alias("v"))
+    xc, n, dims = _centered_triples(e)
+    v = _direction_from(xc, n, dims).select("dim", F.col("v_scaled").alias("v"))
     vv = v.agg(F.sum(F.col("v") * F.col("v")).alias("vv"))
     proj = (
         xc.join(F.broadcast(v), "dim")

@@ -124,6 +124,25 @@ def test_multimodal_real_decoder_parses_headers_and_stubs_the_rest():
     m = decode_media(b"abcd")
     assert m == decode_media_stub(b"abcd")
     assert m["n_bytes"] == 4 and m["width"] == 5 and m["n_frames"] == 5
+    # JPEG fill bytes: the spec allows any number of 0xFF padding bytes
+    # before a marker — the walk must skip them, not misread lengths
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + MM_MEDIA_FIXTURE_ROWS[1][1][2:]
+    j2 = decode_media_real(padded)
+    assert (j2["width"], j2["height"]) == (1024, 768)
+    # truncated PNG header must raise (stub fallback), never return 0x0
+    with pytest.raises(NotImplementedError):
+        decode_media_real(b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0d" + b"IHDR")
+    # GCE signature inside image DATA must not inflate the frame count:
+    # a single-frame GIF whose 3-byte sub-block carries 21 F9 04
+    from projet_pipeline_bigdata_org_spark.operators.multimodal import _gif_fixture
+
+    single = bytearray(_gif_fixture(10, 10, 1))
+    tail = bytes(single).rfind(bytes([1, 0, 0]))  # the 1-byte data sub-block
+    crafted = (
+        bytes(single[:tail]) + bytes([3]) + b"\x21\xf9\x04" + bytes([0]) + b"\x3b"
+    )
+    g2 = decode_media_real(crafted)
+    assert g2["n_frames"] == 1
 
 
 def test_ann_ivf_recall_and_soundness(spark, sf_dir):
