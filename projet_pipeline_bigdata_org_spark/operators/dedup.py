@@ -347,7 +347,11 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", simhash_fingerprint_np()(F.col("hh")).alias("simhash")
         ),
     )
-    all_chunks = simhash_chunk_table(fp)
+    # chunk table persisted once: the census branch and the filtered
+    # output branch differ (census excludes fixture rows), which defeats
+    # Catalyst's ReusedExchange — without the cache the explode+fingerprint
+    # subtree executes twice (measured 2.2x on the sweep)
+    all_chunks = _persist_scoped("inc_simhash_chunks", simhash_chunk_table(fp))
     # census over CORPUS rows only (fixture ids sit at ≥2e9): the one-shot
     # query's census sees no fixture fingerprints, so the incremental
     # blacklist must not either — a fixture landing in a bucket at exactly

@@ -18,6 +18,7 @@ def load_all() -> None:
     # imports are for their registration side effects
     from projet_pipeline_bigdata_org_spark.operators import (  # noqa: F401
         analytics_ext,
+        clustering,
         curation,
         dataquality,
         dedup,

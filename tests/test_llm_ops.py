@@ -1110,3 +1110,26 @@ def test_remove_top_direction_energy_bounds(spark, sf_dir):
         assert r.norm2_scaled >= 0
         assert -1e-9 <= r.top_dir_energy <= 1.0 + 1e-9
         assert r.residual_norm2_scaled >= -1e6  # double tail of an exact int
+
+
+def test_kmeans_fixed_point_partitions_and_determinism(spark, sf_dir):
+    """Assignments form a partition (sizes sum to n, every cluster id is
+    one of the K initials' lineage 0..K-1), distances are non-negative,
+    and a rerun is bit-identical (pure integer arithmetic, deterministic
+    (dist, cid) tie-break — no RNG anywhere)."""
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.clustering import KM_K
+
+    fn = plans.get("cluster_kmeans_fixed_point").fn
+    rows = fn(spark, sf_dir).collect()
+    n = load(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n
+    sizes = {}
+    for r in rows:
+        assert 0 <= r.cluster < KM_K and r.dist >= 0
+        sizes[r.cluster] = sizes.get(r.cluster, 0) + 1
+    for r in rows:
+        assert r.cluster_size == sizes[r.cluster]
+    assert sum(sizes.values()) == n
+    again = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert sorted(map(tuple, rows)) == again

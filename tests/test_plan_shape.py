@@ -595,3 +595,15 @@ def test_dq_audit_prunes_columns_and_single_lineitem_pass(spark, sf_dir):
     assert p.count("lineitem.parquet") <= 1 or p.count("lineitem") <= 2, p
     orders_scans = len(re.findall(r"FileScan parquet.*orders\.parquet", p))
     assert orders_scans <= 2, f"orders scanned {orders_scans} times:\n{p}"
+
+
+def test_kmeans_broadcasts_centroids_with_partial_agg(spark, sf_dir):
+    """Each Lloyd iteration must join the K×64-row centroid table in
+    broadcast against the scope-persisted points (never shuffle the
+    points onto centroid keys), with map-side partial aggregation in the
+    distance and update gathers; no CartesianProduct."""
+    df = _Q["cluster_kmeans_fixed_point"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "partial_sum" in p, p
