@@ -219,3 +219,100 @@ def dist_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(diff == F.col("ks"), F.col("cents"))).cast("double") / 100.0
         ).alias("ks_location"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence (SURVEY §2.13 [GAP→add] — completes the drift/
+# quality trio with MAD and KS; also demonstrates the deterministic-order
+# double summation technique for non-decimal-expressible aggregates)
+# ---------------------------------------------------------------------------
+
+#: user-bucket fan-out for the contingency table's second axis
+CHI_BUCKETS = 4
+
+
+@query(
+    "dist_chi_square_independence",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type, user_id % {CHI_BUCKETS} AS bucket,
+             COUNT(*) AS observed
+      FROM events GROUP BY event_type, user_id % {CHI_BUCKETS}),
+    margins AS (
+      SELECT event_type, bucket, observed,
+             SUM(observed) OVER (PARTITION BY event_type) AS row_total,
+             SUM(observed) OVER (PARTITION BY bucket) AS col_total,
+             SUM(observed) OVER () AS grand
+      FROM cells),
+    contrib AS (
+      SELECT event_type, bucket, observed,
+             CAST(row_total * col_total AS DOUBLE) / CAST(grand AS DOUBLE)
+               AS expected
+      FROM margins),
+    ordered AS (
+      SELECT
+        SUM((CAST(observed AS DOUBLE) - expected)
+            * (CAST(observed AS DOUBLE) - expected) / expected)
+          OVER (ORDER BY event_type, bucket ROWS UNBOUNDED PRECEDING)
+          AS chi2_running,
+        ROW_NUMBER() OVER (ORDER BY event_type, bucket) AS rn,
+        COUNT(*) OVER () AS n_cells
+      FROM contrib)
+    SELECT chi2_running AS chi2,
+           CAST(n_cells AS BIGINT) AS n_cells
+    FROM ordered WHERE rn = n_cells
+    """,
+    tags=("llm", "quality", "drift", "events"),
+)
+def dist_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square statistic for independence of event_type × user-bucket —
+    the contingency-table drift gate beside the MAD and KS audits. All
+    counts and margins are exact integers; the per-cell contribution
+    (O−E)²/E is a fixed double tree; and because chi² is a sum of
+    non-decimal doubles, it accumulates via a RUNNING-SUM WINDOW in a
+    fixed (event_type, bucket) order over the bounded cell table — both
+    engines add the same terms in the same order, so the total is
+    bit-identical without decimal casts (the technique for
+    order-sensitive double aggregation over bounded frames).
+
+    Scale shape: the only full-corpus pass is the partial-agg'd cell
+    compression (|types| × CHI_BUCKETS rows); margins and the ordered
+    accumulation are windows over that bounded table. Output: one row."""
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", (F.col("user_id") % CHI_BUCKETS).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    margins = cells.select(
+        "event_type",
+        "bucket",
+        "observed",
+        F.sum("observed").over(W.partitionBy("event_type")).alias("row_total"),
+        F.sum("observed").over(W.partitionBy("bucket")).alias("col_total"),
+        F.sum("observed").over(W.partitionBy()).alias("grand"),
+    )
+    expected = (F.col("row_total") * F.col("col_total")).cast("double") / F.col(
+        "grand"
+    ).cast("double")
+    contrib = margins.select(
+        "event_type",
+        "bucket",
+        "observed",
+        expected.alias("expected"),
+    )
+    term = (
+        (F.col("observed").cast("double") - F.col("expected"))
+        * (F.col("observed").cast("double") - F.col("expected"))
+        / F.col("expected")
+    )
+    wo = W.orderBy("event_type", "bucket").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ordered = contrib.select(
+        F.sum(term).over(wo).alias("chi2_running"),
+        F.row_number().over(W.orderBy("event_type", "bucket")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n_cells"),
+    )
+    return ordered.filter(F.col("rn") == F.col("n_cells")).select(
+        F.col("chi2_running").alias("chi2"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+    )

@@ -457,3 +457,63 @@ def event_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_active") * 1.0 / F.col("n_cohort")).alias("retention"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence transition matrix (SURVEY §2.11 [GAP→add] — first-order
+# Markov view of user journeys; the model behind next-event prediction
+# features and journey anomaly detection)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    pairs AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type)
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           n / SUM(n) OVER (PARTITION BY from_type) AS prob
+    FROM pairs
+    """,
+    tags=("relational", "timeseries", "markov", "events"),
+)
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    consecutive (from_type → to_type) pairs by event time, with row-
+    normalized probabilities. The sequence model behind next-event
+    features, journey scoring, and funnel-order sanity checks
+    (event_funnel_steps asks "did the order happen"; this asks "how
+    likely is each order").
+
+    Scale shape: ONE window pass partitioned by user_id (lead over the
+    per-user sort — the same single-sort discipline as
+    dim_scd2_intervals), then a partial-agg'd rollup to the ≤|types|²
+    transition table; the probability normalization is a window over that
+    bounded table. Exactness: counts are integers; prob is the same
+    long/long → double division in both engines."""
+    from pyspark.sql import Window as _W
+
+    e = load(spark, sf_dir, "events")
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    pairs = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n") / F.sum("n").over(_W.partitionBy("from_type"))).alias("prob"),
+    )

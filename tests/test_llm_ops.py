@@ -1133,3 +1133,38 @@ def test_kmeans_fixed_point_partitions_and_determinism(spark, sf_dir):
     assert sum(sizes.values()) == n
     again = sorted(map(tuple, fn(spark, sf_dir).collect()))
     assert sorted(map(tuple, rows)) == again
+
+
+def test_chi_square_nonnegative_and_cell_bounded(spark, sf_dir):
+    """Chi² ≥ 0, the cell count is bounded by |types| × CHI_BUCKETS, and a
+    rerun is bit-identical (fixed-order windowed accumulation)."""
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.outliers import CHI_BUCKETS
+
+    fn = plans.get("dist_chi_square_independence").fn
+    row = fn(spark, sf_dir).collect()[0]
+    n_types = load(spark, sf_dir, "events").select("event_type").distinct().count()
+    assert row.chi2 >= 0.0
+    assert 0 < row.n_cells <= n_types * CHI_BUCKETS
+    assert fn(spark, sf_dir).collect()[0].chi2 == row.chi2
+
+
+def test_markov_rows_are_distributions_and_mass_balances(spark, sf_dir):
+    """Each from_type's outgoing probabilities sum to 1, and total
+    transition mass equals |events| − |users| (every user contributes
+    exactly n_events − 1 consecutive pairs)."""
+    from collections import defaultdict
+
+    from projet_pipeline_bigdata_org_spark.catalog import load
+
+    rows = plans.get("event_markov_transitions").fn(spark, sf_dir).collect()
+    by_from = defaultdict(float)
+    total = 0
+    for r in rows:
+        assert 0 < r.prob <= 1.0
+        by_from[r.from_type] += r.prob
+        total += r.n
+    for s in by_from.values():
+        assert abs(s - 1.0) < 1e-9
+    e = load(spark, sf_dir, "events")
+    assert total == e.count() - e.select("user_id").distinct().count()
