@@ -517,3 +517,105 @@ def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         (F.col("n") / F.sum("n").over(_W.partitionBy("from_type"))).alias("prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (SURVEY §2.11 [GAP→add] — recency/frequency/monetary
+# customer scoring, the classic batch-analytics segmentation)
+# ---------------------------------------------------------------------------
+
+#: RFM quartile count (scores 1..4 per axis)
+RFM_Q = 4
+#: fixed "as of" anchor: the day after the event window closes, so recency
+#: is a stable positive day count at every SF
+RFM_ASOF = "2024-02-01 00:00:00"
+
+
+@query(
+    "event_rfm_segments",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id,
+             -- FLOOR(EPOCH(..)): DuckDB's EPOCH keeps fractional seconds,
+             -- Spark's unix_timestamp truncates — align before the day DIV
+             CAST((CAST(FLOOR(EPOCH(TIMESTAMP '{RFM_ASOF}')) AS BIGINT)
+                   - CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT)) // 86400
+                  AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id),
+    scored AS (
+      SELECT *,
+             CAST(NTILE({RFM_Q}) OVER (ORDER BY recency_days DESC, user_id)
+                  AS BIGINT) AS r_score,
+             CAST(NTILE({RFM_Q}) OVER (ORDER BY frequency, user_id)
+                  AS BIGINT) AS f_score,
+             CAST(NTILE({RFM_Q}) OVER (ORDER BY monetary_cents, user_id)
+                  AS BIGINT) AS m_score
+      FROM base)
+    SELECT user_id, recency_days, frequency,
+           CAST(monetary_cents AS DOUBLE) / 100.0 AS monetary,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS rfm
+    FROM scored
+    """,
+    tags=("relational", "timeseries", "segmentation", "events"),
+)
+def event_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over the purchase stream: per-user recency
+    (whole days before a fixed anchor — both operands second-truncated,
+    integer division), frequency, and monetary mass (exact integer
+    cents), each scored into quartiles by NTILE with a user_id tie-break
+    (total order ⇒ deterministic buckets in both engines; higher score =
+    better: most-recent / most-frequent / highest-spend land in bucket
+    {RFM_Q}).
+
+    Scale shape: one filter pushed to the scan + one partial-agg'd
+    groupBy(user_id); the three NTILEs run over the AGGREGATED per-user
+    table (|users| rows, not |events|) — at 100 TB the global sort of a
+    bounded user summary is the textbook acceptable global window, and
+    the compressed-distribution variant (stat_exact_percentiles) is the
+    escape hatch if |users| itself explodes."""
+    from pyspark.sql import Window as _W
+
+    e = load(spark, sf_dir, "events")
+    base = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                f"CAST((unix_timestamp(TIMESTAMP '{RFM_ASOF}') - unix_timestamp(MAX(ts)))"
+                " DIV 86400 AS BIGINT)"
+            ).alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+    )
+    r = F.ntile(RFM_Q).over(_W.orderBy(F.col("recency_days").desc(), "user_id"))
+    f = F.ntile(RFM_Q).over(_W.orderBy("frequency", "user_id"))
+    m = F.ntile(RFM_Q).over(_W.orderBy("monetary_cents", "user_id"))
+    scored = base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r.cast("long").alias("r_score"),
+        f.cast("long").alias("f_score"),
+        m.cast("long").alias("m_score"),
+    )
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        (F.col("monetary_cents").cast("double") / 100.0).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).alias(
+            "rfm"
+        ),
+    )
