@@ -1168,3 +1168,30 @@ def test_markov_rows_are_distributions_and_mass_balances(spark, sf_dir):
         assert abs(s - 1.0) < 1e-9
     e = load(spark, sf_dir, "events")
     assert total == e.count() - e.select("user_id").distinct().count()
+
+
+def test_fixed_point_operators_invariant_to_shuffle_partitioning(spark, sf_dir):
+    """The round-7 exactness claim, falsified or proven: the fixed-point /
+    fixed-order operators must return BIT-IDENTICAL results when the
+    shuffle fan-out changes (7 vs the session's 32 partitions reshapes
+    every aggregation's combine order — a double-summed implementation
+    drifts here; integer arithmetic and fixed-order windows cannot)."""
+    names = (
+        "algo_pagerank",
+        "cluster_kmeans_fixed_point",
+        "embed_power_iteration",
+        "dist_chi_square_independence",
+        "bm25_rank_documents",
+    )
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    baseline = {}
+    for n in names:
+        baseline[n] = sorted(map(tuple, plans.get(n).fn(spark, sf_dir).collect()))
+    try:
+        spark.conf.set(key, "7")
+        for n in names:
+            got = sorted(map(tuple, plans.get(n).fn(spark, sf_dir).collect()))
+            assert got == baseline[n], f"{n} drifted under repartitioning"
+    finally:
+        spark.conf.set(key, prev)
