@@ -359,3 +359,134 @@ def test_hash_coin_wrap_free_at_any_id_magnitude(spark):
         ).fetchall()
     )
     assert got_duck == truth
+
+
+@pytest.fixture(scope="module")
+def fuzz_events(spark):
+    """Adversarial events: COLLIDING timestamps (tie-breaks on event_id),
+    same-instant funnel stages, negative / extreme / dyadic-boundary
+    values (x.5-cent rounding ties), single-event users, and one user
+    with every event at one instant. The oracle gate's generated corpus
+    has none of these shapes."""
+    import datetime as dt
+
+    rng = random.Random(4242)
+    t0 = dt.datetime(2024, 1, 1)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = []
+    eid = 0
+
+    def add(uid, typ, seconds, value):
+        nonlocal eid
+        rows.append((eid, t0 + dt.timedelta(seconds=seconds), uid, typ, value, "{}"))
+        eid += 1
+
+    for uid in range(40):
+        n = rng.randint(1, 12)
+        for _ in range(n):
+            # heavy timestamp collisions: only 20 distinct seconds
+            s = rng.randrange(20)
+            v = rng.choice(
+                [
+                    0.0, -0.005, 0.005, 0.125, -0.125, 12.125,  # dyadic .5-cent ties
+                    rng.uniform(-1e6, 1e6),
+                    rng.gauss(0, 1),
+                ]
+            )
+            add(uid, rng.choice(types), s, v)
+    # same-instant funnel stages: strict ordering must exclude these
+    add(100, "view", 50, 1.0)
+    add(100, "click", 50, 1.0)   # same ts as the view -> NOT stage 2
+    add(100, "purchase", 51, 1.0)
+    # single-event users
+    add(101, "purchase", 60, -42.42)
+    add(102, "view", 61, 1e9)
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("events", pdf)
+    return sdf, con
+
+
+def _fuzz_events_twins(fuzz_events, module, name):
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark import plans
+
+    plans.load_all()
+    spec = plans.registry.all_specs()[name]
+    sdf, con = fuzz_events
+    with mock.patch.object(module, "load", lambda _s, _d, _t: sdf):
+        got = sorted(tuple(r) for r in spec.fn(sdf.sparkSession, "ignored").collect())
+    want = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+    assert got == want, f"{name} drift: {got[:3]} vs {want[:3]}"
+
+
+def test_funnel_twins_agree_on_fuzz_events(fuzz_events):
+    """Strict-ordering funnel on colliding timestamps: a click at the SAME
+    instant as the first view must not count in either engine."""
+    from projet_pipeline_bigdata_org_spark.operators import timeseries
+
+    _fuzz_events_twins(fuzz_events, timeseries, "event_funnel_steps")
+
+
+def test_scd2_twins_agree_on_fuzz_events(fuzz_events):
+    """Interval versioning under heavy (ts) collisions — the event_id
+    tie-break must produce identical version chains."""
+    from projet_pipeline_bigdata_org_spark.operators import timeseries
+
+    _fuzz_events_twins(fuzz_events, timeseries, "dim_scd2_intervals")
+
+
+def test_markov_twins_agree_on_fuzz_events(fuzz_events):
+    """Transition pairs under colliding timestamps + single-event users
+    (who contribute zero transitions in both engines)."""
+    from projet_pipeline_bigdata_org_spark.operators import timeseries
+
+    _fuzz_events_twins(fuzz_events, timeseries, "event_markov_transitions")
+
+
+def test_mad_twins_agree_on_fuzz_events(fuzz_events):
+    """MAD audit on negative / extreme / dyadic-boundary values — the
+    ROUND(x*100) half-tie cases must round identically (both engines
+    round halves away from zero)."""
+    from projet_pipeline_bigdata_org_spark.operators import outliers
+
+    _fuzz_events_twins(fuzz_events, outliers, "anomaly_mad_outliers")
+
+
+def test_ks_twins_agree_on_fuzz_events(fuzz_events):
+    from projet_pipeline_bigdata_org_spark.operators import outliers
+
+    _fuzz_events_twins(fuzz_events, outliers, "dist_ks_two_sample")
+
+
+def test_chi_square_twins_agree_on_fuzz_events(fuzz_events):
+    from projet_pipeline_bigdata_org_spark.operators import outliers
+
+    _fuzz_events_twins(fuzz_events, outliers, "dist_chi_square_independence")
+
+
+def test_rfm_twins_agree_on_fuzz_events(fuzz_events):
+    """RFM quartiles on adversarial purchases (negative monetary, ties in
+    every axis) — NTILE bucket boundaries must match exactly."""
+    from projet_pipeline_bigdata_org_spark.operators import timeseries
+
+    _fuzz_events_twins(fuzz_events, timeseries, "event_rfm_segments")
+
+
+def test_retention_twins_agree_on_fuzz_events(fuzz_events):
+    from projet_pipeline_bigdata_org_spark.operators import timeseries
+
+    _fuzz_events_twins(fuzz_events, timeseries, "event_retention_cohorts")
+
+
+def test_bm25_twins_agree_on_fuzz(fuzz_df):
+    """BM25 on the adversarial text corpus — zero-length docs, unicode
+    tokens, absent query terms (empty result is fine, but both sides must
+    agree on it)."""
+    from projet_pipeline_bigdata_org_spark.operators import textops
+
+    _fuzz_query_twins(fuzz_df, textops, "bm25_rank_documents")
