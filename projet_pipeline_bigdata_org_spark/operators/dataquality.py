@@ -88,16 +88,20 @@ def dq_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked/violation counts, rate, and pass flag.
 
     Scale shape: the orders expectations share ONE single-pass conditional
-    aggregate (not five scans); referential integrity is a broadcast
-    anti-join against the customer key column only; lineitem is one more
-    single-pass agg. Output: 6 rows."""
+    aggregate (not five scans); referential integrity is an anti-join
+    against the customer key column only — no forced broadcast hint,
+    because customer grows with the corpus: AQE picks broadcast when the
+    pruned key column fits under autoBroadcastJoinThreshold and falls
+    back to a shuffled hash join when it does not, which is the correct
+    behavior at 100 TB; lineitem is one more single-pass agg.
+    Output: 6 rows."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer").select("c_custkey")
     li = load(spark, sf_dir, "lineitem")
 
     orphan = (
         o.select("o_custkey")
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .join(c, o.o_custkey == c.c_custkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("v_orphan"))
     )
     # the four single-table orders expectations ride ONE pass

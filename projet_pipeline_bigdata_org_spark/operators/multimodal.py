@@ -54,9 +54,11 @@ def _gif_frame_count(payload: bytes) -> int:
             j += size
 
     frames = 0
+    saw_trailer = False
     while i < n:
         b = payload[i]
         if b == 0x3B:  # trailer
+            saw_trailer = True
             break
         if b == 0x21:  # extension: label byte then sub-blocks
             if i + 2 > n:
@@ -74,6 +76,11 @@ def _gif_frame_count(payload: bytes) -> int:
             i = skip_subblocks(i)
         else:
             raise NotImplementedError("unrecognized GIF block")
+    if not saw_trailer:
+        # a block-aligned stream that simply runs out without the 0x3B
+        # trailer is as malformed as a mid-block truncation — route it to
+        # the stub like every other truncated structure
+        raise NotImplementedError("GIF stream ended without 0x3B trailer")
     return max(1, frames)
 
 

@@ -4,7 +4,7 @@ two-sample Kolmogorov-Smirnov statistic over the events stream.
 Both are data-quality gates a training pipeline runs before ingesting a
 telemetry batch: MAD flags per-metric anomalies without assuming
 normality (reference surfaces raw `value` untouched —
-`main/data_processing/data_processing.py` has no outlier handling; this
+`spark/preprocessor.py` has no outlier handling; this
 is a [GAP→add] per SURVEY §2.13), and KS quantifies drift between two
 event populations.
 

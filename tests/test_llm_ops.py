@@ -143,6 +143,11 @@ def test_multimodal_real_decoder_parses_headers_and_stubs_the_rest():
     )
     g2 = decode_media_real(crafted)
     assert g2["n_frames"] == 1
+    # a block-aligned GIF that ends WITHOUT the 0x3B trailer is malformed
+    # and must stub out like every other truncation (uniform strictness)
+    assert bytes(single)[-1] == 0x3B
+    with pytest.raises(NotImplementedError):
+        decode_media_real(bytes(single[:-1]))
 
 
 def test_ann_ivf_recall_and_soundness(spark, sf_dir):

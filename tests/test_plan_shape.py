@@ -592,7 +592,8 @@ def test_dq_audit_prunes_columns_and_single_lineitem_pass(spark, sf_dir):
     p = formatted_plan(df)
     m = re.search(r"ReadSchema: struct<l_quantity:[^>]*>", p)
     assert m, f"lineitem scan not pruned to l_quantity:\n{p}"
-    assert p.count("lineitem.parquet") <= 1 or p.count("lineitem") <= 2, p
+    lineitem_scans = len(re.findall(r"FileScan parquet.*lineitem\.parquet", p))
+    assert lineitem_scans <= 1, f"lineitem scanned {lineitem_scans} times:\n{p}"
     orders_scans = len(re.findall(r"FileScan parquet.*orders\.parquet", p))
     assert orders_scans <= 2, f"orders scanned {orders_scans} times:\n{p}"
 
