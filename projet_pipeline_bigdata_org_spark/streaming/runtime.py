@@ -303,6 +303,177 @@ class HistoryDedupSink:
             joined.unpersist()
 
 
+@dataclass
+class MinHashHistoryDedupSink:
+    """Streaming NEAR-dedup admission against a persisted historical corpus
+    — the foreachBatch form of ``operators.dedup.dedup_incremental_minhash``,
+    completing the dedup matrix's last cell (near x streaming; the exact
+    cell is :class:`HistoryDedupSink`). Reference analogue: S8's driver-side
+    id-skip (test/data_ingestion/testpy.py:130-131) — here content-similar,
+    not just id-equal, and streaming-native.
+
+    Per micro-batch (epoch ``e``):
+
+    1. the shard's texts shingle once into a persisted (doc_id, sh, hh)
+       stage — identical staging discipline (and identical shingle/hash/
+       band expressions, shared via ``minhash_band_table``) as the batch
+       query, so band keys can never drift between the two forms;
+    2. candidate generation: the shard's 24-byte (doc_id, band, bucket)
+       rows equi-join the historical band table from epochs *strictly
+       before e*. The strict bound is the replay-safety invariant: a
+       restarted epoch sees exactly the history state its first run saw,
+       so it can never reject its own already-recorded rows;
+    3. exact-Jaccard verify on candidates only against the historical
+       shingle store; shard rows with ANY verified near-duplicate
+       (jaccard >= threshold) are rejected at ingest;
+    4. admitted rows overwrite ``out/epoch=e``; their band rows overwrite
+       ``history/bands/epoch=e`` and their shingles
+       ``history/shingles/epoch=e`` — idempotent epoch-partition writes,
+       so a replayed epoch rewrites all three partitions identically.
+
+    Within-shard dedup (exact or near) is upstream's job — the one-shot
+    ``dedup_minhash_lsh`` over the shard, or ``dedup_within_watermark`` in
+    flight. This sink decides ADMISSION against history only, exactly like
+    its batch sibling, which makes admitted-set equality with the batch
+    query's restriction directly testable (tests/test_streaming.py).
+    Rows whose text yields zero shingles (< 3 tokens) are admitted and
+    contribute no history — the batch query drops them from both join
+    sides the same way, so they can never be flagged there either.
+
+    Scale shape: the candidate join carries 24-byte band rows on both
+    sides; at 100 TB the history bands are a staging table bucketed by
+    (band, bucket) and the shingle store bucketed by doc_id
+    (sources/batch.py: write_bucketed_table), making BOTH history-side
+    joins zero-shuffle while each micro-batch shuffles only its own delta;
+    the strict-epoch filter is partition pruning — a metadata operation."""
+
+    spark: SparkSession
+    out_path: str
+    history_path: str
+    content_col: str = "text"
+    id_col: str = "doc_id"
+    threshold: float | None = None  # default: operators.dedup.JACCARD_THRESHOLD
+    stats: dict = field(
+        default_factory=lambda: {"batches": 0, "admitted": 0, "rejected": 0}
+    )
+
+    def _bands_before(self, epoch_id: int) -> DataFrame:
+        import os
+
+        path = f"{self.history_path}/bands"
+        if not os.path.isdir(path):
+            return self.spark.createDataFrame(
+                [], "doc_id long, band int, bucket int"
+            )
+        return (
+            self.spark.read.parquet(path)
+            .filter(F.col("epoch") < epoch_id)
+            .select("doc_id", "band", "bucket")
+        )
+
+    def _shingles_before(self, epoch_id: int) -> DataFrame:
+        import os
+
+        path = f"{self.history_path}/shingles"
+        if not os.path.isdir(path):
+            return self.spark.createDataFrame([], "doc_id long, sh array<string>")
+        return (
+            self.spark.read.parquet(path)
+            .filter(F.col("epoch") < epoch_id)
+            .select("doc_id", "sh")
+        )
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from projet_pipeline_bigdata_org_spark.operators.dedup import (
+            JACCARD_THRESHOLD,
+            minhash_band_table,
+            shingle_hashes,
+        )
+        from projet_pipeline_bigdata_org_spark.operators.textops import (
+            shingles,
+            ws_tokens,
+        )
+
+        self.stats["batches"] += 1
+        if batch_df.isEmpty():  # P9 empty-batch guard
+            return
+        thr = JACCARD_THRESHOLD if self.threshold is None else self.threshold
+        # one shingle pass, persisted: feeds the band table, the verify
+        # join, and the history write (same projection-collapse guard as
+        # the batch query — inlining shingle_hashes into all 32 permutation
+        # mins would re-hash every shingle 32x)
+        sh = (
+            batch_df.select(
+                F.col(self.id_col).alias("doc_id"),
+                F.array_distinct(
+                    shingles(ws_tokens(self.content_col))
+                ).alias("sh"),
+            )
+            .filter(F.size("sh") > 0)
+            .select("doc_id", "sh", shingle_hashes(F.col("sh")).alias("hh"))
+            .persist()
+        )
+        try:
+            cand = (
+                minhash_band_table(sh)
+                .alias("b")
+                .join(
+                    self._bands_before(epoch_id).alias("h"),
+                    (F.col("b.band") == F.col("h.band"))
+                    & (F.col("b.bucket") == F.col("h.bucket")),
+                )
+                .select(
+                    F.col("b.doc_id").alias("batch_id"),
+                    F.col("h.doc_id").alias("history_id"),
+                )
+                .dropDuplicates(["batch_id", "history_id"])
+            )
+            sh_b = sh.select(
+                F.col("doc_id").alias("batch_id"), F.col("sh").alias("sh_b")
+            )
+            sh_h = self._shingles_before(epoch_id).select(
+                F.col("doc_id").alias("history_id"), F.col("sh").alias("sh_h")
+            )
+            inter = F.size(F.array_intersect("sh_b", "sh_h"))
+            union = F.size("sh_b") + F.size("sh_h") - inter
+            rejected_ids = (
+                cand.join(sh_b, "batch_id")
+                .join(sh_h, "history_id")
+                .filter((inter.cast("double") / union) >= F.lit(thr))
+                .select(F.col("batch_id").alias(self.id_col))
+                .distinct()
+            )
+            admitted = batch_df.join(rejected_ids, self.id_col, "left_anti").persist()
+            try:
+                n_batch, n_admitted = (
+                    batch_df.count(),
+                    admitted.count(),
+                )
+                self.stats["admitted"] += n_admitted
+                self.stats["rejected"] += n_batch - n_admitted
+                admitted.write.mode("overwrite").parquet(
+                    f"{self.out_path}/epoch={epoch_id}"
+                )
+                adm_sh = sh.join(
+                    admitted.select(F.col(self.id_col).alias("doc_id")),
+                    "doc_id",
+                    "left_semi",
+                ).persist()
+                try:
+                    minhash_band_table(adm_sh).write.mode("overwrite").parquet(
+                        f"{self.history_path}/bands/epoch={epoch_id}"
+                    )
+                    adm_sh.select("doc_id", "sh").write.mode("overwrite").parquet(
+                        f"{self.history_path}/shingles/epoch={epoch_id}"
+                    )
+                finally:
+                    adm_sh.unpersist()
+            finally:
+                admitted.unpersist()
+        finally:
+            sh.unpersist()
+
+
 def start_foreach_batch(
     df: DataFrame,
     sink: FailoverBatchSink,

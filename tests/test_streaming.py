@@ -619,3 +619,147 @@ def test_streaming_history_dedup_zero_dup_admissions_across_restart(spark, tmp_p
     texts = [r.text for r in spark.read.parquet(out).collect()]
     assert sorted(texts) == ["alpha", "beta", "gamma"]  # each admitted once
     assert sink2.stats["rejected"] == 1  # the replayed-content doc
+
+
+def test_minhash_history_sink_rejects_near_dups_and_replays_identically(
+    spark, tmp_path
+):
+    """Streaming near-dedup admission (the near x streaming cell of the
+    dedup matrix): a shard document that near-duplicates a strictly-earlier
+    epoch is rejected at ingest, a novel document is admitted, and replaying
+    either epoch in the worst order rewrites out/bands/shingles partitions
+    identically — zero near-dup admissions, zero lost rows."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import (
+        INCREMENTAL_NEARDUP_FIXTURE_ROWS,
+    )
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        MinHashHistoryDedupSink,
+    )
+
+    base, near, novel = INCREMENTAL_NEARDUP_FIXTURE_ROWS
+    out, hist = str(tmp_path / "out"), str(tmp_path / "hist")
+    sink = MinHashHistoryDedupSink(spark, out, hist)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, t) for i, t, _ in rows], "doc_id long, text string"
+        )
+
+    sink(mk([base]), 0)
+    assert sink.stats == {"batches": 1, "admitted": 1, "rejected": 0}
+    sink(mk([near, novel]), 1)
+    assert sink.stats == {"batches": 2, "admitted": 2, "rejected": 1}
+
+    def admitted():
+        return {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+
+    want = {base[0], novel[0]}
+    assert admitted() == want
+    # worst-order replay: epoch 0 replays AFTER history already holds its
+    # own bands under epoch=0 — the strict `epoch < e` bound keeps the
+    # rewrite identical (it cannot near-reject itself)
+    sink(mk([near, novel]), 1)
+    sink(mk([base]), 0)
+    assert admitted() == want
+    hist_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{hist}/shingles").select("doc_id").collect()
+    }
+    assert hist_ids == want  # rejected near-dup never entered history
+
+
+def test_minhash_history_sink_restart_zero_near_dup_admissions(spark, tmp_path):
+    """End-to-end T3/T5: a checkpointed foreachBatch stream with a FRESH
+    MinHashHistoryDedupSink instance on restart (process restart) still
+    admits each content neighborhood exactly once."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import (
+        INCREMENTAL_NEARDUP_FIXTURE_ROWS,
+    )
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        MinHashHistoryDedupSink,
+        file_stream,
+    )
+
+    base, near, novel = INCREMENTAL_NEARDUP_FIXTURE_ROWS
+    src = str(tmp_path / "src")
+    out, hist, ckpt = (
+        str(tmp_path / "out"),
+        str(tmp_path / "hist"),
+        str(tmp_path / "ckpt"),
+    )
+    schema = "doc_id long, text string"
+
+    def run(sink):
+        q = (
+            file_stream(spark, src, schema, max_files_per_trigger=1)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([base[:2]], schema).write.mode("append").parquet(src)
+    run(MinHashHistoryDedupSink(spark, out, hist))
+    spark.createDataFrame([near[:2], novel[:2]], schema).write.mode(
+        "append"
+    ).parquet(src)
+    sink2 = MinHashHistoryDedupSink(spark, out, hist)
+    run(sink2)
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == sorted([base[0], novel[0]])
+    assert sink2.stats["rejected"] == 1  # the near-duplicate of epoch-0 content
+
+
+def test_minhash_history_sink_matches_batch_incremental_restriction(
+    spark, sf_dir, tmp_path
+):
+    """Admitted-set equality with the batch form: feeding the history split
+    as epoch 0 and the batch split as epoch 1 through the streaming sink
+    must reject exactly the distinct batch_ids that
+    ``dedup_incremental_minhash`` flags on the same corpus + fixture —
+    the two forms share every shingle/hash/band expression, so this pins
+    that they can never drift."""
+    from projet_pipeline_bigdata_org_spark import plans
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.dedup import (
+        _INCREMENTAL_BATCH_RESIDUE,
+        INCREMENTAL_NEARDUP_FIXTURE_ROWS,
+    )
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        MinHashHistoryDedupSink,
+    )
+
+    plans.load_all()
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [(i, t) for i, t, _ in INCREMENTAL_NEARDUP_FIXTURE_ROWS],
+                "doc_id long, text string",
+            )
+        )
+    )
+    is_batch = F.col("doc_id") % 10 >= _INCREMENTAL_BATCH_RESIDUE
+    out, hist = str(tmp_path / "out"), str(tmp_path / "hist")
+    sink = MinHashHistoryDedupSink(spark, out, hist)
+    sink(d.filter(~is_batch), 0)
+    sink(d.filter(is_batch), 1)
+
+    expected_rejected = {
+        r.batch_id
+        for r in plans.all_queries()["dedup_incremental_minhash"](spark, sf_dir)
+        .select("batch_id")
+        .distinct()
+        .collect()
+    }
+    assert expected_rejected  # non-vacuous: the crafted fixture guarantees hits
+    batch_ids = {r.doc_id for r in d.filter(is_batch).select("doc_id").collect()}
+    admitted_batch = {
+        r.doc_id
+        for r in spark.read.parquet(f"{out}/epoch=1").select("doc_id").collect()
+    }
+    assert admitted_batch == batch_ids - expected_rejected
+    assert sink.stats["rejected"] == len(expected_rejected)
