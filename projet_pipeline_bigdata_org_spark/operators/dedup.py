@@ -252,7 +252,13 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. batch bands equi-join history bands (band, bucket) — never a
        self-join, never all-pairs — and candidates re-join the persisted
        shingle table by doc_id for the exact-Jaccard verify on candidates
-       only.
+       only. At cluster scale the history SHINGLE store is likewise a
+       staging table bucketed by doc_id (sources/batch.py:
+       write_bucketed_table): the verify join then plans exchange-free on
+       the history side — the full historical shingle table is never
+       shuffled; only the (candidate-sized) batch side exchanges into the
+       history's bucket layout. Pinned by test_plan_shape.py::
+       test_minhash_verify_join_against_bucketed_shingle_store_no_history_exchange.
     History/batch split is the same deterministic doc_id residue as the
     exact sibling; INCREMENTAL_NEARDUP_FIXTURE_ROWS keeps the cross-split
     hit path non-vacuous. No DuckDB oracle (xxhash64 band buckets aren't

@@ -494,6 +494,58 @@ def test_incremental_minhash_band_join_is_slim_and_staged(spark, sf_dir):
         assert "sh" not in ex.split(", ") and "text" not in ex, ex
 
 
+def test_minhash_verify_join_against_bucketed_shingle_store_no_history_exchange(
+    spark, sf_dir, tmp_path, no_auto_broadcast
+):
+    """The 100 TB wiring for dedup_incremental_minhash's exact-Jaccard
+    verify: the historical shingle store staged via write_bucketed_table
+    bucketed by doc_id joins the (candidate-sized) batch side WITHOUT
+    shuffling the history table — the only exchange in the plan is the
+    batch side hashing into the history's bucket layout."""
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.textops import (
+        shingles,
+        ws_tokens,
+    )
+    from projet_pipeline_bigdata_org_spark.sources.batch import write_bucketed_table
+
+    hist_sh = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.array_distinct(shingles(ws_tokens("text"))).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+    )
+    write_bucketed_table(
+        hist_sh, "bt_hist_shingles", ["doc_id"], 8,
+        str(tmp_path / "bt_hist_shingles"), sort_cols=["doc_id"],
+    )
+    try:
+        cand = spark.createDataFrame(
+            [(1, 7, ["a b c", "b c d"])],
+            "batch_id long, history_id long, sh_b array<string>",
+        )
+        h = spark.table("bt_hist_shingles")
+        inter = F.size(F.array_intersect("sh_b", "sh"))
+        union = F.size("sh_b") + F.size("sh") - inter
+        verify = cand.join(h, F.col("history_id") == F.col("doc_id")).select(
+            "batch_id",
+            "history_id",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        p = plan_of(verify)
+        assert "SortMergeJoin" in p, p
+        exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+        assert len(exchanges) == 1, f"expected only the batch-side exchange:\n{p}"
+        assert "history_id" in exchanges[0] and "doc_id" not in exchanges[0], (
+            f"the HISTORY side shuffled:\n{p}"
+        )
+        assert "Bucketed: true" in formatted_plan(verify), formatted_plan(verify)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_hist_shingles")
+
+
 def test_holdout_split_single_pass_partial_agg(spark, sf_dir):
     """curate_split_holdout is one corpus pass: pruned scan, one
     hash-partitioned exchange for the (source, split) rollup, partial
