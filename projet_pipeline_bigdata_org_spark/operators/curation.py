@@ -292,3 +292,276 @@ def curate_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         epochs.cast("long").alias("epochs"),
         (epochs > EPOCH_CAP).alias("over_repeated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Importance-weighted data selection (DSIR-style, fixed-point)
+# ---------------------------------------------------------------------------
+
+#: the target distribution: documents from this source define "what good
+#: data looks like" (in a real pipeline: a curated corpus like Wikipedia)
+DSIR_TARGET_SOURCE = "src0"
+#: fixed-point scale for the per-bigram importance ratio. Bound: the
+#: per-bigram TARGET count must stay below 2^63 / SCALE ~ 9.2e12
+#: occurrences — the target set is the small curated corpus, so this holds
+#: far past 100 TB of raw data (the RAW count only appears as a divisor)
+DSIR_SCALE = 1_000_000
+
+from projet_pipeline_bigdata_org_spark.operators.textops import (  # noqa: E402
+    sql_shingles,
+)
+
+_DSIR_BIGRAM_SQL = sql_shingles(_TOK_SQL, 2)
+
+# Crafted fixture rows unioned into curate_dsir_select (and mirrored in its
+# oracle): a distinctive target-source document, a raw-source verbatim copy
+# of it (its bigrams have target hits -> scores the maximal ratio
+# DSIR_SCALE, so the `selected` branch is non-vacuously exercised at any
+# SF), and a raw document that is one corpus-unseen bigram repeated 60
+# times (ratio DSIR_SCALE DIV 61 ~ 16k, below any realistic corpus prior —
+# the deterministic non-selected row). Negative doc_ids cannot collide
+# with corpus ids.
+DSIR_FIXTURE_ROWS: tuple[tuple[int, str, str], ...] = (
+    (
+        -101,
+        "orbital resonance cascades stabilize the circumbinary disk through "
+        "secular perturbation exchange between the inner planet pair",
+        DSIR_TARGET_SOURCE,
+    ),
+    (
+        -102,
+        "orbital resonance cascades stabilize the circumbinary disk through "
+        "secular perturbation exchange between the inner planet pair",
+        "src7",
+    ),
+    (-103, " ".join(["zq"] * 61), "src7"),
+)
+
+_DSIR_FIXTURE_SQL = " UNION ALL ".join(
+    "SELECT CAST({} AS BIGINT) AS doc_id, '{}' AS text, '{}' AS source".format(
+        i, t.replace("'", "''"), s
+    )
+    for i, t, s in DSIR_FIXTURE_ROWS
+)
+
+
+@query(
+    "curate_dsir_select",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL {_DSIR_FIXTURE_SQL}
+    ), b AS (
+      SELECT doc_id, source, UNNEST({_DSIR_BIGRAM_SQL}) AS bigram FROM docs
+    ), cnt AS (
+      SELECT bigram,
+             COUNT(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 END) AS t_f,
+             COUNT(CASE WHEN source <> '{DSIR_TARGET_SOURCE}' THEN 1 END) AS r_f
+      FROM b GROUP BY bigram
+    ), pri AS (
+      SELECT CAST(CAST((SUM(t_f) + COUNT(*)) * {DSIR_SCALE} AS BIGINT)
+               // (SUM(r_f) + COUNT(*)) AS BIGINT) AS prior
+      FROM cnt
+    ), lam AS (
+      SELECT bigram,
+             CAST((t_f + 1) * {DSIR_SCALE} AS BIGINT) // (r_f + 1) AS lam
+      FROM cnt WHERE r_f > 0
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(lam.lam) AS BIGINT) AS dsir_score,
+           CAST(SUM(lam.lam) AS BIGINT) // COUNT(*) AS dsir_avg,
+           ANY_VALUE(pri.prior) AS prior,
+           CAST(SUM(lam.lam) AS BIGINT) // COUNT(*) >= ANY_VALUE(pri.prior)
+             AS selected
+    FROM b JOIN lam USING (bigram) CROSS JOIN pri
+    WHERE b.source <> '{DSIR_TARGET_SOURCE}'
+    GROUP BY b.doc_id
+    """,
+    tags=("llm", "curation", "selection", "documents"),
+)
+def curate_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted data selection, DSIR-style (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"),
+    reduced to exact fixed-point arithmetic: estimate how target-like each
+    raw document's bigram distribution is, keep documents whose average
+    per-bigram importance ratio clears the corpus prior.
+
+    Fixed-point estimator: for each bigram f, the Laplace-smoothed count
+    ratio lambda_f = (t_f+1) * DSIR_SCALE DIV (r_f+1) — a scaled BIGINT,
+    no logs, no doubles (the published estimator multiplies per-feature
+    probability ratios in log space; this is the same ranking statistic on
+    a per-occurrence additive scale, chosen so both engines agree
+    bit-exactly). Because the target corpus is much smaller than the raw
+    pool, the neutral point of that ratio is not 1 but the smoothed mass
+    prior (T+V) * DSIR_SCALE DIV (R+V) (T/R = total target/raw bigram
+    occurrences, V = vocabulary) — exactly the normalization the paper's
+    p_target/p_raw achieves; `selected` keeps documents whose truncating
+    per-bigram average is at least that prior. DSIR_FIXTURE_ROWS pins both
+    branches non-vacuously (a raw verbatim copy of a target document must
+    select; a repeated corpus-unseen bigram scores DSIR_SCALE DIV 61 and
+    must not).
+
+    Overflow posture: every product is target-side-bounded —
+    (t_f+1)*DSIR_SCALE and (T+V)*DSIR_SCALE stay under 2^63 for any
+    target corpus below ~9.2e12 bigrams (the curated target is the SMALL
+    side by construction); raw-scale counts only ever appear as divisors.
+
+    Scale shape: ONE conditional-agg groupBy over the corpus bigram stream
+    builds both sides' counts (never two corpus scans); the prior is a
+    1-row broadcast off that dictionary; the Zipf-compact lambda
+    dictionary rides an equi-join that AQE broadcasts when it fits; the
+    final per-document rollup is a partial-agg'd groupBy on doc_id. The
+    reference ingests everything it scrapes
+    (main/data_ingestion/data_ingestion.py:121-141) — importance-based
+    selection is the curation step it lacks."""
+    from projet_pipeline_bigdata_org_spark.operators.textops import shingles
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .unionByName(
+            spark.createDataFrame(
+                list(DSIR_FIXTURE_ROWS), "doc_id long, text string, source string"
+            )
+        )
+    )
+    b = d.select(
+        "doc_id",
+        "source",
+        F.explode(shingles(ws_tokens("text"), 2)).alias("bigram"),
+    )
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    is_target = F.col("source") == DSIR_TARGET_SOURCE
+    cnt = _persist_scoped(
+        "dsir_cnt",
+        b.groupBy("bigram").agg(
+            F.count(F.when(is_target, 1)).alias("t_f"),
+            F.count(F.when(~is_target, 1)).alias("r_f"),
+        ),
+    )
+    pri = cnt.agg(
+        F.expr(
+            f"CAST((SUM(t_f) + COUNT(*)) * {DSIR_SCALE} AS BIGINT)"
+            " DIV (SUM(r_f) + COUNT(*))"
+        ).alias("prior")
+    )
+    lam = cnt.filter(F.col("r_f") > 0).select(
+        "bigram",
+        F.expr(f"CAST((t_f + 1) * {DSIR_SCALE} AS BIGINT) DIV (r_f + 1)").alias(
+            "lam"
+        ),
+    )
+    score = F.sum("lam").cast("long")
+    return (
+        b.filter(~is_target)
+        .join(lam, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            score.alias("dsir_score"),
+        )
+        .crossJoin(F.broadcast(pri))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "dsir_score",
+            F.expr("dsir_score DIV n_bigrams").alias("dsir_avg"),
+            "prior",
+            (F.expr("dsir_score DIV n_bigrams") >= F.col("prior")).alias(
+                "selected"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring (fastText-style linear classifier, fixed-point)
+# ---------------------------------------------------------------------------
+
+#: hashed-feature bucket count (the "hashing trick" width)
+QC_BUCKETS = 64
+#: pinned LCG-derived integer weight vector: w(h) = (h*A + C) mod M - M//2.
+#: The weights are a FIXED published-constant pseudo-random projection —
+#: inference-only, like shipping a trained .bin; training stays out of
+#: scope (pyspark.ml LogisticRegression slots in here on a real cluster)
+QC_A, QC_C, QC_M = 2_654_435_761, 12_345, 1_009
+
+
+def qc_token_weight(t) -> F.Column:
+    """w(h(token)) as a pure column expression: the portable hash
+    h = (ascii(first)*31 + len*7 + ascii(last)*13) mod QC_BUCKETS fed
+    through the pinned LCG weight w = (h*A + C) mod M - M//2."""
+    return (
+        (
+            (F.ascii(t) * 31 + F.length(t) * 7 + F.ascii(F.reverse(t)) * 13)
+            % QC_BUCKETS
+            * QC_A
+            + QC_C
+        )
+        % QC_M
+        - QC_M // 2
+    ).cast("long")
+
+
+def qc_margin(toks: F.Column) -> F.Column:
+    """Exact BIGINT document margin: sum of qc_token_weight over the token
+    array, folded per row via aggregate() — no explode, no shuffle."""
+    return F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + qc_token_weight(t)
+    )
+
+
+@query(
+    "curate_quality_classifier",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK_SQL} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(toks,
+             t -> ((ASCII(t) * 31 + LENGTH(t) * 7 + ASCII(REVERSE(t)) * 13)
+                    % {QC_BUCKETS} * {QC_A} + {QC_C}) % {QC_M}
+                  - {QC_M // 2})), 0) AS BIGINT) AS margin,
+           CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(toks,
+             t -> ((ASCII(t) * 31 + LENGTH(t) * 7 + ASCII(REVERSE(t)) * 13)
+                    % {QC_BUCKETS} * {QC_A} + {QC_C}) % {QC_M}
+                  - {QC_M // 2})), 0) AS BIGINT) >= 0 AS keep
+    FROM t
+    """,
+    tags=("llm", "text", "quality", "documents"),
+)
+def curate_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: linear text-classifier INFERENCE in the
+    fastText shape — hashed token features x a fixed integer weight
+    vector, sigmoid-free margin decision — the slot between rule-based
+    Gopher filters (lex_gopher_rules) and perplexity filters in a curation
+    pipeline. The reference's only classifier is the driver-side DistilBERT
+    HTTP call (distilbert_fin/app.py); this is the distributed, in-plan
+    form.
+
+    Fixed-point inference: h(token) = (ascii(first)*31 + len*7 +
+    ascii(last-of-reverse)*13) mod QC_BUCKETS — a deliberately
+    engine-portable hash family (ascii/length/reverse are identical
+    builtins in both engines; xxhash64 would be the JVM-only choice at
+    scale) — then w(h) is a pinned LCG projection into [-M/2, M/2); the
+    document margin is the exact BIGINT sum of w over token occurrences
+    and `keep` = margin >= 0. Collisions are the hashing trick's design,
+    not a bug.
+
+    Scale shape: SHUFFLE-FREE — margin folds per row inside codegen via
+    aggregate() over the token array (same discipline as
+    curate_readability); no explode, no groupBy, no join, no UDF. The
+    weight 'vector' is inlined arithmetic, so there is not even a
+    broadcast. Cost is one pruned corpus scan at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    margin = qc_margin(toks)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        margin.alias("margin"),
+        (margin >= 0).alias("keep"),
+    )

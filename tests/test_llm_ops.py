@@ -1200,3 +1200,69 @@ def test_fixed_point_operators_invariant_to_shuffle_partitioning(spark, sf_dir):
             assert got == baseline[n], f"{n} drifted under repartitioning"
     finally:
         spark.conf.set(key, prev)
+
+
+def test_dsir_fixture_branches_and_prior(spark, sf_dir):
+    """curate_dsir_select's crafted fixtures pin both selection branches:
+    the raw verbatim copy of a target document scores the maximal ratio
+    DSIR_SCALE and selects; the repeated corpus-unseen bigram scores
+    DSIR_SCALE DIV 61 and does not; the prior sits strictly between."""
+    from projet_pipeline_bigdata_org_spark.operators.curation import (
+        DSIR_SCALE,
+        curate_dsir_select,
+    )
+
+    rows = {
+        r.doc_id: r
+        for r in curate_dsir_select(spark, sf_dir).filter(F.col("doc_id") < 0).collect()
+    }
+    copy, junk = rows[-102], rows[-103]
+    assert copy.dsir_avg == DSIR_SCALE and copy.selected
+    assert junk.dsir_avg == DSIR_SCALE // 61 and not junk.selected
+    assert junk.dsir_avg < copy.prior < DSIR_SCALE
+    assert copy.prior == junk.prior  # one corpus-wide scalar
+    # and the corpus itself exercises both branches (not fixture-only)
+    split = {
+        r.selected: r.n
+        for r in curate_dsir_select(spark, sf_dir)
+        .filter(F.col("doc_id") >= 0)
+        .groupBy("selected")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert split.get(True, 0) > 0 and split.get(False, 0) > 0
+
+
+def test_quality_classifier_margin_matches_python_model(spark):
+    """The fixed-point linear-classifier margin is pinned against an
+    independent pure-Python reimplementation of the hash family and the
+    LCG weight vector on crafted tokens (single char, long token,
+    punctuation, repeated tokens, empty doc)."""
+    from projet_pipeline_bigdata_org_spark.operators.curation import (
+        QC_A,
+        QC_BUCKETS,
+        QC_C,
+        QC_M,
+        qc_margin,
+    )
+    from projet_pipeline_bigdata_org_spark.operators.textops import ws_tokens
+
+    def pyw(tok: str) -> int:
+        h = (ord(tok[0]) * 31 + len(tok) * 7 + ord(tok[-1]) * 13) % QC_BUCKETS
+        return (h * QC_A + QC_C) % QC_M - QC_M // 2
+
+    texts = [
+        "a",
+        "the quick brown fox! jumps?? over)( the LAZY dog",
+        "supercalifragilisticexpialidocious x x x",
+        "",
+        "  spaced   out  tokens ",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r.i: r.m
+        for r in df.select("i", qc_margin(ws_tokens("text")).alias("m")).collect()
+    }
+    for i, t in enumerate(texts):
+        want = sum(pyw(tok) for tok in t.split(" ") if tok)
+        assert got[i] == want, (i, t, got[i], want)

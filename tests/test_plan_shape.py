@@ -660,3 +660,36 @@ def test_kmeans_broadcasts_centroids_with_partial_agg(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p
     assert "partial_sum" in p, p
+
+
+def test_dsir_one_dict_pass_broadcast_prior_no_cartesian(spark, sf_dir):
+    """curate_dsir_select's bigram dictionary is ONE persisted
+    conditional-agg pass reused by both the lambda table and the prior
+    (InMemoryTableScan), the 1-row prior rides a broadcast, and the only
+    nested-loop join in the plan is that broadcast cross join."""
+    df = _Q["curate_dsir_select"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p
+    # both dictionary consumers (lambda table + prior) read the cache
+    assert p.count("InMemoryTableScan") == 2, p
+    # textual scan count: 1 live score-side scan + the cached dictionary
+    # subtree printed inside each InMemoryTableScan (not re-executed)
+    doc_scans = len(re.findall(r"FileScan parquet.*documents\.parquet", p))
+    assert doc_scans <= 1 + p.count("InMemoryTableScan"), (
+        f"documents scanned {doc_scans} times:\n{p}"
+    )
+
+
+def test_quality_classifier_shuffle_free_pruned_scan(spark, sf_dir):
+    """curate_quality_classifier must be one pruned corpus scan: no
+    exchange, no join, no generate/explode — the margin folds per row
+    inside codegen."""
+    df = _Q["curate_quality_classifier"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "Exchange" not in p, p
+    assert "Join" not in p and "Generate" not in p, p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", formatted_plan(df))
+    assert m and sorted(c.split(":")[0] for c in m.group(1).split(",")) == [
+        "doc_id", "text",
+    ], m.group(1) if m else "no ReadSchema"
