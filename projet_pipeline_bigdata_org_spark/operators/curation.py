@@ -565,3 +565,69 @@ def curate_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin.alias("margin"),
         (margin >= 0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe holdout split (cluster-aware eval hygiene)
+# ---------------------------------------------------------------------------
+
+
+def _leakage_split_oracle() -> str:
+    from projet_pipeline_bigdata_org_spark.operators.grouped import SQL_CC_LABELS
+
+    group = "COALESCE(l.cluster_id, d.doc_id)"
+    return f"""
+    WITH RECURSIVE {SQL_CC_LABELS}
+    SELECT d.doc_id,
+           CAST({group} AS BIGINT) AS group_id,
+           CASE WHEN {sql_hash_coin(group)} < {HOLDOUT_THRESHOLD}
+                THEN 'holdout' ELSE 'train' END AS split
+    FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+    """
+
+
+@query(
+    "curate_leakage_safe_split",
+    oracle=_leakage_split_oracle(),
+    tags=("llm", "curation", "sampling", "iterative", "documents"),
+)
+def curate_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/holdout split — the eval-hygiene upgrade of
+    ``curate_split_holdout``: the hash coin is thrown per NEAR-DUP CLUSTER
+    (connected component of the exact-Jaccard pair graph; singletons are
+    their own group), so a document and its near-duplicates can never
+    straddle the split — the leakage mode a per-document coin cannot
+    prevent (a paraphrased holdout doc whose twin sits in train silently
+    inflates eval scores).
+
+    Composition: dedup_ngram_jaccard pairs -> connected components (the
+    same labels as dedup_cluster_components, so the oracles share
+    SQL_CC_LABELS and cannot drift) -> group_id = cluster min-label or own
+    doc_id -> the wrap-free deterministic coin on group_id.
+
+    Scale shape: the cluster-label table holds only documents that appear
+    in near-dup pairs (a small fraction of the corpus), so the left join
+    rides an AQE broadcast at any corpus size; the coin is per-row int64
+    arithmetic; no shuffle beyond the CC stage the dedup pipeline already
+    ran (in production the labels table is the PERSISTED output of that
+    stage, making this one joined projection)."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import dedup_ngram_jaccard
+    from projet_pipeline_bigdata_org_spark.operators.grouped import (
+        connected_components,
+    )
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    labels = connected_components(pairs)
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    group = F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("long")
+    return (
+        d.join(labels, d.doc_id == labels.node, "left")
+        .select("doc_id", group.alias("group_id"))
+        .select(
+            "doc_id",
+            "group_id",
+            F.when(hash_coin("group_id") < HOLDOUT_THRESHOLD, "holdout")
+            .otherwise("train")
+            .alias("split"),
+        )
+    )

@@ -800,3 +800,72 @@ def embed_remove_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (removed / F.col("norm2_scaled").cast("double")).alias("top_dir_energy"),
     )
+
+
+@query(
+    "embed_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    pairs AS (
+      SELECT q.vec_id AS q_id, q.label AS q_label,
+             e.vec_id AS n_id, e.label AS n_label,
+             {SQL_DOT.format(a='q.embedding', b='e.embedding')}
+               / ({SQL_NORM.format(a='q.embedding')} * {SQL_NORM.format(a='e.embedding')})
+               AS cosine
+      FROM q JOIN embeddings e ON e.label <> q.label)
+    SELECT q_id, q_label, n_id, n_label, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rnk
+    FROM pairs
+    QUALIFY rnk <= {TOPK}
+    """,
+    tags=("llm", "similarity", "embeddings", "training"),
+)
+def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding-model training: for
+    each query vector, the TOPK most-cosine-similar corpus vectors whose
+    label DIFFERS — the near-misses that make the strongest training
+    negatives (easy random negatives carry almost no gradient signal).
+    The slot a retrieval-model data pipeline runs between embedding
+    generation and batch assembly; the reference has no embedding surface
+    at all ([GAP→add], SURVEY §2.14).
+
+    Scale shape: identical to embed_cosine_topk — the bounded query block
+    broadcasts WITH its precomputed norm, the corpus side streams through
+    one pruned scan with its norm evaluated once per vector (not once per
+    pair), the label inequality prunes pairs before the rank, and a
+    partial WindowGroupLimit keeps at most TOPK rows per query per
+    partition ahead of the single rank exchange. The corpus never
+    repartitions. Same sequential-fold double arithmetic as every other
+    cosine query, so the DuckDB twin is bit-exact."""
+    e = load(spark, sf_dir, "embeddings")
+    e_n = e.select(
+        "vec_id", "embedding", "label", norm(F.col("embedding")).alias("e_norm")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+        norm(F.col("embedding")).alias("q_norm"),
+    )
+    pairs = e_n.join(
+        F.broadcast(q), F.col("label") != F.col("q_label")
+    ).select(
+        "q_id",
+        "q_label",
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        (
+            dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("e_norm"))
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
+    return pairs.select(
+        "q_id",
+        "q_label",
+        "n_id",
+        "n_label",
+        "cosine",
+        F.row_number().over(w).cast("long").alias("rnk"),
+    ).filter(F.col("rnk") <= TOPK)

@@ -1266,3 +1266,82 @@ def test_quality_classifier_margin_matches_python_model(spark):
     for i, t in enumerate(texts):
         want = sum(pyw(tok) for tok in t.split(" ") if tok)
         assert got[i] == want, (i, t, got[i], want)
+
+
+def test_hard_negatives_labels_differ_and_are_true_topk(spark, sf_dir):
+    """Every mined hard negative must carry a label different from its
+    query's, and per query the rows must be exactly the TOPK
+    highest-cosine different-label vectors (checked against an
+    independent brute-force recomputation)."""
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.similarity import (
+        N_QUERIES,
+        TOPK,
+        dot,
+        norm,
+    )
+
+    got = _Q["embed_hard_negatives"].fn(spark, sf_dir).collect()
+    assert all(r.q_label != r.n_label for r in got)
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.q_id, []).append(r)
+    assert set(per_q) == set(range(N_QUERIES))
+    assert all(len(v) == TOPK for v in per_q.values())
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    cos = dot(F.col("q_emb"), F.col("embedding")) / (
+        norm(F.col("q_emb")) * norm(F.col("embedding"))
+    )
+    brute = (
+        e.join(F.broadcast(q), F.col("label") != F.col("q_label"))
+        .select("q_id", F.col("vec_id").alias("n_id"), cos.alias("cosine"))
+        .collect()
+    )
+    best = {}
+    for r in brute:
+        best.setdefault(r.q_id, []).append((-r.cosine, r.n_id))
+    for q_id, rows in per_q.items():
+        want = [nid for _, nid in sorted(best[q_id])[:TOPK]]
+        assert [r.n_id for r in sorted(rows, key=lambda r: r.rnk)] == want
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark, sf_dir):
+    """curate_leakage_safe_split's invariant: every near-dup pair lands in
+    the SAME split (zero leakage edges), every document is assigned, and
+    both splits are non-empty."""
+    split_rows = _Q["curate_leakage_safe_split"].fn(spark, sf_dir).collect()
+    split_of = {r.doc_id: r.split for r in split_rows}
+    from projet_pipeline_bigdata_org_spark.catalog import load
+
+    assert len(split_of) == load(spark, sf_dir, "documents").count()
+    assert {r.split for r in split_rows} == {"train", "holdout"}
+    pairs = _Q["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    assert pairs  # non-vacuous: the corpus has near-dup pairs
+    leaks = [
+        (p.a_id, p.b_id)
+        for p in pairs
+        if split_of[p.a_id] != split_of[p.b_id]
+    ]
+    assert leaks == []
+    # the per-document coin WOULD leak on this corpus — i.e. the cluster
+    # grouping is load-bearing, not vacuously aligned
+    from projet_pipeline_bigdata_org_spark.functions.hashing import hash_coin
+    from projet_pipeline_bigdata_org_spark.operators.curation import (
+        HOLDOUT_THRESHOLD,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(hash_coin("doc_id") < HOLDOUT_THRESHOLD, "holdout")
+        .otherwise("train")
+        .alias("split"),
+    )
+    naive = {r.doc_id: r.split for r in d.collect()}
+    naive_leaks = [p for p in pairs if naive[p.a_id] != naive[p.b_id]]
+    assert naive_leaks, "corpus cannot distinguish cluster-aware from naive split"

@@ -693,3 +693,17 @@ def test_quality_classifier_shuffle_free_pruned_scan(spark, sf_dir):
     assert m and sorted(c.split(":")[0] for c in m.group(1).split(",")) == [
         "doc_id", "text",
     ], m.group(1) if m else "no ReadSchema"
+
+
+def test_hard_negatives_broadcasts_query_block_not_corpus(spark, sf_dir):
+    """embed_hard_negatives must plan exactly like embed_cosine_topk: the
+    bounded query block broadcasts, the corpus never repartitions, and a
+    Partial WindowGroupLimit reduces rows ahead of the single rank
+    exchange."""
+    df = _Q["embed_hard_negatives"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "BroadcastExchange" in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    ex = p.find("Exchange hashpartitioning")
+    assert "WindowGroupLimit" in p[ex:] and "Partial" in p[ex:], p
