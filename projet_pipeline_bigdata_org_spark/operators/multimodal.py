@@ -2,9 +2,10 @@
 typed metadata, decoded/feature-extracted through ``mapInPandas``.
 
 The container has no image/audio codec libraries, so decoding is split:
-``decode_media_real`` parses PNG/JPEG/GIF dimensions from their fixed
-header bytes in pure Python (no codec needed — the formats publish the
-offsets), and everything else falls back to the clearly-marked
+``decode_media_real`` parses PNG/JPEG/GIF/BMP dimensions and WAV audio
+shape (channels/rate/PCM frames) from their fixed header bytes in pure
+Python (no codec needed — the formats publish the offsets), and
+everything else falls back to the clearly-marked
 deterministic stub (``decode_media_stub``) so full pixel/sample decode
 remains the explicit PIL/ffmpeg integration point. The Spark-side plumbing
 is real and tested either way: binary column construction, Arrow batch
@@ -148,10 +149,79 @@ def decode_media_real(payload: bytes) -> dict:
                 }
             i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
         raise NotImplementedError("JPEG without a SOF header (truncated?)")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        channels, sample_rate, frames = _wav_fmt_and_frames(payload)
+        # audio mapping into the shared media schema: width carries the
+        # sample rate, height the channel count, n_frames the PCM FRAME
+        # count (one sample across all channels — the format's own term)
+        return {
+            "n_bytes": n,
+            "width": sample_rate,
+            "height": channels,
+            "n_frames": frames,
+            "mime": "audio/wav",
+        }
+    # BMP: 'BM' alone is two printable chars (a text payload could start
+    # with them) — require the four RESERVED zero bytes at 6-9 too, which
+    # clean text cannot contain, before trusting the magic
+    if payload[:2] == b"BM" and payload[6:10] == b"\x00\x00\x00\x00" and n >= 26:
+        dib = int.from_bytes(payload[14:18], "little")
+        if dib < 40 or n < 54:
+            raise NotImplementedError("non-BITMAPINFOHEADER BMP (OS/2 or truncated)")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        if w <= 0 or h == 0:
+            raise NotImplementedError("degenerate BMP dimensions")
+        return {
+            "n_bytes": n,
+            "width": w,
+            # negative height is the published top-down-row-order flag,
+            # not a negative dimension
+            "height": abs(h),
+            "n_frames": 1,
+            "mime": "image/bmp",
+        }
     raise NotImplementedError(
-        "only PNG/JPEG/GIF headers are parseable without codec libs; "
+        "only PNG/JPEG/GIF/WAV/BMP headers are parseable without codec libs; "
         "full decode requires PIL/ffmpeg (falls back to decode_media_stub)"
     )
+
+
+def _wav_fmt_and_frames(payload: bytes) -> tuple[int, int, int]:
+    """Walk WAV's RIFF chunk list (4-byte id, 4-byte LE size, word-aligned
+    bodies) for the REQUIRED 'fmt ' and 'data' chunks; the frame count is
+    data bytes over block alignment — no sample decode needed. Truncated
+    or incomplete structures raise, routing to the stub like every other
+    malformed payload."""
+    n = len(payload)
+    i = 12
+    fmt: tuple[int, int, int] | None = None
+    data_bytes: int | None = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = i + 8
+        if body + size > n:
+            raise NotImplementedError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise NotImplementedError("short WAV fmt chunk")
+            fmt = (
+                int.from_bytes(payload[body + 2 : body + 4], "little"),
+                int.from_bytes(payload[body + 4 : body + 8], "little"),
+                int.from_bytes(payload[body + 12 : body + 14], "little"),
+            )
+        elif cid == b"data":
+            data_bytes = size
+        i = body + size + (size & 1)  # chunk bodies are word-aligned
+    if i != n:
+        raise NotImplementedError("trailing bytes after last WAV chunk")
+    if fmt is None or data_bytes is None:
+        raise NotImplementedError("WAV missing fmt/data chunk")
+    channels, sample_rate, block_align = fmt
+    if block_align == 0:
+        raise NotImplementedError("WAV zero block alignment")
+    return channels, sample_rate, data_bytes // block_align
 
 
 def decode_media_stub(payload: bytes) -> dict:
@@ -196,6 +266,8 @@ def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 _MM_PNG = (3_000_000_001, 640, 360)
 _MM_JPEG = (3_000_000_002, 1024, 768)
 _MM_GIF = (3_000_000_003, 320, 200, 3)  # 3 animation frames
+_MM_WAV = (3_000_000_004, 44_100, 2, 480)  # (id, sample rate, channels, frames)
+_MM_BMP = (3_000_000_005, 800, 600)
 
 
 def _png_fixture(w: int, h: int) -> bytes:
@@ -242,16 +314,56 @@ def _gif_fixture(w: int, h: int, frames: int) -> bytes:
     return b"GIF89a" + screen + (gce + img) * frames + b"\x3b"
 
 
+def _wav_fixture(sample_rate: int, channels: int, frames: int) -> bytes:
+    """Canonical 16-bit PCM WAV: RIFF header + fmt chunk + data chunk whose
+    byte size is frames * block_align (samples themselves are zeros — the
+    parser never reads them)."""
+    bits = 16
+    block_align = channels * bits // 8
+    fmt_body = (
+        (1).to_bytes(2, "little")  # PCM
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    data_body = bytes(frames * block_align)
+    chunks = (
+        b"fmt " + len(fmt_body).to_bytes(4, "little") + fmt_body
+        + b"data" + len(data_body).to_bytes(4, "little") + data_body
+    )
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def _bmp_fixture(w: int, h: int) -> bytes:
+    """Minimal BITMAPINFOHEADER BMP: 14-byte file header (reserved zeros)
+    + 40-byte DIB header carrying signed little-endian dimensions."""
+    dib = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")   # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + bytes(24)                   # compression..important colors
+    )
+    return b"BM" + (54).to_bytes(4, "little") + bytes(4) + (54).to_bytes(4, "little") + dib
+
+
 MM_MEDIA_FIXTURE_ROWS: tuple[tuple[int, bytes], ...] = (
     (_MM_PNG[0], _png_fixture(_MM_PNG[1], _MM_PNG[2])),
     (_MM_JPEG[0], _jpeg_fixture(_MM_JPEG[1], _MM_JPEG[2])),
     (_MM_GIF[0], _gif_fixture(_MM_GIF[1], _MM_GIF[2], _MM_GIF[3])),
+    (_MM_WAV[0], _wav_fixture(_MM_WAV[1], _MM_WAV[2], _MM_WAV[3])),
+    (_MM_BMP[0], _bmp_fixture(_MM_BMP[1], _MM_BMP[2])),
 )
 
 _MM_FIXTURE_ORACLE_ROWS = (
     (_MM_PNG[0], len(MM_MEDIA_FIXTURE_ROWS[0][1]), _MM_PNG[1], _MM_PNG[2], 1, "image/png"),
     (_MM_JPEG[0], len(MM_MEDIA_FIXTURE_ROWS[1][1]), _MM_JPEG[1], _MM_JPEG[2], 1, "image/jpeg"),
     (_MM_GIF[0], len(MM_MEDIA_FIXTURE_ROWS[2][1]), _MM_GIF[1], _MM_GIF[2], _MM_GIF[3], "image/gif"),
+    (_MM_WAV[0], len(MM_MEDIA_FIXTURE_ROWS[3][1]), _MM_WAV[1], _MM_WAV[2], _MM_WAV[3], "audio/wav"),
+    (_MM_BMP[0], len(MM_MEDIA_FIXTURE_ROWS[4][1]), _MM_BMP[1], _MM_BMP[2], 1, "image/bmp"),
 )
 
 _MM_FIXTURE_SQL = " UNION ALL ".join(
@@ -285,7 +397,7 @@ def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
       magic and take the stub path — the oracle reproduces the stub's
       arithmetic from OCTET_LENGTH(ENCODE(text)) (documents are ASCII so
       chars == bytes), proving the Arrow round-trip;
-    - MM_MEDIA_FIXTURE_ROWS carry real PNG/JPEG/GIF headers and take the
+    - MM_MEDIA_FIXTURE_ROWS carry real PNG/JPEG/GIF/WAV/BMP headers and take the
       decode_media_real header parse — the oracle carries the construction
       constants as literal rows, so parse offsets/endianness are verified
       bit-exact, not assumed.

@@ -109,7 +109,9 @@ def test_multimodal_real_decoder_parses_headers_and_stubs_the_rest():
         decode_media_stub,
     )
 
-    png, jpeg, gif = (decode_media_real(p) for _, p in MM_MEDIA_FIXTURE_ROWS)
+    png, jpeg, gif, _wav, _bmp = (
+        decode_media_real(p) for _, p in MM_MEDIA_FIXTURE_ROWS
+    )
     assert (png["width"], png["height"], png["mime"]) == (640, 360, "image/png")
     assert (jpeg["width"], jpeg["height"], jpeg["mime"]) == (1024, 768, "image/jpeg")
     assert (gif["width"], gif["height"], gif["n_frames"], gif["mime"]) == (
@@ -1345,3 +1347,44 @@ def test_leakage_safe_split_keeps_clusters_whole(spark, sf_dir):
     naive = {r.doc_id: r.split for r in d.collect()}
     naive_leaks = [p for p in pairs if naive[p.a_id] != naive[p.b_id]]
     assert naive_leaks, "corpus cannot distinguish cluster-aware from naive split"
+
+
+def test_multimodal_wav_bmp_headers_and_uniform_strictness():
+    """WAV RIFF chunk walk and BMP BITMAPINFOHEADER parse, plus the
+    malformed-input paths that must uniformly stub out: truncated chunks,
+    OS/2-style short DIB headers, degenerate dimensions, a text payload
+    that happens to start with 'BM'."""
+    from projet_pipeline_bigdata_org_spark.operators.multimodal import (
+        _bmp_fixture,
+        _wav_fixture,
+        decode_media,
+        decode_media_real,
+        decode_media_stub,
+    )
+
+    wav = decode_media_real(_wav_fixture(16_000, 1, 320))
+    assert (wav["width"], wav["height"], wav["n_frames"], wav["mime"]) == (
+        16_000, 1, 320, "audio/wav",
+    )
+    bmp = decode_media_real(_bmp_fixture(33, 21))
+    assert (bmp["width"], bmp["height"], bmp["n_frames"], bmp["mime"]) == (
+        33, 21, 1, "image/bmp",
+    )
+    # negative height = published top-down flag, not a negative dimension
+    td = bytearray(_bmp_fixture(33, 21))
+    td[22:26] = (-21).to_bytes(4, "little", signed=True)
+    assert decode_media_real(bytes(td))["height"] == 21
+    for bad in (
+        _wav_fixture(16_000, 1, 320)[:-1],   # truncated data chunk
+        _wav_fixture(16_000, 1, 320)[:20],   # truncated fmt chunk
+        b"RIFF\x04\x00\x00\x00WAVE",         # no fmt/data chunks at all
+        _bmp_fixture(33, 21)[:40],           # truncated DIB
+        _bmp_fixture(0, 21),                 # degenerate width
+    ):
+        with pytest.raises(NotImplementedError):
+            decode_media_real(bad)
+        assert decode_media(bad) == decode_media_stub(bad)
+    # a TEXT payload starting with 'BM' has no reserved NUL bytes — it
+    # must take the stub path, never a bogus BMP parse
+    txt = b"BM25 ranks documents by saturating term frequency" + bytes(20)[:0]
+    assert decode_media(txt) == decode_media_stub(txt)
