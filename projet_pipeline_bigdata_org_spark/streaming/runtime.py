@@ -474,6 +474,140 @@ class MinHashHistoryDedupSink:
             sh.unpersist()
 
 
+@dataclass
+class SimHashHistoryDedupSink:
+    """Streaming SimHash near-dedup admission vs epoch history — the
+    fingerprint-family sibling of :class:`MinHashHistoryDedupSink`
+    (a crawl pipeline runs whichever family it standardized on; both are
+    now available at ingest). foreachBatch form of
+    ``operators.dedup.dedup_incremental_simhash``.
+
+    Per micro-batch (epoch ``e``): shingle features hash to xxhash64,
+    fingerprint via the shared numpy majority-vote kernel, slice into the
+    shared chunk-pair band keys (``simhash_chunk_table`` — identical
+    expressions as the batch query, so keys cannot drift), equi-join the
+    historical band keys from epochs *strictly before e* (replay safety),
+    reject shard rows within SIMHASH_HAMMING_MAX of any historical
+    fingerprint. No separate verify store: the band rows carry the
+    fingerprints, and hamming distance is one bit_count(xor) inside the
+    join. Admitted rows overwrite ``out/epoch=e``; admitted fingerprints
+    (16 bytes/row) overwrite ``history/fingerprints/epoch=e``.
+
+    Hot-bucket cap: the census runs over the HISTORY chunk table — at
+    scale a maintained property of the fingerprint store that each small
+    shard perturbs negligibly (the batch twin censuses the full corpus;
+    identical in the no-hot-bucket regime, and the cap is a join-cost
+    guard, not a semantic knob). Rows with zero shingle features are
+    admitted and contribute no history, exactly like the batch query
+    drops them from both join sides.
+
+    Scale shape: the candidate join carries (doc_id, simhash, chunk,
+    chunk_val) rows — 28 bytes; at 100 TB the history store is bucketed
+    by (chunk, chunk_val) making the join zero-shuffle on the history
+    side; the strict-epoch filter is partition pruning."""
+
+    spark: SparkSession
+    out_path: str
+    history_path: str
+    content_col: str = "text"
+    id_col: str = "doc_id"
+    stats: dict = field(
+        default_factory=lambda: {"batches": 0, "admitted": 0, "rejected": 0}
+    )
+
+    def _fingerprints_before(self, epoch_id: int) -> DataFrame:
+        import os
+
+        path = f"{self.history_path}/fingerprints"
+        if not os.path.isdir(path):
+            return self.spark.createDataFrame([], "doc_id long, simhash long")
+        return (
+            self.spark.read.parquet(path)
+            .filter(F.col("epoch") < epoch_id)
+            .select("doc_id", "simhash")
+        )
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from projet_pipeline_bigdata_org_spark.operators.dedup import (
+            SIMHASH_HAMMING_MAX,
+            SIMHASH_MAX_BUCKET,
+            _drop_hot_simhash_buckets,
+            simhash_chunk_table,
+            simhash_fingerprint_np,
+        )
+        from projet_pipeline_bigdata_org_spark.operators.textops import (
+            shingles,
+            ws_tokens,
+        )
+
+        self.stats["batches"] += 1
+        if batch_df.isEmpty():  # P9 empty-batch guard
+            return
+        fp = (
+            batch_df.select(
+                F.col(self.id_col).alias("doc_id"),
+                F.array_distinct(
+                    shingles(ws_tokens(self.content_col))
+                ).alias("feats"),
+            )
+            .filter(F.size("feats") > 0)
+            .select(
+                "doc_id", F.transform("feats", lambda t: F.xxhash64(t)).alias("hh")
+            )
+            .select(
+                "doc_id", simhash_fingerprint_np()(F.col("hh")).alias("simhash")
+            )
+            .persist()
+        )
+        try:
+            hist_chunks = simhash_chunk_table(self._fingerprints_before(epoch_id)).persist()
+            try:
+                batch_chunks = simhash_chunk_table(fp)
+                hist_f = _drop_hot_simhash_buckets(
+                    hist_chunks, SIMHASH_MAX_BUCKET, census_over=hist_chunks
+                )
+                batch_f = _drop_hot_simhash_buckets(
+                    batch_chunks, SIMHASH_MAX_BUCKET, census_over=hist_chunks
+                )
+                ham = F.bit_count(
+                    F.col("b.simhash").bitwiseXOR(F.col("h.simhash"))
+                )
+                rejected_ids = (
+                    batch_f.alias("b")
+                    .join(
+                        hist_f.alias("h"),
+                        (F.col("b.chunk") == F.col("h.chunk"))
+                        & (F.col("b.chunk_val") == F.col("h.chunk_val")),
+                    )
+                    .filter(ham <= SIMHASH_HAMMING_MAX)
+                    .select(F.col("b.doc_id").alias(self.id_col))
+                    .distinct()
+                )
+                admitted = batch_df.join(
+                    rejected_ids, self.id_col, "left_anti"
+                ).persist()
+                try:
+                    n_batch, n_admitted = batch_df.count(), admitted.count()
+                    self.stats["admitted"] += n_admitted
+                    self.stats["rejected"] += n_batch - n_admitted
+                    admitted.write.mode("overwrite").parquet(
+                        f"{self.out_path}/epoch={epoch_id}"
+                    )
+                    fp.join(
+                        admitted.select(F.col(self.id_col).alias("doc_id")),
+                        "doc_id",
+                        "left_semi",
+                    ).write.mode("overwrite").parquet(
+                        f"{self.history_path}/fingerprints/epoch={epoch_id}"
+                    )
+                finally:
+                    admitted.unpersist()
+            finally:
+                hist_chunks.unpersist()
+        finally:
+            fp.unpersist()
+
+
 def start_foreach_batch(
     df: DataFrame,
     sink: FailoverBatchSink,

@@ -763,3 +763,96 @@ def test_minhash_history_sink_matches_batch_incremental_restriction(
     }
     assert admitted_batch == batch_ids - expected_rejected
     assert sink.stats["rejected"] == len(expected_rejected)
+
+
+def test_simhash_history_sink_rejects_near_dups_and_replays_identically(
+    spark, tmp_path
+):
+    """The SimHash streaming admission sink (fingerprint-family sibling of
+    the MinHash one): the near-duplicate of a strictly-earlier epoch's
+    document is rejected, the novel document admitted, and worst-order
+    replay rewrites every epoch partition identically."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import (
+        INCREMENTAL_NEARDUP_FIXTURE_ROWS,
+    )
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        SimHashHistoryDedupSink,
+    )
+
+    base, near, novel = INCREMENTAL_NEARDUP_FIXTURE_ROWS
+    out, hist = str(tmp_path / "out"), str(tmp_path / "hist")
+    sink = SimHashHistoryDedupSink(spark, out, hist)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, t) for i, t, _ in rows], "doc_id long, text string"
+        )
+
+    sink(mk([base]), 0)
+    sink(mk([near, novel]), 1)
+    assert sink.stats == {"batches": 2, "admitted": 2, "rejected": 1}
+
+    def admitted():
+        return {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+
+    want = {base[0], novel[0]}
+    assert admitted() == want
+    sink(mk([near, novel]), 1)
+    sink(mk([base]), 0)
+    assert admitted() == want
+    hist_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{hist}/fingerprints").select("doc_id").collect()
+    }
+    assert hist_ids == want
+
+
+def test_simhash_history_sink_matches_batch_incremental_restriction(
+    spark, sf_dir, tmp_path
+):
+    """Admitted-set equality with the batch form on the same corpus +
+    fixture split (the two share the fingerprint kernel and chunk-pair
+    band expressions; censuses agree in the no-hot-bucket regime this
+    corpus is in)."""
+    from projet_pipeline_bigdata_org_spark import plans
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.dedup import (
+        _INCREMENTAL_BATCH_RESIDUE,
+        INCREMENTAL_NEARDUP_FIXTURE_ROWS,
+    )
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        SimHashHistoryDedupSink,
+    )
+
+    plans.load_all()
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [(i, t) for i, t, _ in INCREMENTAL_NEARDUP_FIXTURE_ROWS],
+                "doc_id long, text string",
+            )
+        )
+    )
+    is_batch = F.col("doc_id") % 10 >= _INCREMENTAL_BATCH_RESIDUE
+    out, hist = str(tmp_path / "out"), str(tmp_path / "hist")
+    sink = SimHashHistoryDedupSink(spark, out, hist)
+    sink(d.filter(~is_batch), 0)
+    sink(d.filter(is_batch), 1)
+
+    expected_rejected = {
+        r.batch_id
+        for r in plans.all_queries()["dedup_incremental_simhash"](spark, sf_dir)
+        .select("batch_id")
+        .distinct()
+        .collect()
+    }
+    assert expected_rejected
+    batch_ids = {r.doc_id for r in d.filter(is_batch).select("doc_id").collect()}
+    admitted_batch = {
+        r.doc_id
+        for r in spark.read.parquet(f"{out}/epoch=1").select("doc_id").collect()
+    }
+    assert admitted_batch == batch_ids - expected_rejected
+    assert sink.stats["rejected"] == len(expected_rejected)
