@@ -490,3 +490,66 @@ def test_bm25_twins_agree_on_fuzz(fuzz_df):
     from projet_pipeline_bigdata_org_spark.operators import textops
 
     _fuzz_query_twins(fuzz_df, textops, "bm25_rank_documents")
+
+
+def test_quality_classifier_twins_agree_on_fuzz(fuzz_df):
+    """The portable token hash (ascii/length/reverse) and LCG weight fold
+    on adversarial tokens: unicode first/last codepoints, emoji, CJK,
+    empty docs (margin 0), whitespace runs."""
+    from projet_pipeline_bigdata_org_spark.operators import curation
+
+    _fuzz_query_twins(fuzz_df, curation, "curate_quality_classifier")
+
+
+def test_dsir_twins_agree_on_fuzz(spark):
+    """DSIR fixed-point selection fuzzed with a source column: adversarial
+    bigrams, duplicate texts across sources (high-count ratios), docs with
+    <2 tokens dropping out of both sides, plus the crafted fixture rows
+    riding along as always."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark import plans
+    from projet_pipeline_bigdata_org_spark.operators import curation
+
+    plans.load_all()
+    data = _fuzz_strings()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(data)),
+            "text": data,
+            "source": ["src0" if i % 4 == 0 else f"src{i % 3 + 1}" for i in range(len(data))],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    spec = plans.registry.all_specs()["curate_dsir_select"]
+    with mock.patch.object(curation, "load", lambda _s, _d, _t: sdf):
+        got = {tuple(r) for r in spec.fn(spark, "ignored").collect()}
+    want = {tuple(r) for r in con.execute(spec.oracle).fetchall()}
+    assert got == want
+
+
+def test_leakage_safe_split_twins_agree_on_fuzz(spark):
+    """Cluster-aware split fuzzed: duplicate adversarial texts form
+    jaccard-1 clusters, the recursive-CTE closure and the Spark fixpoint
+    must agree on every group id and split decision."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark import plans
+    from projet_pipeline_bigdata_org_spark.operators import curation, dedup
+
+    plans.load_all()
+    data = _fuzz_strings()
+    pdf = pd.DataFrame({"doc_id": range(len(data)), "text": data})
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    spec = plans.registry.all_specs()["curate_leakage_safe_split"]
+    patch = lambda _s, _d, _t: sdf  # noqa: E731
+    with mock.patch.object(curation, "load", patch), mock.patch.object(
+        dedup, "load", patch
+    ):
+        got = {tuple(r) for r in spec.fn(spark, "ignored").collect()}
+    want = {tuple(r) for r in con.execute(spec.oracle).fetchall()}
+    assert got == want
