@@ -1367,3 +1367,162 @@ def stat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_winsorized",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (point-frequency estimation under bounded memory)
+# ---------------------------------------------------------------------------
+
+#: sketch geometry: 4 hash rows x 256 buckets = 1024 counters total
+CM_WIDTH = 256
+#: per-row coefficients of the portable token hash
+#: h_j = (a1*A + a2*B + len*C + a_last*D) mod CM_WIDTH over the first/second/
+#: last codepoints — the same engine-portable feature family as
+#: curation.qc_token_weight, four independent parameterizations
+CM_ROW_PARAMS: tuple[tuple[int, int, int, int], ...] = (
+    (31, 131, 7, 13),
+    (53, 173, 11, 19),
+    (97, 233, 17, 29),
+    (151, 283, 23, 37),
+)
+#: probe terms whose true frequency the sketch is asked to estimate
+CM_PROBE_TERMS: tuple[str, ...] = ("scan", "column", "window", "data", "zzznotaword")
+
+_CM_FEATS_SQL = (
+    "ASCII({t}) AS a1, ASCII(SUBSTR({t} || '_', 2, 1)) AS a2, "
+    "LENGTH({t}) AS ln, ASCII(REVERSE({t})) AS al"
+)
+_CM_BUCKET_SQL = "((a1*{A} + a2*{B} + ln*{C} + al*{D}) % {W})"
+_CM_PROBES_SQL = " UNION ALL ".join(
+    f"SELECT '{t}' AS term" for t in CM_PROBE_TERMS
+)
+
+
+def _cm_pairs_sql(src: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT {key}, {j} AS j, "
+        + _CM_BUCKET_SQL.format(A=a, B=b, C=c, D=d, W=CM_WIDTH)
+        + f" AS bucket FROM {src}"
+        for j, (a, b, c, d) in enumerate(CM_ROW_PARAMS)
+        for key in (["tok"] if src == "f" else ["term"])
+    )
+
+
+@query(
+    "agg_countmin_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT UNNEST({SQL_WS_TOKENS.format(c='text')}) AS tok FROM documents
+    ), f AS (
+      SELECT tok, {_CM_FEATS_SQL.format(t='tok')} FROM toks
+    ), pairs AS (
+      {_cm_pairs_sql('f')}
+    ), sketch AS (
+      SELECT j, bucket, COUNT(*) AS c FROM pairs GROUP BY j, bucket
+    ), probes AS (
+      {_CM_PROBES_SQL}
+    ), pf AS (
+      SELECT term, {_CM_FEATS_SQL.format(t='term')} FROM probes
+    ), pb AS (
+      {_cm_pairs_sql('pf')}
+    ), est AS (
+      SELECT pb.term, CAST(MIN(COALESCE(sketch.c, 0)) AS BIGINT) AS cm_estimate
+      FROM pb LEFT JOIN sketch USING (j, bucket)
+      GROUP BY pb.term
+    ), tru AS (
+      SELECT tok AS term, COUNT(*) AS true_count FROM toks
+      WHERE tok IN ({', '.join("'" + t + "'" for t in CM_PROBE_TERMS)})
+      GROUP BY tok
+    )
+    SELECT est.term,
+           CAST(COALESCE(tru.true_count, 0) AS BIGINT) AS true_count,
+           est.cm_estimate,
+           CAST(est.cm_estimate - COALESCE(tru.true_count, 0) AS BIGINT)
+             AS overcount
+    FROM est LEFT JOIN tru USING (term)
+    """,
+    tags=("llm", "sketch", "documents"),
+)
+def agg_countmin_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream (Cormode &
+    Muthukrishnan 2005): 4 hash rows x 256 buckets of exact integer
+    counters, point-frequency estimates for a probe term set as the MIN
+    across rows. The bounded-memory companion of sketch_hll_distinct —
+    HLL answers "how many distinct", count-min answers "how often does
+    THIS term occur" in O(d x w) memory regardless of corpus size, always
+    overestimating (every probe's `overcount` >= 0 is the structural
+    invariant, tested).
+
+    The hash family is the engine-portable first/second/last-codepoint +
+    length projection (shared feature shape with qc_token_weight; DuckDB
+    has no xxhash64) under four parameterizations — bucket collisions are
+    the sketch's design, the 4-row MIN is the correction. One honest
+    caveat of the portable family: tokens sharing the FULL 4-feature
+    projection collide in every row, which the MIN cannot correct
+    (feature hashing's standard behavior; test-pinned). On a real cluster
+    where cross-engine parity is not required, xxhash64 per row removes
+    that class entirely — the sketch shape is unchanged.
+
+    Scale shape: ONE token-stream pass fans out to 4 (row, bucket) pairs
+    per token, partial-agg'd into the 1,024-counter sketch — the shuffle
+    carries at most d x w rows after map-side combine at any corpus size;
+    probes are a 5-row broadcast; true counts for the probe set ride a
+    pushdown-filtered second pass (the certification comparison only — a
+    production sketch never scans for truth)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(ws_tokens("text")).alias("tok"))
+
+    def feats(t: F.Column) -> tuple[F.Column, F.Column, F.Column, F.Column]:
+        return (
+            F.ascii(t),
+            F.ascii(F.substring(F.concat(t, F.lit("_")), 2, 1)),
+            F.length(t),
+            F.ascii(F.reverse(t)),
+        )
+
+    def buckets(t: F.Column) -> F.Column:
+        a1, a2, ln, al = feats(t)
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    ((a1 * a + a2 * b + ln * c + al * dd) % CM_WIDTH).alias(
+                        "bucket"
+                    ),
+                )
+                for j, (a, b, c, dd) in enumerate(CM_ROW_PARAMS)
+            ]
+        )
+
+    sketch = (
+        toks.select(F.explode(buckets(F.col("tok"))).alias("p"))
+        .select("p.j", "p.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = spark.createDataFrame([(t,) for t in CM_PROBE_TERMS], "term string")
+    pb = probes.select(
+        "term", F.explode(buckets(F.col("term"))).alias("p")
+    ).select("term", "p.j", "p.bucket")
+    est = (
+        pb.join(sketch, ["j", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cm_estimate"))
+    )
+    tru = (
+        toks.filter(F.col("tok").isin(list(CM_PROBE_TERMS)))
+        .groupBy(F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return (
+        est.join(tru, "term", "left")
+        .select(
+            "term",
+            F.coalesce(F.col("true_count"), F.lit(0)).cast("long").alias("true_count"),
+            "cm_estimate",
+            (
+                F.col("cm_estimate")
+                - F.coalesce(F.col("true_count"), F.lit(0))
+            ).cast("long").alias("overcount"),
+        )
+    )

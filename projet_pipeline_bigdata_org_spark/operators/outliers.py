@@ -316,3 +316,93 @@ def dist_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chi2_running").alias("chi2"),
         F.col("n_cells").cast("long").alias("n_cells"),
     )
+
+
+#: rolling window length (strictly-prior events) and the minimum history
+#: before a z-score is meaningful
+ZS_WINDOW = 50
+ZS_MIN_N = 10
+
+
+@query(
+    "anomaly_rolling_zscore",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_id, event_type,
+             CAST(ts AS DATE) AS day,
+             ts,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events),
+    w AS (
+      SELECT event_id, event_type, cents,
+             COUNT(*)    OVER win AS n_prior,
+             SUM(cents)  OVER win AS s1,
+             SUM(cents * cents) OVER win AS s2
+      FROM t
+      WINDOW win AS (PARTITION BY event_type, day ORDER BY ts, event_id
+                     ROWS BETWEEN {ZS_WINDOW} PRECEDING AND 1 PRECEDING))
+    SELECT event_id, event_type, cents,
+           CAST(n_prior AS BIGINT) AS n_prior,
+           CAST((cents * n_prior - s1) * (cents * n_prior - s1) AS BIGINT)
+             AS dev2_scaled,
+           CAST(9 * (n_prior * s2 - s1 * s1) AS BIGINT) AS thr2_scaled
+    FROM w
+    WHERE n_prior >= {ZS_MIN_N}
+      AND (cents * n_prior - s1) * (cents * n_prior - s1)
+            > 9 * (n_prior * s2 - s1 * s1)
+    """,
+    tags=("llm", "events", "anomaly", "timeseries"),
+)
+def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling three-sigma gate over the event stream — the ONLINE
+    counterpart of anomaly_mad_outliers: each event is tested against the
+    mean/variance of its own strictly-prior ZS_WINDOW events (prior-only,
+    so an anomaly cannot damp its own threshold), flagged when
+    (x - mean)^2 > 9 * var.
+
+    Exactness: the test multiplies through by n^2 —
+    (x*n - s1)^2 > 9 * (n*s2 - s1^2) — so it is PURE BIGINT arithmetic:
+    no division, no sqrt, no doubles anywhere, hence bit-identical across
+    engines and partitionings. Bounds: with cents <= 1e6 and a 50-row
+    window every intermediate stays under 2^63 at ANY corpus size (the
+    window length, not the corpus, bounds the sums).
+
+    Scale shape: the window partitions by (event_type, DAY) — rolling
+    state resets at day boundaries (documented semantic), which keeps
+    each window partition bounded by a day's volume per type instead of
+    an unbounded per-type total order; a production deployment tightens
+    the bucket to the hour. One scan, one window, flagged rows only
+    out."""
+    t = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    win = (
+        W.partitionBy("event_type", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZS_WINDOW, -1)
+    )
+    w = t.select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.count(F.lit(1)).over(win).alias("n_prior"),
+        F.sum("cents").over(win).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(win).alias("s2"),
+    )
+    dev = F.col("cents") * F.col("n_prior") - F.col("s1")
+    thr = 9 * (F.col("n_prior") * F.col("s2") - F.col("s1") * F.col("s1"))
+    return (
+        w.filter((F.col("n_prior") >= ZS_MIN_N) & (dev * dev > thr))
+        .select(
+            "event_id",
+            "event_type",
+            "cents",
+            F.col("n_prior").cast("long").alias("n_prior"),
+            (dev * dev).cast("long").alias("dev2_scaled"),
+            thr.cast("long").alias("thr2_scaled"),
+        )
+    )

@@ -1388,3 +1388,67 @@ def test_multimodal_wav_bmp_headers_and_uniform_strictness():
     # must take the stub path, never a bogus BMP parse
     txt = b"BM25 ranks documents by saturating term frequency" + bytes(20)[:0]
     assert decode_media(txt) == decode_media_stub(txt)
+
+
+def test_rolling_zscore_flags_spike_and_respects_prior_only_window(spark):
+    """Crafted stream: 60 constant-value events then one 100x spike — the
+    spike must flag (prior window has zero variance) and the constant run
+    must not; the first ZS_MIN_N events of a (type, day) can never flag
+    (insufficient history); the spike must NOT damp its own threshold
+    (prior-only frame)."""
+    import datetime
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import outliers
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(seconds=i), 1, "click", 5.0, "{}")
+        for i in range(60)
+    ]
+    rows.append((60, base + datetime.timedelta(seconds=60), 1, "click", 500.0, "{}"))
+    rows.extend(
+        (61 + i, base + datetime.timedelta(seconds=61 + i), 1, "click", 5.0, "{}")
+        for i in range(5)
+    )
+    sdf = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with mock.patch.object(outliers, "load", lambda _s, _d, _t: sdf):
+        got = outliers.anomaly_rolling_zscore(spark, "ignored").collect()
+    assert [r.event_id for r in got] == [60]
+    spike = got[0]
+    assert spike.cents == 50_000
+    # zero-variance prior window: threshold is 0, deviation strictly above
+    assert spike.thr2_scaled == 0 and spike.dev2_scaled > 0
+
+
+def test_countmin_overestimates_on_colliding_vocab_and_never_undercounts(spark):
+    """Count-min structural invariants on a crafted corpus: every probe's
+    estimate >= its true count, and tokens sharing the probe's full
+    feature projection (first/second/last codepoint + length — the
+    portable hash's entire view of a token) collide in EVERY row, so the
+    probe's overcount equals their count exactly. That full-projection
+    collision is feature hashing's documented behavior, and the 4-row MIN
+    cannot correct it — precisely the overestimate the sketch contract
+    permits."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import analytics_ext
+
+    # 'scbn'/'sccn'/'scdn' share scan's (s, c, 4, n) projection
+    vocab = ["scan", "data", "scbn", "sccn", "scdn"] + [
+        f"tok{i}meta" for i in range(100)
+    ]
+    docs = [
+        (i, " ".join(vocab[i * 15 : (i + 1) * 15]))
+        for i in range((len(vocab) + 14) // 15)
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    with mock.patch.object(analytics_ext, "load", lambda _s, _d, _t: sdf):
+        got = analytics_ext.agg_countmin_terms(spark, "ignored").collect()
+    by_term = {r.term: r for r in got}
+    assert all(r.overcount >= 0 for r in got)  # count-min NEVER undercounts
+    assert by_term["scan"].true_count == 1 and by_term["data"].true_count == 1
+    assert by_term["scan"].overcount >= 3  # the three full-projection twins
+    assert by_term["zzznotaword"].true_count == 0
