@@ -852,3 +852,103 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= PR_TOPK)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (the fourth iterative-graph exemplar)
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 3
+
+
+def _lpa_iteration_sql(prev: str, out: str) -> str:
+    """One unrolled synchronous LPA round: every node adopts the most
+    frequent label among its neighbors, ties broken by MIN label."""
+    return f"""
+    {out} AS (
+      SELECT node, lbl AS community FROM (
+        SELECT e.dst AS node, r.community AS lbl, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                                  ORDER BY COUNT(*) DESC, r.community)
+                 AS rn
+        FROM edges e JOIN {prev} r ON e.src = r.node
+        GROUP BY e.dst, r.community) t
+      WHERE rn = 1)"""
+
+
+@query(
+    "algo_label_propagation",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    edges AS (
+      SELECT u AS src, v AS dst FROM pairs
+      UNION ALL
+      SELECT v AS src, u AS dst FROM pairs),
+    l0 AS (SELECT DISTINCT src AS node, src AS community FROM edges),
+    {_lpa_iteration_sql('l0', 'l1')},
+    {_lpa_iteration_sql('l1', 'l2')},
+    {_lpa_iteration_sql('l2', 'l3')}
+    SELECT node, CAST(community AS BIGINT) AS community
+    FROM l3
+    """,
+    tags=("graph", "iterative", "lineitem"),
+)
+def algo_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the part co-purchase graph, LPA_ITERS unrolled rounds:
+    every node starts as its own label and each round adopts the most
+    frequent label among its neighbors. LPA's known nondeterminism (random
+    visit order, random tie-breaks) is removed the fixed-point way: rounds
+    are SYNCHRONOUS (all nodes update from the same previous labeling) and
+    ties break by MIN label via a total-order window — so the labeling is
+    bit-identical across engines, partitionings, and retries, which is
+    what makes a DuckDB oracle possible at all. Complements connected
+    components (dedup_cluster_components finds reachability; LPA finds
+    DENSITY structure inside one component).
+
+    Scale shape: same discipline as algo_pagerank — one copurchase_pairs
+    derivation, the symmetrized edge list persisted once and joined per
+    round against the current |nodes|-row labeling; each round is one
+    partial-agg'd (node, label) count plus a bounded per-node window;
+    AQE splits the hub fan-in. Fixed unrolling keeps lineage small; a
+    convergence variant would checkpoint per round like
+    star_cluster_components."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = copurchase_pairs(li)
+    edges = _persist_scoped(
+        "lpa_edges",
+        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+            pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        ),
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("community")
+    )
+    from pyspark.sql import Window as _W
+
+    for _ in range(LPA_ITERS):
+        cnt = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("src"), F.col("community").alias("lbl")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        rn = F.row_number().over(
+            _W.partitionBy("node").orderBy(F.col("c").desc(), "lbl")
+        )
+        labels = (
+            cnt.withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lbl").alias("community"))
+        )
+    return labels.select("node", F.col("community").cast("long").alias("community"))

@@ -1452,3 +1452,23 @@ def test_countmin_overestimates_on_colliding_vocab_and_never_undercounts(spark):
     assert by_term["scan"].true_count == 1 and by_term["data"].true_count == 1
     assert by_term["scan"].overcount >= 3  # the three full-projection twins
     assert by_term["zzznotaword"].true_count == 0
+
+
+def test_label_propagation_separates_disconnected_cliques(spark):
+    """LPA structural invariant on a crafted graph: two disconnected
+    co-purchase cliques must end in two distinct communities (labels can
+    never cross components), each clique internally uniform after the
+    unrolled synchronous rounds."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import grouped
+
+    rows = [(1, p) for p in range(1, 6)] + [(2, p) for p in range(101, 106)]
+    sdf = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    with mock.patch.object(grouped, "load", lambda _s, _d, _t: sdf):
+        got = {r.node: r.community for r in grouped.algo_label_propagation(
+            spark, "ignored").collect()}
+    a = {got[p] for p in range(1, 6)}
+    b = {got[p] for p in range(101, 106)}
+    assert len(a) == 1 and len(b) == 1  # each clique converged to one label
+    assert a != b  # disconnected components never share a community
