@@ -800,3 +800,96 @@ def simhash_pairs(
         .dropDuplicates(["a_id", "b_id"])
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup: cross-document repeated passages (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better") — the rest of
+# the dedup family is DOCUMENT-level; memorization studies show long
+# passages repeated ACROSS distinct documents are what models memorize.
+# ---------------------------------------------------------------------------
+
+#: passage length in tokens: long enough that a natural collision is
+#: essentially impossible, short enough to catch boilerplate runs
+PASSAGE_TOKENS = 15
+
+_PASSAGE_FIXTURE_SQL = " UNION ALL ".join(
+    "SELECT CAST({} AS BIGINT) AS doc_id, '{}' AS text".format(
+        i, t.replace("'", "''")
+    )
+    for i, t, _ in INCREMENTAL_NEARDUP_FIXTURE_ROWS
+)
+
+
+@query(
+    "dedup_repeated_passages",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL {_PASSAGE_FIXTURE_SQL}
+    ), p AS (
+      SELECT DISTINCT doc_id, passage FROM (
+        SELECT doc_id,
+               UNNEST({sql_shingles(SQL_WS_TOKENS.format(c='text'), PASSAGE_TOKENS)})
+                 AS passage
+        FROM docs) t
+    )
+    SELECT passage,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM p
+    GROUP BY passage
+    HAVING COUNT(*) >= 2
+    """,
+    tags=("llm", "dedup", "documents"),
+)
+def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage audit — substring-level dedup: every
+    PASSAGE_TOKENS-token passage appearing in at least two DISTINCT
+    documents, with its spread and the min-id keeper. The action a
+    training pipeline takes downstream is to drop the passage from all
+    but the keeper (Lee et al.'s ExactSubstr); this is the audit table
+    that decision reads. Document-level dedup (the rest of the family)
+    cannot see these: two documents sharing one boilerplate paragraph sit
+    far below any whole-document Jaccard threshold.
+
+    The certification unions INCREMENTAL_NEARDUP_FIXTURE_ROWS — the base
+    document and its one-token-rewritten near-copy share every passage
+    window not touching the rewritten token, so the result is non-empty
+    BY CONSTRUCTION at any SF (the synthetic corpus's own small
+    vocabulary happens to produce natural repeats too, but the fixture
+    guarantee does not depend on that).
+
+    Scale shape: one token pass explodes to per-doc DISTINCT passages
+    (map-side distinct inside the aggregate), one partial-agg'd groupBy
+    on the passage key; the HAVING >= 2 filter keeps only the (tiny)
+    repeated tail. At 100 TB the passage key should ride as a 16-byte
+    xxhash64 pair rather than the string (same keys, smaller shuffle) —
+    the string form here is what the DuckDB twin can reproduce."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [(i, t) for i, t, _ in INCREMENTAL_NEARDUP_FIXTURE_ROWS],
+                "doc_id long, text string",
+            )
+        )
+    )
+    p = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles(ws_tokens("text"), PASSAGE_TOKENS))
+            ).alias("passage"),
+        )
+        .distinct()
+    )
+    return (
+        p.groupBy("passage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

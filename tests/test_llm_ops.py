@@ -1472,3 +1472,29 @@ def test_label_propagation_separates_disconnected_cliques(spark):
     b = {got[p] for p in range(101, 106)}
     assert len(a) == 1 and len(b) == 1  # each clique converged to one label
     assert a != b  # disconnected components never share a community
+
+
+def test_repeated_passages_finds_fixture_overlap_and_respects_distinctness(spark, sf_dir):
+    """The near-dup fixture pair (one token rewritten out of 26) must share
+    passages; every reported passage spans >= 2 DISTINCT docs; a doc
+    repeating a passage internally must not count twice."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import dedup
+
+    got = _Q["dedup_repeated_passages"].fn(spark, sf_dir).collect()
+    assert all(r.n_docs >= 2 for r in got)
+    fixture_hits = [r for r in got if r.keeper_doc_id == 2_000_000_000]
+    # base doc (26 tokens) vs near-copy: windows not covering the rewritten
+    # token survive — at least one 15-token window qualifies
+    assert fixture_hits, "fixture near-dup pair shares no passage?"
+    # internal repetition must not fake cross-doc spread: one doc that
+    # repeats a passage 3 times + one other doc -> n_docs == 2
+    p15 = " ".join(f"w{i}" for i in range(15))
+    crafted = spark.createDataFrame(
+        [(1, f"{p15} {p15} {p15}"), (2, p15)], "doc_id long, text string"
+    )
+    with mock.patch.object(dedup, "load", lambda _s, _d, _t: crafted):
+        rows = {r.passage: r for r in dedup.dedup_repeated_passages(
+            spark, "ignored").collect()}
+    assert rows[p15].n_docs == 2 and rows[p15].keeper_doc_id == 1
