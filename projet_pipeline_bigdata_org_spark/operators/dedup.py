@@ -876,14 +876,14 @@ def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    p = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(shingles(ws_tokens("text"), PASSAGE_TOKENS))
-            ).alias("passage"),
-        )
-        .distinct()
+    # array_distinct makes (doc_id, passage) unique already (doc_ids are
+    # unique across corpus + fixtures) — no row-level distinct needed, so
+    # the exploded stream shuffles ONCE, on the passage key
+    p = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles(ws_tokens("text"), PASSAGE_TOKENS))
+        ).alias("passage"),
     )
     return (
         p.groupBy("passage")

@@ -892,11 +892,9 @@ def _lpa_iteration_sql(prev: str, out: str) -> str:
       UNION ALL
       SELECT v AS src, u AS dst FROM pairs),
     l0 AS (SELECT DISTINCT src AS node, src AS community FROM edges),
-    {_lpa_iteration_sql('l0', 'l1')},
-    {_lpa_iteration_sql('l1', 'l2')},
-    {_lpa_iteration_sql('l2', 'l3')}
+    {','.join(_lpa_iteration_sql(f'l{i}', f'l{i + 1}') for i in range(LPA_ITERS))}
     SELECT node, CAST(community AS BIGINT) AS community
-    FROM l3
+    FROM l{LPA_ITERS}
     """,
     tags=("graph", "iterative", "lineitem"),
 )

@@ -218,6 +218,28 @@ class FailoverBatchSink:
                 )
 
 
+def _epoch_history_scan(
+    spark: SparkSession, path: str, schema: str, epoch_id: int
+) -> DataFrame:
+    """Read an epoch-partitioned history store, restricted to epochs
+    STRICTLY before ``epoch_id`` (the replay-safety bound every history
+    sink shares) and pruned to the store's declared columns. The
+    missing-store guard is a local-FS ``os.path.isdir`` — at cluster
+    scale the store is a catalog table (or an object-store prefix the
+    catalog tracks) and the guard disappears; keeping the check in ONE
+    place is what lets that swap happen once."""
+    import os
+
+    empty = spark.createDataFrame([], schema)
+    if not os.path.isdir(path):
+        return empty
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("epoch") < epoch_id)
+        .select(*empty.columns)
+    )
+
+
 @dataclass
 class HistoryDedupSink:
     """Exactly-once streaming dedup against a persisted historical corpus —
@@ -255,16 +277,9 @@ class HistoryDedupSink:
     stats: dict = field(default_factory=lambda: {"batches": 0, "admitted": 0, "rejected": 0})
 
     def _history_before(self, epoch_id: int) -> DataFrame:
-        import os
-
-        if not os.path.isdir(self.history_path):
-            return self.spark.createDataFrame([], "content_sha string")
-        return (
-            self.spark.read.parquet(self.history_path)
-            .filter(F.col("epoch") < epoch_id)
-            .select("content_sha")
-            .distinct()
-        )
+        return _epoch_history_scan(
+            self.spark, self.history_path, "content_sha string", epoch_id
+        ).distinct()
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         self.stats["batches"] += 1
@@ -358,29 +373,19 @@ class MinHashHistoryDedupSink:
     )
 
     def _bands_before(self, epoch_id: int) -> DataFrame:
-        import os
-
-        path = f"{self.history_path}/bands"
-        if not os.path.isdir(path):
-            return self.spark.createDataFrame(
-                [], "doc_id long, band int, bucket int"
-            )
-        return (
-            self.spark.read.parquet(path)
-            .filter(F.col("epoch") < epoch_id)
-            .select("doc_id", "band", "bucket")
+        return _epoch_history_scan(
+            self.spark,
+            f"{self.history_path}/bands",
+            "doc_id long, band int, bucket int",
+            epoch_id,
         )
 
     def _shingles_before(self, epoch_id: int) -> DataFrame:
-        import os
-
-        path = f"{self.history_path}/shingles"
-        if not os.path.isdir(path):
-            return self.spark.createDataFrame([], "doc_id long, sh array<string>")
-        return (
-            self.spark.read.parquet(path)
-            .filter(F.col("epoch") < epoch_id)
-            .select("doc_id", "sh")
+        return _epoch_history_scan(
+            self.spark,
+            f"{self.history_path}/shingles",
+            "doc_id long, sh array<string>",
+            epoch_id,
         )
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -398,6 +403,12 @@ class MinHashHistoryDedupSink:
         if batch_df.isEmpty():  # P9 empty-batch guard
             return
         thr = JACCARD_THRESHOLD if self.threshold is None else self.threshold
+        # persist the micro-batch once: the shingle stage, the admission
+        # anti-join, the stats count, and the output write all read the
+        # cache — no per-consumer source re-scan (the reference's per-batch
+        # count() at engine.py:204 is the anti-pattern this avoids, same
+        # discipline as HistoryDedupSink)
+        batch_df = batch_df.persist()
         # one shingle pass, persisted: feeds the band table, the verify
         # join, and the history write (same projection-collapse guard as
         # the batch query — inlining shingle_hashes into all 32 permutation
@@ -445,10 +456,7 @@ class MinHashHistoryDedupSink:
             )
             admitted = batch_df.join(rejected_ids, self.id_col, "left_anti").persist()
             try:
-                n_batch, n_admitted = (
-                    batch_df.count(),
-                    admitted.count(),
-                )
+                n_batch, n_admitted = batch_df.count(), admitted.count()
                 self.stats["admitted"] += n_admitted
                 self.stats["rejected"] += n_batch - n_admitted
                 admitted.write.mode("overwrite").parquet(
@@ -472,6 +480,7 @@ class MinHashHistoryDedupSink:
                 admitted.unpersist()
         finally:
             sh.unpersist()
+            batch_df.unpersist()
 
 
 @dataclass
@@ -516,15 +525,11 @@ class SimHashHistoryDedupSink:
     )
 
     def _fingerprints_before(self, epoch_id: int) -> DataFrame:
-        import os
-
-        path = f"{self.history_path}/fingerprints"
-        if not os.path.isdir(path):
-            return self.spark.createDataFrame([], "doc_id long, simhash long")
-        return (
-            self.spark.read.parquet(path)
-            .filter(F.col("epoch") < epoch_id)
-            .select("doc_id", "simhash")
+        return _epoch_history_scan(
+            self.spark,
+            f"{self.history_path}/fingerprints",
+            "doc_id long, simhash long",
+            epoch_id,
         )
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -543,6 +548,11 @@ class SimHashHistoryDedupSink:
         self.stats["batches"] += 1
         if batch_df.isEmpty():  # P9 empty-batch guard
             return
+        # persist the micro-batch once: fingerprint stage, admission
+        # anti-join, stats count, and output write all read the cache —
+        # no per-consumer source re-scan (same discipline as the sibling
+        # sinks; the reference's per-batch count() is the anti-pattern)
+        batch_df = batch_df.persist()
         fp = (
             batch_df.select(
                 F.col(self.id_col).alias("doc_id"),
@@ -606,6 +616,7 @@ class SimHashHistoryDedupSink:
                 hist_chunks.unpersist()
         finally:
             fp.unpersist()
+            batch_df.unpersist()
 
 
 def start_foreach_batch(
