@@ -869,3 +869,97 @@ def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.row_number().over(w).cast("long").alias("rnk"),
     ).filter(F.col("rnk") <= TOPK)
+
+
+def _sign_word(emb, lo: int) -> F.Column:
+    """32 sign bits of ``emb[lo+1 .. lo+32]`` packed into a BIGINT word:
+    bit i set iff the component is strictly positive. Sign of a float is
+    representation-exact, so the signature is bit-identical across
+    engines with no decimal discipline needed."""
+    pows = F.array(*[F.lit(1 << k).cast("long") for k in range(32)])
+    bits = F.transform(
+        F.sequence(F.lit(1), F.lit(32)),
+        lambda i: F.when(
+            F.element_at(emb, (i + F.lit(lo)).cast("int")) > 0,
+            F.element_at(pows, i.cast("int")),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a + x)
+
+
+def _sql_sign_word(emb: str, lo: int) -> str:
+    return (
+        f"LIST_SUM(LIST_TRANSFORM(RANGE(1, 33), i -> CASE WHEN {emb}[i + {lo}] > 0 "
+        f"THEN 1::BIGINT << (i - 1) ELSE 0::BIGINT END))"
+    )
+
+
+@query(
+    "embed_binary_sign_topk",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id,
+             CAST({_sql_sign_word('embedding', 0)} AS BIGINT) AS sig_lo,
+             CAST({_sql_sign_word('embedding', 32)} AS BIGINT) AS sig_hi
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, sig_lo AS q_lo, sig_hi AS q_hi
+      FROM sig WHERE vec_id < {N_QUERIES}
+    ), pairs AS (
+      SELECT q.q_id, s.vec_id AS n_id,
+             CAST(BIT_COUNT(XOR(s.sig_lo, q.q_lo))
+                  + BIT_COUNT(XOR(s.sig_hi, q.q_hi)) AS BIGINT) AS hamming
+      FROM sig s JOIN q ON s.vec_id <> q.q_id
+    )
+    SELECT q_id, n_id, hamming,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY hamming, n_id) AS BIGINT) AS rnk
+    FROM pairs
+    QUALIFY rnk <= {TOPK}
+    """,
+    tags=("llm", "similarity", "embeddings"),
+)
+def embed_binary_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) embedding search: each 64-dim vector compresses
+    to a 2-word sign signature (1 bit per dimension — a 32x memory cut vs
+    float32), neighbors ranked by Hamming distance via bit_count(xor).
+    The third member of the embedding-compression family: int8
+    quantization (embed_quantize_int8) keeps magnitudes, SemDeDup keeps
+    clusters, sign binarization keeps only direction octants — the
+    standard first-stage filter in a two-stage (binary prefilter ->
+    exact re-rank) retrieval cascade at corpus scale.
+
+    Exactness: sign of a float is representation-exact and the packed
+    words are integer sums of distinct powers of two, so signatures and
+    Hamming distances are bit-identical cross-engine with no decimal
+    discipline. Two 32-bit words sidestep the 1<<63 two's-complement
+    wrap that a single 64-bit word would hit in BOTH engines.
+
+    Scale shape: the signature build is one pruned corpus scan (at scale
+    a materialized 16-byte signature column written once per corpus
+    epoch); the bounded query block broadcasts its signatures; Hamming
+    is two XOR+POPCNT per pair inside codegen; a partial WindowGroupLimit
+    bounds rows ahead of the single rank exchange — the corpus never
+    repartitions (same plan family as embed_cosine_topk, plan-tested)."""
+    e = load(spark, sf_dir, "embeddings")
+    sig = e.select(
+        "vec_id",
+        _sign_word(F.col("embedding"), 0).alias("sig_lo"),
+        _sign_word(F.col("embedding"), 32).alias("sig_hi"),
+    )
+    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("sig_lo").alias("q_lo"),
+        F.col("sig_hi").alias("q_hi"),
+    )
+    ham = (
+        F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("q_lo")))
+        + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("q_hi")))
+    ).cast("long")
+    pairs = sig.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id", F.col("vec_id").alias("n_id"), ham.alias("hamming")
+    )
+    w = W.partitionBy("q_id").orderBy("hamming", "n_id")
+    return pairs.select(
+        "q_id", "n_id", "hamming", F.row_number().over(w).cast("long").alias("rnk")
+    ).filter(F.col("rnk") <= TOPK)

@@ -1498,3 +1498,21 @@ def test_repeated_passages_finds_fixture_overlap_and_respects_distinctness(spark
         rows = {r.passage: r for r in dedup.dedup_repeated_passages(
             spark, "ignored").collect()}
     assert rows[p15].n_docs == 2 and rows[p15].keeper_doc_id == 1
+
+
+def test_binary_sign_topk_bounds_and_self_exclusion(spark, sf_dir):
+    """Hamming distances stay within [0, 64], the query vector never ranks
+    itself, and each query returns exactly TOPK neighbors."""
+    from projet_pipeline_bigdata_org_spark.operators.similarity import (
+        N_QUERIES,
+        TOPK,
+    )
+
+    got = _Q["embed_binary_sign_topk"].fn(spark, sf_dir).collect()
+    assert all(0 <= r.hamming <= 64 for r in got)
+    assert all(r.q_id != r.n_id for r in got)
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.q_id, 0)
+        per_q[r.q_id] += 1
+    assert per_q == {q: TOPK for q in range(N_QUERIES)}

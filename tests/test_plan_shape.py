@@ -718,3 +718,17 @@ def test_label_propagation_argmax_is_aggregate_not_window(spark, sf_dir):
     assert "Window" not in p, p
     assert "max_by" in p or "maxby" in p.lower(), p
     assert "partial_max_by" in p or "partial" in p.lower(), p
+
+
+def test_binary_sign_topk_broadcasts_query_signatures_not_corpus(spark, sf_dir):
+    """embed_binary_sign_topk must follow the cosine-topk plan family: the
+    bounded query signature block broadcasts, the corpus never
+    repartitions, and a Partial WindowGroupLimit bounds rows ahead of the
+    single rank exchange."""
+    df = _Q["embed_binary_sign_topk"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "BroadcastExchange" in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    ex = p.find("Exchange hashpartitioning")
+    assert "WindowGroupLimit" in p[ex:] and "Partial" in p[ex:], p
