@@ -631,3 +631,79 @@ def curate_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering (difficulty-staged training order)
+# ---------------------------------------------------------------------------
+
+#: tokens per difficulty stage (coarse buckets -> short docs first)
+CURRICULUM_STAGE_TOKENS = 50
+#: deterministic within-stage shuffle fan-out (per-shard window discipline,
+#: same rationale as packing.resolve_shards)
+CURRICULUM_SHARDS = 16
+
+
+@query(
+    "curate_curriculum_order",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LEN({_TOK_SQL}) AS BIGINT) AS n_tokens,
+             {sql_hash_coin("doc_id")} AS coin
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n_tokens,
+             n_tokens // {CURRICULUM_STAGE_TOKENS} AS stage,
+             coin % {CURRICULUM_SHARDS} AS shard,
+             coin
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(stage AS BIGINT) AS stage,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY stage, shard
+                                   ORDER BY coin, doc_id) AS BIGINT)
+             AS rank_in_shard
+    FROM s
+    """,
+    tags=("llm", "curation", "ordering", "documents"),
+)
+def curate_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training (Bengio et al. 2009's
+    easy-to-hard schedule, the length-based instantiation): documents
+    bucket into difficulty STAGES by token count (short first), and
+    within each stage are deterministically shuffled by the wrap-free
+    hash coin — the training loader consumes (stage, shard,
+    rank_in_shard) lexicographically and gets the same curriculum from
+    any engine, any retry, any partitioning (rand() would reshuffle the
+    curriculum every run; a stored order file doesn't scale).
+
+    Scale shape: one pruned corpus pass computes tokens + coin; the only
+    shuffle is the (stage, shard) window — the coin fans each stage into
+    CURRICULUM_SHARDS independent sort partitions (the per-shard window
+    discipline of pack_sequences), so no global sort and no
+    one-partition-per-stage skew; raise the shard fan-out with the
+    corpus. Within-shard order derives from the coin alone, so a loader
+    can also recompute it locally without reading the rank column."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(ws_tokens("text")).cast("long").alias("n_tokens"),
+        hash_coin("doc_id").alias("coin"),
+    )
+    s = t.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"n_tokens DIV {CURRICULUM_STAGE_TOKENS}").alias("stage"),
+        (F.col("coin") % CURRICULUM_SHARDS).alias("shard"),
+        "coin",
+    )
+    w = W.partitionBy("stage", "shard").orderBy("coin", "doc_id")
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        F.col("stage").cast("long").alias("stage"),
+        F.col("shard").cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("rank_in_shard"),
+    )

@@ -1516,3 +1516,22 @@ def test_binary_sign_topk_bounds_and_self_exclusion(spark, sf_dir):
         per_q.setdefault(r.q_id, 0)
         per_q[r.q_id] += 1
     assert per_q == {q: TOPK for q in range(N_QUERIES)}
+
+
+def test_curriculum_order_stages_and_contiguous_ranks(spark, sf_dir):
+    """Curriculum invariants: stage = n_tokens DIV 50 exactly (easy-to-hard
+    monotone), every (stage, shard) carries contiguous ranks 1..n, and the
+    assignment covers every document exactly once."""
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.curation import (
+        CURRICULUM_STAGE_TOKENS,
+    )
+
+    got = _Q["curate_curriculum_order"].fn(spark, sf_dir).collect()
+    assert len(got) == load(spark, sf_dir, "documents").count()
+    shard_ranks = {}
+    for r in got:
+        assert r.stage == r.n_tokens // CURRICULUM_STAGE_TOKENS
+        shard_ranks.setdefault((r.stage, r.shard), []).append(r.rank_in_shard)
+    for ranks in shard_ranks.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
