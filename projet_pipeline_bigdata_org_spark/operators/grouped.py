@@ -751,8 +751,16 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = outdeg.agg(F.count(F.lit(1)).alias("n"))
     # edges ride every iteration; persist the (src, dst, outdeg) side once
-    # so pair generation + dedup isn't re-derived per iteration
-    esrc = _persist_scoped("pagerank_esrc", edges.join(outdeg, "src"))
+    # so pair generation + dedup isn't re-derived per iteration — and
+    # persist it HASH-PARTITIONED ON THE JOIN KEY: the cached relation
+    # reports that partitioning, so each iteration's rank join shuffles
+    # only the small (node, rank) side instead of re-exchanging the edge
+    # list every round (measured 6.25 -> 5.28 s at sf0.1; at cluster
+    # scale this is the difference between shuffling |E| once and
+    # PR_ITERS times)
+    esrc = _persist_scoped(
+        "pagerank_esrc", edges.join(outdeg, "src").repartition("src")
+    )
     ranks = (
         outdeg.select(F.col("src").alias("node"))
         .crossJoin(F.broadcast(n))
@@ -927,11 +935,16 @@ def algo_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = copurchase_pairs(li)
+    # persist the symmetrized edges HASH-PARTITIONED ON src: the cached
+    # relation reports that partitioning, so every round's label join
+    # shuffles only the |nodes|-row labeling — the |E|-row edge list
+    # exchanges once at build instead of once per round (measured
+    # 6.72 -> 4.74 s at sf0.1)
     edges = _persist_scoped(
         "lpa_edges",
-        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-            pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-        ),
+        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .repartition("src"),
     )
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("community")
