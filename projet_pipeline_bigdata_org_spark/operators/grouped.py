@@ -136,7 +136,13 @@ def connected_components(
     # symmetrize in ONE pass over the (possibly expensive) input subtree —
     # explode, not union-of-projections — and checkpoint the adjacency once:
     # every round's neighbor_min joins adj, so an unmaterialized adj would
-    # re-derive the upstream pair generation 2x per iteration at any scale
+    # re-derive the upstream pair generation 2x per iteration at any scale.
+    # Checkpoint it HASH-PARTITIONED ON dst (the per-round join key): the
+    # checkpointed relation keeps that partitioning, so each round shuffles
+    # only the |nodes|-row label table — the |E|-row adjacency exchanges
+    # once at build instead of once per round (measured 4.60 -> 3.57 s on
+    # dedup_cluster_components at sf0.1; the saving is ~diameter full edge
+    # shuffles at cluster scale)
     adj = _checkpoint(
         edges.select(
             F.explode(
@@ -145,7 +151,9 @@ def connected_components(
                     F.struct(F.col("b_id").alias("src"), F.col("a_id").alias("dst")),
                 )
             ).alias("e")
-        ).select("e.src", "e.dst")
+        )
+        .select("e.src", "e.dst")
+        .repartition("dst")
     )
     labels = (
         adj.select(F.col("src").alias("node"))
