@@ -322,6 +322,14 @@ def dist_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: before a z-score is meaningful
 ZS_WINDOW = 50
 ZS_MIN_N = 10
+#: saturating domain clamp (+-10^7 cents = +-100,000.00 units): with
+#: |cents| <= CAP and n <= ZS_WINDOW, the largest intermediate of the
+#: multiplied-through test is 9 * n^2 * CAP^2 ~ 2.3e18 < 2^63 — the proof
+#: that the BIGINT arithmetic cannot overflow on ANY input (fuzz-caught:
+#: an un-clamped 1e9 reading overflowed Spark's ANSI multiply; a reading
+#: beyond the cap is a domain-range defect for the DQ expectations gate,
+#: not a distribution-drift signal for this one)
+ZS_CENT_CAP = 10_000_000
 
 
 @query(
@@ -331,7 +339,8 @@ ZS_MIN_N = 10
       SELECT event_id, event_type,
              CAST(ts AS DATE) AS day,
              ts,
-             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+             LEAST(GREATEST(CAST(ROUND(value * 100, 0) AS BIGINT),
+                            -{ZS_CENT_CAP}), {ZS_CENT_CAP}) AS cents
       FROM events),
     w AS (
       SELECT event_id, event_type, cents,
@@ -363,9 +372,12 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the test multiplies through by n^2 —
     (x*n - s1)^2 > 9 * (n*s2 - s1^2) — so it is PURE BIGINT arithmetic:
     no division, no sqrt, no doubles anywhere, hence bit-identical across
-    engines and partitionings. Bounds: with cents <= 1e6 and a 50-row
-    window every intermediate stays under 2^63 at ANY corpus size (the
-    window length, not the corpus, bounds the sums).
+    engines and partitionings. Bounds: values SATURATE at +-ZS_CENT_CAP
+    cents, making the largest intermediate 9 * n^2 * CAP^2 ~ 2.3e18 < 2^63
+    for ANY input at ANY corpus size (window length and clamp, not the
+    data, bound the sums — an unbounded reading would overflow the ANSI
+    multiply, fuzz-caught; beyond-cap readings are the DQ range gate's
+    job).
 
     Scale shape: the window partitions by (event_type, DAY) — rolling
     state resets at day boundaries (documented semantic), which keeps
@@ -378,7 +390,13 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("ts").cast("date").alias("day"),
         "ts",
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.least(
+            F.greatest(
+                F.round(F.col("value") * 100, 0).cast("long"),
+                F.lit(-ZS_CENT_CAP).cast("long"),
+            ),
+            F.lit(ZS_CENT_CAP).cast("long"),
+        ).alias("cents"),
     )
     win = (
         W.partitionBy("event_type", "day")

@@ -553,3 +553,39 @@ def test_leakage_safe_split_twins_agree_on_fuzz(spark):
         got = {tuple(r) for r in spec.fn(spark, "ignored").collect()}
     want = {tuple(r) for r in con.execute(spec.oracle).fetchall()}
     assert got == want
+
+
+def test_rolling_zscore_twins_agree_on_fuzz_events(fuzz_events):
+    """Prior-only rolling window on colliding timestamps (the event_id
+    tie-break orders them identically), negative and extreme values, and
+    day-boundary resets."""
+    from projet_pipeline_bigdata_org_spark.operators import outliers
+
+    _fuzz_events_twins(fuzz_events, outliers, "anomaly_rolling_zscore")
+
+
+def test_countmin_twins_agree_on_fuzz(fuzz_df):
+    """Count-min bucket arithmetic on adversarial tokens: the portable
+    ascii/length/reverse features must agree on unicode, emoji, and CJK
+    codepoints across all four row parameterizations."""
+    from projet_pipeline_bigdata_org_spark.operators import analytics_ext
+
+    _fuzz_query_twins(fuzz_df, analytics_ext, "agg_countmin_terms")
+
+
+def test_repeated_passages_twins_agree_on_fuzz(fuzz_df):
+    """15-token passage windows on adversarial text (whitespace runs and
+    empties shrink token streams below the window in both engines), plus
+    the near-dup fixture rows riding along."""
+    from projet_pipeline_bigdata_org_spark.operators import dedup
+
+    _fuzz_query_twins(fuzz_df, dedup, "dedup_repeated_passages")
+
+
+def test_curriculum_twins_agree_on_fuzz(fuzz_df):
+    """Curriculum stage/shard/rank arithmetic on adversarial text: empty
+    docs land in stage 0, the coin ordering and the (stage, shard) window
+    must agree exactly."""
+    from projet_pipeline_bigdata_org_spark.operators import curation
+
+    _fuzz_query_twins(fuzz_df, curation, "curate_curriculum_order")
