@@ -1526,3 +1526,139 @@ def agg_countmin_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("overcount"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (set membership under bounded memory) — completes the sketch
+# trio: HLL answers "how many distinct", count-min "how often", Bloom
+# "have we seen THIS" in O(bits) regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+#: filter width in bits and hash-row count (same portable feature family
+#: and row parameterizations as the count-min sketch)
+BLOOM_BITS = 1024
+#: membership probes: two corpus terms (must test present — a Bloom filter
+#: has NO false negatives), one absent term, and one crafted
+#: full-projection twin of 'scan' ('sczn' shares first/second/last/length)
+#: that demonstrates the false-positive class deterministically
+BLOOM_PROBE_TERMS: tuple[str, ...] = ("scan", "data", "zzznotaword", "sczn")
+
+_BLOOM_POS_SQL = "((a1*{A} + a2*{B} + ln*{C} + al*{D}) % {W})"
+
+
+def _bloom_pairs_sql(src: str, key: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT {key}, "
+        + _BLOOM_POS_SQL.format(A=a, B=b, C=c, D=d, W=BLOOM_BITS)
+        + f" AS pos FROM {src}"
+        for a, b, c, d in CM_ROW_PARAMS
+    )
+
+
+@query(
+    "agg_bloom_membership",
+    oracle=f"""
+    WITH toks AS (
+      SELECT UNNEST({SQL_WS_TOKENS.format(c='text')}) AS tok FROM documents
+    ), f AS (
+      SELECT tok, {_CM_FEATS_SQL.format(t='tok')} FROM toks
+    ), bloom AS (
+      SELECT DISTINCT pos FROM ({_bloom_pairs_sql('f', 'tok')})
+    ), probes AS (
+      {" UNION ALL ".join(f"SELECT '{t}' AS term" for t in BLOOM_PROBE_TERMS)}
+    ), pf AS (
+      SELECT term, {_CM_FEATS_SQL.format(t='term')} FROM probes
+    ), pb AS (
+      {_bloom_pairs_sql('pf', 'term')}
+    ), hits AS (
+      SELECT pb.term,
+             COUNT(*) AS n_positions,
+             COUNT(bloom.pos) AS n_set
+      FROM pb LEFT JOIN bloom USING (pos)
+      GROUP BY pb.term
+    ), tru AS (
+      SELECT tok AS term, COUNT(*) AS n_occurrences FROM toks
+      WHERE tok IN ({', '.join("'" + t + "'" for t in BLOOM_PROBE_TERMS)})
+      GROUP BY tok
+    )
+    SELECT h.term,
+           CAST(h.n_set AS BIGINT) AS n_set,
+           CAST(h.n_positions AS BIGINT) AS n_positions,
+           h.n_set = h.n_positions AS maybe_member,
+           CAST(COALESCE(tru.n_occurrences, 0) AS BIGINT) AS true_count
+    FROM hits h LEFT JOIN tru USING (term)
+    """,
+    tags=("llm", "sketch", "documents"),
+)
+def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (Bloom 1970) over the corpus vocabulary:
+    every token sets BLOOM_K=4 bit positions (the count-min hash family
+    under the same four parameterizations, modulo BLOOM_BITS); a probe is
+    `maybe_member` iff ALL its positions are set. The structural
+    contract — no false negatives, false positives possible — is pinned
+    by the probe set: two corpus terms (must report member), one absent
+    term, and a crafted full-projection twin of a corpus term that
+    demonstrates the false-positive class deterministically (it shares
+    every feature the portable hash sees, so all four positions collide;
+    with xxhash64 rows at cluster scale the deterministic twin class
+    disappears and only random collisions remain).
+
+    Scale shape: ONE token pass fans into 4 bit positions per token and
+    collapses map-side to the <= BLOOM_BITS distinct set bits — the
+    shuffle carries at most 1,024 rows at any corpus size; probes are a
+    4-row broadcast; the truth column is the certification comparison
+    only (a production filter never scans for truth)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(ws_tokens("text")).alias("tok"))
+
+    def feats(t: F.Column):
+        return (
+            F.ascii(t),
+            F.ascii(F.substring(F.concat(t, F.lit("_")), 2, 1)),
+            F.length(t),
+            F.ascii(F.reverse(t)),
+        )
+
+    def positions(t: F.Column) -> F.Column:
+        a1, a2, ln, al = feats(t)
+        return F.array(
+            *[
+                ((a1 * a + a2 * b + ln * c + al * dd) % BLOOM_BITS)
+                for a, b, c, dd in CM_ROW_PARAMS
+            ]
+        )
+
+    bloom = (
+        toks.select(F.explode(positions(F.col("tok"))).alias("pos"))
+        .distinct()
+        .withColumn("is_set", F.lit(1))
+    )
+    probes = spark.createDataFrame([(t,) for t in BLOOM_PROBE_TERMS], "term string")
+    pb = probes.select(
+        "term", F.explode(positions(F.col("term"))).alias("pos")
+    )
+    hits = (
+        pb.join(bloom, "pos", "left")
+        .groupBy("term")
+        .agg(
+            F.count("is_set").cast("long").alias("n_set"),
+            F.count(F.lit(1)).cast("long").alias("n_positions"),
+        )
+    )
+    tru = (
+        toks.filter(F.col("tok").isin(list(BLOOM_PROBE_TERMS)))
+        .groupBy(F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        hits.join(tru, "term", "left")
+        .select(
+            "term",
+            "n_set",
+            "n_positions",
+            (F.col("n_set") == F.col("n_positions")).alias("maybe_member"),
+            F.coalesce(F.col("n_occurrences"), F.lit(0))
+            .cast("long")
+            .alias("true_count"),
+        )
+    )

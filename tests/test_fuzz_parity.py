@@ -589,3 +589,12 @@ def test_curriculum_twins_agree_on_fuzz(fuzz_df):
     from projet_pipeline_bigdata_org_spark.operators import curation
 
     _fuzz_query_twins(fuzz_df, curation, "curate_curriculum_order")
+
+
+def test_bloom_twins_agree_on_fuzz(fuzz_df):
+    """Bloom bit positions and membership on adversarial tokens — the
+    portable feature hash on unicode/emoji/CJK, empty docs, and a
+    vocabulary that saturates large parts of the 1,024-bit array."""
+    from projet_pipeline_bigdata_org_spark.operators import analytics_ext
+
+    _fuzz_query_twins(fuzz_df, analytics_ext, "agg_bloom_membership")

@@ -1535,3 +1535,21 @@ def test_curriculum_order_stages_and_contiguous_ranks(spark, sf_dir):
         shard_ranks.setdefault((r.stage, r.shard), []).append(r.rank_in_shard)
     for ranks in shard_ranks.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_bloom_no_false_negatives_and_deterministic_false_positive(spark, sf_dir):
+    """Bloom structural contract: corpus probe terms MUST report member
+    (no false negatives — the defining guarantee), the absent term must
+    not, and the crafted full-projection twin 'sczn' (shares every
+    feature the portable hash sees with 'scan') must report member with
+    true_count 0 — the deterministic false-positive class."""
+    rows = {r.term: r for r in _Q["agg_bloom_membership"].fn(spark, sf_dir).collect()}
+    for present in ("scan", "data"):
+        assert rows[present].maybe_member and rows[present].true_count > 0
+    assert not rows["zzznotaword"].maybe_member
+    assert rows["zzznotaword"].true_count == 0
+    fp = rows["sczn"]
+    assert fp.maybe_member and fp.true_count == 0  # false positive, by design
+    # member iff ALL positions set
+    for r in rows.values():
+        assert r.maybe_member == (r.n_set == r.n_positions)
