@@ -619,6 +619,59 @@ class SimHashHistoryDedupSink:
             batch_df.unpersist()
 
 
+@dataclass
+class QualityGateSink:
+    """Streaming model-based quality gate: each micro-batch splits on the
+    fastText-style linear-classifier margin (``curation.qc_margin`` — the
+    same inlined fixed-point arithmetic as the batch
+    ``curate_quality_classifier``, so the streaming and batch decisions
+    cannot drift). Rows at or above ``threshold`` overwrite
+    ``out/epoch=e``; the rest land in ``quarantine/epoch=e`` WITH their
+    margin — quarantined data is kept reviewable, never silently dropped
+    (the JSONL-quarantine discipline applied to model-based filtering).
+    Both writes are idempotent epoch-partition overwrites, so a
+    checkpoint replay rewrites identically.
+
+    Scale shape: the margin folds per row inside codegen (no shuffle, no
+    join, no UDF — see the batch query's plan test); ONE membership
+    predicate splits the persisted batch; stats ride counts on the
+    cache, never a source re-scan."""
+
+    spark: SparkSession
+    out_path: str
+    quarantine_path: str
+    content_col: str = "text"
+    threshold: int = 0
+    stats: dict = field(
+        default_factory=lambda: {"batches": 0, "admitted": 0, "quarantined": 0}
+    )
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from projet_pipeline_bigdata_org_spark.operators.curation import qc_margin
+        from projet_pipeline_bigdata_org_spark.operators.textops import ws_tokens
+
+        self.stats["batches"] += 1
+        if batch_df.isEmpty():  # P9 empty-batch guard
+            return
+        scored = batch_df.withColumn(
+            "margin", qc_margin(ws_tokens(self.content_col))
+        ).persist()
+        try:
+            admitted = scored.filter(F.col("margin") >= self.threshold)
+            quarantined = scored.filter(F.col("margin") < self.threshold)
+            n_adm, n_q = admitted.count(), quarantined.count()
+            self.stats["admitted"] += n_adm
+            self.stats["quarantined"] += n_q
+            admitted.drop("margin").write.mode("overwrite").parquet(
+                f"{self.out_path}/epoch={epoch_id}"
+            )
+            quarantined.write.mode("overwrite").parquet(
+                f"{self.quarantine_path}/epoch={epoch_id}"
+            )
+        finally:
+            scored.unpersist()
+
+
 def start_foreach_batch(
     df: DataFrame,
     sink: FailoverBatchSink,

@@ -856,3 +856,37 @@ def test_simhash_history_sink_matches_batch_incremental_restriction(
     }
     assert admitted_batch == batch_ids - expected_rejected
     assert sink.stats["rejected"] == len(expected_rejected)
+
+
+def test_quality_gate_sink_matches_batch_classifier_and_replays(spark, sf_dir, tmp_path):
+    """The streaming quality gate must admit exactly the doc_ids the batch
+    curate_quality_classifier marks keep=true on the same rows (shared
+    qc_margin arithmetic — cannot drift), quarantine the rest WITH their
+    margins, and rewrite both epoch partitions identically on replay."""
+    from projet_pipeline_bigdata_org_spark import plans
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import QualityGateSink
+
+    plans.load_all()
+    batch = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out, quar = str(tmp_path / "out"), str(tmp_path / "quar")
+    sink = QualityGateSink(spark, out, quar)
+    sink(batch, 0)
+
+    expected_keep = {
+        r.doc_id
+        for r in plans.all_queries()["curate_quality_classifier"](spark, sf_dir)
+        .filter(F.col("keep"))
+        .collect()
+    }
+    admitted = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert admitted == expected_keep
+    quarantined = spark.read.parquet(quar)
+    assert "margin" in quarantined.columns  # reviewable, not silently dropped
+    assert {r.doc_id for r in quarantined.collect()} == (
+        {r.doc_id for r in batch.select("doc_id").collect()} - expected_keep
+    )
+    assert all(r.margin < 0 for r in quarantined.collect())
+    # replay: identical rewrite, stats accumulate but data does not
+    sink(batch, 0)
+    assert {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()} == expected_keep
