@@ -1388,6 +1388,22 @@ CM_ROW_PARAMS: tuple[tuple[int, int, int, int], ...] = (
 #: probe terms whose true frequency the sketch is asked to estimate
 CM_PROBE_TERMS: tuple[str, ...] = ("scan", "column", "window", "data", "zzznotaword")
 
+def cm_token_features(
+    t: F.Column,
+) -> tuple[F.Column, F.Column, F.Column, F.Column]:
+    """The ONE Spark-side definition of the portable token feature
+    projection (first/second/last codepoint + length) shared by the
+    count-min and Bloom sketches — the twin of _CM_FEATS_SQL; a change to
+    either family member must land in both, and hoisting this to module
+    scope means the two sketches cannot drift from each other."""
+    return (
+        F.ascii(t),
+        F.ascii(F.substring(F.concat(t, F.lit("_")), 2, 1)),
+        F.length(t),
+        F.ascii(F.reverse(t)),
+    )
+
+
 _CM_FEATS_SQL = (
     "ASCII({t}) AS a1, ASCII(SUBSTR({t} || '_', 2, 1)) AS a2, "
     "LENGTH({t}) AS ln, ASCII(REVERSE({t})) AS al"
@@ -1472,16 +1488,8 @@ def agg_countmin_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = d.select(F.explode(ws_tokens("text")).alias("tok"))
 
-    def feats(t: F.Column) -> tuple[F.Column, F.Column, F.Column, F.Column]:
-        return (
-            F.ascii(t),
-            F.ascii(F.substring(F.concat(t, F.lit("_")), 2, 1)),
-            F.length(t),
-            F.ascii(F.reverse(t)),
-        )
-
     def buckets(t: F.Column) -> F.Column:
-        a1, a2, ln, al = feats(t)
+        a1, a2, ln, al = cm_token_features(t)
         return F.array(
             *[
                 F.struct(
@@ -1611,16 +1619,8 @@ def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = d.select(F.explode(ws_tokens("text")).alias("tok"))
 
-    def feats(t: F.Column):
-        return (
-            F.ascii(t),
-            F.ascii(F.substring(F.concat(t, F.lit("_")), 2, 1)),
-            F.length(t),
-            F.ascii(F.reverse(t)),
-        )
-
     def positions(t: F.Column) -> F.Column:
-        a1, a2, ln, al = feats(t)
+        a1, a2, ln, al = cm_token_features(t)
         return F.array(
             *[
                 ((a1 * a + a2 * b + ln * c + al * dd) % BLOOM_BITS)

@@ -48,6 +48,8 @@ from projet_pipeline_bigdata_org_spark.operators.textops import SQL_WS_TOKENS, w
 from projet_pipeline_bigdata_org_spark.plans.registry import query
 
 _TOK_SQL = SQL_WS_TOKENS.format(c="text")
+#: NULL-safe variant: NULL text tokenizes to [] in both engines
+_TOK_NULLSAFE_SQL = SQL_WS_TOKENS.format(c="COALESCE(text, '')")
 
 
 @query(
@@ -517,7 +519,7 @@ def qc_margin(toks: F.Column) -> F.Column:
     "curate_quality_classifier",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, {_TOK_SQL} AS toks FROM documents
+      SELECT doc_id, {_TOK_NULLSAFE_SQL} AS toks FROM documents
     )
     SELECT doc_id,
            CAST(LEN(toks) AS BIGINT) AS n_tokens,
@@ -557,7 +559,10 @@ def curate_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight 'vector' is inlined arithmetic, so there is not even a
     broadcast. Cost is one pruned corpus scan at any corpus size."""
     d = load(spark, sf_dir, "documents")
-    toks = ws_tokens("text")
+    # NULL text scores as an empty document in BOTH twins (margin 0,
+    # keep) instead of a NULL margin that DuckDB's COALESCE would map
+    # differently than Spark's legacy size/aggregate semantics
+    toks = ws_tokens(F.coalesce(F.col("text"), F.lit("")))
     margin = qc_margin(toks)
     return d.select(
         "doc_id",
@@ -649,7 +654,7 @@ CURRICULUM_SHARDS = 16
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             CAST(LEN({_TOK_SQL}) AS BIGINT) AS n_tokens,
+             CAST(LEN({_TOK_NULLSAFE_SQL}) AS BIGINT) AS n_tokens,
              {sql_hash_coin("doc_id")} AS coin
       FROM documents
     ), s AS (
@@ -687,9 +692,13 @@ def curate_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. Within-shard order derives from the coin alone, so a loader
     can also recompute it locally without reading the rank column."""
     d = load(spark, sf_dir, "documents")
+    # NULL text counts as zero tokens in BOTH twins (Spark's legacy
+    # size(NULL) = -1 would otherwise diverge from DuckDB's NULL)
     t = d.select(
         "doc_id",
-        F.size(ws_tokens("text")).cast("long").alias("n_tokens"),
+        F.size(ws_tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens"),
         hash_coin("doc_id").alias("coin"),
     )
     s = t.select(

@@ -828,11 +828,11 @@ _PASSAGE_FIXTURE_SQL = " UNION ALL ".join(
       SELECT doc_id, text FROM documents
       UNION ALL {_PASSAGE_FIXTURE_SQL}
     ), p AS (
-      SELECT DISTINCT doc_id, passage FROM (
-        SELECT doc_id,
-               UNNEST({sql_shingles(SQL_WS_TOKENS.format(c='text'), PASSAGE_TOKENS)})
-                 AS passage
-        FROM docs) t
+      SELECT doc_id,
+             UNNEST(LIST_DISTINCT(
+               {sql_shingles(SQL_WS_TOKENS.format(c='text'), PASSAGE_TOKENS)}))
+               AS passage
+      FROM docs
     )
     SELECT passage,
            COUNT(*) AS n_docs,

@@ -339,12 +339,13 @@ ZS_CENT_CAP = 10_000_000
       SELECT event_id, event_type,
              CAST(ts AS DATE) AS day,
              ts,
-             LEAST(GREATEST(CAST(ROUND(value * 100, 0) AS BIGINT),
-                            -{ZS_CENT_CAP}), {ZS_CENT_CAP}) AS cents
+             CASE WHEN value IS NULL THEN NULL
+                  ELSE LEAST(GREATEST(CAST(ROUND(value * 100, 0) AS BIGINT),
+                             -{ZS_CENT_CAP}), {ZS_CENT_CAP}) END AS cents
       FROM events),
     w AS (
       SELECT event_id, event_type, cents,
-             COUNT(*)    OVER win AS n_prior,
+             COUNT(cents) OVER win AS n_prior,
              SUM(cents)  OVER win AS s1,
              SUM(cents * cents) OVER win AS s2
       FROM t
@@ -390,12 +391,18 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("ts").cast("date").alias("day"),
         "ts",
-        F.least(
-            F.greatest(
-                F.round(F.col("value") * 100, 0).cast("long"),
-                F.lit(-ZS_CENT_CAP).cast("long"),
+        # NULL readings stay NULL (least/greatest SKIP null arguments in
+        # both engines, which would otherwise turn missing data into the
+        # extreme -CAP value and poison the window statistics)
+        F.when(
+            F.col("value").isNotNull(),
+            F.least(
+                F.greatest(
+                    F.round(F.col("value") * 100, 0).cast("long"),
+                    F.lit(-ZS_CENT_CAP).cast("long"),
+                ),
+                F.lit(ZS_CENT_CAP).cast("long"),
             ),
-            F.lit(ZS_CENT_CAP).cast("long"),
         ).alias("cents"),
     )
     win = (
@@ -407,7 +414,9 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "cents",
-        F.count(F.lit(1)).over(win).alias("n_prior"),
+        # count CENTS, not rows: NULL readings contribute to neither the
+        # sums nor the sample size (they are inert, the DQ gate's class)
+        F.count("cents").over(win).alias("n_prior"),
         F.sum("cents").over(win).alias("s1"),
         F.sum(F.col("cents") * F.col("cents")).over(win).alias("s2"),
     )

@@ -894,21 +894,35 @@ def _sql_sign_word(emb: str, lo: int) -> str:
     )
 
 
+#: sign-signature word count DERIVED from the vector width, so a
+#: dimension change cannot silently sign only a prefix of the vector —
+#: both twins generate one word per 32 dims from the same constant
+assert EMBEDDING_DIM % 32 == 0, "sign signature packs 32 dims per word"
+SIGN_WORDS = EMBEDDING_DIM // 32
+
+_SIG_SQL = ",\n             ".join(
+    f"CAST({_sql_sign_word('embedding', 32 * k)} AS BIGINT) AS sig_{k}"
+    for k in range(SIGN_WORDS)
+)
+_Q_SIG_SQL = ", ".join(f"sig_{k} AS q_{k}" for k in range(SIGN_WORDS))
+_HAM_SQL = " + ".join(
+    f"BIT_COUNT(XOR(s.sig_{k}, q.q_{k}))" for k in range(SIGN_WORDS)
+)
+
+
 @query(
     "embed_binary_sign_topk",
     oracle=f"""
     WITH sig AS (
       SELECT vec_id,
-             CAST({_sql_sign_word('embedding', 0)} AS BIGINT) AS sig_lo,
-             CAST({_sql_sign_word('embedding', 32)} AS BIGINT) AS sig_hi
+             {_SIG_SQL}
       FROM embeddings
     ), q AS (
-      SELECT vec_id AS q_id, sig_lo AS q_lo, sig_hi AS q_hi
+      SELECT vec_id AS q_id, {_Q_SIG_SQL}
       FROM sig WHERE vec_id < {N_QUERIES}
     ), pairs AS (
       SELECT q.q_id, s.vec_id AS n_id,
-             CAST(BIT_COUNT(XOR(s.sig_lo, q.q_lo))
-                  + BIT_COUNT(XOR(s.sig_hi, q.q_hi)) AS BIGINT) AS hamming
+             CAST({_HAM_SQL} AS BIGINT) AS hamming
       FROM sig s JOIN q ON s.vec_id <> q.q_id
     )
     SELECT q_id, n_id, hamming,
@@ -932,8 +946,10 @@ def embed_binary_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: sign of a float is representation-exact and the packed
     words are integer sums of distinct powers of two, so signatures and
     Hamming distances are bit-identical cross-engine with no decimal
-    discipline. Two 32-bit words sidestep the 1<<63 two's-complement
-    wrap that a single 64-bit word would hit in BOTH engines.
+    discipline. SIGN_WORDS 32-bit words (derived from EMBEDDING_DIM, so a
+    dimension change can never silently sign only a prefix) sidestep the
+    1<<63 two's-complement wrap a packed 64-bit word would hit in BOTH
+    engines.
 
     Scale shape: the signature build is one pruned corpus scan (at scale
     a materialized 16-byte signature column written once per corpus
@@ -944,18 +960,23 @@ def embed_binary_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     sig = e.select(
         "vec_id",
-        _sign_word(F.col("embedding"), 0).alias("sig_lo"),
-        _sign_word(F.col("embedding"), 32).alias("sig_hi"),
+        *[
+            _sign_word(F.col("embedding"), 32 * k).alias(f"sig_{k}")
+            for k in range(SIGN_WORDS)
+        ],
     )
     q = sig.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
-        F.col("sig_lo").alias("q_lo"),
-        F.col("sig_hi").alias("q_hi"),
+        *[F.col(f"sig_{k}").alias(f"q_{k}") for k in range(SIGN_WORDS)],
     )
-    ham = (
-        F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("q_lo")))
-        + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("q_hi")))
-    ).cast("long")
+    word_hams = [
+        F.bit_count(F.col(f"sig_{k}").bitwiseXOR(F.col(f"q_{k}")))
+        for k in range(SIGN_WORDS)
+    ]
+    ham = word_hams[0]
+    for wh in word_hams[1:]:
+        ham = ham + wh
+    ham = ham.cast("long")
     pairs = sig.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
         "q_id", F.col("vec_id").alias("n_id"), ham.alias("hamming")
     )

@@ -657,11 +657,19 @@ class QualityGateSink:
             "margin", qc_margin(ws_tokens(self.content_col))
         ).persist()
         try:
-            admitted = scored.filter(F.col("margin") >= self.threshold)
-            quarantined = scored.filter(F.col("margin") < self.threshold)
-            n_adm, n_q = admitted.count(), quarantined.count()
+            passes = F.col("margin") >= self.threshold
+            admitted = scored.filter(passes)
+            # NULL margins (NULL content) quarantine too: the admit/reject
+            # split must PARTITION the batch — a predicate pair
+            # (x >= t / x < t) silently loses NULL rows from both sides
+            quarantined = scored.filter(~passes | F.col("margin").isNull())
+            # one stats pass over the cache (HistoryDedupSink discipline —
+            # never one count() job per consumer)
+            n_total, n_adm = scored.agg(
+                F.count(F.lit(1)), F.count(F.when(passes, 1))
+            ).first()
             self.stats["admitted"] += n_adm
-            self.stats["quarantined"] += n_q
+            self.stats["quarantined"] += n_total - n_adm
             admitted.drop("margin").write.mode("overwrite").parquet(
                 f"{self.out_path}/epoch={epoch_id}"
             )

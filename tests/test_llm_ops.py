@@ -1553,3 +1553,32 @@ def test_bloom_no_false_negatives_and_deterministic_false_positive(spark, sf_dir
     # member iff ALL positions set
     for r in rows.values():
         assert r.maybe_member == (r.n_set == r.n_positions)
+
+
+def test_rolling_zscore_null_and_extreme_readings_are_inert_or_clamped(spark):
+    """NULL readings must be inert (no -CAP pollution of the window
+    statistics, never flagged, not counted in n_prior) and beyond-cap
+    readings saturate instead of overflowing the BIGINT arithmetic."""
+    import datetime
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import outliers
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(seconds=i), 1, "click",
+         None if i % 3 == 2 else 5.0, "{}")
+        for i in range(45)
+    ]
+    rows.append((45, base + datetime.timedelta(seconds=45), 1, "click", 1e12, "{}"))
+    sdf = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    with mock.patch.object(outliers, "load", lambda _s, _d, _t: sdf):
+        got = outliers.anomaly_rolling_zscore(spark, "ignored").collect()
+    # only the extreme reading flags; its cents saturate at the cap and its
+    # prior window holds the 30 non-null constants (NULLs not counted)
+    assert [r.event_id for r in got] == [45]
+    assert got[0].cents == outliers.ZS_CENT_CAP
+    assert got[0].n_prior == 30
