@@ -68,6 +68,34 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    path_glob: str | None = None,
+    max_partition_bytes: str | None = None,
+) -> DataFrame:
+    """Raw-file scan via Spark's built-in ``binaryFile`` source: one row
+    per file with (path, modificationTime, length, content binary) — the
+    ingestion front door for the multimodal decode pipeline
+    (operators/multimodal.py): media files on a lake land as opaque
+    binary payloads WITHOUT any driver-side file listing or Python I/O,
+    then flow through the mapInPandas decode kernel like any other
+    binary column.
+
+    Scale notes: ``pathGlobFilter`` prunes by extension at LISTING time
+    (never reads rejected files); ``spark.sql.files.maxPartitionBytes``
+    governs how many small files coalesce into one task — pass
+    ``max_partition_bytes`` to tune for millions-of-small-images
+    layouts. The source never splits one file across tasks, so a decode
+    kernel always sees whole payloads."""
+    reader = spark.read.format("binaryFile")
+    if path_glob is not None:
+        reader = reader.option("pathGlobFilter", path_glob)
+    if max_partition_bytes is not None:
+        reader = reader.option("maxPartitionBytes", max_partition_bytes)
+    return reader.load(path)
+
+
 def write_bronze_json(df: DataFrame, path: str) -> None:
     """Bronze archive: append JSON-lines (reference S7 buffers 10 records and
     appends to one ADLS file — a single-writer bottleneck; a directory of

@@ -256,3 +256,46 @@ def test_merge_schema_reads_evolved_lake_layout(spark, tmp_path):
     assert set(df.columns) == {"id", "v", "score"}
     rows = {r.id: (r.v, r.score) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_binary_files_source_feeds_the_media_decode_kernel(spark, tmp_path):
+    """binaryFile ingestion end-to-end: real media files written to a lake
+    directory, listed with a glob filter (the .txt decoy never loads),
+    read as whole binary payloads, and decoded by the SAME mapInPandas
+    kernel the mm_decode_metadata query uses — dimensions parse from the
+    actual header bytes."""
+    from projet_pipeline_bigdata_org_spark.operators.multimodal import (
+        DECODE_SCHEMA,
+        MM_MEDIA_FIXTURE_ROWS,
+        decode_batches,
+    )
+    from projet_pipeline_bigdata_org_spark.sources.batch import read_binary_files
+
+    media = tmp_path / "media"
+    media.mkdir()
+    ext = {0: "png", 1: "jpg", 2: "gif", 3: "wav", 4: "bmp"}
+    for i, (_, payload) in enumerate(MM_MEDIA_FIXTURE_ROWS):
+        (media / f"m{i}.{ext[i]}").write_bytes(payload)
+    (media / "decoy.txt").write_bytes(b"not media, must not be listed")
+
+    files = read_binary_files(spark, str(media), path_glob="m*.{png,jpg,gif,wav,bmp}")
+    assert files.count() == 5
+    # file id from the name, payload from the content column
+    payloads = files.select(
+        F.regexp_extract(F.col("path"), r"m(\d)\.", 1).cast("long").alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    got = {
+        r.doc_id: r
+        for r in payloads.mapInPandas(decode_batches, schema=DECODE_SCHEMA).collect()
+    }
+    assert (got[0].width, got[0].height, got[0].mime) == (640, 360, "image/png")
+    assert (got[1].width, got[1].height, got[1].mime) == (1024, 768, "image/jpeg")
+    assert (got[2].n_frames, got[2].mime) == (3, "image/gif")
+    assert (got[3].width, got[3].height, got[3].n_frames, got[3].mime) == (
+        44_100, 2, 480, "audio/wav",
+    )
+    assert (got[4].width, got[4].height, got[4].mime) == (800, 600, "image/bmp")
+    # length column matches the payload byte count (whole files, never split)
+    for r in files.select("path", "length", F.length("content").alias("n")).collect():
+        assert r.length == r.n
