@@ -8,6 +8,7 @@ lake layout: partition pruning comes free on read).
 from __future__ import annotations
 
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -72,7 +73,6 @@ def read_binary_files(
     spark: SparkSession,
     path: str,
     path_glob: str | None = None,
-    max_partition_bytes: str | None = None,
 ) -> DataFrame:
     """Raw-file scan via Spark's built-in ``binaryFile`` source: one row
     per file with (path, modificationTime, length, content binary) — the
@@ -83,17 +83,52 @@ def read_binary_files(
     binary column.
 
     Scale notes: ``pathGlobFilter`` prunes by extension at LISTING time
-    (never reads rejected files); ``spark.sql.files.maxPartitionBytes``
-    governs how many small files coalesce into one task — pass
-    ``max_partition_bytes`` to tune for millions-of-small-images
-    layouts. The source never splits one file across tasks, so a decode
-    kernel always sees whole payloads."""
+    (never reads rejected files); the source never splits one file
+    across tasks, so a decode kernel always sees whole payloads. To
+    tune how many SMALL files coalesce into one task (the
+    millions-of-small-images layout), wrap the read *and its action* in
+    :func:`small_file_coalescing` — a ``maxPartitionBytes``
+    DataFrameReader option is NOT a file-source option and Spark
+    silently ignores it (it was one here until round 9)."""
     reader = spark.read.format("binaryFile")
     if path_glob is not None:
         reader = reader.option("pathGlobFilter", path_glob)
-    if max_partition_bytes is not None:
-        reader = reader.option("maxPartitionBytes", max_partition_bytes)
     return reader.load(path)
+
+
+@contextmanager
+def small_file_coalescing(
+    spark: SparkSession,
+    max_partition_bytes: str,
+    open_cost_in_bytes: str = "1048576",
+):
+    """Scoped small-file-coalescing for file-source scans: sets
+    ``spark.sql.files.maxPartitionBytes`` and
+    ``spark.sql.files.openCostInBytes`` for the block and restores the
+    prior values on exit.
+
+    The block must enclose the ACTION, not just ``spark.read...load()``:
+    Spark computes file-split packing at *physical-planning* time of each
+    query execution, not at load. Empirically (Spark 4.1.2): a conf set
+    at load and restored before ``.count()`` is silently ignored, and
+    every downstream transformation re-plans under whatever the session
+    conf is at that moment — which is why the old per-read
+    ``max_partition_bytes`` parameter could never work. Both knobs
+    matter: a file's packing cost is ``size + openCostInBytes`` (default
+    4 MiB), so with the default open cost small files never coalesce no
+    matter how large ``maxPartitionBytes`` is."""
+    keys = {
+        "spark.sql.files.maxPartitionBytes": max_partition_bytes,
+        "spark.sql.files.openCostInBytes": open_cost_in_bytes,
+    }
+    prior = {k: spark.conf.get(k) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, v in prior.items():
+            spark.conf.set(k, v)
 
 
 def write_bronze_json(df: DataFrame, path: str) -> None:

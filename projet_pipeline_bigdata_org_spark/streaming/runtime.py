@@ -233,8 +233,15 @@ def _epoch_history_scan(
     empty = spark.createDataFrame([], schema)
     if not os.path.isdir(path):
         return empty
+    # Declared schema (+ the epoch partition column) instead of inference:
+    # a crash mid-write can leave the store directory existing with ZERO
+    # committed parquet files (e.g. only a _temporary dir), and schema
+    # inference on an empty store throws — which would make every
+    # subsequent epoch and every replay of the sink fail permanently.
+    # With the schema declared, an empty/uncommitted store reads as empty.
     return (
-        spark.read.parquet(path)
+        spark.read.schema(f"{schema}, epoch bigint")
+        .parquet(path)
         .filter(F.col("epoch") < epoch_id)
         .select(*empty.columns)
     )
@@ -653,15 +660,23 @@ class QualityGateSink:
         self.stats["batches"] += 1
         if batch_df.isEmpty():  # P9 empty-batch guard
             return
+        # COALESCE NULL content to '' exactly like the batch twin
+        # (curation._TOK_NULLSAFE_SQL): NULL text then scores margin 0 and
+        # is ADMITTED at the default threshold in both engines — before
+        # round 9 the sink alone sent NULL text to quarantine (NULL
+        # margin), so the "cannot drift" claim was false on NULL text.
         scored = batch_df.withColumn(
-            "margin", qc_margin(ws_tokens(self.content_col))
+            "margin",
+            qc_margin(ws_tokens(F.coalesce(F.col(self.content_col), F.lit("")))),
         ).persist()
         try:
             passes = F.col("margin") >= self.threshold
             admitted = scored.filter(passes)
-            # NULL margins (NULL content) quarantine too: the admit/reject
-            # split must PARTITION the batch — a predicate pair
-            # (x >= t / x < t) silently loses NULL rows from both sides
+            # The admit/reject split must PARTITION the batch — a predicate
+            # pair (x >= t / x < t) silently loses NULL rows from both
+            # sides. The coalesce above makes margin non-NULL for every
+            # row, but the isNull() arm stays as the partition invariant's
+            # last line of defense.
             quarantined = scored.filter(~passes | F.col("margin").isNull())
             # one stats pass over the cache (HistoryDedupSink discipline —
             # never one count() job per consumer)

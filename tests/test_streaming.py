@@ -868,7 +868,14 @@ def test_quality_gate_sink_matches_batch_classifier_and_replays(spark, sf_dir, t
     from projet_pipeline_bigdata_org_spark.streaming.runtime import QualityGateSink
 
     plans.load_all()
-    batch = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # NULL and empty text ride along: the batch twin coalesces NULL text
+    # to '' (margin 0 -> keep at the default threshold), and the sink must
+    # make the SAME call — before round 9 it sent NULL text to quarantine
+    # with a NULL margin, an untested drift the r8 advice caught
+    batch = docs.unionByName(
+        spark.createDataFrame([(-1, None), (-2, "")], "doc_id long, text string")
+    )
     out, quar = str(tmp_path / "out"), str(tmp_path / "quar")
     sink = QualityGateSink(spark, out, quar)
     sink(batch, 0)
@@ -878,15 +885,49 @@ def test_quality_gate_sink_matches_batch_classifier_and_replays(spark, sf_dir, t
         for r in plans.all_queries()["curate_quality_classifier"](spark, sf_dir)
         .filter(F.col("keep"))
         .collect()
-    }
+    } | {-1, -2}
     admitted = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
     assert admitted == expected_keep
     quarantined = spark.read.parquet(quar)
     assert "margin" in quarantined.columns  # reviewable, not silently dropped
     assert {r.doc_id for r in quarantined.collect()} == (
-        {r.doc_id for r in batch.select("doc_id").collect()} - expected_keep
+        {r.doc_id for r in docs.select("doc_id").collect()} - expected_keep
     )
     assert all(r.margin < 0 for r in quarantined.collect())
     # replay: identical rewrite, stats accumulate but data does not
     sink(batch, 0)
     assert {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()} == expected_keep
+
+
+def test_history_scan_tolerates_uncommitted_store(spark, tmp_path):
+    """A crash mid-write can leave the history directory EXISTING with zero
+    committed parquet files (only a _temporary dir). Schema inference on
+    such a store throws, which would brick every later epoch and every
+    replay — the scan must read it as empty instead (declared schema),
+    and a sink pointed at it must process its batch normally."""
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        HistoryDedupSink,
+        _epoch_history_scan,
+    )
+
+    hist = tmp_path / "hist"
+    (hist / "_temporary" / "0").mkdir(parents=True)
+    (hist / "_temporary" / "0" / "part-crashed.parquet").write_bytes(b"\x00garbage")
+
+    scan = _epoch_history_scan(spark, str(hist), "content_sha string", 5)
+    assert scan.columns == ["content_sha"]
+    assert scan.count() == 0
+
+    out = str(tmp_path / "out")
+    sink = HistoryDedupSink(spark, out, str(hist))
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, "beta")], "event_id long, text string"
+    )
+    sink(batch, 0)  # must not raise on the uncommitted store
+    assert {
+        r.event_id for r in spark.read.parquet(out).select("event_id").collect()
+    } == {1, 3}
+    # the store now has committed epochs alongside the _temporary debris;
+    # the next epoch still reads history fine and rejects the known sha
+    sink(spark.createDataFrame([(9, "beta")], "event_id long, text string"), 1)
+    assert sink.stats["rejected"] == 1
