@@ -863,9 +863,12 @@ def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one token pass explodes to per-doc DISTINCT passages
     (map-side distinct inside the aggregate), one partial-agg'd groupBy
     on the passage key; the HAVING >= 2 filter keeps only the (tiny)
-    repeated tail. At 100 TB the passage key should ride as a 16-byte
-    xxhash64 pair rather than the string (same keys, smaller shuffle) —
-    the string form here is what the DuckDB twin can reproduce."""
+    repeated tail. This string-keyed form is the oracle-checkable AUDIT
+    (the DuckDB twin needs the strings); the production path —
+    :func:`repeated_passage_audit_hashed`, which ``dedup_passage_prune``
+    consumes — shuffles the 16-byte :func:`passage_hash_pair` instead,
+    and the equivalence of the two audits is pinned by
+    ``test_hashed_passage_audit_matches_string_audit``."""
     d = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -892,4 +895,180 @@ def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("keeper_doc_id"),
         )
         .filter(F.col("n_docs") >= 2)
+    )
+
+
+def passage_hash_pair(passage: F.Column) -> tuple[F.Column, F.Column]:
+    """Two independent 64-bit fingerprints of a passage string — the
+    16-byte production key for passage-level dedup. A 15-token passage
+    string averages ~100 bytes; shuffling the (h1, h2) pair instead cuts
+    the exploded stream's exchange ~6x, and a pair collision needs a
+    128-bit match (~2^-64 per pair at corpus scale — below hardware
+    error rates). ``h2`` seeds xxhash64 with an extra literal column so
+    the two hashes are independent, not copies."""
+    return (
+        F.xxhash64(passage).alias("h1"),
+        F.xxhash64(F.lit("passage-h2"), passage).alias("h2"),
+    )
+
+
+def repeated_passage_audit_hashed(docs: DataFrame) -> DataFrame:
+    """PRODUCTION form of the repeated-passage audit: identical grouping
+    semantics to ``dedup_repeated_passages`` (distinct per-doc
+    PASSAGE_TOKENS-token windows, COUNT >= 2, min-id keeper) but keyed by
+    the fixed-width :func:`passage_hash_pair` — the passage STRING is
+    projected away before the shuffle, so the exchange carries 16-byte
+    keys instead of ~100-byte strings (the scale note on the audit query,
+    made real). ``tests/test_dedup.py::
+    test_hashed_passage_audit_matches_string_audit`` pins that both
+    audits select identical (n_docs, keeper) sets.
+
+    Returns (h1, h2, n_docs, keeper_doc_id)."""
+    p = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles(ws_tokens("text"), PASSAGE_TOKENS))
+        ).alias("passage"),
+    )
+    return (
+        p.select("doc_id", *passage_hash_pair(F.col("passage")))
+        .groupBy("h1", "h2")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def _passage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ the near-dup fixture — the shared corpus of the passage
+    audit and the passage prune, so the prune certifiably has repeated
+    passages to remove at any SF."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [(i, t) for i, t, _ in INCREMENTAL_NEARDUP_FIXTURE_ROWS],
+                "doc_id long, text string",
+            )
+        )
+    )
+
+
+@query(
+    "dedup_passage_prune",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL {_PASSAGE_FIXTURE_SQL}
+    ), t AS (
+      SELECT doc_id, text, {SQL_WS_TOKENS.format(c='text')} AS toks FROM docs
+    ), s AS (
+      SELECT doc_id, {sql_shingles('toks', PASSAGE_TOKENS)} AS sh FROM t
+    ), w AS (
+      SELECT doc_id, gs.i - 1 AS start, sh[gs.i] AS passage
+      FROM s, UNNEST(GENERATE_SERIES(1, LEN(sh))) AS gs(i)
+    ), audit AS (
+      SELECT passage, MIN(doc_id) AS keeper
+      FROM (SELECT DISTINCT doc_id, passage FROM w) dw
+      GROUP BY passage
+      HAVING COUNT(*) >= 2
+    ), covered AS (
+      SELECT w.doc_id, w.start
+      FROM w JOIN audit USING (passage)
+      WHERE audit.keeper <> w.doc_id
+    ), cov_docs AS (
+      SELECT DISTINCT doc_id FROM covered
+    ), pos AS (
+      SELECT t.doc_id, gs.i AS i, t.toks[gs.i] AS tok
+      FROM t JOIN cov_docs USING (doc_id),
+           UNNEST(GENERATE_SERIES(1, LEN(t.toks))) AS gs(i)
+    ), kept AS (
+      SELECT p.doc_id, p.i, p.tok
+      FROM pos p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM covered c
+        WHERE c.doc_id = p.doc_id
+          AND p.i - 1 >= c.start AND p.i - 1 < c.start + {PASSAGE_TOKENS})
+    ), rebuilt AS (
+      SELECT doc_id,
+             STRING_AGG(tok, ' ' ORDER BY i) AS pruned_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CASE WHEN cd.doc_id IS NULL THEN t.text
+                ELSE COALESCE(r.pruned_text, '') END AS pruned_text,
+           CAST(CASE WHEN cd.doc_id IS NULL THEN 0
+                ELSE LEN(t.toks) - COALESCE(r.n_kept, 0) END AS BIGINT)
+             AS n_tokens_removed
+    FROM t
+    LEFT JOIN cov_docs cd USING (doc_id)
+    LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+    """,
+    tags=("llm", "dedup", "documents"),
+)
+def dedup_passage_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr passage-removal APPLIER: reconstructs every document
+    with its cross-document repeated passages excised — the transform Lee
+    et al. 2022's pipeline actually feeds downstream; the
+    ``dedup_repeated_passages`` audit is the table this decision reads.
+    A token position is removed iff it falls inside at least one
+    PASSAGE_TOKENS-token window that (a) occurs in >= 2 distinct
+    documents and (b) has its min-id keeper elsewhere — so exactly one
+    copy of every repeated passage survives, in the keeper, and prose
+    around the excised spans is preserved. Overlapping qualifying windows
+    union their spans (covered-position semantics, not per-window
+    deletion, so a run of boilerplate longer than one window excises as
+    one contiguous span).
+
+    Returns (doc_id, pruned_text, n_tokens_removed); untouched documents
+    pass through verbatim (NULL text stays NULL) with 0 removed.
+
+    Scale shape — the production path shuffles NO passage strings:
+    1. the audit comes from :func:`repeated_passage_audit_hashed`, keyed
+       by the 16-byte hash pair;
+    2. per-position windows (posexplode of the shingle array) likewise
+       project to (doc_id, start, h1, h2) before the equi-join on
+       (h1, h2) — fixed-width build and probe sides;
+    3. covered starts fold to one array per doc (collect_set — spans
+       dedupe), join back to the token table by doc_id, and the rebuild
+       is a per-row higher-order filter+array_join inside codegen: no
+       per-token explode on the Spark side (the oracle's per-token UNNEST
+       is the DuckDB-expressible twin, restricted to affected docs).
+    The DuckDB twin rebuilds from passage STRINGS — the equivalence of
+    string- and hash-keyed audits is pinned separately, so a driver match
+    here certifies the whole hash path end-to-end."""
+    docs = _passage_docs(spark, sf_dir)
+    audit = repeated_passage_audit_hashed(docs)
+    toks = docs.select("doc_id", "text", ws_tokens("text").alias("toks"))
+    win = toks.select(
+        "doc_id",
+        F.posexplode(shingles(F.col("toks"), PASSAGE_TOKENS)).alias(
+            "start", "passage"
+        ),
+    ).select("doc_id", "start", *passage_hash_pair(F.col("passage")))
+    covered = (
+        win.join(audit.select("h1", "h2", "keeper_doc_id"), ["h1", "h2"])
+        .filter(F.col("keeper_doc_id") != F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("start").alias("cov"))
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            F.col("cov"), lambda s: (i >= s) & (i < s + PASSAGE_TOKENS)
+        ),
+    )
+    return toks.join(covered, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("cov").isNull(), F.col("text"))
+        .otherwise(F.array_join(kept, " "))
+        .alias("pruned_text"),
+        F.when(F.col("cov").isNull(), F.lit(0))
+        .otherwise(F.size("toks") - F.size(kept))
+        .cast("long")
+        .alias("n_tokens_removed"),
     )

@@ -1582,3 +1582,82 @@ def test_rolling_zscore_null_and_extreme_readings_are_inert_or_clamped(spark):
     assert [r.event_id for r in got] == [45]
     assert got[0].cents == outliers.ZS_CENT_CAP
     assert got[0].n_prior == 30
+
+
+def test_passage_prune_keeper_retains_and_nonkeeper_excises(spark, sf_dir):
+    """ExactSubstr applier on the near-dup fixture: the min-id base doc is
+    the keeper of every shared passage (retains verbatim), the one-token
+    rewrite loses its shared spans, the novel doc is untouched."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import (
+        INCREMENTAL_NEARDUP_FIXTURE_ROWS,
+    )
+
+    texts = {i: t for i, t, _ in INCREMENTAL_NEARDUP_FIXTURE_ROWS}
+    got = {r.doc_id: r for r in _Q["dedup_passage_prune"].fn(spark, sf_dir).collect()}
+    base, near, novel = got[2_000_000_000], got[2_000_000_008], got[2_000_000_018]
+    assert base.pruned_text == texts[2_000_000_000] and base.n_tokens_removed == 0
+    assert near.n_tokens_removed > 0
+    assert near.pruned_text != texts[2_000_000_008]
+    # the rewritten token itself sits in windows the base doc does NOT
+    # share, so it must SURVIVE the excision (prose preservation)
+    assert "rescraped" in near.pruned_text.split()
+    assert novel.pruned_text == texts[2_000_000_018] and novel.n_tokens_removed == 0
+
+
+def test_passage_prune_span_union_and_full_excision(spark):
+    """Crafted-corpus exact semantics: covered positions are the UNION of
+    qualifying windows (a doc made of two back-to-back repeated passages
+    prunes to empty — seam windows are unique to it and do not protect
+    it), surrounding prose survives, keeper retains, NULL text passes
+    through NULL."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import dedup
+
+    p15 = " ".join(f"w{i}" for i in range(15))
+    crafted = spark.createDataFrame(
+        [
+            (1, p15),                      # keeper: retains
+            (2, f"pre eamble {p15} post"),  # excises the span, keeps prose
+            (3, f"{p15} {p15}"),            # both copies covered -> empty
+            (4, None),                      # NULL text passes through
+        ],
+        "doc_id long, text string",
+    )
+    with mock.patch.object(dedup, "load", lambda _s, _d, _t: crafted):
+        got = {
+            r.doc_id: r
+            for r in dedup.dedup_passage_prune(spark, "ignored").collect()
+        }
+    assert got[1].pruned_text == p15 and got[1].n_tokens_removed == 0
+    assert got[2].pruned_text == "pre eamble post"
+    assert got[2].n_tokens_removed == 15
+    assert got[3].pruned_text == "" and got[3].n_tokens_removed == 30
+    assert got[4].pruned_text is None and got[4].n_tokens_removed == 0
+
+
+def test_hashed_passage_audit_matches_string_audit(spark, sf_dir):
+    """The production (16-byte hash-pair) audit and the oracle-checkable
+    string audit must select IDENTICAL (n_docs, keeper) sets — the
+    invariant that lets dedup_passage_prune shuffle fixed-width keys
+    while its DuckDB twin rebuilds from strings."""
+    from projet_pipeline_bigdata_org_spark.operators import dedup
+
+    docs = dedup._passage_docs(spark, sf_dir)
+    hashed = sorted(
+        map(tuple, dedup.repeated_passage_audit_hashed(docs).collect())
+    )
+    mapped = sorted(
+        map(
+            tuple,
+            _Q["dedup_repeated_passages"]
+            .fn(spark, sf_dir)
+            .select(
+                *dedup.passage_hash_pair(F.col("passage")),
+                "n_docs",
+                "keeper_doc_id",
+            )
+            .collect(),
+        )
+    )
+    assert hashed == mapped and len(hashed) > 0

@@ -732,3 +732,16 @@ def test_binary_sign_topk_broadcasts_query_signatures_not_corpus(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 1, p
     ex = p.find("Exchange hashpartitioning")
     assert "WindowGroupLimit" in p[ex:] and "Partial" in p[ex:], p
+
+
+def test_passage_prune_shuffles_hash_pairs_never_passage_strings(spark, no_auto_broadcast):
+    """dedup_passage_prune's scale claim: every exchange in the plan carries
+    the 16-byte (h1, h2) hash pair or a doc-keyed aggregate — the ~100-byte
+    passage STRING is projected away before any shuffle (it exists only
+    inside the per-partition posexplode/hash pipeline)."""
+    df = _Q["dedup_passage_prune"].fn(spark, "/root/testdata/sf0.001")
+    p = plan_of(df)
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+    assert exchanges, p
+    assert all("passage" not in ex for ex in exchanges), exchanges
+    assert any("h1" in ex and "h2" in ex for ex in exchanges), exchanges
