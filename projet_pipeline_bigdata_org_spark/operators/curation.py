@@ -716,3 +716,183 @@ def curate_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").cast("long").alias("shard"),
         F.row_number().over(w).cast("long").alias("rank_in_shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM perplexity filter (CCNet's published shape, fixed-point)
+# ---------------------------------------------------------------------------
+
+#: crafted docs pinning both branches of the perplexity tail flag at any SF.
+#: -101 (one trigram repeated 48x) scores mean surprisal ~1 — far below any
+#: corpus mean. -102 is the HIGH-perplexity shape under a self-normalized
+#: LM: a two-token context repeated 500x whose continuation is never the
+#: same token twice — c2 is large (bits(531+V) ~ 10) while every c3 sits on
+#: the Laplace floor, so a third of its positions score ~8 bits and its
+#: mean (~5.3) clears the small-vocabulary corpus mean (~4.1, quantized
+#: metric max 5 on corpus data). Note an ALL-unique-token doc would NOT
+#: work: its contexts are also unseen (c2 = 1), so it scores only
+#: bits(V+1)-2 — novel vocabulary is cheap under a per-context-normalized
+#: model; unpredictable continuations of familiar contexts are expensive.
+#: Negative ids cannot collide with corpus ids.
+PPL_FIXTURE_ROWS: tuple[tuple[int, str], ...] = (
+    (-101, " ".join(["spamword"] * 50)),
+    (-102, " ".join(f"ctxa ctxb uniq{i}zz" for i in range(500))),
+)
+
+_PPL_FIXTURE_SQL = " UNION ALL ".join(
+    "SELECT CAST({} AS BIGINT) AS doc_id, '{}' AS text".format(i, t)
+    for i, t in PPL_FIXTURE_ROWS
+)
+
+
+@query(
+    "curate_perplexity_filter",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL {_PPL_FIXTURE_SQL}
+    ), t AS (
+      SELECT doc_id, {SQL_WS_TOKENS.format(c='text')} AS toks FROM docs
+    ), s AS (
+      SELECT doc_id, z.trigram AS trigram, z.context AS context
+      FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) - 1), i ->
+                 STRUCT_PACK(
+                   trigram := toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2],
+                   context := toks[i] || ' ' || toks[i+1]))) AS z
+        FROM t) u
+    ), v AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT UNNEST(toks) AS tok FROM t) u
+    ), tri AS (
+      SELECT trigram, context, COUNT(*) AS c3 FROM s GROUP BY trigram, context
+    ), ctx AS (
+      SELECT context, COUNT(*) AS c2 FROM s GROUP BY context
+    ), dict AS (
+      SELECT trigram, c3,
+             LENGTH(BIN(CAST(c2 + v.v AS BIGINT)))
+               - LENGTH(BIN(CAST(c3 + 1 AS BIGINT))) AS surp
+      FROM tri JOIN ctx USING (context) CROSS JOIN v
+    ), tot AS (
+      SELECT CAST(SUM(c3 * surp) AS BIGINT) AS total_mass,
+             CAST(SUM(c3) AS BIGINT) AS total_n
+      FROM dict
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_trigrams,
+           CAST(SUM(d.surp) AS BIGINT) AS surprisal_bits,
+           CAST(CAST(SUM(d.surp) AS BIGINT) AS DOUBLE) / COUNT(*)
+             AS mean_surprisal_bits,
+           CAST(SUM(d.surp) AS BIGINT) * ANY_VALUE(tot.total_n)
+             > ANY_VALUE(tot.total_mass) * COUNT(*) AS ppl_tail
+    FROM s JOIN dict d USING (trigram) CROSS JOIN tot
+    GROUP BY s.doc_id
+    """,
+    tags=("llm", "curation", "quality", "documents"),
+)
+def curate_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram LM perplexity filter — the missing rung of the curation
+    ladder (rules → classifier → DSIR → perplexity; CCNet, Wenzek et al.
+    2020): score every document by a trigram Laplace-smoothed corpus LM
+    and flag the high-perplexity tail. Exact fixed-point surprisal, no
+    logs, no doubles until the final display column:
+
+      surprisal(w1 w2 w3) = bits(c(w1 w2) + V) - bits(c(w1 w2 w3) + 1)
+
+    where ``bits(x) = LENGTH(BIN(x))`` is the integer floor-log2+1 —
+    identical in both engines — so surprisal approximates
+    log2(1/P_Laplace) within 1 bit per term, monotone in the count ratio,
+    and >= 0 (c3 <= c2, V >= 1). Context counts derive from the trigram
+    table itself (c2 = sum of c3 over continuations), so the smoothed
+    model normalizes exactly. A document's score is its mean per-position
+    surprisal; ``ppl_tail`` flags documents whose mean exceeds the CORPUS
+    mean via integer cross-multiplication — a relative cut, so the flag
+    is scale-free (V and the Laplace floor shift both sides of the
+    comparison together as the corpus grows). PPL_FIXTURE_ROWS pins both
+    branches: a 50x-repeated-trigram doc sits far below the corpus mean;
+    a frequent-context/never-repeated-continuation doc sits far above it
+    (see the fixture comment for why all-unique tokens would NOT — under
+    a self-normalized LM, novel contexts are cheap).
+    Documents with <3 tokens have no trigrams and drop out (same inner
+    join both engines; NULL text tokenizes to no tokens in both).
+
+    Overflow posture: surp <= 64 bits, so total_mass <= 64 * total_n and
+    the cross-products stay under 2^63 for any corpus below ~1.2e16
+    trigram positions (>> 100 TB of text).
+
+    Scale shape: ONE pass builds the per-position (trigram, context)
+    stream; the trigram and context dictionaries are Zipf-compact partial
+    aggregations of it; V and the corpus totals are 1-row broadcasts; the
+    per-document rollup joins the stream to the persisted surprisal
+    dictionary on the trigram key (AQE broadcasts it when it fits) and
+    partial-aggregates by doc_id. The reference has no quality filtering
+    at all (main/data_ingestion/data_ingestion.py:121-141 ingests
+    everything) — this is the CCNet step a 100 TB crawl pipeline runs."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+    from projet_pipeline_bigdata_org_spark.operators.textops import shingles
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(list(PPL_FIXTURE_ROWS), "doc_id long, text string")
+        )
+    )
+    t = d.select("doc_id", ws_tokens("text").alias("toks"))
+    # trigram i pairs positionally with bigram i (its context); the bigram
+    # array is one longer, so zip_with pads the last slot's trigram NULL —
+    # filtered after the explode
+    z = F.zip_with(
+        shingles(F.col("toks"), 3),
+        shingles(F.col("toks"), 2),
+        lambda tg, bg: F.struct(tg.alias("trigram"), bg.alias("context")),
+    )
+    s = (
+        t.select("doc_id", F.explode(z).alias("z"))
+        .select("doc_id", "z.trigram", "z.context")
+        .filter(F.col("trigram").isNotNull())
+    )
+    v = t.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    tri = s.groupBy("trigram", "context").agg(F.count(F.lit(1)).alias("c3"))
+    ctx = s.groupBy("context").agg(F.count(F.lit(1)).alias("c2"))
+    bits = lambda c: F.length(F.bin(c))  # noqa: E731  integer floor-log2 + 1
+    dict_df = _persist_scoped(
+        "ppl_dict",
+        tri.join(ctx, "context")
+        .join(F.broadcast(v))
+        .select(
+            "trigram",
+            "c3",
+            (bits(F.col("c2") + F.col("v")) - bits(F.col("c3") + F.lit(1))).alias(
+                "surp"
+            ),
+        ),
+    )
+    tot = dict_df.agg(
+        F.sum(F.col("c3") * F.col("surp")).cast("long").alias("total_mass"),
+        F.sum("c3").cast("long").alias("total_n"),
+    )
+    mass = F.sum("surp").cast("long")
+    return (
+        s.join(dict_df.select("trigram", "surp"), "trigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            mass.alias("surprisal_bits"),
+            (mass.cast("double") / F.count(F.lit(1))).alias("mean_surprisal_bits"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "surprisal_bits",
+            "mean_surprisal_bits",
+            (
+                F.col("surprisal_bits") * F.col("total_n")
+                > F.col("total_mass") * F.col("n_trigrams")
+            ).alias("ppl_tail"),
+        )
+    )

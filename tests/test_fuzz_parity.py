@@ -598,3 +598,22 @@ def test_bloom_twins_agree_on_fuzz(fuzz_df):
     from projet_pipeline_bigdata_org_spark.operators import analytics_ext
 
     _fuzz_query_twins(fuzz_df, analytics_ext, "agg_bloom_membership")
+
+
+def test_passage_prune_twins_agree_on_fuzz(fuzz_df):
+    """The ExactSubstr applier fuzzed: hash-pair covered-span excision vs
+    the string-rebuilding oracle on adversarial text (whitespace runs,
+    empties, unicode) — token-join reconstruction must agree byte-exactly
+    in both engines."""
+    from projet_pipeline_bigdata_org_spark.operators import dedup
+
+    _fuzz_query_twins(fuzz_df, dedup, "dedup_passage_prune")
+
+
+def test_perplexity_twins_agree_on_fuzz(fuzz_df):
+    """Trigram Laplace surprisal fuzzed: positional trigram/context pairing,
+    BIN-length floor-log2, vocabulary count, and the corpus-mean
+    cross-multiplication on adversarial text in both engines."""
+    from projet_pipeline_bigdata_org_spark.operators import curation
+
+    _fuzz_query_twins(fuzz_df, curation, "curate_perplexity_filter")

@@ -1661,3 +1661,42 @@ def test_hashed_passage_audit_matches_string_audit(spark, sf_dir):
         )
     )
     assert hashed == mapped and len(hashed) > 0
+
+
+def test_perplexity_filter_hand_checked_micro_corpus(spark):
+    """Exact surprisal arithmetic on a 2-doc corpus, checked by hand:
+    corpus = {"a b c a b c a b c", "x y z"}; V=6; c3(abc)=3, c3(bca)=
+    c3(cab)=2, c3(xyz)=1; contexts 3/2/2/1. surp = bits(c2+V)-bits(c3+1):
+    abc -> bits(9)-bits(4)=1, bca/cab -> bits(8)-bits(3)=2, xyz ->
+    bits(7)-bits(2)=1. doc1: mass=11, n=7; doc2: mass=1, n=1; corpus
+    totals 12/8 -> doc1 is tail (88>84), doc2 is not (8<12)."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import curation
+
+    crafted = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "x y z")], "doc_id long, text string"
+    )
+    with mock.patch.object(curation, "load", lambda _s, _d, _t: crafted), \
+         mock.patch.object(curation, "PPL_FIXTURE_ROWS", ()):
+        got = {
+            r.doc_id: r
+            for r in curation.curate_perplexity_filter(spark, "ignored").collect()
+        }
+    assert (got[1].n_trigrams, got[1].surprisal_bits) == (7, 11)
+    assert (got[2].n_trigrams, got[2].surprisal_bits) == (1, 1)
+    assert got[1].mean_surprisal_bits == 11 / 7
+    assert got[1].ppl_tail is True and got[2].ppl_tail is False
+
+
+def test_perplexity_fixture_pins_both_branches(spark, sf_dir):
+    """Against the real corpus: the 50x-repeated-trigram fixture doc sits
+    below the corpus mean (not tail); the frequent-context/unpredictable-
+    continuation doc sits far above it (tail); both branches non-empty
+    corpus-wide."""
+    rows = _Q["curate_perplexity_filter"].fn(spark, sf_dir).collect()
+    got = {r.doc_id: r for r in rows}
+    assert got[-101].ppl_tail is False
+    assert got[-102].ppl_tail is True
+    assert got[-101].mean_surprisal_bits < got[-102].mean_surprisal_bits
+    assert any(r.ppl_tail for r in rows) and any(not r.ppl_tail for r in rows)
