@@ -984,3 +984,130 @@ def embed_binary_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "q_id", "n_id", "hamming", F.row_number().over(w).cast("long").alias("rnk")
     ).filter(F.col("rnk") <= TOPK)
+
+
+#: Hamming-shortlist width of the two-stage cascade. The over-fetch
+#: factor is the cascade's one tunable: it buys back what 1-bit
+#: quantization blurs. 16x is calibrated to THIS testdata (near-random
+#: synthetic vectors — the hardest case for sign bits; recall@5 is 0.80
+#: at sf0.01 / 0.92 at sf0.001, pinned in test_cascade_recall) — real
+#: clustered embedding corpora get away with the conventional 3-5x.
+CASCADE_SHORTLIST = 16 * TOPK
+
+
+@query(
+    "embed_cascade_topk",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id,
+             {_SIG_SQL}
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, {_Q_SIG_SQL}
+      FROM sig WHERE vec_id < {N_QUERIES}
+    ), ham AS (
+      SELECT q.q_id, s.vec_id AS n_id,
+             CAST({_HAM_SQL} AS BIGINT) AS hamming
+      FROM sig s JOIN q ON s.vec_id <> q.q_id
+    ), short AS (
+      SELECT q_id, n_id, hamming FROM (
+        SELECT q_id, n_id, hamming,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY hamming, n_id) AS h_rnk
+        FROM ham) t
+      WHERE h_rnk <= {CASCADE_SHORTLIST}
+    ), qv AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id < {N_QUERIES}
+    ), re AS (
+      SELECT short.q_id, short.n_id, short.hamming,
+             {SQL_DOT.format(a='qv.q_emb', b='e.embedding')}
+               / ({SQL_NORM.format(a='qv.q_emb')} * {SQL_NORM.format(a='e.embedding')})
+               AS cosine
+      FROM short
+      JOIN embeddings e ON e.vec_id = short.n_id
+      JOIN qv ON qv.q_id = short.q_id
+    )
+    SELECT q_id, n_id, hamming, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, n_id) AS BIGINT) AS rnk
+    FROM re
+    QUALIFY rnk <= {TOPK}
+    """,
+    tags=("llm", "similarity", "embeddings"),
+)
+def embed_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval cascade — the composition the sign-bit search
+    exists for: stage 1 shortlists CASCADE_SHORTLIST candidates per
+    query by Hamming distance over 1-bit sign signatures (two XOR+POPCNT
+    per pair, 32x less memory traffic than float32); stage 2 re-ranks
+    ONLY the shortlist with the exact sequential-fold cosine and keeps
+    TOPK. Recall@k vs the exact ``embed_cosine_topk`` is pinned on the
+    testdata by ``test_cascade_recall_vs_exact_topk``.
+
+    Exactness: shortlist membership is pure integer arithmetic and the
+    re-rank reuses the engine-identical cosine fold, so the cascade is
+    bit-exact cross-engine (no tolerance needed — approximation lives in
+    WHICH candidates are ranked, never in their scores).
+
+    Scale shape: the corpus is scanned twice and repartitioned never —
+    stage 1 is the sign-topk plan (broadcast query signatures, partial
+    WindowGroupLimit ahead of the one rank exchange over
+    already-reduced rows); stage 2 gathers shortlist vectors by
+    broadcasting the TINY shortlist (N_QUERIES*CASCADE_SHORTLIST rows) against the
+    corpus scan — the full float vectors of non-candidates are never
+    deserialized past the scan, and at 100 TB stage 1 reads a 16-byte
+    materialized signature column instead of the vectors at all. The
+    re-rank then joins the broadcast query block and ranks a constant
+    CASCADE_SHORTLIST rows per query. Plan-tested: broadcasts only, corpus never exchanges."""
+    e = load(spark, sf_dir, "embeddings")
+    sig = e.select(
+        "vec_id",
+        *[
+            _sign_word(F.col("embedding"), 32 * k).alias(f"sig_{k}")
+            for k in range(SIGN_WORDS)
+        ],
+    )
+    qsig = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        *[F.col(f"sig_{k}").alias(f"q_{k}") for k in range(SIGN_WORDS)],
+    )
+    ham = sum(
+        (
+            F.bit_count(F.col(f"sig_{k}").bitwiseXOR(F.col(f"q_{k}")))
+            for k in range(1, SIGN_WORDS)
+        ),
+        F.bit_count(F.col("sig_0").bitwiseXOR(F.col("q_0"))),
+    ).cast("long")
+    wh = W.partitionBy("q_id").orderBy("hamming", "n_id")
+    short = (
+        sig.join(F.broadcast(qsig), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"), ham.alias("hamming"))
+        .withColumn("h_rnk", F.row_number().over(wh))
+        .filter(F.col("h_rnk") <= CASCADE_SHORTLIST)
+        .drop("h_rnk")
+    )
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_norm"),
+    )
+    gathered = (
+        e.select("vec_id", "embedding", norm(F.col("embedding")).alias("e_norm"))
+        .join(F.broadcast(short), F.col("vec_id") == F.col("n_id"))
+        .join(F.broadcast(qv), "q_id")
+    )
+    wr = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
+    return (
+        gathered.select(
+            "q_id",
+            "n_id",
+            "hamming",
+            (
+                dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_norm") * F.col("e_norm"))
+            ).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= TOPK)
+    )

@@ -745,3 +745,21 @@ def test_passage_prune_shuffles_hash_pairs_never_passage_strings(spark, no_auto_
     assert exchanges, p
     assert all("passage" not in ex for ex in exchanges), exchanges
     assert any("h1" in ex and "h2" in ex for ex in exchanges), exchanges
+
+
+def test_cascade_topk_corpus_never_exchanges_rerank_broadcasts_shortlist(spark, sf_dir):
+    """embed_cascade_topk's scale claims: stage 1 follows the sign-topk
+    plan family (broadcast query signatures, partial WindowGroupLimit
+    under the rank exchange), stage 2 gathers re-rank vectors by
+    BROADCASTING the shortlist against the corpus scan — so the only
+    hash exchanges in the whole plan are the two per-query rank windows
+    over already-reduced rows, both keyed by q_id; the corpus itself
+    never repartitions."""
+    df = _Q["embed_cascade_topk"].fn(spark, sf_dir)
+    p = plan_of(df)
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+    assert len(exchanges) == 2, p
+    assert all(ex.startswith("q_id") for ex in exchanges), exchanges
+    assert "WindowGroupLimit" in p and "Partial" in p, p
+    assert p.count("BroadcastExchange") >= 2, p  # q-signatures, shortlist, q-vectors
+    assert "SortMergeJoin" not in p, p
