@@ -1111,3 +1111,152 @@ def embed_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(wr).cast("long"))
         .filter(F.col("rnk") <= TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-level benchmark decontamination
+# ---------------------------------------------------------------------------
+
+#: benchmark stand-in residue (mirrors lex_decontaminate's DECONTAM_BENCH_MOD
+#: convention: a real pipeline joins an actual eval-set embedding table)
+DECON_BENCH_MOD = 25
+#: exact-cosine confirmation threshold: the corpus-vs-bench cosine max on
+#: the synthetic testdata is 0.459, so natural rows never confirm and the
+#: planted-paraphrase fixture alone certifies the contaminated branch
+DECON_TAU = 0.6
+#: Hamming prefilter width. cos 0.6 corresponds to ~64*acos(0.6)/pi ~ 19
+#: differing sign bits on random-ish vectors; 24 adds margin. On random
+#: data P(Binom(64,.5) <= 24) ~ 3% of pairs reach the exact confirm.
+DECON_HAM_MAX = 24
+
+#: planted fixture (negative vec_ids; -25 % 25 == 0 in BOTH engines, so it
+#: lands in the bench split): -25 is a benchmark vector; -26 is its
+#: "paraphrase" — a document whose WORDING (shingles) shares nothing with
+#: the benchmark but whose embedding nearly coincides (cosine 0.998,
+#: Hamming 0): exactly the leak lex_decontaminate cannot see; -27 is the
+#: antipode (cosine -1, Hamming 64) and must NOT flag. All components are
+#: float32-exact (1.0 / -1.0 / 0.5), so both engines see identical bits.
+_DECON_BENCH_VEC = [1.0 if i % 2 == 0 else -1.0 for i in range(EMBEDDING_DIM)]
+_DECON_PARA_VEC = [0.5] + _DECON_BENCH_VEC[1:]
+DECON_FIXTURE_ROWS: tuple[tuple[int, list[float]], ...] = (
+    (-25, _DECON_BENCH_VEC),
+    (-26, _DECON_PARA_VEC),
+    (-27, [-x for x in _DECON_BENCH_VEC]),
+)
+
+_DECON_FIXTURE_SQL = " UNION ALL ".join(
+    "SELECT CAST({} AS BIGINT) AS vec_id, CAST([{}] AS FLOAT[]) AS embedding".format(
+        i, ", ".join(str(x) for x in v)
+    )
+    for i, v in DECON_FIXTURE_ROWS
+)
+
+_B_SIG_SQL = ", ".join(f"sig_{k} AS b_{k}" for k in range(SIGN_WORDS))
+_DECON_HAM_SQL = " + ".join(
+    f"BIT_COUNT(XOR(c.sig_{k}, b.b_{k}))" for k in range(SIGN_WORDS)
+)
+
+
+@query(
+    "embed_decontaminate",
+    oracle=f"""
+    WITH e2 AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL {_DECON_FIXTURE_SQL}
+    ), sig AS (
+      SELECT vec_id, embedding,
+             {_SIG_SQL}
+      FROM e2
+    ), b AS (
+      SELECT vec_id AS b_id, embedding AS b_emb, {_B_SIG_SQL}
+      FROM sig WHERE vec_id % {DECON_BENCH_MOD} = 0
+    ), c AS (
+      SELECT * FROM sig WHERE vec_id % {DECON_BENCH_MOD} <> 0
+    ), cand AS (
+      SELECT c.vec_id, b.b_id
+      FROM c LEFT JOIN b
+        ON {_DECON_HAM_SQL} <= {DECON_HAM_MAX}
+       AND {SQL_DOT.format(a='c.embedding', b='b.b_emb')}
+             / ({SQL_NORM.format(a='c.embedding')} * {SQL_NORM.format(a='b.b_emb')})
+           >= {DECON_TAU}
+    )
+    SELECT vec_id,
+           CAST(COUNT(b_id) AS BIGINT) AS n_bench_near,
+           COUNT(b_id) > 0 AS contaminated
+    FROM cand GROUP BY vec_id
+    """,
+    tags=("llm", "similarity", "dedup", "embeddings"),
+)
+def embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination — the SEMANTIC twin of
+    ``lex_decontaminate``: flags corpus documents whose embedding sits
+    within cosine DECON_TAU of any benchmark embedding. Paraphrased eval
+    leakage shares almost no 3-gram shingles with the benchmark (the
+    shingle-overlap pass scores it 0) but its embedding nearly coincides
+    — the planted fixture encodes exactly that case and is the
+    contaminated branch's certificate (natural corpus-vs-bench cosine
+    tops out at 0.459 on the testdata, below the 0.6 confirm threshold).
+
+    Two-stage like embed_cascade_topk: a sign-bit Hamming prefilter
+    (<= DECON_HAM_MAX of 64 bits) cuts the candidate pairs to a few
+    percent, and the exact sequential-fold cosine confirms only the
+    survivors — bit-exact cross-engine, approximation only in candidate
+    choice; the prefilter width is the recall knob and the oracle twins
+    the cascade itself, so parity certifies both stages.
+
+    Scale shape: the benchmark block is the SMALL side (an eval set is
+    KB-MB against a 100 TB corpus; the vec_id residue is the stand-in,
+    as in lex_decontaminate) — it broadcasts WITH its signatures, norms,
+    and vectors; the corpus streams through ONE left-outer
+    BroadcastNestedLoopJoin scan computing its own signature+norm once
+    per row (unmatched rows count to 0 — no second scan to restore
+    zeros), and the only hash exchange is the final partial-agg'd
+    groupBy(vec_id) of skinny (id, count) rows."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .unionByName(
+            spark.createDataFrame(
+                [(i, v) for i, v in DECON_FIXTURE_ROWS],
+                "vec_id long, embedding array<float>",
+            )
+        )
+    )
+    sig = e.select(
+        "vec_id",
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+        *[
+            _sign_word(F.col("embedding"), 32 * k).alias(f"sig_{k}")
+            for k in range(SIGN_WORDS)
+        ],
+    )
+    is_bench = F.col("vec_id") % DECON_BENCH_MOD == 0
+    b = sig.filter(is_bench).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        *[F.col(f"sig_{k}").alias(f"b_{k}") for k in range(SIGN_WORDS)],
+    )
+    c = sig.filter(~is_bench)
+    ham = sum(
+        (
+            F.bit_count(F.col(f"sig_{k}").bitwiseXOR(F.col(f"b_{k}")))
+            for k in range(1, SIGN_WORDS)
+        ),
+        F.bit_count(F.col("sig_0").bitwiseXOR(F.col("b_0"))),
+    )
+    cosine = dot(F.col("embedding"), F.col("b_emb")) / (
+        F.col("nrm") * F.col("b_nrm")
+    )
+    # ONE left-outer pass: unmatched corpus rows surface with a NULL b_id
+    # and count to 0, so no second corpus scan / join is needed to restore
+    # the zeros; the Hamming conjunct sits first so codegen short-circuits
+    # the cosine fold for the ~97% of pairs the prefilter rejects
+    pairs = c.join(
+        F.broadcast(b), (ham <= DECON_HAM_MAX) & (cosine >= DECON_TAU), "left"
+    )
+    n_near = F.count("b_id").cast("long")
+    return pairs.groupBy("vec_id").agg(
+        n_near.alias("n_bench_near"), (n_near > 0).alias("contaminated")
+    )

@@ -1730,3 +1730,19 @@ def test_cascade_recall_vs_exact_topk(spark, sf_dir):
     overlap = set(exact) & set(casc)
     assert len(overlap) / len(exact) >= 0.75
     assert all(exact[k] == casc[k] for k in overlap)  # scores never approximate
+
+
+def test_embed_decontaminate_flags_planted_paraphrase_only(spark, sf_dir):
+    """The planted paraphrase (-26: cosine 0.998 to benchmark -25 but, by
+    construction, zero shingle overlap — the leak the lexical pass cannot
+    see) must be the ONLY contaminated row on the synthetic corpus
+    (natural corpus-vs-bench cosine tops out at 0.459 < 0.6); the
+    antipode (-27, Hamming 64) must not flag; benchmark rows themselves
+    never appear in the output."""
+    rows = _Q["embed_decontaminate"].fn(spark, sf_dir).collect()
+    got = {r.vec_id: r for r in rows}
+    assert got[-26].contaminated is True and got[-26].n_bench_near == 1
+    assert got[-27].contaminated is False and got[-27].n_bench_near == 0
+    assert [r.vec_id for r in rows if r.contaminated] == [-26]
+    assert -25 not in got  # bench split excluded from the audited corpus
+    assert all(r.vec_id % 25 != 0 for r in rows)

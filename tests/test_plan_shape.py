@@ -763,3 +763,18 @@ def test_cascade_topk_corpus_never_exchanges_rerank_broadcasts_shortlist(spark, 
     assert "WindowGroupLimit" in p and "Partial" in p, p
     assert p.count("BroadcastExchange") >= 2, p  # q-signatures, shortlist, q-vectors
     assert "SortMergeJoin" not in p, p
+
+
+def test_embed_decontaminate_broadcasts_bench_corpus_streams(spark, sf_dir):
+    """embed_decontaminate's scale claim: the benchmark block broadcasts
+    (with signatures+norms+vectors), the corpus streams through ONE
+    left-outer non-equi Hamming join without repartitioning (unmatched
+    rows count to 0 — no second corpus scan), and the only hash exchange
+    is the partial-agg'd groupBy(vec_id) of skinny (id, count) rows."""
+    df = _Q["embed_decontaminate"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "BroadcastNestedLoopJoin BuildRight, LeftOuter" in p, p
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+    assert len(exchanges) == 1 and exchanges[0].startswith("vec_id"), exchanges
+    assert "SortMergeJoin" not in p, p
+    assert "partial_count" in p, p  # map-side combine ahead of the exchange
