@@ -532,3 +532,83 @@ def mm_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         arrow_byte_stats_batches,
         schema="doc_id long, n_bytes long, tail_block_bytes long",
     )
+
+
+#: filename extension per fixture row, keyed by doc_id (mirrors the mime
+#: the decoder must RE-derive from the bytes, never from the name)
+_MM_FIXTURE_EXT = {
+    _MM_PNG[0]: "png",
+    _MM_JPEG[0]: "jpg",
+    _MM_GIF[0]: "gif",
+    _MM_WAV[0]: "wav",
+    _MM_BMP[0]: "bmp",
+}
+
+
+def _media_fixture_dir() -> str:
+    """Deterministic on-disk media directory holding the five fixture files
+    (plus a decoy the glob must prune) — the registered stand-in for a
+    lake prefix of raw media objects. Idempotent: files are rewritten only
+    if absent or wrong-sized, so repeated query runs and concurrent tests
+    converge on identical bytes."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_media_fixture")
+    os.makedirs(d, exist_ok=True)
+    for doc_id, payload in MM_MEDIA_FIXTURE_ROWS:
+        p = os.path.join(d, f"m{doc_id}.{_MM_FIXTURE_EXT[doc_id]}")
+        if not (os.path.exists(p) and os.path.getsize(p) == len(payload)):
+            with open(p, "wb") as f:
+                f.write(payload)
+    decoy = os.path.join(d, "decoy.txt")
+    if not os.path.exists(decoy):
+        with open(decoy, "wb") as f:
+            f.write(b"not media, must never be listed")
+    return d
+
+
+@query(
+    "decode_binary_media",
+    oracle=f"""
+    WITH expect AS ({_MM_FIXTURE_SQL})
+    SELECT doc_id, n_bytes, width, height, n_frames, mime FROM expect
+    """,
+    tags=("llm", "multimodal", "ingestion"),
+)
+def decode_binary_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingestion FRONT DOOR as one registered pipeline: raw media
+    files on disk → built-in ``binaryFile`` scan (listing-time glob
+    pruning — the decoy .txt is never read) → whole-file binary payloads
+    → the same mapInPandas decode kernel every binary column uses → typed
+    metadata. Reference analogue: the bronze archive path
+    (main/data_ingestion/data_ingestion.py:151-183), for media objects
+    instead of JSON.
+
+    The oracle is the construction-constant table (_MM_FIXTURE_SQL): a
+    driver hash match certifies the WHOLE path end-to-end — file write,
+    listing, glob prune, payload integrity (n_bytes = real file length),
+    and every header parse (offsets, endianness, frame walks) against
+    the constants the bytes were built from. doc_id rides in the file
+    NAME; mime is re-derived from the BYTES — a renamed file cannot lie
+    about its format.
+
+    Scale shape: the scan lists and reads files executor-side (no driver
+    I/O, no Python listing); decode is embarrassingly parallel
+    mapInPandas over whole payloads (binaryFile never splits a file);
+    at 100 TB the path is a lake prefix and
+    ``sources.batch.small_file_coalescing`` wraps the read+action to
+    pack millions of small objects into sane task counts. ``sf_dir`` is
+    unused: the fixture directory IS the source (a registered query must
+    be hermetic; real deployments pass their lake URI to
+    read_binary_files directly)."""
+    from projet_pipeline_bigdata_org_spark.sources.batch import read_binary_files
+
+    files = read_binary_files(
+        spark, _media_fixture_dir(), path_glob="m*.{png,jpg,gif,wav,bmp}"
+    )
+    payloads = files.select(
+        F.regexp_extract(F.col("path"), r"m(\d+)\.", 1).cast("long").alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return payloads.mapInPandas(decode_batches, schema=DECODE_SCHEMA)

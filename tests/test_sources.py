@@ -332,3 +332,25 @@ def test_small_file_coalescing_changes_task_fanout(spark, tmp_path):
     # confs restored: a FRESH scan (new physical planning) reverts
     assert spark.conf.get("spark.sql.files.maxPartitionBytes") == prior
     assert read_binary_files(spark, str(d)).rdd.getNumPartitions() == baseline
+
+
+def test_decode_binary_media_registered_pipeline_end_to_end(spark):
+    """The registered binaryFile->decode pipeline must reproduce the
+    construction constants from REAL file bytes (not in-memory payloads),
+    prune the decoy at listing time, and be idempotent across calls
+    (fixture dir converges on identical bytes)."""
+    import os
+
+    from projet_pipeline_bigdata_org_spark import plans
+    from projet_pipeline_bigdata_org_spark.operators.multimodal import (
+        _MM_FIXTURE_ORACLE_ROWS,
+        _media_fixture_dir,
+    )
+
+    plans.load_all()
+    fn = plans.all_queries()["decode_binary_media"]
+    got = {tuple(r) for r in fn(spark, "ignored").collect()}
+    assert got == set(_MM_FIXTURE_ORACLE_ROWS)
+    # decoy exists on disk but never reaches the scan
+    assert "decoy.txt" in os.listdir(_media_fixture_dir())
+    assert {tuple(r) for r in fn(spark, "ignored").collect()} == got
