@@ -612,3 +612,121 @@ def decode_binary_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("content").alias("payload"),
     )
     return payloads.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# image resize (plan + stubbed re-encode)
+# ---------------------------------------------------------------------------
+
+#: longest-edge cap for the aspect-preserving resize plan. 512 sits inside
+#: the fixture dimension range on purpose: PNG/JPEG/BMP exceed it (resize
+#: branch) and the 320x200 GIF does not (pass-through branch), so both
+#: arms of the plan arithmetic are exercised by construction.
+RESIZE_MAX_EDGE = 512
+
+RESIZE_SCHEMA = (
+    "doc_id long, width long, height long, target_w long, target_h long,"
+    " resized_n_bytes long"
+)
+
+
+def resize_plan(width: int, height: int) -> tuple[int, int]:
+    """Aspect-preserving longest-edge-capped target dimensions in pure
+    integer arithmetic (truncating division — the twin of SQL DIV/`//`):
+    no-op when the longest edge already fits; never collapses a dimension
+    to zero (max(1, ·) guards pathological aspect ratios)."""
+    m = max(width, height)
+    if m <= RESIZE_MAX_EDGE:
+        return width, height
+    return (
+        max(1, width * RESIZE_MAX_EDGE // m),
+        max(1, height * RESIZE_MAX_EDGE // m),
+    )
+
+
+def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: image payload → resize plan + stubbed re-encode.
+
+    The PLAN side is real: dimensions come from the actual header parse
+    (decode_media dispatch) and the target arithmetic is resize_plan. The
+    PIXEL side is the documented stub: this container ships no image
+    codec, so ``resized_n_bytes`` is the deterministic raw-RGB size
+    (target_w * target_h * 3) a real kernel's decode-scale-reencode would
+    replace — the Spark-side plumbing (schema, batch shape, whole-payload
+    partitioning) is exactly what a Pillow/libvips-backed kernel needs."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            meta = decode_media(payload)
+            # non-images are dropped on their DECODED mime — the bytes
+            # decide, never the filename (a .png-named WAV is skipped)
+            if not meta["mime"].startswith("image/"):
+                continue
+            w, h = meta["width"], meta["height"]
+            tw, th = resize_plan(w, h)
+            rows.append((doc_id, w, h, tw, th, tw * th * 3))
+        if rows:  # empty object-dtype frames break Arrow schema inference
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "target_w", "target_h",
+                    "resized_n_bytes",
+                ],
+            )
+
+
+_MM_IMAGE_DIMS_SQL = " UNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS doc_id, CAST({w} AS BIGINT) AS width,"
+    f" CAST({h} AS BIGINT) AS height"
+    for i, _nb, w, h, _nf, mime in _MM_FIXTURE_ORACLE_ROWS
+    if mime.startswith("image/")
+)
+
+
+@query(
+    "mm_resize_plan",
+    oracle=f"""
+    WITH img AS ({_MM_IMAGE_DIMS_SQL}),
+    plan AS (
+      SELECT doc_id, width, height,
+             CASE WHEN GREATEST(width, height) <= {RESIZE_MAX_EDGE}
+                  THEN width
+                  ELSE GREATEST(1, width * {RESIZE_MAX_EDGE}
+                                  // GREATEST(width, height)) END AS target_w,
+             CASE WHEN GREATEST(width, height) <= {RESIZE_MAX_EDGE}
+                  THEN height
+                  ELSE GREATEST(1, height * {RESIZE_MAX_EDGE}
+                                  // GREATEST(width, height)) END AS target_h
+      FROM img)
+    SELECT doc_id, width, height, target_w, target_h,
+           target_w * target_h * 3 AS resized_n_bytes
+    FROM plan
+    """,
+    tags=("llm", "multimodal"),
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize over the binaryFile ingestion path: real files →
+    binaryFile scan → mapInPandas resize kernel (real header decode +
+    aspect-preserving integer plan; pixel re-encode stubbed — see
+    resize_batches). The glob prunes obvious non-media at LISTING time;
+    the kernel then drops anything whose DECODED mime is not image/* —
+    the bytes decide, never the filename (the WAV rides a wav glob into
+    the scan here precisely to exercise that kernel-side drop).
+
+    The oracle recomputes the plan arithmetic from the construction
+    constants with SQL's truncating division, so a driver/parity match
+    certifies decode + the exact truncation behavior of both branches
+    (the 320x200 GIF passes through; PNG/JPEG/BMP cap at
+    RESIZE_MAX_EDGE). Scale shape: same as decode_binary_media —
+    executor-side listing/read, embarrassingly parallel kernel, whole
+    payloads per task."""
+    from projet_pipeline_bigdata_org_spark.sources.batch import read_binary_files
+
+    files = read_binary_files(
+        spark, _media_fixture_dir(), path_glob="m*.{png,jpg,gif,wav,bmp}"
+    )
+    payloads = files.select(
+        F.regexp_extract(F.col("path"), r"m(\d+)\.", 1).cast("long").alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return payloads.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)

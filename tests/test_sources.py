@@ -354,3 +354,29 @@ def test_decode_binary_media_registered_pipeline_end_to_end(spark):
     # decoy exists on disk but never reaches the scan
     assert "decoy.txt" in os.listdir(_media_fixture_dir())
     assert {tuple(r) for r in fn(spark, "ignored").collect()} == got
+
+
+def test_resize_plan_arithmetic_and_registered_pipeline(spark):
+    """resize_plan: pass-through under the cap, truncating aspect-preserving
+    scale above it, never a zero dimension; the registered files-backed
+    query exercises both branches and excludes non-image payloads by
+    mime, not by trusting the filename."""
+    from projet_pipeline_bigdata_org_spark import plans
+    from projet_pipeline_bigdata_org_spark.operators.multimodal import (
+        RESIZE_MAX_EDGE,
+        resize_plan,
+    )
+
+    assert resize_plan(320, 200) == (320, 200)           # under cap
+    assert resize_plan(RESIZE_MAX_EDGE, 1) == (RESIZE_MAX_EDGE, 1)
+    assert resize_plan(640, 360) == (512, 288)           # exact truncation
+    assert resize_plan(1024, 768) == (512, 384)
+    assert resize_plan(100_000, 7) == (512, 1)           # max(1,.) guard
+    plans.load_all()
+    got = {r.doc_id: r for r in plans.all_queries()["mm_resize_plan"](
+        spark, "ignored").collect()}
+    assert set(got) == {3_000_000_001, 3_000_000_002, 3_000_000_003, 3_000_000_005}
+    assert (got[3_000_000_003].target_w, got[3_000_000_003].target_h) == (320, 200)
+    assert all(
+        r.resized_n_bytes == r.target_w * r.target_h * 3 for r in got.values()
+    )
