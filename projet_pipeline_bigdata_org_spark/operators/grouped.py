@@ -639,35 +639,46 @@ def oriented_edges(pairs: DataFrame) -> DataFrame:
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count on the part co-purchase graph (parts are connected
-    when one order contains both) via the degree-ordered wedge join.
+    when one order contains both) via degree-ordered orientation +
+    adjacency-list intersection — Latapy's compact-forward algorithm: a
+    triangle {a,b,c} under the orientation is exactly one oriented edge
+    (u,v) plus one common out-neighbor, so the count is
+    SUM over edges (u,v) of |N+(u) ∩ N+(v)|.
 
-    Scale shape: edges are redirected from the (degree, id)-smaller endpoint
-    to the larger, so every wedge is enumerated at its LOWEST-degree vertex
-    — the classic bound that caps per-vertex wedge fan-out at O(sqrt(E)·E)
-    total even under power-law skew (a hub of degree d enumerates no wedges;
-    its low-degree neighbors do). Three equi-join shuffles, no all-pairs.
-    The oracle counts the same triangles with the plain a<b<c form —
-    the count is ordering-invariant, which is the cross-check."""
+    Scale shape: edges redirect from the (degree, id)-smaller endpoint to
+    the larger, capping every out-degree (hence every adjacency array and
+    every per-row intersection) at O(sqrt(E)) even under power-law skew —
+    a hub's adjacency rides with its LOW-degree neighbors. The wedge set
+    is never materialized or shuffled: the r5–r8 wedge-join form
+    exchanged one row per wedge (41M wedges for 1.2M edges at sf0.1 —
+    34x the edge count, and up to E^1.5 in the worst case), where this
+    form shuffles 2·E adjacency elements and intersects per edge row
+    inside codegen — measured 7.42s → 3.84s at sf0.1, and the gap widens
+    with density. The persisted edge set is hash-partitioned on ``lo``,
+    so the adjacency build AND the first join reuse its partitioning
+    exchange-free. The oracle counts the same triangles with the plain
+    a<b<c wedge form — the count is algorithm-invariant, which is the
+    cross-check."""
     from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # (Persisting pairs instead measured SLOWER at sf0.1: the
-    # materialization barrier costs more than one pipelined recompute —
-    # the oriented edge set e below, reused by three joins, stays the
-    # persist point; unpersisted plans re-derive the dedup + degree join
-    # three times, measured ~2× slower at sf0.1.)
-    e = _persist_scoped("tri_edges", oriented_edges(copurchase_pairs(li)))
-    e1 = e.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
-    e2 = e.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
-    # wedges at the low-degree apex x; canonical y<z kills mirror duplicates
-    wedges = e1.join(e2, "x").filter(F.col("y") < F.col("z"))
-    # the closing edge, id-canonicalized to match the wedge's (y<z) key —
-    # one row per undirected edge, no both-directions union
-    closing = e.select(
-        F.least("lo", "hi").alias("y"), F.greatest("lo", "hi").alias("z")
+    e = _persist_scoped(
+        "tri_edges", oriented_edges(copurchase_pairs(li)).repartition("lo")
     )
-    tri = wedges.join(closing, ["y", "z"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    adj = e.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
+    au = adj.select(F.col("lo").alias("u_k"), F.col("nbrs").alias("nbrs_u"))
+    av = adj.select(F.col("lo").alias("v_k"), F.col("nbrs").alias("nbrs_v"))
+    # left join: a sink vertex (out-degree 0) has no adjacency row and
+    # closes no triangle — its edges must still count 0, not vanish
+    tri = (
+        e.join(au, F.col("lo") == F.col("u_k"))
+        .join(av, F.col("hi") == F.col("v_k"), "left")
+        .select(
+            F.when(F.col("nbrs_v").isNull(), F.lit(0))
+            .otherwise(F.size(F.array_intersect("nbrs_u", "nbrs_v")))
+            .alias("t")
+        )
+        .agg(F.sum("t").alias("n_triangles"))
     )
     stats = e.agg(F.count(F.lit(1)).alias("n_edges"))
     n_vertices = (
@@ -706,7 +717,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the part co-purchase graph — the skew radar
-    that decides whether the wedge join (graph_triangle_count) or CC label
+    that decides whether the triangle intersection (graph_triangle_count) or CC label
     propagation needs hub handling. Same edge derivation as the triangle
     count (per-order pair generation, bounded by basket size; undirected
     edges deduped as u<v); two partial-agg'd shuffles end-to-end, output

@@ -778,3 +778,15 @@ def test_embed_decontaminate_broadcasts_bench_corpus_streams(spark, sf_dir):
     assert len(exchanges) == 1 and exchanges[0].startswith("vec_id"), exchanges
     assert "SortMergeJoin" not in p, p
     assert "partial_count" in p, p  # map-side combine ahead of the exchange
+
+
+def test_triangle_count_intersects_adjacency_never_shuffles_wedges(spark, sf_dir):
+    """graph_triangle_count's r9 compact-forward claim: triangles close via
+    per-edge array_intersect over adjacency lists — the wedge set (34x the
+    edge count at sf0.1, up to E^1.5) never materializes, so no exchange
+    carries a (y, z) wedge key the way the r5-r8 wedge-join form did."""
+    df = _Q["graph_triangle_count"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "array_intersect" in p, p
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert not ("y#" in ex and "z#" in ex), ex
