@@ -1028,11 +1028,18 @@ def dedup_passage_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass through verbatim (NULL text stays NULL) with 0 removed.
 
     Scale shape — the production path shuffles NO passage strings:
-    1. the audit comes from :func:`repeated_passage_audit_hashed`, keyed
-       by the 16-byte hash pair;
-    2. per-position windows (posexplode of the shingle array) likewise
-       project to (doc_id, start, h1, h2) before the equi-join on
-       (h1, h2) — fixed-width build and probe sides;
+    1. ONE tokenize+shingle+hash pass builds the persisted per-position
+       window table (doc_id, start, h1, h2) — 32-byte rows; both the
+       audit and the covered-span join read it (recomputing the text
+       chain per branch instead measured 31% slower at sf0.1: 3.16s vs
+       2.40s). At cluster scale this table is corpus-sized — the same
+       footprint call as the minhash band store, and like it the 100 TB
+       form writes it once per corpus epoch as a bucketed staging table
+       (sources/batch.py: write_bucketed_table) instead of caching;
+    2. the audit derives from the window table by fixed-width
+       (doc_id, h1, h2) distinct + (h1, h2) count/min — semantics
+       identical to :func:`repeated_passage_audit_hashed` (pinned
+       against the string audit by test), never a string shuffle;
     3. covered starts fold to one array per doc (collect_set — spans
        dedupe), join back to the token table by doc_id, and the rebuild
        is a per-row higher-order filter+array_join inside codegen: no
@@ -1042,14 +1049,26 @@ def dedup_passage_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     string- and hash-keyed audits is pinned separately, so a driver match
     here certifies the whole hash path end-to-end."""
     docs = _passage_docs(spark, sf_dir)
-    audit = repeated_passage_audit_hashed(docs)
     toks = docs.select("doc_id", "text", ws_tokens("text").alias("toks"))
-    win = toks.select(
-        "doc_id",
-        F.posexplode(shingles(F.col("toks"), PASSAGE_TOKENS)).alias(
-            "start", "passage"
-        ),
-    ).select("doc_id", "start", *passage_hash_pair(F.col("passage")))
+    win = _persist_scoped(
+        "passage_win",
+        toks.select(
+            "doc_id",
+            F.posexplode(shingles(F.col("toks"), PASSAGE_TOKENS)).alias(
+                "start", "passage"
+            ),
+        ).select("doc_id", "start", *passage_hash_pair(F.col("passage"))),
+    )
+    audit = (
+        win.select("doc_id", "h1", "h2")
+        .distinct()
+        .groupBy("h1", "h2")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
     covered = (
         win.join(audit.select("h1", "h2", "keeper_doc_id"), ["h1", "h2"])
         .filter(F.col("keeper_doc_id") != F.col("doc_id"))
