@@ -1091,3 +1091,95 @@ def dedup_passage_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens_removed"),
     )
+
+
+@query(
+    "dedup_incremental_passages",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL {_PASSAGE_FIXTURE_SQL}
+    ), t AS (
+      SELECT doc_id,
+             LIST_DISTINCT(
+               {sql_shingles(SQL_WS_TOKENS.format(c='text'), PASSAGE_TOKENS)})
+               AS ps
+      FROM docs
+    ), hist AS (
+      SELECT DISTINCT UNNEST(ps) AS p FROM t
+      WHERE doc_id % 10 < {_INCREMENTAL_BATCH_RESIDUE}
+    ), b AS (
+      SELECT doc_id, ps FROM t
+      WHERE doc_id % 10 >= {_INCREMENTAL_BATCH_RESIDUE}
+    ), hits AS (
+      SELECT bb.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT doc_id, UNNEST(ps) AS p FROM b) bb
+      JOIN hist USING (p)
+      GROUP BY bb.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(LEN(b.ps) AS BIGINT) AS n_passages,
+           COALESCE(h.n, 0) AS n_hist_repeated,
+           COALESCE(h.n, 0) >= 1 AS flagged
+    FROM b LEFT JOIN hits h ON h.doc_id = b.doc_id
+    """,
+    tags=("llm", "dedup", "documents", "incremental"),
+)
+def dedup_incremental_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SUBSTRING-level dedup: an incoming shard's 15-token
+    passage windows checked against the historical corpus's window
+    dictionary — the steady-state form of ``dedup_repeated_passages``
+    exactly as ``dedup_incremental_exact`` is of exact dedup, extending
+    the {{exact, minhash, simhash}} x {{one-shot, incremental}} matrix to
+    the passage level. A batch document is ``flagged`` when ANY of its
+    distinct windows already exists in history (the Lee et al. signal at
+    admission time: boilerplate re-entering the pool); per-doc counts
+    ride so a scheduler can grade severity. Documents with <15 tokens
+    have zero windows, report 0, and can never flag — same both engines.
+
+    History/batch split is the sibling queries' deterministic doc_id
+    residue; INCREMENTAL_NEARDUP_FIXTURE_ROWS straddles it (base doc in
+    history, one-token rewrite in the batch — they share every window
+    not touching the rewritten token), so the hit path is non-vacuous at
+    any SF.
+
+    Scale shape: the production join carries the 16-byte
+    :func:`passage_hash_pair`, never strings (the string form is the
+    DuckDB twin, same discipline as dedup_passage_prune); the history
+    side reduces to its DISTINCT window-pair dictionary — at 100 TB a
+    staging table bucketed by (h1, h2) written once per corpus epoch
+    (sources/batch.py: write_bucketed_table), making the membership join
+    zero-shuffle on the history side while each daily shard shuffles
+    only its own delta; the per-doc rollup is a partial-agg'd groupBy on
+    the shard's doc_id."""
+    docs = _passage_docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id",
+        F.array_distinct(shingles(ws_tokens("text"), PASSAGE_TOKENS)).alias("ps"),
+    )
+    is_batch = F.col("doc_id") % 10 >= _INCREMENTAL_BATCH_RESIDUE
+    hist = (
+        t.filter(~is_batch)
+        .select(F.explode("ps").alias("passage"))
+        .select(*passage_hash_pair(F.col("passage")))
+        .distinct()
+    )
+    b = t.filter(is_batch)
+    hits = (
+        b.select("doc_id", F.explode("ps").alias("passage"))
+        .select("doc_id", *passage_hash_pair(F.col("passage")))
+        .join(hist, ["h1", "h2"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n = F.coalesce(F.col("n"), F.lit(0).cast("long"))
+    return (
+        b.select("doc_id", F.size("ps").cast("long").alias("n_passages"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_passages",
+            n.alias("n_hist_repeated"),
+            (n >= 1).alias("flagged"),
+        )
+    )

@@ -695,6 +695,113 @@ class QualityGateSink:
             scored.unpersist()
 
 
+@dataclass
+class PassageHistoryDedupSink:
+    """Streaming SUBSTRING-level dedup admission vs epoch history — the
+    foreachBatch form of ``operators.dedup.dedup_incremental_passages``,
+    completing the dedup matrix at the passage level: {exact, minhash,
+    simhash, passage} x {one-shot, incremental, streaming}. A shard row
+    is rejected when ANY of its distinct PASSAGE_TOKENS-token windows
+    already exists in the historical window dictionary from epochs
+    *strictly before e* (replay safety: a restarted epoch sees exactly
+    the history its first run saw, so it can never reject its own
+    already-recorded windows).
+
+    Per micro-batch (epoch ``e``):
+
+    1. one tokenize+shingle+hash pass builds the shard's distinct
+       (doc_id, h1, h2) window pairs — the same 16-byte
+       ``passage_hash_pair`` keys as the batch query and the prune
+       applier, shared expressions so keys cannot drift;
+    2. admission: the pairs equi-join the historical window dictionary;
+       any hit rejects the document (the batch twin's flagged >= 1
+       rule);
+    3. admitted rows overwrite ``out/epoch=e``; admitted documents'
+       DISTINCT window pairs overwrite ``history/windows/epoch=e`` —
+       idempotent epoch-partition writes, so a replayed epoch rewrites
+       both partitions identically.
+
+    Rows with <PASSAGE_TOKENS tokens have zero windows, are admitted,
+    and contribute no history — the batch query reports them 0/unflagged
+    the same way. Scale shape: both join sides carry 16-byte pairs; at
+    100 TB the history store is a staging table bucketed by (h1, h2)
+    (sources/batch.py: write_bucketed_table), zero-shuffle on the
+    history side; the strict-epoch filter is partition pruning."""
+
+    spark: SparkSession
+    out_path: str
+    history_path: str
+    content_col: str = "text"
+    id_col: str = "doc_id"
+    stats: dict = field(
+        default_factory=lambda: {"batches": 0, "admitted": 0, "rejected": 0}
+    )
+
+    def _windows_before(self, epoch_id: int) -> DataFrame:
+        return _epoch_history_scan(
+            self.spark,
+            f"{self.history_path}/windows",
+            "h1 long, h2 long",
+            epoch_id,
+        ).distinct()
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from projet_pipeline_bigdata_org_spark.operators.dedup import (
+            PASSAGE_TOKENS,
+            passage_hash_pair,
+        )
+        from projet_pipeline_bigdata_org_spark.operators.textops import (
+            shingles,
+            ws_tokens,
+        )
+
+        self.stats["batches"] += 1
+        if batch_df.isEmpty():  # P9 empty-batch guard
+            return
+        # persist the micro-batch once: the window stage, the admission
+        # anti-join, the stats count, and both writes all read the cache
+        # (same discipline as every sibling history sink)
+        batch_df = batch_df.persist()
+        win = (
+            batch_df.select(
+                F.col(self.id_col).alias("doc_id"),
+                F.explode(
+                    F.array_distinct(
+                        shingles(ws_tokens(self.content_col), PASSAGE_TOKENS)
+                    )
+                ).alias("passage"),
+            )
+            .select("doc_id", *passage_hash_pair(F.col("passage")))
+            .persist()
+        )
+        try:
+            rejected_ids = (
+                win.join(self._windows_before(epoch_id), ["h1", "h2"])
+                .select(F.col("doc_id").alias(self.id_col))
+                .distinct()
+            )
+            admitted = batch_df.join(rejected_ids, self.id_col, "left_anti").persist()
+            try:
+                n_batch, n_admitted = batch_df.count(), admitted.count()
+                self.stats["admitted"] += n_admitted
+                self.stats["rejected"] += n_batch - n_admitted
+                admitted.write.mode("overwrite").parquet(
+                    f"{self.out_path}/epoch={epoch_id}"
+                )
+                win.join(
+                    admitted.select(F.col(self.id_col).alias("doc_id")),
+                    "doc_id",
+                    "left_semi",
+                ).select("h1", "h2").distinct().write.mode("overwrite").parquet(
+                    f"{self.history_path}/windows/epoch={epoch_id}"
+                )
+            finally:
+                admitted.unpersist()
+        finally:
+            win.unpersist()
+            batch_df.unpersist()
+
+
 def start_foreach_batch(
     df: DataFrame,
     sink: FailoverBatchSink,

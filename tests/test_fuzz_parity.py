@@ -617,3 +617,12 @@ def test_perplexity_twins_agree_on_fuzz(fuzz_df):
     from projet_pipeline_bigdata_org_spark.operators import curation
 
     _fuzz_query_twins(fuzz_df, curation, "curate_perplexity_filter")
+
+
+def test_incremental_passages_twins_agree_on_fuzz(fuzz_df):
+    """Incremental substring-level admission fuzzed: residue split, distinct
+    window hashing, history membership join, and the >=1 flag rule agree
+    across engines on adversarial text."""
+    from projet_pipeline_bigdata_org_spark.operators import dedup
+
+    _fuzz_query_twins(fuzz_df, dedup, "dedup_incremental_passages")

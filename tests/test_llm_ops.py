@@ -1746,3 +1746,18 @@ def test_embed_decontaminate_flags_planted_paraphrase_only(spark, sf_dir):
     assert [r.vec_id for r in rows if r.contaminated] == [-26]
     assert -25 not in got  # bench split excluded from the audited corpus
     assert all(r.vec_id % 25 != 0 for r in rows)
+
+
+def test_incremental_passages_fixture_straddles_split(spark, sf_dir):
+    """The near-dup fixture's base doc (residue 0) sits in history; its
+    one-token rewrite (residue 8) must flag with >=1 repeated window and
+    n_hist_repeated < n_passages (the rewritten token's windows are
+    novel); the novel doc must not flag."""
+    got = {
+        r.doc_id: r
+        for r in _Q["dedup_incremental_passages"].fn(spark, sf_dir).collect()
+    }
+    assert 2_000_000_000 not in got  # history split is not reported
+    near, novel = got[2_000_000_008], got[2_000_000_018]
+    assert near.flagged is True and 0 < near.n_hist_repeated < near.n_passages
+    assert novel.flagged is False and novel.n_hist_repeated == 0

@@ -931,3 +931,88 @@ def test_history_scan_tolerates_uncommitted_store(spark, tmp_path):
     # the next epoch still reads history fine and rejects the known sha
     sink(spark.createDataFrame([(9, "beta")], "event_id long, text string"), 1)
     assert sink.stats["rejected"] == 1
+
+
+def test_passage_history_sink_rejects_repeats_and_replays_identically(
+    spark, tmp_path
+):
+    """Streaming substring-level admission (the passage x streaming cell,
+    completing the dedup matrix): a shard document sharing ANY 15-token
+    window with a strictly-earlier epoch is rejected at ingest, a novel
+    document is admitted, and worst-order replay rewrites out/windows
+    partitions identically; rejected docs never enter history; short
+    (<15-token) docs are admitted and contribute no windows."""
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        PassageHistoryDedupSink,
+    )
+
+    p15 = " ".join(f"w{i}" for i in range(15))
+    base = (1, f"intro words {p15} outro")
+    rep = (2, f"entirely different frame {p15} rewrapped")   # shares the window
+    novel = (3, " ".join(f"x{i}" for i in range(20)))
+    short = (4, "too short for any window")
+    out, hist = str(tmp_path / "out"), str(tmp_path / "hist")
+    sink = PassageHistoryDedupSink(spark, out, hist)
+
+    def mk(rows):
+        return spark.createDataFrame(list(rows), "doc_id long, text string")
+
+    sink(mk([base]), 0)
+    sink(mk([rep, novel, short]), 1)
+    assert sink.stats == {"batches": 2, "admitted": 3, "rejected": 1}
+
+    def admitted():
+        return {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+
+    assert admitted() == {1, 3, 4}
+    # worst-order replay: the strict epoch < e bound keeps both rewrites
+    # identical (epoch 0 cannot reject itself against its own windows)
+    sink(mk([rep, novel, short]), 1)
+    sink(mk([base]), 0)
+    assert admitted() == {1, 3, 4}
+    # rejected doc's windows never entered history; short doc stored none
+    hw = spark.read.parquet(f"{hist}/windows")
+    assert hw.count() == hw.distinct().count()  # per-epoch stores are distinct
+    # every stored window traces to an admitted doc: replaying changed nothing,
+    # and epoch 1 stored only novel's windows (6 = 20-15+1)
+    assert spark.read.parquet(f"{hist}/windows/epoch=1").count() == 6
+
+
+def test_passage_history_sink_matches_batch_incremental_restriction(
+    spark, sf_dir, tmp_path
+):
+    """Admitted-set equality with the batch form: history split as epoch 0,
+    batch split as epoch 1 — the sink must reject exactly the doc_ids
+    ``dedup_incremental_passages`` flags on the same corpus + fixture
+    (shared window/hash expressions, so the two forms cannot drift)."""
+    from projet_pipeline_bigdata_org_spark import plans
+    from projet_pipeline_bigdata_org_spark.operators.dedup import (
+        _INCREMENTAL_BATCH_RESIDUE,
+        _passage_docs,
+    )
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        PassageHistoryDedupSink,
+    )
+
+    plans.load_all()
+    d = _passage_docs(spark, sf_dir)
+    is_batch = F.col("doc_id") % 10 >= _INCREMENTAL_BATCH_RESIDUE
+    out, hist = str(tmp_path / "out"), str(tmp_path / "hist")
+    sink = PassageHistoryDedupSink(spark, out, hist)
+    sink(d.filter(~is_batch), 0)
+    sink(d.filter(is_batch), 1)
+
+    expected_flagged = {
+        r.doc_id
+        for r in plans.all_queries()["dedup_incremental_passages"](spark, sf_dir)
+        .filter(F.col("flagged"))
+        .collect()
+    }
+    assert expected_flagged  # fixture guarantees the hit path
+    batch_ids = {r.doc_id for r in d.filter(is_batch).select("doc_id").collect()}
+    admitted_batch = {
+        r.doc_id
+        for r in spark.read.parquet(f"{out}/epoch=1").select("doc_id").collect()
+    }
+    assert admitted_batch == batch_ids - expected_flagged
+    assert sink.stats["rejected"] == len(expected_flagged)
