@@ -1016,3 +1016,49 @@ def test_passage_history_sink_matches_batch_incremental_restriction(
     }
     assert admitted_batch == batch_ids - expected_flagged
     assert sink.stats["rejected"] == len(expected_flagged)
+
+
+def test_passage_history_sink_restart_zero_repeat_admissions(spark, tmp_path):
+    """End-to-end T3/T5 for the passage sink: a checkpointed foreachBatch
+    stream with a FRESH PassageHistoryDedupSink on restart (process
+    restart) still admits each passage neighborhood exactly once — the
+    one-token rewrite of epoch-0 content shares untouched windows and is
+    rejected across the restart boundary."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import (
+        INCREMENTAL_NEARDUP_FIXTURE_ROWS,
+    )
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        PassageHistoryDedupSink,
+        file_stream,
+    )
+
+    base, near, novel = INCREMENTAL_NEARDUP_FIXTURE_ROWS
+    src = str(tmp_path / "src")
+    out, hist, ckpt = (
+        str(tmp_path / "out"),
+        str(tmp_path / "hist"),
+        str(tmp_path / "ckpt"),
+    )
+    schema = "doc_id long, text string"
+
+    def run(sink):
+        q = (
+            file_stream(spark, src, schema, max_files_per_trigger=1)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([base[:2]], schema).write.mode("append").parquet(src)
+    run(PassageHistoryDedupSink(spark, out, hist))
+    spark.createDataFrame([near[:2], novel[:2]], schema).write.mode(
+        "append"
+    ).parquet(src)
+    sink2 = PassageHistoryDedupSink(spark, out, hist)
+    run(sink2)
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == sorted([base[0], novel[0]])
+    assert sink2.stats["rejected"] == 1
