@@ -1145,40 +1145,51 @@ def dedup_incremental_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the production join carries the 16-byte
     :func:`passage_hash_pair`, never strings (the string form is the
-    DuckDB twin, same discipline as dedup_passage_prune); the history
-    side reduces to its DISTINCT window-pair dictionary — at 100 TB a
-    staging table bucketed by (h1, h2) written once per corpus epoch
-    (sources/batch.py: write_bucketed_table), making the membership join
-    zero-shuffle on the history side while each daily shard shuffles
-    only its own delta; the per-doc rollup is a partial-agg'd groupBy on
-    the shard's doc_id."""
+    DuckDB twin, same discipline as dedup_passage_prune); ONE
+    tokenize+shingle+hash pass builds the persisted distinct
+    (doc_id, h1, h2) window table feeding the history dictionary, the
+    membership join, AND the per-doc sizes (the unpersisted form
+    recomputed the text chain three times — measured 5.78s vs 3.80s at
+    sf0.1, N=5 medians); the history side reduces to its DISTINCT window-pair
+    dictionary — at 100 TB a staging table bucketed by (h1, h2) written
+    once per corpus epoch (sources/batch.py: write_bucketed_table),
+    making the membership join zero-shuffle on the history side while
+    each daily shard shuffles only its own delta; the per-doc rollup is
+    a partial-agg'd groupBy on the shard's doc_id. Zero-window batch
+    docs come from a window-free id scan of the corpus, so they still
+    report (0, false)."""
     docs = _passage_docs(spark, sf_dir)
-    t = docs.select(
-        "doc_id",
-        F.array_distinct(shingles(ws_tokens("text"), PASSAGE_TOKENS)).alias("ps"),
-    )
     is_batch = F.col("doc_id") % 10 >= _INCREMENTAL_BATCH_RESIDUE
-    hist = (
-        t.filter(~is_batch)
-        .select(F.explode("ps").alias("passage"))
-        .select(*passage_hash_pair(F.col("passage")))
-        .distinct()
+    win = _persist_scoped(
+        "incpass_win",
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles(ws_tokens("text"), PASSAGE_TOKENS))
+            ).alias("passage"),
+        ).select("doc_id", *passage_hash_pair(F.col("passage"))),
     )
-    b = t.filter(is_batch)
+    hist = win.filter(~is_batch).select("h1", "h2").distinct()
+    b_win = win.filter(is_batch)
+    sizes = b_win.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_passages")
+    )
     hits = (
-        b.select("doc_id", F.explode("ps").alias("passage"))
-        .select("doc_id", *passage_hash_pair(F.col("passage")))
-        .join(hist, ["h1", "h2"])
+        b_win.join(hist, ["h1", "h2"])
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
     n = F.coalesce(F.col("n"), F.lit(0).cast("long"))
     return (
-        b.select("doc_id", F.size("ps").cast("long").alias("n_passages"))
+        docs.filter(is_batch)
+        .select("doc_id")
+        .join(sizes, "doc_id", "left")
         .join(hits, "doc_id", "left")
         .select(
             "doc_id",
-            "n_passages",
+            F.coalesce(F.col("n_passages"), F.lit(0)).cast("long").alias(
+                "n_passages"
+            ),
             n.alias("n_hist_repeated"),
             (n >= 1).alias("flagged"),
         )
