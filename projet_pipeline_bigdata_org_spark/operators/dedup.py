@@ -813,6 +813,11 @@ def simhash_pairs(
 #: essentially impossible, short enough to catch boilerplate runs
 PASSAGE_TOKENS = 15
 
+#: NULL-safe SQL tokenizer (the curation._TOK_NULLSAFE_SQL discipline):
+#: Spark's shingle guard collapses NULL tokens to [] while DuckDB's
+#: LEN(NULL) is NULL — COALESCE keeps the twins identical on NULL text
+_TOK_NULLSAFE_SQL = SQL_WS_TOKENS.format(c="COALESCE(text, '')")
+
 _PASSAGE_FIXTURE_SQL = " UNION ALL ".join(
     "SELECT CAST({} AS BIGINT) AS doc_id, '{}' AS text".format(
         i, t.replace("'", "''")
@@ -865,8 +870,9 @@ def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the passage key; the HAVING >= 2 filter keeps only the (tiny)
     repeated tail. This string-keyed form is the oracle-checkable AUDIT
     (the DuckDB twin needs the strings); the production path —
-    :func:`repeated_passage_audit_hashed`, which ``dedup_passage_prune``
-    consumes — shuffles the 16-byte :func:`passage_hash_pair` instead,
+    :func:`repeated_passage_audit_hashed` and ``dedup_passage_prune``,
+    both built on the shared :func:`_audit_from_distinct_window_pairs`
+    aggregation — shuffles the 16-byte :func:`passage_hash_pair` instead,
     and the equivalence of the two audits is pinned by
     ``test_hashed_passage_audit_matches_string_audit``."""
     d = (
@@ -912,6 +918,23 @@ def passage_hash_pair(passage: F.Column) -> tuple[F.Column, F.Column]:
     )
 
 
+def _audit_from_distinct_window_pairs(pairs: DataFrame) -> DataFrame:
+    """The ONE definition of the hashed repeated-passage audit aggregation:
+    given per-document DISTINCT (doc_id, h1, h2) window pairs, return
+    (h1, h2, n_docs, keeper_doc_id) for windows spanning >= 2 documents
+    with the min-id keeper. Both :func:`repeated_passage_audit_hashed`
+    and ``dedup_passage_prune`` call this, so the grouping/keeper/
+    threshold semantics cannot drift between them."""
+    return (
+        pairs.groupBy("h1", "h2")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 def repeated_passage_audit_hashed(docs: DataFrame) -> DataFrame:
     """PRODUCTION form of the repeated-passage audit: identical grouping
     semantics to ``dedup_repeated_passages`` (distinct per-doc
@@ -919,7 +942,7 @@ def repeated_passage_audit_hashed(docs: DataFrame) -> DataFrame:
     the fixed-width :func:`passage_hash_pair` — the passage STRING is
     projected away before the shuffle, so the exchange carries 16-byte
     keys instead of ~100-byte strings (the scale note on the audit query,
-    made real). ``tests/test_dedup.py::
+    made real). ``tests/test_llm_ops.py::
     test_hashed_passage_audit_matches_string_audit`` pins that both
     audits select identical (n_docs, keeper) sets.
 
@@ -930,14 +953,8 @@ def repeated_passage_audit_hashed(docs: DataFrame) -> DataFrame:
             F.array_distinct(shingles(ws_tokens("text"), PASSAGE_TOKENS))
         ).alias("passage"),
     )
-    return (
+    return _audit_from_distinct_window_pairs(
         p.select("doc_id", *passage_hash_pair(F.col("passage")))
-        .groupBy("h1", "h2")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").cast("long").alias("keeper_doc_id"),
-        )
-        .filter(F.col("n_docs") >= 2)
     )
 
 
@@ -1036,10 +1053,10 @@ def dedup_passage_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
        footprint call as the minhash band store, and like it the 100 TB
        form writes it once per corpus epoch as a bucketed staging table
        (sources/batch.py: write_bucketed_table) instead of caching;
-    2. the audit derives from the window table by fixed-width
-       (doc_id, h1, h2) distinct + (h1, h2) count/min — semantics
-       identical to :func:`repeated_passage_audit_hashed` (pinned
-       against the string audit by test), never a string shuffle;
+    2. the audit derives from the window table via the SHARED
+       :func:`_audit_from_distinct_window_pairs` aggregation (the same
+       code path as :func:`repeated_passage_audit_hashed`, which the
+       string-audit equivalence test pins), never a string shuffle;
     3. covered starts fold to one array per doc (collect_set — spans
        dedupe), join back to the token table by doc_id, and the rebuild
        is a per-row higher-order filter+array_join inside codegen: no
@@ -1059,15 +1076,8 @@ def dedup_passage_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).select("doc_id", "start", *passage_hash_pair(F.col("passage"))),
     )
-    audit = (
-        win.select("doc_id", "h1", "h2")
-        .distinct()
-        .groupBy("h1", "h2")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").cast("long").alias("keeper_doc_id"),
-        )
-        .filter(F.col("n_docs") >= 2)
+    audit = _audit_from_distinct_window_pairs(
+        win.select("doc_id", "h1", "h2").distinct()
     )
     covered = (
         win.join(audit.select("h1", "h2", "keeper_doc_id"), ["h1", "h2"])
@@ -1102,7 +1112,7 @@ def dedup_passage_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), t AS (
       SELECT doc_id,
              LIST_DISTINCT(
-               {sql_shingles(SQL_WS_TOKENS.format(c='text'), PASSAGE_TOKENS)})
+               {sql_shingles(_TOK_NULLSAFE_SQL, PASSAGE_TOKENS)})
                AS ps
       FROM docs
     ), hist AS (
@@ -1160,12 +1170,20 @@ def dedup_incremental_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     report (0, false)."""
     docs = _passage_docs(spark, sf_dir)
     is_batch = F.col("doc_id") % 10 >= _INCREMENTAL_BATCH_RESIDUE
+    # NULL text tokenizes to zero windows in BOTH twins (_TOK_NULLSAFE_SQL
+    # in the oracle; without the coalesce DuckDB reports n_passages NULL
+    # where Spark reports 0 — the r8 size(NULL) pitfall)
     win = _persist_scoped(
         "incpass_win",
         docs.select(
             "doc_id",
             F.explode(
-                F.array_distinct(shingles(ws_tokens("text"), PASSAGE_TOKENS))
+                F.array_distinct(
+                    shingles(
+                        ws_tokens(F.coalesce(F.col("text"), F.lit(""))),
+                        PASSAGE_TOKENS,
+                    )
+                )
             ).alias("passage"),
         ).select("doc_id", *passage_hash_pair(F.col("passage"))),
     )

@@ -548,24 +548,52 @@ _MM_FIXTURE_EXT = {
 def _media_fixture_dir() -> str:
     """Deterministic on-disk media directory holding the five fixture files
     (plus a decoy the glob must prune) — the registered stand-in for a
-    lake prefix of raw media objects. Idempotent: files are rewritten only
-    if absent or wrong-sized, so repeated query runs and concurrent tests
-    converge on identical bytes."""
+    lake prefix of raw media objects. Idempotent AND race-safe: each file
+    is compared by CONTENT (a same-length stale payload still refreshes)
+    and rewritten via temp-name + os.replace, so a concurrent scan never
+    observes a torn write — it sees either the old or the new bytes,
+    which here are identical."""
     import os
     import tempfile
 
     d = os.path.join(tempfile.gettempdir(), "spark_graft_media_fixture")
     os.makedirs(d, exist_ok=True)
+
+    def _put(path: str, payload: bytes) -> None:
+        try:
+            with open(path, "rb") as f:
+                if f.read() == payload:
+                    return
+        except OSError:
+            pass
+        fd, tmp = tempfile.mkstemp(dir=d)
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)  # atomic on POSIX
+
     for doc_id, payload in MM_MEDIA_FIXTURE_ROWS:
-        p = os.path.join(d, f"m{doc_id}.{_MM_FIXTURE_EXT[doc_id]}")
-        if not (os.path.exists(p) and os.path.getsize(p) == len(payload)):
-            with open(p, "wb") as f:
-                f.write(payload)
-    decoy = os.path.join(d, "decoy.txt")
-    if not os.path.exists(decoy):
-        with open(decoy, "wb") as f:
-            f.write(b"not media, must never be listed")
+        _put(os.path.join(d, f"m{doc_id}.{_MM_FIXTURE_EXT[doc_id]}"), payload)
+    _put(os.path.join(d, "decoy.txt"), b"not media, must never be listed")
     return d
+
+
+def _media_fixture_payloads(spark: SparkSession) -> DataFrame:
+    """The shared fixture-file scan both registered media pipelines start
+    from: binaryFile over the fixture directory (listing-time glob prune
+    of the decoy) → (doc_id, payload). doc_id parses from the BASENAME
+    only (anchored regex) — a temp-directory path that happens to contain
+    ``m<digits>.`` can never corrupt the ids."""
+    from projet_pipeline_bigdata_org_spark.sources.batch import read_binary_files
+
+    files = read_binary_files(
+        spark, _media_fixture_dir(), path_glob="m*.{png,jpg,gif,wav,bmp}"
+    )
+    return files.select(
+        F.regexp_extract(F.col("path"), r"/m(\d+)\.[a-z0-9]+$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
 
 
 @query(
@@ -602,16 +630,9 @@ def decode_binary_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     unused: the fixture directory IS the source (a registered query must
     be hermetic; real deployments pass their lake URI to
     read_binary_files directly)."""
-    from projet_pipeline_bigdata_org_spark.sources.batch import read_binary_files
-
-    files = read_binary_files(
-        spark, _media_fixture_dir(), path_glob="m*.{png,jpg,gif,wav,bmp}"
+    return _media_fixture_payloads(spark).mapInPandas(
+        decode_batches, schema=DECODE_SCHEMA
     )
-    payloads = files.select(
-        F.regexp_extract(F.col("path"), r"m(\d+)\.", 1).cast("long").alias("doc_id"),
-        F.col("content").alias("payload"),
-    )
-    return payloads.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -720,13 +741,6 @@ def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     RESIZE_MAX_EDGE). Scale shape: same as decode_binary_media —
     executor-side listing/read, embarrassingly parallel kernel, whole
     payloads per task."""
-    from projet_pipeline_bigdata_org_spark.sources.batch import read_binary_files
-
-    files = read_binary_files(
-        spark, _media_fixture_dir(), path_glob="m*.{png,jpg,gif,wav,bmp}"
+    return _media_fixture_payloads(spark).mapInPandas(
+        resize_batches, schema=RESIZE_SCHEMA
     )
-    payloads = files.select(
-        F.regexp_extract(F.col("path"), r"m(\d+)\.", 1).cast("long").alias("doc_id"),
-        F.col("content").alias("payload"),
-    )
-    return payloads.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)

@@ -1761,3 +1761,43 @@ def test_incremental_passages_fixture_straddles_split(spark, sf_dir):
     near, novel = got[2_000_000_008], got[2_000_000_018]
     assert near.flagged is True and 0 < near.n_hist_repeated < near.n_passages
     assert novel.flagged is False and novel.n_hist_repeated == 0
+
+
+def test_incremental_passages_null_text_reports_zero_in_both_twins(spark):
+    """NULL text in the batch split must report (n_passages=0, flagged
+    false) — and the DuckDB twin must agree (the r8 size(NULL) pitfall:
+    without COALESCE, LEN of a NULL shingle list is NULL, not 0)."""
+    import duckdb
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import dedup
+
+    p15 = " ".join(f"w{i}" for i in range(15))
+    crafted = spark.createDataFrame(
+        [(10, p15), (18, None), (28, f"pre {p15} post")],
+        "doc_id long, text string",
+    )
+    with mock.patch.object(dedup, "load", lambda _s, _d, _t: crafted):
+        got = {
+            tuple(r)
+            for r in dedup.dedup_incremental_passages(spark, "ignored").collect()
+        }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        __import__("pandas").DataFrame(
+            {"doc_id": [10, 18, 28], "text": [p15, None, f"pre {p15} post"]}
+        ),
+    )
+    from projet_pipeline_bigdata_org_spark import plans
+
+    want = {
+        tuple(r)
+        for r in con.execute(
+            plans.registry.all_specs()["dedup_incremental_passages"].oracle
+        ).fetchall()
+    }
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[18] == (18, 0, 0, False)     # NULL text: zero, unflagged
+    assert by_id[28][3] is True               # shares the history window
