@@ -44,12 +44,17 @@ from projet_pipeline_bigdata_org_spark.operators.packing import (
     SEQ_BUDGET,
     _token_counts,
 )
-from projet_pipeline_bigdata_org_spark.operators.textops import SQL_WS_TOKENS, ws_tokens
+from projet_pipeline_bigdata_org_spark.operators.textops import (
+    SQL_TOK_NULLSAFE,
+    SQL_WS_TOKENS,
+    ws_tokens,
+)
 from projet_pipeline_bigdata_org_spark.plans.registry import query
 
 _TOK_SQL = SQL_WS_TOKENS.format(c="text")
-#: NULL-safe variant: NULL text tokenizes to [] in both engines
-_TOK_NULLSAFE_SQL = SQL_WS_TOKENS.format(c="COALESCE(text, '')")
+#: NULL-safe variant: NULL text tokenizes to [] in both engines — the
+#: shared textops.SQL_TOK_NULLSAFE definition
+_TOK_NULLSAFE_SQL = SQL_TOK_NULLSAFE
 
 
 @query(

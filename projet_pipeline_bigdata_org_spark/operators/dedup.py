@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from projet_pipeline_bigdata_org_spark.catalog import load
 from projet_pipeline_bigdata_org_spark.functions.cleaning import clean_text
 from projet_pipeline_bigdata_org_spark.operators.textops import (
+    SQL_TOK_NULLSAFE,
     SQL_WS_TOKENS,
     shingles,
     sql_shingles,
@@ -813,11 +814,6 @@ def simhash_pairs(
 #: essentially impossible, short enough to catch boilerplate runs
 PASSAGE_TOKENS = 15
 
-#: NULL-safe SQL tokenizer (the curation._TOK_NULLSAFE_SQL discipline):
-#: Spark's shingle guard collapses NULL tokens to [] while DuckDB's
-#: LEN(NULL) is NULL — COALESCE keeps the twins identical on NULL text
-_TOK_NULLSAFE_SQL = SQL_WS_TOKENS.format(c="COALESCE(text, '')")
-
 _PASSAGE_FIXTURE_SQL = " UNION ALL ".join(
     "SELECT CAST({} AS BIGINT) AS doc_id, '{}' AS text".format(
         i, t.replace("'", "''")
@@ -1112,7 +1108,7 @@ def dedup_passage_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), t AS (
       SELECT doc_id,
              LIST_DISTINCT(
-               {sql_shingles(_TOK_NULLSAFE_SQL, PASSAGE_TOKENS)})
+               {sql_shingles(SQL_TOK_NULLSAFE, PASSAGE_TOKENS)})
                AS ps
       FROM docs
     ), hist AS (
@@ -1187,22 +1183,29 @@ def dedup_incremental_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("passage"),
         ).select("doc_id", *passage_hash_pair(F.col("passage"))),
     )
-    hist = win.filter(~is_batch).select("h1", "h2").distinct()
-    b_win = win.filter(is_batch)
-    sizes = b_win.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_passages")
+    hist = (
+        win.filter(~is_batch)
+        .select("h1", "h2")
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    hits = (
-        b_win.join(hist, ["h1", "h2"])
+    # ONE left join + ONE groupBy yields both sizes and hit counts (the
+    # dictionary is distinct, so the join never multiplies rows); the
+    # id-scan left join restores zero-window batch docs
+    per_doc = (
+        win.filter(is_batch)
+        .join(hist, ["h1", "h2"], "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.count("hit").alias("n"),
+        )
     )
     n = F.coalesce(F.col("n"), F.lit(0).cast("long"))
     return (
         docs.filter(is_batch)
         .select("doc_id")
-        .join(sizes, "doc_id", "left")
-        .join(hits, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("n_passages"), F.lit(0)).cast("long").alias(

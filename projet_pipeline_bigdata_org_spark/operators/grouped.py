@@ -678,7 +678,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.size(F.array_intersect("nbrs_u", "nbrs_v")))
             .alias("t")
         )
-        .agg(F.sum("t").alias("n_triangles"))
+        # coalesce: SUM over an empty edge set is NULL where the replaced
+        # COUNT form (and the oracle's COUNT(*)) returns 0
+        .agg(F.coalesce(F.sum("t"), F.lit(0)).alias("n_triangles"))
     )
     stats = e.agg(F.count(F.lit(1)).alias("n_edges"))
     n_vertices = (

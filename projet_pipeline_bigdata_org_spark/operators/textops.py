@@ -29,6 +29,13 @@ def ws_tokens(col: Column | str) -> Column:
 
 SQL_WS_TOKENS = "LIST_FILTER(STRING_SPLIT({c}, ' '), x -> x <> '')"
 
+#: NULL-safe instantiation over the documents table's text column: NULL
+#: text tokenizes to [] in BOTH engines (Spark's shingle/size guards
+#: collapse NULL to empty; DuckDB's LEN(NULL)/LIST ops stay NULL without
+#: the COALESCE — the r8 size(NULL) pitfall). The ONE definition both
+#: curation and dedup twins share.
+SQL_TOK_NULLSAFE = SQL_WS_TOKENS.format(c="COALESCE(text, '')")
+
 
 def shingles(tokens: Column, n: int = 3) -> Column:
     """Word n-gram shingles as strings; empty array when len(tokens) < n.

@@ -325,6 +325,38 @@ class HistoryDedupSink:
             joined.unpersist()
 
 
+def _admit_batch(
+    sink,
+    batch_df: DataFrame,
+    feat: DataFrame,
+    rejected_ids: DataFrame,
+    epoch_id: int,
+) -> None:
+    """The shared admission TAIL of every feature-history sink (minhash /
+    simhash / passage — the scaffolding a fourth family would otherwise
+    copy a fifth time): anti-join the family's rejected ids, account
+    stats with one count pair over the caches, overwrite ``out/epoch=e``
+    idempotently, and hand the ADMITTED subset of the persisted feature
+    stage to the family's ``_write_history``. Rejected rows never reach
+    history; a replayed epoch rewrites every partition identically."""
+    admitted = batch_df.join(rejected_ids, sink.id_col, "left_anti").persist()
+    try:
+        n_batch, n_admitted = batch_df.count(), admitted.count()
+        sink.stats["admitted"] += n_admitted
+        sink.stats["rejected"] += n_batch - n_admitted
+        admitted.write.mode("overwrite").parquet(
+            f"{sink.out_path}/epoch={epoch_id}"
+        )
+        adm_feat = feat.join(
+            admitted.select(F.col(sink.id_col).alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+        sink._write_history(adm_feat, epoch_id)
+    finally:
+        admitted.unpersist()
+
+
 @dataclass
 class MinHashHistoryDedupSink:
     """Streaming NEAR-dedup admission against a persisted historical corpus
@@ -461,33 +493,26 @@ class MinHashHistoryDedupSink:
                 .select(F.col("batch_id").alias(self.id_col))
                 .distinct()
             )
-            admitted = batch_df.join(rejected_ids, self.id_col, "left_anti").persist()
-            try:
-                n_batch, n_admitted = batch_df.count(), admitted.count()
-                self.stats["admitted"] += n_admitted
-                self.stats["rejected"] += n_batch - n_admitted
-                admitted.write.mode("overwrite").parquet(
-                    f"{self.out_path}/epoch={epoch_id}"
-                )
-                adm_sh = sh.join(
-                    admitted.select(F.col(self.id_col).alias("doc_id")),
-                    "doc_id",
-                    "left_semi",
-                ).persist()
-                try:
-                    minhash_band_table(adm_sh).write.mode("overwrite").parquet(
-                        f"{self.history_path}/bands/epoch={epoch_id}"
-                    )
-                    adm_sh.select("doc_id", "sh").write.mode("overwrite").parquet(
-                        f"{self.history_path}/shingles/epoch={epoch_id}"
-                    )
-                finally:
-                    adm_sh.unpersist()
-            finally:
-                admitted.unpersist()
+            _admit_batch(self, batch_df, sh, rejected_ids, epoch_id)
         finally:
             sh.unpersist()
             batch_df.unpersist()
+
+    def _write_history(self, adm_sh: DataFrame, epoch_id: int) -> None:
+        from projet_pipeline_bigdata_org_spark.operators.dedup import (
+            minhash_band_table,
+        )
+
+        adm_sh = adm_sh.persist()  # feeds both the band and shingle writes
+        try:
+            minhash_band_table(adm_sh).write.mode("overwrite").parquet(
+                f"{self.history_path}/bands/epoch={epoch_id}"
+            )
+            adm_sh.select("doc_id", "sh").write.mode("overwrite").parquet(
+                f"{self.history_path}/shingles/epoch={epoch_id}"
+            )
+        finally:
+            adm_sh.unpersist()
 
 
 @dataclass
@@ -600,30 +625,17 @@ class SimHashHistoryDedupSink:
                     .select(F.col("b.doc_id").alias(self.id_col))
                     .distinct()
                 )
-                admitted = batch_df.join(
-                    rejected_ids, self.id_col, "left_anti"
-                ).persist()
-                try:
-                    n_batch, n_admitted = batch_df.count(), admitted.count()
-                    self.stats["admitted"] += n_admitted
-                    self.stats["rejected"] += n_batch - n_admitted
-                    admitted.write.mode("overwrite").parquet(
-                        f"{self.out_path}/epoch={epoch_id}"
-                    )
-                    fp.join(
-                        admitted.select(F.col(self.id_col).alias("doc_id")),
-                        "doc_id",
-                        "left_semi",
-                    ).write.mode("overwrite").parquet(
-                        f"{self.history_path}/fingerprints/epoch={epoch_id}"
-                    )
-                finally:
-                    admitted.unpersist()
+                _admit_batch(self, batch_df, fp, rejected_ids, epoch_id)
             finally:
                 hist_chunks.unpersist()
         finally:
             fp.unpersist()
             batch_df.unpersist()
+
+    def _write_history(self, adm_fp: DataFrame, epoch_id: int) -> None:
+        adm_fp.write.mode("overwrite").parquet(
+            f"{self.history_path}/fingerprints/epoch={epoch_id}"
+        )
 
 
 @dataclass
@@ -780,26 +792,15 @@ class PassageHistoryDedupSink:
                 .select(F.col("doc_id").alias(self.id_col))
                 .distinct()
             )
-            admitted = batch_df.join(rejected_ids, self.id_col, "left_anti").persist()
-            try:
-                n_batch, n_admitted = batch_df.count(), admitted.count()
-                self.stats["admitted"] += n_admitted
-                self.stats["rejected"] += n_batch - n_admitted
-                admitted.write.mode("overwrite").parquet(
-                    f"{self.out_path}/epoch={epoch_id}"
-                )
-                win.join(
-                    admitted.select(F.col(self.id_col).alias("doc_id")),
-                    "doc_id",
-                    "left_semi",
-                ).select("h1", "h2").distinct().write.mode("overwrite").parquet(
-                    f"{self.history_path}/windows/epoch={epoch_id}"
-                )
-            finally:
-                admitted.unpersist()
+            _admit_batch(self, batch_df, win, rejected_ids, epoch_id)
         finally:
             win.unpersist()
             batch_df.unpersist()
+
+    def _write_history(self, adm_win: DataFrame, epoch_id: int) -> None:
+        adm_win.select("h1", "h2").distinct().write.mode("overwrite").parquet(
+            f"{self.history_path}/windows/epoch={epoch_id}"
+        )
 
 
 def start_foreach_batch(

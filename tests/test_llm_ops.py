@@ -1801,3 +1801,20 @@ def test_incremental_passages_null_text_reports_zero_in_both_twins(spark):
     by_id = {r[0]: r for r in got}
     assert by_id[18] == (18, 0, 0, False)     # NULL text: zero, unflagged
     assert by_id[28][3] is True               # shares the history window
+
+
+def test_triangle_count_empty_graph_reports_zero_not_null(spark):
+    """SUM over an empty edge set is NULL in Spark — the compact-forward
+    rewrite must coalesce it back to the 0 the oracle's COUNT(*) (and the
+    pre-r9 COUNT form) reports. Single-part orders produce no co-purchase
+    edges at all."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import grouped
+
+    li = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], ["l_orderkey", "l_partkey"]
+    )
+    with mock.patch.object(grouped, "load", lambda _s, _d, _t: li):
+        out = plans.get("graph_triangle_count").fn(spark, "ignored").first()
+    assert (out.n_vertices, out.n_edges, out.n_triangles) == (0, 0, 0)
