@@ -52,9 +52,6 @@ from projet_pipeline_bigdata_org_spark.operators.textops import (
 from projet_pipeline_bigdata_org_spark.plans.registry import query
 
 _TOK_SQL = SQL_WS_TOKENS.format(c="text")
-#: NULL-safe variant: NULL text tokenizes to [] in both engines — the
-#: shared textops.SQL_TOK_NULLSAFE definition
-_TOK_NULLSAFE_SQL = SQL_TOK_NULLSAFE
 
 
 @query(
@@ -524,7 +521,7 @@ def qc_margin(toks: F.Column) -> F.Column:
     "curate_quality_classifier",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, {_TOK_NULLSAFE_SQL} AS toks FROM documents
+      SELECT doc_id, {SQL_TOK_NULLSAFE} AS toks FROM documents
     )
     SELECT doc_id,
            CAST(LEN(toks) AS BIGINT) AS n_tokens,
@@ -659,7 +656,7 @@ CURRICULUM_SHARDS = 16
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             CAST(LEN({_TOK_NULLSAFE_SQL}) AS BIGINT) AS n_tokens,
+             CAST(LEN({SQL_TOK_NULLSAFE}) AS BIGINT) AS n_tokens,
              {sql_hash_coin("doc_id")} AS coin
       FROM documents
     ), s AS (

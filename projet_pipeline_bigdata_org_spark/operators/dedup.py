@@ -1166,7 +1166,7 @@ def dedup_incremental_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     report (0, false)."""
     docs = _passage_docs(spark, sf_dir)
     is_batch = F.col("doc_id") % 10 >= _INCREMENTAL_BATCH_RESIDUE
-    # NULL text tokenizes to zero windows in BOTH twins (_TOK_NULLSAFE_SQL
+    # NULL text tokenizes to zero windows in BOTH twins (SQL_TOK_NULLSAFE
     # in the oracle; without the coalesce DuckDB reports n_passages NULL
     # where Spark reports 0 — the r8 size(NULL) pitfall)
     win = _persist_scoped(

@@ -334,16 +334,30 @@ def _admit_batch(
 ) -> None:
     """The shared admission TAIL of every feature-history sink (minhash /
     simhash / passage — the scaffolding a fourth family would otherwise
-    copy a fifth time): anti-join the family's rejected ids, account
-    stats with one count pair over the caches, overwrite ``out/epoch=e``
-    idempotently, and hand the ADMITTED subset of the persisted feature
-    stage to the family's ``_write_history``. Rejected rows never reach
-    history; a replayed epoch rewrites every partition identically."""
-    admitted = batch_df.join(rejected_ids, sink.id_col, "left_anti").persist()
+    copy a fifth time): mark the family's rejected ids with ONE left
+    join, account stats with one count-pair agg over that cache (never a
+    count() job per consumer — the HistoryDedupSink discipline),
+    overwrite ``out/epoch=e`` idempotently, and hand the ADMITTED subset
+    of the persisted feature stage to the family's ``_write_history``.
+    Rejected rows never reach history; a replayed epoch rewrites every
+    partition identically.
+
+    Preconditions a fourth family must honor: ``rejected_ids`` has
+    exactly one row per rejected ``sink.id_col`` value (every caller
+    ends in ``.distinct()`` — a duplicate would multiply batch rows
+    through the marker join), and ``feat`` exposes its document id under
+    the column name ``doc_id`` (the semi-join key), whatever
+    ``sink.id_col`` is on the batch side."""
+    joined = batch_df.join(
+        rejected_ids.withColumn("_rejected", F.lit(1)), sink.id_col, "left"
+    ).persist()
     try:
-        n_batch, n_admitted = batch_df.count(), admitted.count()
-        sink.stats["admitted"] += n_admitted
-        sink.stats["rejected"] += n_batch - n_admitted
+        n_batch, n_rejected = joined.agg(
+            F.count(F.lit(1)), F.count("_rejected")
+        ).first()
+        sink.stats["admitted"] += n_batch - n_rejected
+        sink.stats["rejected"] += n_rejected
+        admitted = joined.filter(F.col("_rejected").isNull()).drop("_rejected")
         admitted.write.mode("overwrite").parquet(
             f"{sink.out_path}/epoch={epoch_id}"
         )
@@ -354,7 +368,7 @@ def _admit_batch(
         )
         sink._write_history(adm_feat, epoch_id)
     finally:
-        admitted.unpersist()
+        joined.unpersist()
 
 
 @dataclass
@@ -673,7 +687,7 @@ class QualityGateSink:
         if batch_df.isEmpty():  # P9 empty-batch guard
             return
         # COALESCE NULL content to '' exactly like the batch twin
-        # (curation._TOK_NULLSAFE_SQL): NULL text then scores margin 0 and
+        # (textops.SQL_TOK_NULLSAFE): NULL text then scores margin 0 and
         # is ADMITTED at the default threshold in both engines — before
         # round 9 the sink alone sent NULL text to quarantine (NULL
         # margin), so the "cannot drift" claim was false on NULL text.
