@@ -1215,3 +1215,160 @@ def dedup_incremental_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n >= 1).alias("flagged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered incremental exact dedup: the admission join cost model
+# at 100 TB. dedup_incremental_exact joins the WHOLE incoming shard against
+# the history sha table; with petabytes of history and a mostly-novel shard
+# that join shuffles the entire shard for a handful of hits. A Bloom filter
+# built from history (one bounded-size pass, <= BLOOM_SHA_BITS distinct
+# positions shuffled) prefilters the shard via broadcast joins -- only
+# probable duplicates (true hits + a small false-positive class) reach the
+# confirm join; everything else is admitted as novel WITHOUT touching
+# history. No false negatives, so the confirm join restores exactness.
+# ---------------------------------------------------------------------------
+
+#: 1-based substr offsets of four disjoint 4-hex-char slices of the 64-hex
+#: content sha. Each slice parses to a uniform 16-bit integer (sha output is
+#: uniform), giving four independent hash positions into a 65,536-bit filter
+#: with no modulo and no engine-specific hash function: Spark reads a slice
+#: with conv(x,16,10), DuckDB with ('0x'||x)::BIGINT, and both see the SAME
+#: lowercase hex sha string.
+BLOOM_SHA_OFFSETS: tuple[int, ...] = (1, 11, 21, 31)
+BLOOM_SHA_BITS = 1 << 16
+
+_BLOOM_POS_ORACLE = "CAST(('0x' || SUBSTR({sha}, {off}, 4)) AS BIGINT)"
+
+
+@query(
+    "dedup_bloom_incremental",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      {_INCREMENTAL_FIXTURE_SQL}
+    ), history AS (
+      SELECT DISTINCT SHA256(text) AS content_sha
+      FROM corpus WHERE doc_id % 10 < {_INCREMENTAL_BATCH_RESIDUE}
+    ), bloom AS (
+      SELECT DISTINCT pos FROM (
+        {" UNION ALL ".join(
+            "SELECT " + _BLOOM_POS_ORACLE.format(sha="content_sha", off=off)
+            + " AS pos FROM history"
+            for off in BLOOM_SHA_OFFSETS
+        )}
+      )
+    ), batch AS (
+      SELECT doc_id, source, SHA256(text) AS content_sha
+      FROM corpus WHERE doc_id % 10 >= {_INCREMENTAL_BATCH_RESIDUE}
+    ), probed AS (
+      SELECT b.doc_id, b.source, b.content_sha,
+             CASE WHEN {" AND ".join(f"b{i}.pos IS NOT NULL" for i in range(4))}
+                  THEN 1 ELSE 0 END AS is_cand
+      FROM batch b
+      {" ".join(
+          "LEFT JOIN bloom b" + str(i) + " ON "
+          + _BLOOM_POS_ORACLE.format(sha="b.content_sha", off=off)
+          + " = b" + str(i) + ".pos"
+          for i, off in enumerate(BLOOM_SHA_OFFSETS)
+      )}
+    ), confirmed AS (
+      SELECT p.source, p.is_cand,
+             CASE WHEN h.content_sha IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+      FROM probed p
+      LEFT JOIN history h
+        ON p.is_cand = 1 AND p.content_sha = h.content_sha
+    )
+    SELECT source,
+           COUNT(*) AS n_incoming,
+           CAST(SUM(is_cand) AS BIGINT) AS n_bloom_candidates,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup_vs_history,
+           CAST(COUNT(*) - SUM(is_dup) AS BIGINT) AS n_novel
+    FROM confirmed
+    GROUP BY source
+    """,
+    tags=("llm", "dedup", "documents", "incremental", "sketch"),
+)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup with a Bloom-filter admission prefilter:
+    same corpus split, fixture, and exactness as ``dedup_incremental_exact``
+    (equality test-pinned), plus the sketch that makes the steady-state
+    admission join cheap at 100 TB.
+
+    Filter geometry: four disjoint 4-hex-char slices of the content sha
+    are four independent uniform 16-bit hash positions into a 65,536-bit
+    filter (BLOOM_SHA_OFFSETS) -- no modulo, no engine-specific hash, and
+    the oracle replays the identical bits, so the driver certifies the
+    Bloom arithmetic itself, not just the final report. Sizing note: m is
+    a constant here for oracle replay; production sizes m ~ 16-20 bits
+    per historical document (FP < 1%) and rebuilds the filter per corpus
+    epoch -- the construction is one bounded aggregation either way.
+
+    Scale shape: history is read once to build the filter (shuffle <=
+    BLOOM_SHA_BITS distinct-position rows at ANY history size) and once
+    more by the confirm join, which now sees ONLY candidates (true dups +
+    the tiny false-positive class); the shard probes via four BROADCAST
+    left joins, so the non-candidate bulk of the shard is admitted novel
+    with zero shuffle. A sha slice of a NULL text is NULL, matches no
+    position, and lands in the non-candidate branch -- novel in both
+    twins (the is_cand flag is never NULL, so the candidate/rest split
+    loses no rows)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "source").unionByName(
+        spark.createDataFrame(
+            list(INCREMENTAL_FIXTURE_ROWS), "doc_id long, text string, source string"
+        )
+    )
+    sha = F.sha2(F.col("text"), 256)
+    history = (
+        d.filter(F.col("doc_id") % 10 < _INCREMENTAL_BATCH_RESIDUE)
+        .select(sha.alias("content_sha"))
+        .distinct()
+    )
+
+    def slice_pos(sha_col: F.Column, off: int) -> F.Column:
+        return F.conv(F.substring(sha_col, off, 4), 16, 10).cast("long")
+
+    bloom = (
+        history.select(
+            F.explode(
+                F.array(*[slice_pos(F.col("content_sha"), o) for o in BLOOM_SHA_OFFSETS])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probed = d.filter(F.col("doc_id") % 10 >= _INCREMENTAL_BATCH_RESIDUE).select(
+        "doc_id", "source", sha.alias("content_sha")
+    )
+    for i, off in enumerate(BLOOM_SHA_OFFSETS):
+        probed = probed.join(
+            F.broadcast(bloom.select(F.col("pos").alias(f"s{i}"))),
+            slice_pos(F.col("content_sha"), off) == F.col(f"s{i}"),
+            "left",
+        )
+    is_cand = F.when(
+        F.expr(" AND ".join(f"s{i} IS NOT NULL" for i in range(4))), 1
+    ).otherwise(0)
+    probed = probed.select("doc_id", "source", "content_sha", is_cand.alias("is_cand"))
+    confirmed = (
+        probed.filter(F.col("is_cand") == 1)
+        .join(history.withColumn("in_history", F.lit(1)), "content_sha", "left")
+        .select(
+            "source",
+            "is_cand",
+            F.when(F.col("in_history").isNotNull(), 1).otherwise(0).alias("is_dup"),
+        )
+    )
+    rest = probed.filter(F.col("is_cand") == 0).select(
+        "source", "is_cand", F.lit(0).alias("is_dup")
+    )
+    return (
+        confirmed.unionByName(rest)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.sum("is_cand").cast("long").alias("n_bloom_candidates"),
+            F.sum("is_dup").cast("long").alias("n_dup_vs_history"),
+            (F.count(F.lit(1)) - F.sum("is_dup")).cast("long").alias("n_novel"),
+        )
+    )

@@ -832,6 +832,34 @@ def test_incremental_dedup_fixture_and_consistency(spark, sf_dir):
             assert r.n_dup_vs_history == 0 and r.n_novel == r.n_incoming
 
 
+def test_bloom_incremental_admissions_equal_plain_incremental(spark, sf_dir):
+    """The Bloom prefilter must not change ANY admission decision: per-source
+    (n_incoming, n_novel, n_dup_vs_history) equal dedup_incremental_exact's
+    exactly (no false negatives by the filter's construction; false
+    positives die in the confirm join), and the candidate count bounds the
+    confirmed-dup count from above."""
+    bl = {
+        r.source: r
+        for r in plans.get("dedup_bloom_incremental").fn(spark, sf_dir).collect()
+    }
+    ex = {
+        r.source: r
+        for r in plans.get("dedup_incremental_exact").fn(spark, sf_dir).collect()
+    }
+    assert set(bl) == set(ex)
+    for src, r in bl.items():
+        e = ex[src]
+        assert (r.n_incoming, r.n_novel, r.n_dup_vs_history) == (
+            e.n_incoming,
+            e.n_novel,
+            e.n_dup_vs_history,
+        ), src
+        assert r.n_bloom_candidates >= r.n_dup_vs_history, src
+    # the fixture guarantees the dup path is live: its duplicate must have
+    # been caught BY the bloom (candidate), not just by the confirm join
+    assert bl["fixture"].n_bloom_candidates >= 1
+
+
 def test_incremental_minhash_equals_oneshot_cross_split(spark, sf_dir, exact_jaccard_pairs):
     """The incremental LSH result must be exactly the one-shot LSH result
     restricted to cross-split pairs: same shingles, same signatures, same

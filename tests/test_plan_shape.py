@@ -790,3 +790,16 @@ def test_triangle_count_intersects_adjacency_never_shuffles_wedges(spark, sf_dir
     assert "array_intersect" in p, p
     for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p):
         assert not ("y#" in ex and "z#" in ex), ex
+
+
+def test_bloom_incremental_probes_broadcast_shard_never_shuffles_to_probe(
+    spark, sf_dir, no_auto_broadcast
+):
+    """dedup_bloom_incremental's four membership probes must plan as
+    BROADCAST joins even when nothing auto-broadcasts (the filter rides an
+    explicit hint): the incoming shard learns candidate-or-novel with zero
+    shuffle, and only the candidate slice reaches the shuffling confirm
+    join against history."""
+    df = _Q["dedup_bloom_incremental"].fn(spark, sf_dir)
+    p = formatted_plan(df)
+    assert p.count("BroadcastHashJoin") >= 4, p
