@@ -714,6 +714,97 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from projet_pipeline_bigdata_org_spark.functions.zorder import (  # noqa: E402
+    morton_key,
+    sql_clamp16,
+    sql_morton_key,
+)
+
+#: epoch anchoring the date dimension of the z-order key: any fixed date at
+#: or before the corpus minimum works; 1992-01-01 predates every TPC-H-ish
+#: o_orderdate at every SF, so day offsets are nonnegative at any scale
+ZORDER_DATE_EPOCH = "1992-01-01"
+
+
+@query(
+    "arrange_zorder_layout",
+    oracle=f"""
+    WITH dims AS (
+      SELECT CAST(o_custkey AS BIGINT) AS ck,
+             CAST(DATE_DIFF('day', DATE '{ZORDER_DATE_EPOCH}', o_orderdate)
+                  AS BIGINT) AS dk
+      FROM orders
+    ), clamped AS (
+      SELECT ck, dk,
+             {sql_clamp16('ck')} AS cx,
+             {sql_clamp16('dk')} AS cy
+      FROM dims
+    ), keyed AS (
+      SELECT ck, dk, {sql_morton_key('cx', 'cy')} AS z FROM clamped
+    )
+    SELECT CAST(z >> 14 AS BIGINT) AS zbucket,
+           COUNT(*) AS n_orders,
+           CAST(MIN(z) AS BIGINT) AS z_lo,
+           CAST(MAX(z) AS BIGINT) AS z_hi,
+           CAST(MIN(ck) AS BIGINT) AS cust_lo,
+           CAST(MAX(ck) AS BIGINT) AS cust_hi,
+           CAST(MIN(dk) AS BIGINT) AS day_lo,
+           CAST(MAX(dk) AS BIGINT) AS day_hi
+    FROM keyed
+    GROUP BY zbucket
+    """,
+    tags=("sort", "layout", "orders"),
+)
+def arrange_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over orders' (custkey, orderdate) —
+    the multi-dimensional lake layout the single-column sort in
+    write_partitioned_parquet cannot give: files sorted by the interleaved
+    key cover small axis-aligned rectangles of the 2-D value space, so
+    min/max footer stats prune most files under ANY box predicate
+    (customer range x date range), not just prefixes of one sort key.
+
+    This query certifies the key arithmetic end-to-end: per 2^14-key
+    z-bucket, the row count, the EXACT min/max interleaved key, and the
+    bounding box of raw dimension values — the oracle replays the
+    identical 32-term interleave, so a driver hash match pins every bit
+    of the key (z_lo/z_hi carry raw key bits; the bucket rollup is
+    bounded by the 2^18 bucket space, a few hundred rows at test SFs). The physical write path is
+    sources.batch.write_zorder_table (repartitionByRange on the key +
+    sortWithinPartitions — a ranged exchange, never a global single-node
+    sort); tests/test_sources.py measures the actual file-skipping ratio
+    against footer stats vs a row-ordered layout of the same data.
+
+    Scale shape: computing the key is a per-row projection (no shuffle);
+    the rollup here shuffles <= 256 bucket rows after partial agg. The
+    clustering write itself is one ranged exchange of the data — the same
+    cost as any repartition-for-layout job, paid once per compaction to
+    make every later box scan prune. NULL dims yield a NULL key/bucket
+    (explicitly guarded — LEAST/GREATEST skip NULLs) rather than aliasing
+    to coordinate 0."""
+    o = load(spark, sf_dir, "orders")
+    ck = F.col("o_custkey").cast("long")
+    dk = F.datediff(F.col("o_orderdate"), F.lit(ZORDER_DATE_EPOCH).cast("date")).cast(
+        "long"
+    )
+    keyed = o.select(
+        ck.alias("ck"),
+        dk.alias("dk"),
+        morton_key(ck, dk).alias("z"),
+    )
+    return (
+        keyed.groupBy(F.shiftright(F.col("z"), 14).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("z").cast("long").alias("z_lo"),
+            F.max("z").cast("long").alias("z_hi"),
+            F.min("ck").cast("long").alias("cust_lo"),
+            F.max("ck").cast("long").alias("cust_hi"),
+            F.min("dk").cast("long").alias("day_lo"),
+            F.max("dk").cast("long").alias("day_hi"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations (SURVEY §2.7)
 # ---------------------------------------------------------------------------

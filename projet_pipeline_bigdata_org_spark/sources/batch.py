@@ -209,3 +209,41 @@ def read_jsonl_with_quarantine(
         F.col(corrupt_col).alias("raw")
     )
     return good, quarantine
+
+
+def write_zorder_table(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 16,
+) -> None:
+    """Z-order clustered lake write (the OPTIMIZE ZORDER compaction shape):
+    rows range-partitioned and sorted by the Morton interleave of two
+    dimension columns, so each parquet file covers a small axis-aligned
+    rectangle of the (x, y) value space and min/max footer stats prune most
+    files for ANY 2-D box predicate — where a single-column sort only
+    prunes on its own prefix.
+
+    Scale shape: ``repartitionByRange`` is a sampled ranged exchange (never
+    a single-node global sort) + per-partition sort — the standard
+    compaction cost, paid once so every later scan skips. NULL dimensions
+    yield a NULL key; range partitioning routes them to one edge partition
+    rather than aliasing them into the data's coordinate space. The
+    interleave key is dropped before writing — the pruning stats that
+    matter are the raw dimension columns'.
+
+    tests/test_sources.py quantifies the effect on real footer stats:
+    files overlapping a box predicate under this layout vs a row-ordered
+    layout of the same rows.
+    """
+    from projet_pipeline_bigdata_org_spark.functions.zorder import morton_key
+
+    keyed = df.withColumn("__zorder", morton_key(F.col(x_col), F.col(y_col)))
+    (
+        keyed.repartitionByRange(n_files, "__zorder")
+        .sortWithinPartitions("__zorder")
+        .drop("__zorder")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

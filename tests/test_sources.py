@@ -380,3 +380,84 @@ def test_resize_plan_arithmetic_and_registered_pipeline(spark):
     assert all(
         r.resized_n_bytes == r.target_w * r.target_h * 3 for r in got.values()
     )
+
+
+def test_zorder_layout_skips_files_for_box_predicates(spark, sf_dir, tmp_path):
+    """The z-order claim, measured on real footer stats: for a 2-D box
+    predicate (customer range x date range), the clustered layout must
+    leave most parquet files skippable by min/max stats while a
+    row-ordered layout of the SAME rows/file-count leaves (nearly) all
+    files in play — and the box scan over the clustered layout must
+    return exactly the rows the predicate selects (layout is layout,
+    never a filter)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.sources.batch import write_zorder_table
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").cast("long").alias("o_ck"),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).cast("long").alias("o_datekey"),
+        )
+    )
+    zpath, rpath = str(tmp_path / "zorder"), str(tmp_path / "roworder")
+    write_zorder_table(o, zpath, "o_ck", "o_datekey", n_files=16)
+    (
+        o.repartitionByRange(16, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.parquet(rpath)
+    )
+    # middle-quintile box on each dimension: robust across SFs
+    c_lo, c_hi = o.approxQuantile("o_ck", [0.4, 0.6], 0.0)
+    d_lo, d_hi = o.approxQuantile("o_datekey", [0.4, 0.6], 0.0)
+
+    def files_in_play(path: str) -> tuple[int, int]:
+        hit, total = 0, 0
+        for f in sorted(glob.glob(path + "/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            cols = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            }
+            mins: dict[str, int] = {}
+            maxs: dict[str, int] = {}
+            for g in range(md.num_row_groups):
+                for name in ("o_ck", "o_datekey"):
+                    st = md.row_group(g).column(cols[name]).statistics
+                    mins[name] = min(mins.get(name, st.min), st.min)
+                    maxs[name] = max(maxs.get(name, st.max), st.max)
+            total += 1
+            if not (
+                maxs["o_ck"] < c_lo
+                or mins["o_ck"] > c_hi
+                or maxs["o_datekey"] < d_lo
+                or mins["o_datekey"] > d_hi
+            ):
+                hit += 1
+        return hit, total
+
+    z_hit, z_total = files_in_play(zpath)
+    r_hit, r_total = files_in_play(rpath)
+    assert z_total == r_total and z_total >= 8, (z_total, r_total)
+    # the point of the layout: most files skippable, strictly better than
+    # the row-ordered baseline (which interleaves every value range into
+    # every file, so stats prune ~nothing)
+    assert z_hit <= z_total // 2, (z_hit, z_total)
+    assert z_hit < r_hit, (z_hit, r_hit)
+    # layout changes WHICH files hold the rows, never which rows exist
+    box = (
+        (F.col("o_ck") >= c_lo)
+        & (F.col("o_ck") <= c_hi)
+        & (F.col("o_datekey") >= d_lo)
+        & (F.col("o_datekey") <= d_hi)
+    )
+    assert (
+        spark.read.parquet(zpath).filter(box).count() == o.filter(box).count()
+    )
