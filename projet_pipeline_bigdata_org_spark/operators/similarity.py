@@ -1260,3 +1260,119 @@ def embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("vec_id").agg(
         n_near.alias("n_bench_near"), (n_near > 0).alias("contaminated")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): the third embedding-compression
+# rung beside int8 absmax (embed_quantize_int8, keeps magnitudes, 8 bits/dim)
+# and binary sign-bit (embed_binary_sign_topk, 1 bit/dim): PQ splits each
+# vector into PQ_M subvectors and stores ONE codebook index per subvector —
+# here 8 codes x 4 bits = 32 bits per 64-dim vector (256x vs float32) while
+# preserving locality far better than sign bits.
+# ---------------------------------------------------------------------------
+
+#: subspace width in dims and per-subspace codebook size (codes fit 4 bits)
+PQ_SUB_DIMS = 8
+PQ_K = 16
+
+
+@query(
+    "compress_pq_encode",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {PW_XS}, 0) AS BIGINT) AS xs
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS t(i)
+    ), sub_pts AS (
+      SELECT vec_id, dim // {PQ_SUB_DIMS} AS sub, dim % {PQ_SUB_DIMS} AS sdim, xs
+      FROM pts
+    ), cb AS (
+      SELECT vec_id AS cid, sub, sdim, xs AS cs
+      FROM sub_pts WHERE vec_id < {PQ_K}
+    ), d AS (
+      SELECT p.vec_id, p.sub, c.cid,
+             CAST(SUM((p.xs - c.cs) * (p.xs - c.cs)) AS BIGINT) AS dist
+      FROM sub_pts p JOIN cb c ON p.sub = c.sub AND p.sdim = c.sdim
+      GROUP BY p.vec_id, p.sub, c.cid
+    ), a AS (
+      SELECT vec_id, sub, cid, dist FROM (
+        SELECT vec_id, sub, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, cid) AS rn
+        FROM d)
+      WHERE rn = 1
+    )
+    SELECT vec_id,
+           STRING_AGG(CAST(cid AS VARCHAR), ',' ORDER BY sub) AS codes_csv,
+           CAST(SUM(dist) AS BIGINT) AS err_q,
+           CAST(COUNT(*) AS BIGINT) AS n_subs
+    FROM a GROUP BY vec_id
+    """,
+    tags=("llm", "embedding", "compression", "embeddings"),
+)
+def compress_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ENCODE: per vector, one nearest-centroid code
+    per PQ_SUB_DIMS-dim subspace plus the exact quantization error — the
+    operation that runs over the full 100 TB corpus (codebook TRAINING is
+    the sample-bounded step; cluster_kmeans_fixed_point is the exact-Lloyd
+    building block for refining these codebooks, and this encoder is
+    seeded the same way: the first PQ_K vectors by id, Lloyd's k-means|0).
+
+    Exactness: the cluster_kmeans_fixed_point discipline end-to-end —
+    integer-millionth quantization (PW_XS), exact BIGINT squared
+    distances (<= 8·(4.8e6)² ≈ 1.8e14 per subspace, sum < 1.5e15), argmin
+    deterministic on (dist, cid), codes serialized sub-ordered
+    (engine-neutral STRING_AGG ... ORDER BY twin of the sorted-struct
+    transform). A driver hash match certifies every code and the exact
+    per-vector reconstruction error.
+
+    Scale shape: the codebook is PQ_K x dims rows (128 here — broadcast);
+    encode is one per-(vector, subspace, centroid) partial-agg'd
+    aggregation, PQ_K·PQ_M bounded rows per vector, then a bounded
+    per-vector window (PQ_K rows per subspace) and one final rollup —
+    no corpus self-join, nothing driver-side, linear in corpus size.
+    Storage: 8 codes x 4 bits = 32 bits/vector vs 2048 float32 bits
+    (256x), with err_q the per-vector quality audit downstream selection
+    can threshold on."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    e = load(spark, sf_dir, "embeddings")
+    pts = _persist_scoped(
+        "pq_pts",
+        e.select("vec_id", F.posexplode("embedding").alias("dim", "xv")).select(
+            "vec_id",
+            (F.col("dim") / PQ_SUB_DIMS).cast("int").alias("sub"),
+            (F.col("dim") % PQ_SUB_DIMS).alias("sdim"),
+            F.round(F.col("xv").cast("double") * PW_XS, 0).cast("long").alias("xs"),
+        ),
+    )
+    cb = pts.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), "sub", "sdim", F.col("xs").alias("cs")
+    )
+    d = (
+        pts.join(F.broadcast(cb), ["sub", "sdim"])
+        .groupBy("vec_id", "sub", "cid")
+        .agg(
+            F.sum((F.col("xs") - F.col("cs")) * (F.col("xs") - F.col("cs")))
+            .cast("long")
+            .alias("dist")
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("vec_id", "sub").orderBy("dist", "cid")
+    )
+    a = d.withColumn("rn", rn).filter(F.col("rn") == 1)
+    codes = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("sub"), F.col("cid")))
+            ),
+            lambda x: x["cid"].cast("string"),
+        ),
+        ",",
+    )
+    return a.groupBy("vec_id").agg(
+        codes.alias("codes_csv"),
+        F.sum("dist").cast("long").alias("err_q"),
+        F.count(F.lit(1)).cast("long").alias("n_subs"),
+    )

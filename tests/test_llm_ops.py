@@ -1846,3 +1846,31 @@ def test_triangle_count_empty_graph_reports_zero_not_null(spark):
     with mock.patch.object(grouped, "load", lambda _s, _d, _t: li):
         out = plans.get("graph_triangle_count").fn(spark, "ignored").first()
     assert (out.n_vertices, out.n_edges, out.n_triangles) == (0, 0, 0)
+
+
+def test_pq_encode_seeds_self_code_and_codes_in_range(spark, sf_dir):
+    """PQ invariants: the PQ_K codebook-seed vectors must encode to
+    themselves exactly (err_q == 0 — each subvector's nearest centroid is
+    itself), every code lies in [0, PQ_K), and every 64-dim vector carries
+    ceil(64/PQ_SUB_DIMS) codes."""
+    from projet_pipeline_bigdata_org_spark.operators.similarity import (
+        PQ_K,
+        PQ_SUB_DIMS,
+    )
+
+    rows = plans.get("compress_pq_encode").fn(spark, sf_dir).collect()
+    assert rows
+    dim = 64
+    for r in rows:
+        codes = [int(c) for c in r.codes_csv.split(",")]
+        assert len(codes) == -(-dim // PQ_SUB_DIMS) == r.n_subs, r.vec_id
+        assert all(0 <= c < PQ_K for c in codes), r.vec_id
+        assert r.err_q >= 0, r.vec_id
+        if r.vec_id < PQ_K:
+            # own subvector is a centroid at distance 0 (a tie can pick a
+            # smaller cid with an identical subvector, but never err > 0)
+            assert r.err_q == 0, r.vec_id
+    # the encoder must actually discriminate: non-seed vectors use more
+    # than one distinct code overall (a degenerate all-zero coder would not)
+    non_seed = [r for r in rows if r.vec_id >= PQ_K]
+    assert len({r.codes_csv for r in non_seed}) > 1
