@@ -1241,6 +1241,44 @@ BLOOM_SHA_BITS = 1 << 16
 _BLOOM_POS_ORACLE = "CAST(('0x' || SUBSTR({sha}, {off}, 4)) AS BIGINT)"
 
 
+def _bloom_slice_pos(sha_col: F.Column, off: int) -> F.Column:
+    """One filter position: a 4-hex-char sha slice parsed as a 16-bit int
+    (Spark twin of _BLOOM_POS_ORACLE; NULL sha -> NULL position)."""
+    return F.conv(F.substring(sha_col, off, 4), 16, 10).cast("long")
+
+
+def bloom_position_table(history: DataFrame, sha_col: str = "content_sha") -> DataFrame:
+    """The Bloom filter as a table of distinct set positions (<=
+    BLOOM_SHA_BITS rows at ANY history size) — shared by the batch
+    operator and the streaming HistoryDedupSink so the bits cannot
+    drift between the two admission paths."""
+    return history.select(
+        F.explode(
+            F.array(*[_bloom_slice_pos(F.col(sha_col), o) for o in BLOOM_SHA_OFFSETS])
+        ).alias("pos")
+    ).distinct()
+
+
+def mark_bloom_candidates(
+    df: DataFrame, bloom: DataFrame, sha_col: str = "content_sha"
+) -> DataFrame:
+    """Append ``is_cand`` (1 iff ALL four sha-slice positions are set) via
+    four explicit-BROADCAST left joins — the probed side never shuffles,
+    and the flag is never NULL (a NULL sha matches no position and lands
+    at 0), so candidate/rest splits lose no rows."""
+    out = df
+    for i, off in enumerate(BLOOM_SHA_OFFSETS):
+        out = out.join(
+            F.broadcast(bloom.select(F.col("pos").alias(f"_bf{i}"))),
+            _bloom_slice_pos(F.col(sha_col), off) == F.col(f"_bf{i}"),
+            "left",
+        )
+    is_cand = F.when(
+        F.expr(" AND ".join(f"_bf{i} IS NOT NULL" for i in range(4))), 1
+    ).otherwise(0)
+    return out.withColumn("is_cand", is_cand).drop(*[f"_bf{i}" for i in range(4)])
+
+
 @query(
     "dedup_bloom_incremental",
     oracle=f"""
@@ -1325,31 +1363,10 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(sha.alias("content_sha"))
         .distinct()
     )
-
-    def slice_pos(sha_col: F.Column, off: int) -> F.Column:
-        return F.conv(F.substring(sha_col, off, 4), 16, 10).cast("long")
-
-    bloom = (
-        history.select(
-            F.explode(
-                F.array(*[slice_pos(F.col("content_sha"), o) for o in BLOOM_SHA_OFFSETS])
-            ).alias("pos")
-        )
-        .distinct()
-    )
-    probed = d.filter(F.col("doc_id") % 10 >= _INCREMENTAL_BATCH_RESIDUE).select(
+    batch = d.filter(F.col("doc_id") % 10 >= _INCREMENTAL_BATCH_RESIDUE).select(
         "doc_id", "source", sha.alias("content_sha")
     )
-    for i, off in enumerate(BLOOM_SHA_OFFSETS):
-        probed = probed.join(
-            F.broadcast(bloom.select(F.col("pos").alias(f"s{i}"))),
-            slice_pos(F.col("content_sha"), off) == F.col(f"s{i}"),
-            "left",
-        )
-    is_cand = F.when(
-        F.expr(" AND ".join(f"s{i} IS NOT NULL" for i in range(4))), 1
-    ).otherwise(0)
-    probed = probed.select("doc_id", "source", "content_sha", is_cand.alias("is_cand"))
+    probed = mark_bloom_candidates(batch, bloom_position_table(history))
     confirmed = (
         probed.filter(F.col("is_cand") == 1)
         .join(history.withColumn("in_history", F.lit(1)), "content_sha", "left")

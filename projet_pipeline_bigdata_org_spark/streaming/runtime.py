@@ -274,13 +274,21 @@ class HistoryDedupSink:
     bucketed-by-sha staging table (sources/batch.py: write_bucketed_table),
     making the per-batch anti-join zero-shuffle on the history side while
     each micro-batch shuffles only its own delta; epoch partition pruning
-    keeps the strict-epoch filter a metadata operation."""
+    keeps the strict-epoch filter a metadata operation. With
+    ``bloom_prefilter`` (default on) the batch first probes the history's
+    Bloom position table via broadcast joins (shared helpers with
+    ``dedup_bloom_incremental`` — the bits cannot drift) and only bloom
+    candidates reach the membership join: the mostly-novel steady-state
+    batch admits with zero shuffle, and exactness is untouched because
+    the filter has no false negatives and false positives still hit the
+    confirm join (mode equality test-pinned)."""
 
     spark: SparkSession
     out_path: str
     history_path: str
     content_col: str = "text"
     id_col: str = "event_id"
+    bloom_prefilter: bool = True
     stats: dict = field(default_factory=lambda: {"batches": 0, "admitted": 0, "rejected": 0})
 
     def _history_before(self, epoch_id: int) -> DataFrame:
@@ -299,15 +307,33 @@ class HistoryDedupSink:
             F.min(self.id_col).alias(self.id_col)
         )
         batch = hashed.join(keeper, ["content_sha", self.id_col])
+        history = self._history_before(epoch_id)
         # one membership join, persisted for the batch: the stats agg, the
         # output write, and the history write all read the cache — no
         # separate count() job per consumer (the reference's per-batch
         # count() at engine.py:204 is the anti-pattern this avoids)
-        joined = batch.join(
-            self._history_before(epoch_id).withColumn("in_history", F.lit(1)),
-            "content_sha",
-            "left",
-        ).persist()
+        if self.bloom_prefilter:
+            from projet_pipeline_bigdata_org_spark.operators.dedup import (
+                bloom_position_table,
+                mark_bloom_candidates,
+            )
+
+            probed = mark_bloom_candidates(batch, bloom_position_table(history))
+            cand = probed.filter(F.col("is_cand") == 1).drop("is_cand").join(
+                history.withColumn("in_history", F.lit(1)), "content_sha", "left"
+            )
+            rest = (
+                probed.filter(F.col("is_cand") == 0)
+                .drop("is_cand")
+                .withColumn("in_history", F.lit(None).cast("int"))
+            )
+            joined = cand.unionByName(rest).persist()
+        else:
+            joined = batch.join(
+                history.withColumn("in_history", F.lit(1)),
+                "content_sha",
+                "left",
+            ).persist()
         try:
             n_batch, n_dup = joined.agg(
                 F.count(F.lit(1)), F.count("in_history")

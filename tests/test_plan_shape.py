@@ -803,3 +803,13 @@ def test_bloom_incremental_probes_broadcast_shard_never_shuffles_to_probe(
     df = _Q["dedup_bloom_incremental"].fn(spark, sf_dir)
     p = formatted_plan(df)
     assert p.count("BroadcastHashJoin") >= 4, p
+
+
+def test_pq_cascade_lut_and_codebook_broadcast(spark, sf_dir, no_auto_broadcast):
+    """compress_pq_topk's bounded sides (codebook, per-query ADC lookup
+    tables, re-rank query block) must ride explicit broadcast hints even
+    when nothing auto-broadcasts — the corpus-sized code/point tables
+    never serve as a broadcast side and only meet bounded tables."""
+    df = _Q["compress_pq_topk"].fn(spark, sf_dir)
+    p = formatted_plan(df)
+    assert p.count("BroadcastHashJoin") >= 3, p

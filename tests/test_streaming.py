@@ -1062,3 +1062,40 @@ def test_passage_history_sink_restart_zero_repeat_admissions(spark, tmp_path):
     got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert got == sorted([base[0], novel[0]])
     assert sink2.stats["rejected"] == 1
+
+
+def test_history_dedup_sink_bloom_prefilter_mode_equality(spark, tmp_path):
+    """The Bloom admission prefilter must not change ANY sink decision:
+    the same 3-epoch input (within-batch dup, cross-batch dup, novel-only
+    batch) through bloom-on and bloom-off sinks yields identical admitted
+    rows, identical stats, and identical history stores."""
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import HistoryDedupSink
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    batches = [
+        mk([(1, "alpha"), (2, "beta"), (3, "alpha")]),
+        mk([(4, "beta"), (5, "gamma")]),
+        mk([(6, "delta"), (7, "epsilon")]),
+    ]
+    results = {}
+    for mode in (True, False):
+        out = str(tmp_path / f"out_{mode}")
+        hist = str(tmp_path / f"hist_{mode}")
+        sink = HistoryDedupSink(
+            spark, out, hist, content_col="text", id_col="doc_id",
+            bloom_prefilter=mode,
+        )
+        for e, b in enumerate(batches):
+            sink(b, e)
+        results[mode] = (
+            {(r.doc_id, r.text) for r in spark.read.parquet(out).collect()},
+            dict(sink.stats),
+            {r.content_sha for r in spark.read.parquet(hist).collect()},
+        )
+    assert results[True] == results[False]
+    # epoch 0: alpha/beta admitted (the within-batch dup collapses to its
+    # keeper BEFORE admission accounting); epoch 1: beta rejected vs
+    # history, gamma admitted; epoch 2: both novel
+    assert results[True][1] == {"batches": 3, "admitted": 5, "rejected": 1}
