@@ -1475,21 +1475,10 @@ def compress_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _pq_scaled_points(spark, sf_dir)
     cb = _pq_codebook(pts)
     a = _pq_assignments(pts, cb)
-    qsub = pts.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), "sub", "sdim", "xs"
-    )
-    lut = (
-        qsub.join(F.broadcast(cb), ["sub", "sdim"])
-        .groupBy("q_id", "sub", "cid")
-        .agg(
-            F.sum((F.col("xs") - F.col("cs")) * (F.col("xs") - F.col("cs")))
-            .cast("long")
-            .alias("qd")
-        )
-    )
+    qsub = _pq_query_block(pts)
     adc = (
         a.select(F.col("vec_id").alias("n_id"), "sub", "cid")
-        .join(F.broadcast(lut), ["sub", "cid"])
+        .join(F.broadcast(_pq_query_lut(qsub, cb)), ["sub", "cid"])
         .filter(F.col("n_id") != F.col("q_id"))
         .groupBy("q_id", "n_id")
         .agg(F.sum("qd").cast("long").alias("adc"))
@@ -1498,9 +1487,41 @@ def compress_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sl = adc.withColumn("srn", srn).filter(F.col("srn") <= PQ_SHORTLIST).select(
         "q_id", "n_id"
     )
+    return _pq_exact_rerank(sl, pts, qsub)
+
+
+def _pq_query_block(pts: DataFrame) -> DataFrame:
+    """(q_id, sub, sdim, xs): the N_QUERIES query vectors' quantized
+    subvector triples."""
+    return pts.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "sub", "sdim", "xs"
+    )
+
+
+def _pq_query_lut(qsub: DataFrame, cb: DataFrame) -> DataFrame:
+    """Per-query ADC lookup tables: exact BIGINT distance from each query
+    subvector to every centroid — N_QUERIES x PQ_M x PQ_K bounded rows,
+    built once and broadcast to the code scan."""
+    return (
+        qsub.join(F.broadcast(cb), ["sub", "sdim"])
+        .groupBy("q_id", "sub", "cid")
+        .agg(
+            F.sum((F.col("xs") - F.col("cs")) * (F.col("xs") - F.col("cs")))
+            .cast("long")
+            .alias("qd")
+        )
+    )
+
+
+def _pq_exact_rerank(sl: DataFrame, pts: DataFrame, qsub: DataFrame) -> DataFrame:
+    """Exact integer-L2 re-rank of a (q_id, n_id) shortlist -> TOPK rows
+    (q_id, n_id, l2, rnk); joins are shortlist-bounded, query block
+    broadcast."""
     rer = (
         sl.join(
-            pts.select(F.col("vec_id").alias("n_id"), "sub", "sdim", F.col("xs").alias("nx")),
+            pts.select(
+                F.col("vec_id").alias("n_id"), "sub", "sdim", F.col("xs").alias("nx")
+            ),
             "n_id",
         )
         .join(
@@ -1516,6 +1537,93 @@ def compress_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("q_id").orderBy("l2", "n_id")
     return (
-        rer.select("q_id", "n_id", "l2", F.row_number().over(w).cast("long").alias("rnk"))
+        rer.select(
+            "q_id", "n_id", "l2", F.row_number().over(w).cast("long").alias("rnk")
+        )
         .filter(F.col("rnk") <= TOPK)
     )
+
+
+@query(
+    "sim_ann_ivfpq",
+    tags=("llm", "similarity", "compression", "embeddings", "no-oracle"),
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact re-rank — the FAISS production ANN architecture
+    as one declarative plan, composing the two scale levers this engine
+    already certifies separately: the IVF coarse quantizer (sim_ann_ivf's
+    sample-bounded KMeans; only nprobe/cells of the corpus is scanned per
+    query) and PQ asymmetric distance (compress_pq_topk's broadcast
+    lookup tables; scanned candidates are scored from 32-bit CODES, their
+    floats untouched), then the 16x shortlist re-ranks by exact integer
+    L2. At 100 TB the scan cost per query is (nprobe/cells) x corpus x
+    4 bytes — both sub-linear AND compressed — which is why this shape,
+    not brute force, is what vector stores run.
+
+    Rows-only (the coarse quantizer is engine-side seeded KMeans, like
+    sim_ann_ivf); the PQ stages share _pq_* helpers with the oracle-gated
+    compress_pq_topk so their arithmetic is driver-certified there.
+    Tests pin recall vs exact integer L2 and the sub-linear candidate
+    bound (scanned candidates strictly below corpus size)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", "embedding", array_to_vector("embedding").alias("features")
+    )
+    km = KMeans(k=IVF_CELLS, seed=42, maxIter=10, featuresCol="features")
+    model = km.fit(_ivf_fit_sample(vecs))
+    assigned = model.transform(vecs).select(
+        "vec_id", F.col("prediction").alias("cell")
+    )
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = spark.createDataFrame(centroids, ["cell", "centroid"])
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    q_cells = (
+        q.crossJoin(F.broadcast(cent_df))
+        .select(
+            "q_id",
+            "cell",
+            (
+                dot(F.col("q_emb"), F.col("centroid"))
+                / (norm(F.col("q_emb")) * norm(F.col("centroid")))
+            ).alias("ccos"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("ccos").desc(), "cell")
+            ),
+        )
+        .filter(F.col("rk") <= IVF_NPROBE)
+        .select("q_id", "cell")
+    )
+    # sub-linear candidate set: each vector lives in exactly one cell, each
+    # query probes IVF_NPROBE distinct cells -> no dedup needed
+    cand = (
+        q_cells.join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"))
+    )
+    pts = _pq_scaled_points(spark, sf_dir)
+    cb = _pq_codebook(pts)
+    a = _pq_assignments(pts, cb)
+    qsub = _pq_query_block(pts)
+    adc = (
+        cand.join(
+            a.select(F.col("vec_id").alias("n_id"), "sub", "cid"), "n_id"
+        )
+        .join(F.broadcast(_pq_query_lut(qsub, cb)), ["q_id", "sub", "cid"])
+        .groupBy("q_id", "n_id")
+        .agg(F.sum("qd").cast("long").alias("adc"))
+    )
+    srn = F.row_number().over(W.partitionBy("q_id").orderBy("adc", "n_id"))
+    sl = adc.withColumn("srn", srn).filter(F.col("srn") <= PQ_SHORTLIST).select(
+        "q_id", "n_id"
+    )
+    return _pq_exact_rerank(sl, pts, qsub)
