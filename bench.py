@@ -47,6 +47,7 @@ HEADLINE = (
     "dedup_minhash_lsh",                 # MinHash band join + verify
     "embed_cosine_topk",                 # brute-force ANN baseline
     "embed_cascade_topk",                # sign-bit shortlist -> exact re-rank cascade (new r9)
+    "compress_pq_topk",                  # PQ ADC shortlist -> exact re-rank cascade (new r10)
     "sim_ann_lsh",                       # hyperplane-LSH ANN scale path (new r3, numpy-bucketed)
     "func_json_pack",                    # JSON extraction
     "sql_surface_q3",                    # TPC-H Q3 shape: subquery-era SQL surface (new r3)
