@@ -1267,6 +1267,7 @@ def mark_bloom_candidates(
     and the flag is never NULL (a NULL sha matches no position and lands
     at 0), so candidate/rest splits lose no rows."""
     out = df
+    k = len(BLOOM_SHA_OFFSETS)
     for i, off in enumerate(BLOOM_SHA_OFFSETS):
         out = out.join(
             F.broadcast(bloom.select(F.col("pos").alias(f"_bf{i}"))),
@@ -1274,9 +1275,9 @@ def mark_bloom_candidates(
             "left",
         )
     is_cand = F.when(
-        F.expr(" AND ".join(f"_bf{i} IS NOT NULL" for i in range(4))), 1
+        F.expr(" AND ".join(f"_bf{i} IS NOT NULL" for i in range(k))), 1
     ).otherwise(0)
-    return out.withColumn("is_cand", is_cand).drop(*[f"_bf{i}" for i in range(4)])
+    return out.withColumn("is_cand", is_cand).drop(*[f"_bf{i}" for i in range(k)])
 
 
 @query(
@@ -1302,7 +1303,7 @@ def mark_bloom_candidates(
       FROM corpus WHERE doc_id % 10 >= {_INCREMENTAL_BATCH_RESIDUE}
     ), probed AS (
       SELECT b.doc_id, b.source, b.content_sha,
-             CASE WHEN {" AND ".join(f"b{i}.pos IS NOT NULL" for i in range(4))}
+             CASE WHEN {" AND ".join(f"b{i}.pos IS NOT NULL" for i in range(len(BLOOM_SHA_OFFSETS)))}
                   THEN 1 ELSE 0 END AS is_cand
       FROM batch b
       {" ".join(
@@ -1358,10 +1359,15 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sha = F.sha2(F.col("text"), 256)
-    history = (
+    # the history sha pass is consumed twice (filter build + confirm join):
+    # persist the shared pass (bench-methodology rule), sparing one full
+    # corpus scan+hash per run; at cluster scale this is the bucketed
+    # staging table both consumers read
+    history = _persist_scoped(
+        "bloom_history",
         d.filter(F.col("doc_id") % 10 < _INCREMENTAL_BATCH_RESIDUE)
         .select(sha.alias("content_sha"))
-        .distinct()
+        .distinct(),
     )
     batch = d.filter(F.col("doc_id") % 10 >= _INCREMENTAL_BATCH_RESIDUE).select(
         "doc_id", "source", sha.alias("content_sha")

@@ -211,23 +211,14 @@ def _ivf_fit_sample(vecs: DataFrame) -> DataFrame:
     return sample.limit(IVF_FIT_MAX_ROWS)
 
 
-@query(
-    "sim_ann_ivf",
-    tags=("llm", "similarity", "embeddings", "no-oracle"),
-)
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via IVF (inverted-file) coarse quantization: KMeans centroids →
-    assign each vector to its cell → each query probes its IVF_NPROBE
-    nearest cells → exact cosine within probed cells → top-k.
-
-    The other scale path next to LSH: the corpus shuffles once on cell id;
-    a query touches nprobe/cells of the data. The KMeans fit — an iterative
-    driver-coordinated job — runs on a seeded sample hard-capped at
-    IVF_FIT_MAX_ROWS (see _ivf_fit_sample); only the cheap one-pass
-    `transform` touches the full corpus. Rows-only (KMeans cells are
-    engine-side); recall vs brute force asserted in tests."""
+def _ivf_fit_assign(spark: SparkSession, sf_dir: str):
+    """Shared IVF coarse quantizer (ONE recipe for sim_ann_ivf,
+    sim_ann_ivfpq, and embed_semdedup, so a tuning of the fit cannot
+    drift between them): sample-bounded seeded KMeans fit + the cheap
+    one-pass cell transform over the full corpus. Returns
+    (model, assigned) with assigned = (vec_id, embedding, cell)."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     e = load(spark, sf_dir, "embeddings")
     vecs = e.select(
@@ -238,13 +229,19 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = model.transform(vecs).select(
         "vec_id", "embedding", F.col("prediction").alias("cell")
     )
-    # query block: nearest IVF_NPROBE cells per query via centroid cosine
+    return model, assigned
+
+
+def _ivf_query_cells(spark: SparkSession, model, assigned: DataFrame) -> DataFrame:
+    """Per-query nearest IVF_NPROBE cells by centroid cosine:
+    (q_id, q_emb, cell) — the probe-selection stage shared by the IVF
+    family (broadcast centroid table, bounded per-query window)."""
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     cent_df = spark.createDataFrame(centroids, ["cell", "centroid"])
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    q_cells = (
+    return (
         q.crossJoin(F.broadcast(cent_df))
         .select(
             "q_id",
@@ -264,6 +261,26 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= IVF_NPROBE)
         .select("q_id", "q_emb", "cell")
     )
+
+
+@query(
+    "sim_ann_ivf",
+    tags=("llm", "similarity", "embeddings", "no-oracle"),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file) coarse quantization: KMeans centroids →
+    assign each vector to its cell → each query probes its IVF_NPROBE
+    nearest cells → exact cosine within probed cells → top-k.
+
+    The other scale path next to LSH: the corpus shuffles once on cell id;
+    a query touches nprobe/cells of the data. The KMeans fit — an iterative
+    driver-coordinated job — runs on a seeded sample hard-capped at
+    IVF_FIT_MAX_ROWS (see _ivf_fit_sample); only the cheap one-pass
+    `transform` touches the full corpus (shared _ivf_fit_assign /
+    _ivf_query_cells recipe). Rows-only (KMeans cells are engine-side);
+    recall vs brute force asserted in tests."""
+    model, assigned = _ivf_fit_assign(spark, sf_dir)
+    q_cells = _ivf_query_cells(spark, model, assigned)
     cand = q_cells.join(assigned, "cell").filter(F.col("vec_id") != F.col("q_id"))
     cosine = dot(F.col("q_emb"), F.col("embedding")) / (
         norm(F.col("q_emb")) * norm(F.col("embedding"))
@@ -562,18 +579,7 @@ def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped cluster key — never all-pairs, never a full-corpus fit. Rows-only
     (KMeans cells are engine-side); soundness + injected-duplicate recall
     asserted in tests."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    e = load(spark, sf_dir, "embeddings")
-    vecs = e.select(
-        "vec_id", "embedding", array_to_vector("embedding").alias("features")
-    )
-    km = KMeans(k=IVF_CELLS, seed=42, maxIter=10, featuresCol="features")
-    model = km.fit(_ivf_fit_sample(vecs))
-    assigned = model.transform(vecs).select(
-        "vec_id", "embedding", F.col("prediction").alias("cell")
-    )
+    _, assigned = _ivf_fit_assign(spark, sf_dir)
     return semdedup_decisions(assigned)
 
 
@@ -1565,48 +1571,12 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     compress_pq_topk so their arithmetic is driver-certified there.
     Tests pin recall vs exact integer L2 and the sub-linear candidate
     bound (scanned candidates strictly below corpus size)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    e = load(spark, sf_dir, "embeddings")
-    vecs = e.select(
-        "vec_id", "embedding", array_to_vector("embedding").alias("features")
-    )
-    km = KMeans(k=IVF_CELLS, seed=42, maxIter=10, featuresCol="features")
-    model = km.fit(_ivf_fit_sample(vecs))
-    assigned = model.transform(vecs).select(
-        "vec_id", F.col("prediction").alias("cell")
-    )
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    cent_df = spark.createDataFrame(centroids, ["cell", "centroid"])
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
-    q_cells = (
-        q.crossJoin(F.broadcast(cent_df))
-        .select(
-            "q_id",
-            "cell",
-            (
-                dot(F.col("q_emb"), F.col("centroid"))
-                / (norm(F.col("q_emb")) * norm(F.col("centroid")))
-            ).alias("ccos"),
-        )
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy("q_id").orderBy(F.col("ccos").desc(), "cell")
-            ),
-        )
-        .filter(F.col("rk") <= IVF_NPROBE)
-        .select("q_id", "cell")
-    )
+    model, assigned = _ivf_fit_assign(spark, sf_dir)
+    q_cells = _ivf_query_cells(spark, model, assigned).select("q_id", "cell")
     # sub-linear candidate set: each vector lives in exactly one cell, each
     # query probes IVF_NPROBE distinct cells -> no dedup needed
     cand = (
-        q_cells.join(assigned, "cell")
+        q_cells.join(assigned.select("vec_id", "cell"), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", F.col("vec_id").alias("n_id"))
     )

@@ -276,12 +276,17 @@ class HistoryDedupSink:
     each micro-batch shuffles only its own delta; epoch partition pruning
     keeps the strict-epoch filter a metadata operation. With
     ``bloom_prefilter`` (default on) the batch first probes the history's
-    Bloom position table via broadcast joins (shared helpers with
+    Bloom filter via broadcast joins (shared helpers with
     ``dedup_bloom_incremental`` — the bits cannot drift) and only bloom
     candidates reach the membership join: the mostly-novel steady-state
     batch admits with zero shuffle, and exactness is untouched because
     the filter has no false negatives and false positives still hit the
-    confirm join (mode equality test-pinned)."""
+    confirm join (mode equality test-pinned). The filter is MAINTAINED
+    INCREMENTALLY, never rebuilt: every epoch idempotently overwrites
+    ``history_bloom/epoch=e`` with its admitted positions (written in
+    BOTH modes, so toggling the flag mid-stream stays sound), and the
+    prefilter unions the <= BLOOM_SHA_BITS-row position store from
+    strictly-prior epochs — it never rescans history itself."""
 
     spark: SparkSession
     out_path: str
@@ -294,6 +299,17 @@ class HistoryDedupSink:
     def _history_before(self, epoch_id: int) -> DataFrame:
         return _epoch_history_scan(
             self.spark, self.history_path, "content_sha string", epoch_id
+        ).distinct()
+
+    def _bloom_store_path(self) -> str:
+        return self.history_path.rstrip("/") + "_bloom"
+
+    def _bloom_before(self, epoch_id: int) -> DataFrame:
+        """The incrementally-maintained filter: union of strictly-prior
+        epochs' admitted positions (<= BLOOM_SHA_BITS rows at any history
+        size; epoch pruning keeps the strict bound a metadata filter)."""
+        return _epoch_history_scan(
+            self.spark, self._bloom_store_path(), "pos bigint", epoch_id
         ).distinct()
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -314,11 +330,10 @@ class HistoryDedupSink:
         # count() at engine.py:204 is the anti-pattern this avoids)
         if self.bloom_prefilter:
             from projet_pipeline_bigdata_org_spark.operators.dedup import (
-                bloom_position_table,
                 mark_bloom_candidates,
             )
 
-            probed = mark_bloom_candidates(batch, bloom_position_table(history))
+            probed = mark_bloom_candidates(batch, self._bloom_before(epoch_id))
             cand = probed.filter(F.col("is_cand") == 1).drop("is_cand").join(
                 history.withColumn("in_history", F.lit(1)), "content_sha", "left"
             )
@@ -346,6 +361,16 @@ class HistoryDedupSink:
             ).parquet(f"{self.out_path}/epoch={epoch_id}")
             admitted.select("content_sha").write.mode("overwrite").parquet(
                 f"{self.history_path}/epoch={epoch_id}"
+            )
+            # maintain the Bloom position store in BOTH modes (an epoch
+            # skipped here would be a false-negative hole if the prefilter
+            # is ever enabled later); idempotent like the history write
+            from projet_pipeline_bigdata_org_spark.operators.dedup import (
+                bloom_position_table,
+            )
+
+            bloom_position_table(admitted).write.mode("overwrite").parquet(
+                f"{self._bloom_store_path()}/epoch={epoch_id}"
             )
         finally:
             joined.unpersist()

@@ -1907,13 +1907,13 @@ def test_pq_cascade_recall_vs_exact_integer_l2(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.7, recalls
 
 
-def test_ivfpq_recall_and_sublinear_candidate_bound(spark, sf_dir):
+def test_ivfpq_recall_floor(spark, sf_dir):
     """IVF-PQ: recall@TOPK vs the exact integer-L2 ranking must clear the
     pinned floor (measured 0.52/0.60 at sf0.001/sf0.01 — the compounded
     IVF-prune x PQ-shortlist tradeoff on near-random worst-case vectors;
-    pinned >= 0.4, above sim_ann_ivf's 0.3 cosine floor), and the scan
-    must actually be sub-linear: per query, candidates scored <= the
-    probed-cell fraction of the corpus (strictly below corpus size)."""
+    pinned >= 0.4, above sim_ann_ivf's 0.3 cosine floor). The sub-linear
+    candidate bound is pinned separately in
+    test_ivfpq_scan_is_sublinear."""
     from collections import defaultdict
 
     import numpy as np
@@ -1940,31 +1940,31 @@ def test_ivfpq_recall_and_sublinear_candidate_bound(spark, sf_dir):
 
 
 def test_ivfpq_scan_is_sublinear(spark, sf_dir):
-    """The IVF stage must prune the PQ code scan: rebuilding the candidate
-    set the query uses (same seeded KMeans) shows every query scores
-    well under the full corpus — the sub-linearity that distinguishes
-    IVF-PQ from compress_pq_topk's full code scan."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    """The IVF stage must prune the PQ code scan: the candidate set is
+    rebuilt through the SAME shared helpers the query composes
+    (_ivf_fit_assign / _ivf_query_cells — single source of truth, so the
+    query cannot drift from this bound), and every query must score
+    strictly (and substantially) fewer candidates than the corpus — the
+    sub-linearity that distinguishes IVF-PQ from compress_pq_topk's full
+    code scan."""
     from projet_pipeline_bigdata_org_spark.catalog import load
     from projet_pipeline_bigdata_org_spark.operators.similarity import (
-        IVF_CELLS,
-        IVF_NPROBE,
-        N_QUERIES,
-        _ivf_fit_sample,
+        _ivf_fit_assign,
+        _ivf_query_cells,
     )
 
-    e = load(spark, sf_dir, "embeddings")
-    n = e.count()
-    vecs = e.select("vec_id", array_to_vector("embedding").alias("features"))
-    km = KMeans(k=IVF_CELLS, seed=42, maxIter=10, featuresCol="features")
-    model = km.fit(_ivf_fit_sample(e.select(
-        "vec_id", "embedding", array_to_vector("embedding").alias("features")
-    )))
-    cells = model.transform(vecs).groupBy("prediction").count().collect()
-    sizes = sorted((r["count"] for r in cells), reverse=True)
-    worst_scan = sum(sizes[:IVF_NPROBE])  # worst case: the largest cells
-    assert worst_scan < n, (worst_scan, n)
-    # the average probe is near nprobe/cells of the corpus; allow skew
-    assert worst_scan <= 0.8 * n, (worst_scan, n)
+    n = load(spark, sf_dir, "embeddings").count()
+    model, assigned = _ivf_fit_assign(spark, sf_dir)
+    q_cells = _ivf_query_cells(spark, model, assigned).select("q_id", "cell")
+    per_q = (
+        q_cells.join(assigned.select("vec_id", "cell"), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id")
+        .count()
+        .collect()
+    )
+    assert per_q
+    worst = max(r["count"] for r in per_q)
+    assert worst < n, (worst, n)
+    # nprobe/cells = 1/4 of the corpus on average; allow cell-size skew
+    assert worst <= 0.8 * n, (worst, n)
