@@ -247,3 +247,35 @@ def write_zorder_table(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_training_shards(
+    ordered: DataFrame,
+    path: str,
+    max_records_per_file: int = 100_000,
+) -> None:
+    """The engine's end product: materialize a curriculum-ordered corpus
+    (curate_curriculum_order's (stage, shard, rank_in_shard) contract —
+    or any frame carrying those columns) as the shard layout a training
+    loader consumes: one ``shard=<k>`` directory per shard, files inside
+    SORTED by (stage, rank_in_shard) with a per-file record cap, so a
+    loader streaming a shard's files in name order replays the exact
+    curriculum with no shuffle buffer, and S shards feed S data-parallel
+    workers with no cross-worker coordination.
+
+    Scale shape: one ranged/hash exchange on shard (the partitionBy
+    write), per-partition sort (never a global single-node sort),
+    maxRecordsPerFile bounding every file for loader-side streaming —
+    the same write-governance discipline as the sortWithinPartitions
+    lake writes. Determinism: the input contract is engine-recomputable
+    (wrap-free coin), so a crashed export rerun writes byte-identical
+    shard contents.
+    """
+    (
+        ordered.repartition("shard")
+        .sortWithinPartitions("stage", "rank_in_shard")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("shard")
+        .parquet(path)
+    )

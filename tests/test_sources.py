@@ -461,3 +461,50 @@ def test_zorder_layout_skips_files_for_box_predicates(spark, sf_dir, tmp_path):
     assert (
         spark.read.parquet(zpath).filter(box).count() == o.filter(box).count()
     )
+
+
+def test_training_shard_export_replays_the_curriculum(spark, sf_dir, tmp_path):
+    """write_training_shards must hand the loader exactly the curriculum:
+    reading any shard's files back in (stage, rank_in_shard) order yields
+    curate_curriculum_order's ordering for that shard, every document
+    appears exactly once across shards, and the per-file record cap
+    holds."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from projet_pipeline_bigdata_org_spark import plans
+    from projet_pipeline_bigdata_org_spark.sources.batch import (
+        write_training_shards,
+    )
+
+    plans.load_all()
+    ordered = plans.get("curate_curriculum_order").fn(spark, sf_dir)
+    out = str(tmp_path / "shards")
+    cap = 200
+    write_training_shards(ordered, out, max_records_per_file=cap)
+
+    want = {
+        r.doc_id: (r.stage, r.shard, r.rank_in_shard) for r in ordered.collect()
+    }
+    back = spark.read.parquet(out)
+    got = {
+        r.doc_id: (r.stage, int(r.shard), r.rank_in_shard) for r in back.collect()
+    }
+    assert got == want  # nothing lost, duplicated, or re-ranked
+    # per-file cap holds and each shard directory is non-empty
+    shard_dirs = sorted(glob.glob(out + "/shard=*"))
+    assert shard_dirs
+    for d in shard_dirs:
+        files = sorted(glob.glob(d + "/*.parquet"))
+        assert files
+        for f in files:
+            assert pq.ParquetFile(f).metadata.num_rows <= cap
+    # within one shard, reading files in name order replays the curriculum:
+    # ranks inside each file are sorted and file boundaries respect order
+    d0 = shard_dirs[0]
+    seq = []
+    for f in sorted(glob.glob(d0 + "/*.parquet")):
+        t = pq.read_table(f, columns=["stage", "rank_in_shard"])
+        seq.extend(zip(t.column("stage").to_pylist(), t.column("rank_in_shard").to_pylist()))
+    assert seq == sorted(seq)
