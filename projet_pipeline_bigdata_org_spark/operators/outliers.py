@@ -331,6 +331,32 @@ ZS_MIN_N = 10
 #: not a distribution-drift signal for this one)
 ZS_CENT_CAP = 10_000_000
 
+#: the ONE definition of the NULL-safe saturating cents conversion shared
+#: by every rolling gate over events.value (zscore, EWMA): NULL readings
+#: stay NULL (inert in window statistics), finite readings saturate at
+#: +-ZS_CENT_CAP so downstream BIGINT products cannot overflow
+SQL_CLAMPED_CENTS = (
+    "CASE WHEN value IS NULL THEN NULL"
+    " ELSE LEAST(GREATEST(CAST(ROUND(value * 100, 0) AS BIGINT),"
+    f" -{ZS_CENT_CAP}), {ZS_CENT_CAP}) END"
+)
+
+
+def clamped_cents() -> F.Column:
+    """Spark twin of SQL_CLAMPED_CENTS. least/greatest SKIP null
+    arguments in both engines, which would otherwise turn missing data
+    into the extreme -CAP value and poison the window statistics."""
+    return F.when(
+        F.col("value").isNotNull(),
+        F.least(
+            F.greatest(
+                F.round(F.col("value") * 100, 0).cast("long"),
+                F.lit(-ZS_CENT_CAP).cast("long"),
+            ),
+            F.lit(ZS_CENT_CAP).cast("long"),
+        ),
+    )
+
 
 @query(
     "anomaly_rolling_zscore",
@@ -339,9 +365,7 @@ ZS_CENT_CAP = 10_000_000
       SELECT event_id, event_type,
              CAST(ts AS DATE) AS day,
              ts,
-             CASE WHEN value IS NULL THEN NULL
-                  ELSE LEAST(GREATEST(CAST(ROUND(value * 100, 0) AS BIGINT),
-                             -{ZS_CENT_CAP}), {ZS_CENT_CAP}) END AS cents
+             {SQL_CLAMPED_CENTS} AS cents
       FROM events),
     w AS (
       SELECT event_id, event_type, cents,
@@ -391,19 +415,7 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("ts").cast("date").alias("day"),
         "ts",
-        # NULL readings stay NULL (least/greatest SKIP null arguments in
-        # both engines, which would otherwise turn missing data into the
-        # extreme -CAP value and poison the window statistics)
-        F.when(
-            F.col("value").isNotNull(),
-            F.least(
-                F.greatest(
-                    F.round(F.col("value") * 100, 0).cast("long"),
-                    F.lit(-ZS_CENT_CAP).cast("long"),
-                ),
-                F.lit(ZS_CENT_CAP).cast("long"),
-            ),
-        ).alias("cents"),
+        clamped_cents().alias("cents"),
     )
     win = (
         W.partitionBy("event_type", "day")
@@ -432,4 +444,120 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dev * dev).cast("long").alias("dev2_scaled"),
             thr.cast("long").alias("thr2_scaled"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA residual gate — exponential smoothing in exact power-of-two weights
+# ---------------------------------------------------------------------------
+
+#: number of strictly-prior readings the EWMA folds (alpha = 1/2, so the
+#: i-th most recent prior carries weight 2^(EWMA_LAGS - i) — EXACT
+#: power-of-two integers, no float decay anywhere)
+EWMA_LAGS = 8
+#: minimum prior readings before a residual is meaningful
+EWMA_MIN_N = 4
+#: absolute residual threshold, in cents (150.00 units)
+EWMA_THRESHOLD_CENTS = 15_000
+
+_EWMA_W = [1 << (EWMA_LAGS - i) for i in range(1, EWMA_LAGS + 1)]
+
+_EWMA_NUM_SQL = " + ".join(
+    f"COALESCE(l{i}, 0) * {w}" for i, w in enumerate(_EWMA_W, start=1)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"CASE WHEN l{i} IS NOT NULL THEN {w} ELSE 0 END"
+    for i, w in enumerate(_EWMA_W, start=1)
+)
+_EWMA_N_SQL = " + ".join(
+    f"CASE WHEN l{i} IS NOT NULL THEN 1 ELSE 0 END"
+    for i in range(1, EWMA_LAGS + 1)
+)
+
+
+@query(
+    "anomaly_ewma_residual",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_id, event_type,
+             CAST(ts AS DATE) AS day,
+             ts,
+             {SQL_CLAMPED_CENTS} AS cents
+      FROM events),
+    l AS (
+      SELECT event_id, event_type, cents,
+             {", ".join(f"LAG(cents, {i}) OVER win AS l{i}"
+                        for i in range(1, EWMA_LAGS + 1))}
+      FROM t
+      WINDOW win AS (PARTITION BY event_type, day ORDER BY ts, event_id)),
+    w AS (
+      SELECT event_id, event_type, cents,
+             CAST({_EWMA_NUM_SQL} AS BIGINT) AS ewma_num,
+             CAST({_EWMA_DEN_SQL} AS BIGINT) AS ewma_den,
+             CAST({_EWMA_N_SQL} AS BIGINT) AS n_prior
+      FROM l)
+    SELECT event_id, event_type, cents, ewma_num, ewma_den, n_prior
+    FROM w
+    WHERE n_prior >= {EWMA_MIN_N}
+      AND ABS(cents * ewma_den - ewma_num) > {EWMA_THRESHOLD_CENTS} * ewma_den
+    """,
+    tags=("llm", "events", "anomaly", "timeseries"),
+)
+def anomaly_ewma_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA residual gate over the event stream — exponential smoothing
+    (alpha = 1/2) of each event's strictly-prior readings, flagging
+    events whose value departs the smoothed level by more than
+    EWMA_THRESHOLD_CENTS. Complements anomaly_rolling_zscore: the
+    z-score gate adapts its threshold to local variance, this one holds
+    an absolute band around a recency-weighted level (the SRE latency /
+    spend-monitor shape), so a regime where variance inflates first
+    cannot mask a level shift.
+
+    Exactness: with alpha = 1/2 the lag weights are exact powers of two
+    (128, 64, ..., 1), so the smoothed level is the integer pair
+    (ewma_num, ewma_den) and the band test multiplies through by the
+    denominator — |cents*den - num| > T*den. PURE BIGINT: no float
+    decay, no division, bit-identical across engines and partitionings.
+    NULL readings occupy their lag slot but carry zero weight and zero
+    denominator (positional priors, value-missing); the clamp
+    (SQL_CLAMPED_CENTS, shared with the z-score gate) bounds every
+    product: |cents|*den <= 1e7 * 255 ~ 2.6e9 << 2^63.
+
+    Scale shape: identical to the z-score gate — one scan, one window
+    partitioned by (event_type, day) so per-partition state is bounded
+    by a day's volume per type, flagged rows only out; the EWMA_LAGS
+    LAGs share ONE window frame (a single sort per partition in both
+    engines)."""
+    t = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        clamped_cents().alias("cents"),
+    )
+    win = W.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    lags = [F.lag("cents", i).over(win) for i in range(1, EWMA_LAGS + 1)]
+    num = sum(
+        (F.coalesce(lag, F.lit(0)) * w for lag, w in zip(lags, _EWMA_W)),
+        F.lit(0),
+    )
+    den = sum(
+        (F.when(lag.isNotNull(), w).otherwise(0) for lag, w in zip(lags, _EWMA_W)),
+        F.lit(0),
+    )
+    n_prior = sum(
+        (F.when(lag.isNotNull(), 1).otherwise(0) for lag in lags), F.lit(0)
+    )
+    w = t.select(
+        "event_id",
+        "event_type",
+        "cents",
+        num.cast("long").alias("ewma_num"),
+        den.cast("long").alias("ewma_den"),
+        n_prior.cast("long").alias("n_prior"),
+    )
+    resid = F.abs(F.col("cents") * F.col("ewma_den") - F.col("ewma_num"))
+    return w.filter(
+        (F.col("n_prior") >= EWMA_MIN_N)
+        & (resid > EWMA_THRESHOLD_CENTS * F.col("ewma_den"))
     )

@@ -626,3 +626,12 @@ def test_incremental_passages_twins_agree_on_fuzz(fuzz_df):
     from projet_pipeline_bigdata_org_spark.operators import dedup
 
     _fuzz_query_twins(fuzz_df, dedup, "dedup_incremental_passages")
+
+
+def test_ewma_residual_twins_agree_on_fuzz_events(fuzz_events):
+    """Positional-lag EWMA on colliding timestamps (event_id tie-break),
+    NULL readings in arbitrary lag slots (weightless in both engines),
+    negative and clamped-extreme values, and day-boundary lag resets."""
+    from projet_pipeline_bigdata_org_spark.operators import outliers
+
+    _fuzz_events_twins(fuzz_events, outliers, "anomaly_ewma_residual")

@@ -1968,3 +1968,50 @@ def test_ivfpq_scan_is_sublinear(spark, sf_dir):
     assert worst < n, (worst, n)
     # nprobe/cells = 1/4 of the corpus on average; allow cell-size skew
     assert worst <= 0.8 * n, (worst, n)
+
+
+def test_ewma_residual_flags_spike_then_decays_and_nulls_are_weightless(spark):
+    """Crafted stream: constant 5.00 (one NULL reading mid-run), a 100x
+    spike at id 10, then recovery. The spike must flag; the NEXT event
+    must also flag (alpha=1/2 smoothing still carries half the spike in
+    the level); the second post-spike event must NOT (level has decayed
+    inside the band) — the exact geometric-decay signature. The NULL
+    reading occupies its lag slot with ZERO weight (weightless, not
+    -CAP-poisoning) and is itself never flagged; a short day (< EWMA_MIN_N
+    priors) never flags regardless of jump size."""
+    import datetime
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import outliers
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(seconds=i), 1, "click",
+         None if i == 5 else 5.0, "{}")
+        for i in range(10)
+    ]
+    rows.append((10, base + datetime.timedelta(seconds=10), 1, "click", 500.0, "{}"))
+    rows.extend(
+        (11 + i, base + datetime.timedelta(seconds=11 + i), 1, "click", 5.0, "{}")
+        for i in range(5)
+    )
+    # a different day with 3 wild events: insufficient history, never flags
+    other = datetime.datetime(2024, 3, 2, 12, 0, 0)
+    rows.extend(
+        (100 + i, other + datetime.timedelta(seconds=i), 1, "click", v, "{}")
+        for i, v in enumerate([1.0, 900.0, 1.0])
+    )
+    sdf = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with mock.patch.object(outliers, "load", lambda _s, _d, _t: sdf):
+        got = {r.event_id: r for r in
+               outliers.anomaly_ewma_residual(spark, "ignored").collect()}
+    assert sorted(got) == [10, 11]
+    # spike row: all 8 lag slots filled except the NULL at lag 5 (weight
+    # 2^(8-5) = 8), so den = 255 - 8 and num = 500 * (255 - 8)
+    assert got[10].ewma_den == 247 and got[10].ewma_num == 500 * 247
+    # first recovery row: level still carries the spike at weight 128
+    assert got[11].cents == 500 and got[11].ewma_num > 500 * got[11].ewma_den
