@@ -994,6 +994,143 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mergeable sketches & collation (Spark 3.5+/4 surfaces)
 # ---------------------------------------------------------------------------
 
+#: HLL register count (2^4 — register index is ONE hex char of the sha,
+#: no modulo), rho ceiling for the all-zero slice, and alpha_16 * m^2 *
+#: 1000 as an exact integer (0.673 * 256 * 1000): the numerator of the
+#: milli-scaled raw HLL estimate
+HLL_M = 16
+HLL_RHO_SLICE_HEX = 12
+HLL_RHO_CAP = 4 * HLL_RHO_SLICE_HEX + 1
+HLL_ALPHA_M2_MILLI = 172_288
+#: the full milli-scaled numerator alpha_16 * m^2 * 1000 * 2^50 as ONE
+#: compile-time literal (~1.94e20 — beyond int64, so it rides as Spark's
+#: DECIMAL literal / DuckDB's HUGEINT literal; the quotient against the
+#: <= 16 * 2^50 harmonic sum is back inside BIGINT by construction)
+HLL_EST_NUMERATOR = HLL_ALPHA_M2_MILLI << (HLL_RHO_CAP + 1)
+
+
+def _hll_rho_sql(slice_expr: str) -> str:
+    """DuckDB: 1 + leading-zero-bit count of a 12-hex-char uniform slice
+    (rho of Flajolet et al.), capped at HLL_RHO_CAP for the all-zero
+    slice. z counts whole leading zero NIBBLES via regexp; the first
+    nonzero nibble contributes its 0-3 leading zero bits."""
+    z = f"LENGTH(REGEXP_EXTRACT({slice_expr}, '^0*'))"
+    v = f"CAST(('0x' || SUBSTR({slice_expr}, {z} + 1, 1)) AS BIGINT)"
+    return (
+        f"CASE WHEN {z} >= {HLL_RHO_SLICE_HEX} THEN {HLL_RHO_CAP} "
+        f"ELSE 4 * {z} + CASE WHEN {v} >= 8 THEN 0 WHEN {v} >= 4 THEN 1 "
+        f"WHEN {v} >= 2 THEN 2 ELSE 3 END + 1 END"
+    )
+
+
+def _hll_rho_col(slice_col: F.Column) -> F.Column:
+    """Spark twin of :func:`_hll_rho_sql` (conv parses the hex nibble;
+    the z >= 12 branch fires before conv ever sees an empty string)."""
+    z = F.length(F.regexp_extract(slice_col, "^0*", 0))
+    v = F.conv(F.substring(slice_col, z + 1, F.lit(1)), 16, 10).cast("long")
+    nibble_lz = (
+        F.when(v >= 8, 0).when(v >= 4, 1).when(v >= 2, 2).otherwise(3)
+    )
+    return F.when(z >= HLL_RHO_SLICE_HEX, HLL_RHO_CAP).otherwise(
+        4 * z + nibble_lz + 1
+    )
+
+
+@query(
+    "agg_hll_registers",
+    oracle=f"""
+    WITH toks AS (
+      SELECT UNNEST({SQL_WS_TOKENS.format(c='text')}) AS tok FROM documents
+    ), h AS (
+      SELECT tok, SHA256(tok) AS sha FROM toks
+    ), rho AS (
+      SELECT CAST(('0x' || SUBSTR(sha, 1, 1)) AS BIGINT) AS register,
+             {_hll_rho_sql(f"SUBSTR(sha, 2, {HLL_RHO_SLICE_HEX})")} AS rho
+      FROM h
+    ), agg AS (
+      SELECT register, MAX(rho) AS max_rho FROM rho GROUP BY register
+    ), regs AS (
+      SELECT gs.i AS register FROM UNNEST(GENERATE_SERIES(0, {HLL_M - 1})) gs(i)
+    ), full_regs AS (
+      SELECT r.register, COALESCE(a.max_rho, 0) AS max_rho
+      FROM regs r LEFT JOIN agg a USING (register)
+    ), s AS (
+      SELECT CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_CAP + 1} - max_rho))
+                  AS BIGINT) AS sum_inv_scaled
+      FROM full_regs
+    ), e AS (
+      SELECT COUNT(DISTINCT tok) AS exact_distinct FROM toks
+    )
+    SELECT CAST(f.register AS BIGINT) AS register,
+           CAST(f.max_rho AS BIGINT) AS max_rho,
+           s.sum_inv_scaled,
+           CAST({HLL_EST_NUMERATOR} // s.sum_inv_scaled AS BIGINT)
+             AS hll_estimate_milli,
+           CAST(e.exact_distinct AS BIGINT) AS exact_distinct
+    FROM full_regs f, s, e
+    """,
+    tags=("llm", "sketch", "documents"),
+)
+def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog with CERTIFIED arithmetic — the oracle-gated twin of
+    the engine-side ``sketch_hll_distinct``: every register, the
+    harmonic-mean fold, and the raw estimate are exact integers both
+    engines rebuild bit-identically, so the driver certifies the sketch
+    CONSTRUCTION, not just that some estimate came out.
+
+    Construction (Flajolet et al. 2007): token -> sha256; register = the
+    first hex nibble (m = 16, no modulo — the Bloom-slice discipline);
+    rho = 1 + leading-zero-bit count of the next 12 hex chars, capped at
+    49. The harmonic sum rides as sum(2^(50 - max_rho)) (BIGINT, largest
+    term 2^50, max sum 16 * 2^50 ~ 1.8e16 << 2^63) and the raw estimate
+    alpha_16 * m^2 / sum(2^-rho) is emitted milli-scaled as
+    HLL_EST_NUMERATOR DIV sum — one integer division of a wide literal
+    (DECIMAL in Spark, HUGEINT in DuckDB), identical truncation in both
+    engines, quotient back inside BIGINT by construction. exact_distinct rides along as the certification
+    yardstick (the test pins the estimate within HLL's published error
+    envelope of it; a 100 TB deployment would drop that column).
+
+    Scale shape: rho is a function of the token, so NO distinct
+    pre-shuffle is needed — max(rho) over all occurrences equals max over
+    distinct tokens, and the only full-stream operation is a partial-agg'd
+    16-group groupBy (map-side combine reduces every partition to <= 16
+    rows). The register table is 16 rows; dimension, fold, and yardstick
+    join via broadcast. Output: exactly m rows."""
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(ws_tokens("text")).alias("tok")
+    )
+    sha = F.sha2(F.col("tok"), 256)
+    rho = toks.select(
+        F.conv(F.substring(sha, 1, 1), 16, 10).cast("long").alias("register"),
+        _hll_rho_col(F.substring(sha, 2, HLL_RHO_SLICE_HEX)).alias("rho"),
+    )
+    agg = rho.groupBy("register").agg(F.max("rho").alias("max_rho"))
+    regs = spark.range(HLL_M).select(F.col("id").alias("register"))
+    full_regs = regs.join(F.broadcast(agg), "register", "left").select(
+        "register", F.coalesce(F.col("max_rho"), F.lit(0)).alias("max_rho")
+    )
+    s = full_regs.agg(
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST({HLL_RHO_CAP + 1} - max_rho AS INT))"
+            )
+        )
+        .cast("long")
+        .alias("sum_inv_scaled")
+    ).select(
+        "sum_inv_scaled",
+        F.expr(
+            f"CAST({HLL_EST_NUMERATOR} div sum_inv_scaled AS BIGINT)"
+        ).alias("hll_estimate_milli"),
+    )
+    e = toks.agg(F.count_distinct(F.col("tok")).cast("long").alias("exact_distinct"))
+    return (
+        full_regs.select("register", F.col("max_rho").cast("long").alias("max_rho"))
+        .crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(e))
+    )
+
 
 @query(
     "sketch_hll_distinct",

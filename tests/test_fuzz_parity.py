@@ -635,3 +635,13 @@ def test_ewma_residual_twins_agree_on_fuzz_events(fuzz_events):
     from projet_pipeline_bigdata_org_spark.operators import outliers
 
     _fuzz_events_twins(fuzz_events, outliers, "anomaly_ewma_residual")
+
+
+def test_hll_registers_twins_agree_on_fuzz(fuzz_df):
+    """Register / rho nibble arithmetic on adversarial tokens: unicode,
+    emoji, and CJK codepoints must sha-slice to identical registers and
+    leading-zero-bit counts in both engines, including the empty corpus
+    rows (zero-token docs) that leave registers at rho 0."""
+    from projet_pipeline_bigdata_org_spark.operators import analytics_ext
+
+    _fuzz_query_twins(fuzz_df, analytics_ext, "agg_hll_registers")

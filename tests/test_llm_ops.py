@@ -2015,3 +2015,45 @@ def test_ewma_residual_flags_spike_then_decays_and_nulls_are_weightless(spark):
     assert got[10].ewma_den == 247 and got[10].ewma_num == 500 * 247
     # first recovery row: level still carries the spike at weight 128
     assert got[11].cents == 500 and got[11].ewma_num > 500 * got[11].ewma_den
+
+
+def test_hll_registers_match_hashlib_and_estimate_tracks_exact(spark):
+    """The certified HLL against a pure-Python rebuild: every register's
+    max_rho recomputed with hashlib over the same corpus must match, and
+    the milli-scaled raw estimate must sit inside HLL's published error
+    envelope for m=16 (sigma = 1.04/4 = 26%; assert within 3 sigma of
+    the exact distinct count carried alongside)."""
+    import hashlib
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import analytics_ext
+    from projet_pipeline_bigdata_org_spark.operators.analytics_ext import (
+        HLL_M,
+        HLL_RHO_CAP,
+        HLL_RHO_SLICE_HEX,
+    )
+
+    texts = [f"tok{i} alpha beta gamma{i % 7}" for i in range(120)]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    with mock.patch.object(analytics_ext, "load", lambda _s, _d, _t: sdf):
+        rows = analytics_ext.agg_hll_registers(spark, "ignored").collect()
+    assert len(rows) == HLL_M
+
+    vocab = {tok for t in texts for tok in t.split() if tok}
+    regs = {r: 0 for r in range(HLL_M)}
+    for tok in vocab:
+        sha = hashlib.sha256(tok.encode()).hexdigest()
+        reg = int(sha[0], 16)
+        sl = sha[1 : 1 + HLL_RHO_SLICE_HEX]
+        bits = bin(int(sl, 16))[2:].zfill(4 * HLL_RHO_SLICE_HEX)
+        lz = len(bits) - len(bits.lstrip("0"))
+        rho = HLL_RHO_CAP if lz == 4 * HLL_RHO_SLICE_HEX else lz + 1
+        regs[reg] = max(regs[reg], rho)
+    assert {r.register: r.max_rho for r in rows} == regs
+
+    est = rows[0].hll_estimate_milli / 1000.0
+    exact = rows[0].exact_distinct
+    assert exact == len(vocab)
+    assert 0.22 * exact <= est <= 1.78 * exact
