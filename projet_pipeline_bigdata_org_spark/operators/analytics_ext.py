@@ -1132,6 +1132,140 @@ def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: KMV (k-minimum-values / bottom-k theta) sketch size, hash width, and
+#: the (k-1) * 2^48 * 1000 estimator numerator (exact, < 2^63: 15 * 2^48
+#: * 1000 ~ 4.2e18)
+KMV_K = 16
+KMV_HASH_HEX = 12
+KMV_EST_NUMERATOR = (KMV_K - 1) * (1 << (4 * KMV_HASH_HEX)) * 1000
+
+#: crafted low-vocabulary rider (the INCREMENTAL_NEARDUP_FIXTURE pattern):
+#: a lang whose distinct-token count sits BELOW KMV_K, so the sketch's
+#: exact small-set branch is certified at any SF alongside the estimator
+#: branch the 31-token corpus vocabulary exercises
+KMV_FIXTURE_ROWS: tuple[tuple[int, str, str], ...] = (
+    (90_000_001, "kmv tiny vocab probe", "xs"),
+    (90_000_002, "kmv tiny vocab again probe", "xs"),
+)
+_KMV_FIXTURE_SQL = " UNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text, '{g}' AS lang"
+    for i, t, g in KMV_FIXTURE_ROWS
+)
+
+
+@query(
+    "agg_kmv_distinct",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL {_KMV_FIXTURE_SQL}
+    ), tok_d AS (
+      SELECT DISTINCT lang, UNNEST({SQL_WS_TOKENS.format(c='text')}) AS tok
+      FROM docs
+    ), both_scopes AS (
+      SELECT lang, tok FROM tok_d
+      UNION SELECT '__all__' AS lang, tok FROM tok_d
+    ), dh AS (
+      SELECT DISTINCT lang,
+             CAST(('0x' || SUBSTR(SHA256(tok), 1, {KMV_HASH_HEX})) AS BIGINT)
+               AS h
+      FROM both_scopes
+    ), ranked AS (
+      SELECT lang, h,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+      FROM dh
+    ), kept AS (
+      SELECT lang, COUNT(*) AS n_kept, MAX(h) AS max_h
+      FROM ranked WHERE rn <= {KMV_K} GROUP BY lang
+    ), exact AS (
+      SELECT lang, COUNT(*) AS exact_distinct FROM both_scopes GROUP BY lang
+    )
+    SELECT k.lang,
+           CAST(k.n_kept AS BIGINT) AS n_kept,
+           CAST(CASE WHEN k.n_kept = {KMV_K} THEN k.max_h END AS BIGINT)
+             AS kth_min_h,
+           CAST(CASE WHEN k.n_kept < {KMV_K} THEN k.n_kept * 1000
+                     ELSE {KMV_EST_NUMERATOR} // k.max_h END AS BIGINT)
+             AS kmv_estimate_milli,
+           CAST(e.exact_distinct AS BIGINT) AS exact_distinct
+    FROM kept k JOIN exact e USING (lang)
+    """,
+    tags=("llm", "sketch", "documents"),
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k theta sketch per language plus the merged corpus
+    row — the third certified-arithmetic sketch next to
+    ``agg_hll_registers`` and ``agg_countmin_terms``, and the one whose
+    MERGE is trivially exact: the union of per-group bottom-k sets
+    re-trimmed to k IS the bottom-k of the union (the '__all__' row is
+    built exactly that way conceptually, and
+    ``test_kmv_merge_of_group_sketches_equals_global`` pins it), which is
+    what makes KMV the shard-then-merge distinct counter (and, unlike
+    HLL, intersectable via inclusion-exclusion on thresholds).
+
+    Construction (Bar-Yossef et al. 2002): token -> the first 12 hex
+    chars of sha256 as a uniform 48-bit integer; keep the K smallest
+    distinct values per scope; estimate = (K-1) * 2^48 / h_(K), emitted
+    milli-scaled through one integer division of an exact < 2^63
+    numerator. Scopes with fewer than K distinct hashes ARE the exact
+    answer (n_kept * 1000) — the KMV_FIXTURE_ROWS rider certifies that
+    branch at any SF while the corpus vocabulary exercises the estimator
+    branch.
+
+    Scale shape: one distinct on (scope, hash) — fixed-width keys — then
+    a rank window that Spark's WindowGroupLimit rewrites into per-
+    partition bottom-K BEFORE the exchange (plan-pinned), so the sort
+    after the shuffle sees at most K rows per partition per scope, not
+    the distinct stream. exact_distinct is the certification yardstick
+    (dropped at 100 TB, as in the HLL twin)."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .unionByName(
+            spark.createDataFrame(
+                list(KMV_FIXTURE_ROWS), "doc_id long, text string, lang string"
+            )
+        )
+    )
+    tok_d = docs.select(
+        "lang", F.explode(ws_tokens("text")).alias("tok")
+    ).distinct()
+    both_scopes = tok_d.unionByName(
+        tok_d.select(F.lit("__all__").alias("lang"), "tok")
+    ).distinct()
+    dh = both_scopes.select(
+        "lang",
+        F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, KMV_HASH_HEX), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    ranked = dh.select(
+        "lang",
+        "h",
+        F.row_number().over(W.partitionBy("lang").orderBy("h")).alias("rn"),
+    )
+    kept = (
+        ranked.filter(F.col("rn") <= KMV_K)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("max_h"))
+    )
+    exact = both_scopes.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("n_kept") < KMV_K, F.col("n_kept") * 1000
+    ).otherwise(F.expr(f"{KMV_EST_NUMERATOR} div max_h"))
+    return kept.join(F.broadcast(exact), "lang").select(
+        "lang",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.when(F.col("n_kept") == KMV_K, F.col("max_h"))
+        .cast("long")
+        .alias("kth_min_h"),
+        est.cast("long").alias("kmv_estimate_milli"),
+        "exact_distinct",
+    )
+
+
 @query(
     "sketch_hll_distinct",
     tags=("llm", "sketch", "documents", "no-oracle"),

@@ -645,3 +645,32 @@ def test_hll_registers_twins_agree_on_fuzz(fuzz_df):
     from projet_pipeline_bigdata_org_spark.operators import analytics_ext
 
     _fuzz_query_twins(fuzz_df, analytics_ext, "agg_hll_registers")
+
+
+def test_kmv_twins_agree_on_fuzz(spark):
+    """KMV hash-slice / rank / estimator arithmetic fuzzed with a lang
+    column: adversarial unicode tokens, duplicate texts across langs,
+    zero-token docs, and the tiny-vocab fixture rider exercising the
+    exact small-set branch in both engines."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark import plans
+    from projet_pipeline_bigdata_org_spark.operators import analytics_ext
+
+    plans.load_all()
+    data = _fuzz_strings()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(data)),
+            "text": data,
+            "lang": [f"l{i % 4}" for i in range(len(data))],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    spec = plans.registry.all_specs()["agg_kmv_distinct"]
+    with mock.patch.object(analytics_ext, "load", lambda _s, _d, _t: sdf):
+        got = {tuple(r) for r in spec.fn(spark, "ignored").collect()}
+    want = {tuple(r) for r in con.execute(spec.oracle).fetchall()}
+    assert got == want

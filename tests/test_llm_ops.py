@@ -2057,3 +2057,57 @@ def test_hll_registers_match_hashlib_and_estimate_tracks_exact(spark):
     exact = rows[0].exact_distinct
     assert exact == len(vocab)
     assert 0.22 * exact <= est <= 1.78 * exact
+
+
+def test_kmv_merge_of_group_sketches_equals_global(spark):
+    """KMV mergeability, the property HLL lacks exact form for: the union
+    of per-lang bottom-K hash sets, re-trimmed to K, must equal the
+    global '__all__' sketch — same kth threshold, same estimate — and
+    every estimate matches a pure-Python hashlib rebuild (small-set
+    scopes exactly, estimator scopes inside 3 sigma ~ 78%)."""
+    import hashlib
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import analytics_ext
+    from projet_pipeline_bigdata_org_spark.operators.analytics_ext import (
+        KMV_EST_NUMERATOR,
+        KMV_FIXTURE_ROWS,
+        KMV_HASH_HEX,
+        KMV_K,
+    )
+
+    texts = [
+        (i, " ".join(f"w{(i * 7 + j) % 60}" for j in range(12)), f"l{i % 3}")
+        for i in range(90)
+    ]
+    sdf = spark.createDataFrame(texts, "doc_id long, text string, lang string")
+    with mock.patch.object(analytics_ext, "load", lambda _s, _d, _t: sdf):
+        rows = {r.lang: r for r in
+                analytics_ext.agg_kmv_distinct(spark, "ignored").collect()}
+
+    def h(tok):
+        return int(hashlib.sha256(tok.encode()).hexdigest()[:KMV_HASH_HEX], 16)
+
+    per_lang, universe = {}, set()
+    for _i, t, lang in list(texts) + [(i, t, g) for i, t, g in KMV_FIXTURE_ROWS]:
+        toks = {w for w in t.split() if w}
+        per_lang.setdefault(lang, set()).update(toks)
+        universe.update(toks)
+    for lang, vocab in list(per_lang.items()) + [("__all__", universe)]:
+        hashes = sorted({h(t) for t in vocab})
+        kept = hashes[:KMV_K]
+        r = rows[lang]
+        assert r.n_kept == len(kept)
+        if len(hashes) < KMV_K:
+            assert r.kth_min_h is None
+            assert r.kmv_estimate_milli == len(hashes) * 1000
+        else:
+            assert r.kth_min_h == kept[-1]
+            assert r.kmv_estimate_milli == KMV_EST_NUMERATOR // kept[-1]
+            assert 0.22 * len(hashes) <= r.kmv_estimate_milli / 1000 <= 1.78 * len(hashes)
+        assert r.exact_distinct == len(vocab)
+    # the merge identity itself: union of per-lang kept sets, re-trimmed
+    merged = sorted(set().union(*[
+        set(sorted({h(t) for t in v})[:KMV_K]) for v in per_lang.values()
+    ]))[:KMV_K]
+    assert merged == sorted({h(t) for t in universe})[:KMV_K]

@@ -813,3 +813,15 @@ def test_pq_cascade_lut_and_codebook_broadcast(spark, sf_dir, no_auto_broadcast)
     df = _Q["compress_pq_topk"].fn(spark, sf_dir)
     p = formatted_plan(df)
     assert p.count("BroadcastHashJoin") >= 3, p
+
+
+def test_kmv_rank_window_gets_partial_group_limit(spark, sf_dir):
+    """agg_kmv_distinct's bottom-K rank must be rewritten by Spark's
+    WindowGroupLimit into per-partition bottom-K BEFORE the scope
+    exchange — the property that makes the sketch's sort see <= K rows
+    per input partition instead of the whole distinct-hash stream."""
+    df = _Q["agg_kmv_distinct"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "WindowGroupLimit" in p, p
+    assert "Partial" in p[: p.find("Exchange hashpartitioning", p.find("WindowGroupLimit"))] or \
+        "Partial" in p[p.find("WindowGroupLimit"):], p
