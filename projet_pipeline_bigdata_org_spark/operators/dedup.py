@@ -1395,3 +1395,109 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.sum("is_dup")).cast("long").alias("n_novel"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate audit (CCNet's granularity, below the passage level)
+# ---------------------------------------------------------------------------
+
+#: a line must appear in at least this many DISTINCT documents to be
+#: boilerplate (CCNet trims at paragraph spread; 3 separates template
+#: chrome from the legitimate 2-document quote)
+BOILERPLATE_MIN_DOCS = 3
+
+#: multi-line rider docs (the corpus text is single-line by generation):
+#: four docs sharing an "all rights reserved" footer (one in different
+#: CASE and padding — the normalization must merge it), three sharing a
+#: newsletter line, and unique bodies that must NOT flag
+BOILERPLATE_FIXTURE_ROWS: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (91_000_001, ("unique body alpha", "subscribe to our newsletter", "all rights reserved")),
+    (91_000_002, ("unique body beta", "subscribe to our newsletter", "All Rights Reserved  ")),
+    (91_000_003, ("unique body gamma", "Subscribe to our newsletter".lower(), "all rights reserved")),
+    (91_000_004, ("unique body delta", "all rights reserved")),
+)
+
+_BOILERPLATE_FIXTURE_SQL = " UNION ALL ".join(
+    "SELECT CAST({i} AS BIGINT) AS doc_id, {t} AS text".format(
+        i=i, t=" || CHR(10) || ".join("'" + ln + "'" for ln in lines)
+    )
+    for i, lines in BOILERPLATE_FIXTURE_ROWS
+)
+
+
+@query(
+    "dedup_boilerplate_lines",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL {_BOILERPLATE_FIXTURE_SQL}
+    ), lines AS (
+      SELECT DISTINCT doc_id,
+             LOWER(TRIM(UNNEST(STRING_SPLIT(text, CHR(10))))) AS line
+      FROM docs
+    )
+    SELECT line,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM lines
+    WHERE line <> ''
+    GROUP BY line
+    HAVING COUNT(*) >= {BOILERPLATE_MIN_DOCS}
+    """,
+    tags=("llm", "dedup", "documents"),
+)
+def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate audit — CCNet's dedup granularity, the
+    level BELOW ``dedup_repeated_passages``: every normalized (lower,
+    trimmed) newline-delimited line appearing in at least
+    BOILERPLATE_MIN_DOCS distinct documents, with its spread and min-id
+    keeper. This is the navigation-chrome / cookie-banner / footer
+    remover of the CCNet pipeline: such lines are far shorter than a
+    PASSAGE_TOKENS-token window (the passage audit cannot see them) and
+    repeat across documents that share no other content (document-level
+    Jaccard cannot either), so all three granularities — document,
+    passage, line — are needed and now present.
+
+    The corpus text is single-line by generation (each document is then
+    itself one 'line' — whole-document exact duplicates surface here
+    consistently with ``dedup_exact_normalized``); the
+    BOILERPLATE_FIXTURE_ROWS rider carries real multi-line documents so
+    the cross-document footer semantics (including case/padding
+    normalization folding variants together) are certified at any SF.
+
+    Scale shape: mirrors the passage audit exactly — one explode, a
+    per-doc DISTINCT folded into the explode stream, ONE partial-agg'd
+    groupBy on the line key, HAVING keeps the tiny repeated tail. At
+    100 TB the line key rides as the 16-byte hash pair
+    (:func:`passage_hash_pair` applies verbatim — the equivalence is
+    already pinned at the passage level, and this audit is string-keyed
+    for the same reason that one is: the DuckDB twin reads the strings)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [(i, "\n".join(lines)) for i, lines in BOILERPLATE_FIXTURE_ROWS],
+                "doc_id long, text string",
+            )
+        )
+    )
+    lines = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.split(F.col("text"), "\n"),
+                    lambda x: F.lower(F.trim(x)),
+                )
+            )
+        ).alias("line"),
+    ).filter(F.col("line") != "")
+    return (
+        lines.groupBy("line")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+    )

@@ -674,3 +674,12 @@ def test_kmv_twins_agree_on_fuzz(spark):
         got = {tuple(r) for r in spec.fn(spark, "ignored").collect()}
     want = {tuple(r) for r in con.execute(spec.oracle).fetchall()}
     assert got == want
+
+
+def test_boilerplate_lines_twins_agree_on_fuzz(fuzz_df):
+    """Line split / normalize / distinct-fold on adversarial strings:
+    embedded newlines inside fuzz pieces become real line boundaries,
+    whitespace-only lines vanish identically, unicode case-folds agree."""
+    from projet_pipeline_bigdata_org_spark.operators import dedup
+
+    _fuzz_query_twins(fuzz_df, dedup, "dedup_boilerplate_lines")

@@ -2111,3 +2111,29 @@ def test_kmv_merge_of_group_sketches_equals_global(spark):
         set(sorted({h(t) for t in v})[:KMV_K]) for v in per_lang.values()
     ]))[:KMV_K]
     assert merged == sorted({h(t) for t in universe})[:KMV_K]
+
+
+def test_boilerplate_lines_fold_case_and_keep_unique_bodies(spark):
+    """With the corpus mocked to two quote-sharing docs, the fixture
+    rider (unioned INSIDE the operator) drives the result: the footer
+    shared by all four rider docs (one in different case/padding — the
+    normalization must fold it) flags with n_docs=4 and the min-id
+    keeper; the newsletter line flags with exactly BOILERPLATE_MIN_DOCS;
+    every unique body line and the 2-document quote near-miss stay out;
+    empty lines never flag."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import dedup
+
+    extra = [
+        (1, "legit quote line\nunique tail one"),
+        (2, "legit quote line\nunique tail two\n\n  \n"),
+    ]
+    sdf = spark.createDataFrame(extra, "doc_id long, text string")
+    with mock.patch.object(dedup, "load", lambda _s, _d, _t: sdf):
+        got = {r.line: r for r in
+               dedup.dedup_boilerplate_lines(spark, "ignored").collect()}
+    assert set(got) == {"all rights reserved", "subscribe to our newsletter"}
+    assert got["all rights reserved"].n_docs == 4
+    assert got["all rights reserved"].keeper_doc_id == 91_000_001
+    assert got["subscribe to our newsletter"].n_docs == 3
