@@ -992,3 +992,137 @@ def algo_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return labels.select("node", F.col("community").cast("long").alias("community"))
+
+
+# ---------------------------------------------------------------------------
+# k-core peel (the fifth iterative-graph exemplar: frontier-incremental)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 4
+KCORE_ITERS = 3
+
+#: crafted subgraph riding along at node ids far above any l_partkey
+#: (the INCREMENTAL_NEARDUP_FIXTURE discipline): a 5-clique that must
+#: survive every peel with induced degree exactly KCORE_K, plus a chain
+#: X2 -> X1 -> X0 engineered to die in rounds 1, 2, 3 respectively —
+#: certifying the CASCADE (a node that qualified in round i dying in
+#: round i+1 because its support died) at any SF, on any corpus graph
+_KC = 90_000_000
+KCORE_FIXTURE_PAIRS: tuple[tuple[int, int], ...] = tuple(
+    # the 5-clique on nodes _KC+0 .. _KC+4
+    [(_KC + i, _KC + j) for i in range(5) for j in range(i + 1, 5)]
+    + [
+        # X2 (=_KC+12): deg 3 (X1, c0, c1) -> dies round 1
+        (_KC + 12, _KC + 11), (_KC + 0, _KC + 12), (_KC + 1, _KC + 12),
+        # X1 (=_KC+11): deg 4 (X2, X0, c0, c1) -> survives round 1,
+        # drops to 3 when X2 dies -> dies round 2
+        (_KC + 11, _KC + 10), (_KC + 0, _KC + 11), (_KC + 1, _KC + 11),
+        # X0 (=_KC+10): deg 4 (X1, c2, c3, c4) -> survives rounds 1-2,
+        # drops to 3 when X1 dies -> dies round 3
+        (_KC + 2, _KC + 10), (_KC + 3, _KC + 10), (_KC + 4, _KC + 10),
+    ]
+)
+
+_KCORE_FIXTURE_SQL = " UNION ALL ".join(
+    f"SELECT CAST({u} AS BIGINT) AS u, CAST({v} AS BIGINT) AS v"
+    for u, v in KCORE_FIXTURE_PAIRS
+)
+
+
+def _kcore_round_sql(alive: str, deg: str, nxt: str) -> str:
+    """One unrolled synchronous peel: degrees induced on the current
+    alive set, then drop nodes below KCORE_K."""
+    return f"""
+    {deg} AS (
+      SELECT e.src AS node, COUNT(*) AS deg
+      FROM edges e
+      JOIN {alive} x ON e.src = x.node
+      JOIN {alive} y ON e.dst = y.node
+      GROUP BY e.src),
+    {nxt} AS (SELECT node FROM {deg} WHERE deg >= {KCORE_K})"""
+
+
+@query(
+    "algo_kcore_peel",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        UNION ALL {_KCORE_FIXTURE_SQL})),
+    edges AS (
+      SELECT u AS src, v AS dst FROM pairs
+      UNION ALL
+      SELECT v AS src, u AS dst FROM pairs),
+    a0 AS (SELECT DISTINCT src AS node FROM edges),
+    {','.join(_kcore_round_sql(f'a{i}', f'd{i}', f'a{i + 1}')
+              for i in range(KCORE_ITERS))},
+    dout AS (
+      SELECT e.src AS node, COUNT(*) AS deg
+      FROM edges e
+      JOIN a{KCORE_ITERS} x ON e.src = x.node
+      JOIN a{KCORE_ITERS} y ON e.dst = y.node
+      GROUP BY e.src)
+    SELECT node, CAST(deg AS BIGINT) AS degree
+    FROM dout
+    """,
+    tags=("graph", "iterative", "lineitem"),
+)
+def algo_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth k-core peel (Matula & Beck 1983 / Batagelj-Zaversnik)
+    over the part co-purchase graph: KCORE_ITERS synchronous rounds of
+    "remove every node whose degree in the surviving subgraph is below
+    KCORE_K", emitting the survivors with their induced degree. The
+    documented semantic is PEEL DEPTH KCORE_ITERS (the fixed-unrolling
+    discipline of algo_pagerank/algo_label_propagation — a convergence
+    variant would checkpoint per round); survivors may still carry
+    degree < k if they lost support in the final round.
+
+    Scale shape — this exemplar is the FRONTIER-INCREMENTAL one: the
+    symmetrized edge list persists hash-partitioned on dst and is
+    exchanged ONCE; initial degrees are a shuffle-FREE groupBy on that
+    same dst key (symmetric list: in-degree = degree); each round then
+    touches only the DEAD FRONTIER — dead nodes broadcast/shuffle into
+    the edge partitioning, matched edges group into per-survivor
+    decrements, and the degree table updates by a co-partitioned left
+    join — so per-round exchange is proportional to edges incident to
+    dying nodes, not to |E| (a recomputation formulation joins the full
+    edge list against the alive set twice EVERY round). The DuckDB twin
+    recomputes induced degrees per round from scratch; equality of the
+    two formulations is exactly the decrement-correctness claim, checked
+    bit-for-bit by the oracle gate, and the KCORE_FIXTURE_PAIRS rider
+    pins the multi-round cascade at any SF."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = copurchase_pairs(li).unionByName(
+        spark.createDataFrame(list(KCORE_FIXTURE_PAIRS), "u long, v long")
+    ).dropDuplicates(["u", "v"])
+    edges = _persist_scoped(
+        "kcore_edges",
+        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .repartition("dst"),
+    )
+    # symmetric list: degree(n) = |edges with dst = n| — the groupBy rides
+    # the persisted partitioning, no exchange
+    deg = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    for _ in range(KCORE_ITERS):
+        dead = deg.filter(F.col("deg") < KCORE_K).select(
+            F.col("node").alias("dst")
+        )
+        alive = deg.filter(F.col("deg") >= KCORE_K)
+        dec = (
+            edges.join(dead, "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("dec"))
+        )
+        deg = alive.join(dec, "node", "left").select(
+            "node",
+            (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))).alias("deg"),
+        )
+    return deg.select("node", F.col("deg").cast("long").alias("degree"))

@@ -2137,3 +2137,23 @@ def test_boilerplate_lines_fold_case_and_keep_unique_bodies(spark):
     assert got["all rights reserved"].n_docs == 4
     assert got["all rights reserved"].keeper_doc_id == 91_000_001
     assert got["subscribe to our newsletter"].n_docs == 3
+
+
+def test_kcore_cascade_peels_chain_and_keeps_clique(spark):
+    """k-core peel on ONLY the fixture subgraph (lineitem mocked empty):
+    the 5-clique survives all rounds with induced degree amplified by its
+    chain attachments collapsing back to the bare clique degree; X2 dies
+    in round 1 (degree 3), X1 in round 2 (lost X2), X0 in round 3 (lost
+    X1) — the multi-round cascade the frontier-incremental decrements
+    must reproduce exactly."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import grouped
+    from projet_pipeline_bigdata_org_spark.operators.grouped import _KC
+
+    empty = spark.createDataFrame([], "l_orderkey long, l_partkey long")
+    with mock.patch.object(grouped, "load", lambda _s, _d, _t: empty):
+        got = {r.node: r.degree for r in
+               grouped.algo_kcore_peel(spark, "ignored").collect()}
+    # survivors: exactly the clique, each at its induced (clique-only) degree
+    assert got == {_KC + i: 4 for i in range(5)}

@@ -825,3 +825,20 @@ def test_kmv_rank_window_gets_partial_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in p, p
     assert "Partial" in p[: p.find("Exchange hashpartitioning", p.find("WindowGroupLimit"))] or \
         "Partial" in p[p.find("WindowGroupLimit"):], p
+
+
+def test_kcore_rounds_reuse_persisted_edges_without_reexchange(spark, sf_dir):
+    """algo_kcore_peel's edge list must exchange ONCE (inside the persisted
+    relation's materialization): the final plan shows only
+    InMemoryTableScan reuse of the dst-partitioned edges — zero
+    hashpartitioning exchanges — because the initial degree groupBy rides
+    the persisted partitioning and each round's frontier joins broadcast
+    or co-partition. At 100 TB the frontier joins become exchanges
+    proportional to dying-node edges, never |E| per round. (formatted
+    explain: executedPlan().toString() would re-print the cached
+    relation's BUILD plan — with its one-time exchange — inside every
+    scan.)"""
+    df = _Q["algo_kcore_peel"].fn(spark, sf_dir)
+    p = formatted_plan(df)
+    assert "InMemoryTableScan" in p, p
+    assert p.count("Exchange hashpartitioning") == 0, p
