@@ -170,3 +170,125 @@ def dq_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_violations") * 1.0 / F.col("n_checked")).alias("violation_rate"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# column profiler (the DISCOVERY side of the expectations audit)
+# ---------------------------------------------------------------------------
+
+#: profiled columns of the orders table and the metric slot each type
+#: fills: numerics surface min/max as DOUBLE (exact — min/max SELECT an
+#: existing value, no arithmetic), strings via binary-collation compare,
+#: timestamps formatted to the engine-neutral second grain
+PROFILE_COLS: tuple[tuple[str, str], ...] = (
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_totalprice", "num"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+    ("o_orderdate", "ts"),
+)
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def _profile_col_sql(col: str, kind: str) -> str:
+    if kind == "num":
+        mn = f"CAST(MIN({col}) AS DOUBLE)"
+        mx = f"CAST(MAX({col}) AS DOUBLE)"
+        ms = "CAST(NULL AS VARCHAR)"
+        xs = "CAST(NULL AS VARCHAR)"
+    elif kind == "str":
+        mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+        ms, xs = f"MIN({col})", f"MAX({col})"
+    else:
+        mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+        ms = f"STRFTIME(MIN({col}), '{_TS_FMT_DUCK}')"
+        xs = f"STRFTIME(MAX({col}), '{_TS_FMT_DUCK}')"
+    return f"""
+    SELECT '{col}' AS col_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({col}) AS n_nulls,
+           COUNT(DISTINCT {col}) AS n_distinct,
+           {mn} AS min_num, {mx} AS max_num,
+           {ms} AS min_str, {xs} AS max_str
+    FROM orders"""
+
+
+@query(
+    "agg_profile_columns",
+    oracle=" UNION ALL ".join(
+        _profile_col_sql(c, k) for c, k in PROFILE_COLS
+    ),
+    tags=("llm", "quality", "orders"),
+)
+def agg_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler over the orders table — the DISCOVERY companion of
+    ``dq_expectations_audit`` (Deequ/Great-Expectations 'profile' stage:
+    you profile first, then pin expectations): per column, row count,
+    null count, exact distinct count, and min/max surfaced in a
+    type-appropriate slot (numerics as DOUBLE — exact, min/max select an
+    existing value; strings under binary collation, identical in both
+    engines; timestamps formatted at second grain).
+
+    Scale shape: ONE scan — all per-column aggregates fold in a single
+    partial-agg'd aggregation; the multi-column exact COUNT(DISTINCT)
+    plans as Spark's Expand (one input pass multiplied |cols|+1 ways
+    map-side), which is the certification-grade form. At 100 TB the
+    exact distincts swap for approx_count_distinct or the certified
+    register sketch (``agg_hll_registers``) — the profile's other
+    metrics are one-pass regardless. Output is |PROFILE_COLS| rows from
+    a stack() pivot of the single aggregate row — bounded, no driver
+    iteration."""
+    o = load(spark, sf_dir, "orders")
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in PROFILE_COLS:
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"nn_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"nd_{c}"))
+        if kind == "num":
+            aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"mx_{c}"))
+        elif kind == "str":
+            aggs.append(F.min(c).alias(f"ms_{c}"))
+            aggs.append(F.max(c).alias(f"xs_{c}"))
+        else:
+            aggs.append(
+                F.date_format(F.min(c), _TS_FMT_SPARK).alias(f"ms_{c}")
+            )
+            aggs.append(
+                F.date_format(F.max(c), _TS_FMT_SPARK).alias(f"xs_{c}")
+            )
+    one = o.agg(*aggs)
+    parts = []
+    for c, kind in PROFILE_COLS:
+        # every operand rides inside an explicit CAST so stack() sees
+        # uniformly-named struct fields across rows (Spark's
+        # STACK_COLUMN_DIFF_TYPES check compares field NAMES too)
+        mn = f"CAST({f'mn_{c}' if kind == 'num' else 'NULL'} AS DOUBLE)"
+        mx = f"CAST({f'mx_{c}' if kind == 'num' else 'NULL'} AS DOUBLE)"
+        ms = f"CAST({f'ms_{c}' if kind != 'num' else 'NULL'} AS STRING)"
+        xs = f"CAST({f'xs_{c}' if kind != 'num' else 'NULL'} AS STRING)"
+        parts.append(
+            f"'{c}', CAST(n_rows AS BIGINT), CAST(nn_{c} AS BIGINT), "
+            f"CAST(nd_{c} AS BIGINT), {mn}, {mx}, {ms}, {xs}"
+        )
+    stacked = one.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {', '.join(parts)}) AS "
+            "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num, "
+            "min_str, max_str)"
+        )
+    )
+    return stacked.select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    )

@@ -2157,3 +2157,36 @@ def test_kcore_cascade_peels_chain_and_keeps_clique(spark):
                grouped.algo_kcore_peel(spark, "ignored").collect()}
     # survivors: exactly the clique, each at its induced (clique-only) degree
     assert got == {_KC + i: 4 for i in range(5)}
+
+
+def test_profile_columns_counts_nulls_and_typed_minmax(spark):
+    """Profiler on a crafted orders table: NULLs counted per column and
+    excluded from distinct/min/max; numeric slots carry DOUBLE min/max,
+    string slots binary-collation min/max, the timestamp column formats
+    at second grain; every column row reports the same n_rows."""
+    import datetime
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import dataquality
+
+    rows = [
+        (1, 10, "F", 5.5, datetime.datetime(2024, 1, 2, 3, 4, 5), "1-URGENT"),
+        (2, None, "O", None, datetime.datetime(2023, 12, 31, 23, 59, 59), "5-LOW"),
+        (3, 10, None, -1.25, None, "1-URGENT"),
+    ]
+    sdf = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with mock.patch.object(dataquality, "load", lambda _s, _d, _t: sdf):
+        got = {r.col_name: r for r in
+               dataquality.agg_profile_columns(spark, "ignored").collect()}
+    assert set(got) == {c for c, _ in dataquality.PROFILE_COLS}
+    assert all(r.n_rows == 3 for r in got.values())
+    assert got["o_custkey"].n_nulls == 1 and got["o_custkey"].n_distinct == 1
+    assert got["o_totalprice"].min_num == -1.25 and got["o_totalprice"].max_num == 5.5
+    assert got["o_orderstatus"].min_str == "F" and got["o_orderstatus"].n_nulls == 1
+    assert got["o_orderdate"].min_str == "2023-12-31 23:59:59"
+    assert got["o_orderdate"].max_str == "2024-01-02 03:04:05"
+    assert got["o_orderkey"].n_nulls == 0 and got["o_orderkey"].n_distinct == 3
