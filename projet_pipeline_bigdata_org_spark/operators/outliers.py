@@ -535,6 +535,23 @@ def anomaly_ewma_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         clamped_cents().alias("cents"),
     )
+    return (
+        ewma_components(t)
+        .filter(ewma_is_anomalous())
+        .select(
+            "event_id", "event_type", "cents", "ewma_num", "ewma_den", "n_prior"
+        )
+    )
+
+
+def ewma_components(df: DataFrame) -> DataFrame:
+    """Append ``ewma_num`` / ``ewma_den`` / ``n_prior`` to a frame carrying
+    (event_id, event_type, day, ts, cents) — the ONE definition of the
+    power-of-two lag fold, shared by the batch ``anomaly_ewma_residual``
+    query and the streaming ``AnomalyGateSink`` so the smoothing
+    arithmetic cannot drift between modes. Extra columns (e.g. the sink's
+    ``is_batch`` tag) pass through untouched; the EWMA_LAGS LAGs share
+    ONE window frame."""
     win = W.partitionBy("event_type", "day").orderBy("ts", "event_id")
     lags = [F.lag("cents", i).over(win) for i in range(1, EWMA_LAGS + 1)]
     num = sum(
@@ -548,16 +565,19 @@ def anomaly_ewma_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_prior = sum(
         (F.when(lag.isNotNull(), 1).otherwise(0) for lag in lags), F.lit(0)
     )
-    w = t.select(
-        "event_id",
-        "event_type",
-        "cents",
+    return df.select(
+        "*",
         num.cast("long").alias("ewma_num"),
         den.cast("long").alias("ewma_den"),
         n_prior.cast("long").alias("n_prior"),
     )
+
+
+def ewma_is_anomalous() -> F.Column:
+    """The band test over :func:`ewma_components` output — multiplied
+    through by the denominator, NULL cents rows evaluate NULL and are
+    filtered (never flagged)."""
     resid = F.abs(F.col("cents") * F.col("ewma_den") - F.col("ewma_num"))
-    return w.filter(
-        (F.col("n_prior") >= EWMA_MIN_N)
-        & (resid > EWMA_THRESHOLD_CENTS * F.col("ewma_den"))
+    return (F.col("n_prior") >= EWMA_MIN_N) & (
+        resid > EWMA_THRESHOLD_CENTS * F.col("ewma_den")
     )

@@ -868,6 +868,124 @@ class PassageHistoryDedupSink:
         )
 
 
+@dataclass
+class AnomalyGateSink:
+    """Streaming EWMA anomaly gate: each micro-batch's readings are
+    tested against the exponentially-smoothed level of their
+    STRICTLY-PRIOR readings — including priors from earlier epochs, via
+    a per-(event_type, day) TAIL store holding the last EWMA_LAGS rows
+    of each epoch. The lag fold and band test are the batch
+    ``anomaly_ewma_residual``'s own shared expressions
+    (``outliers.ewma_components`` / ``ewma_is_anomalous``), so for an
+    in-order stream the union of per-epoch flag sets EQUALS the batch
+    operator applied to the whole stream, however the stream is split
+    into micro-batches (mode-equality test-pinned — the dedup sinks'
+    batch-restriction discipline applied to anomaly detection). Late
+    rows (arriving after younger rows of their key) are scored against
+    the tail as of arrival — the documented streaming divergence, the
+    same one watermarked windows bound.
+
+    Per micro-batch (epoch ``e``): flagged rows overwrite
+    ``out/epoch=e`` WITH their (ewma_num, ewma_den, n_prior) evidence;
+    the batch's last <= EWMA_LAGS rows per (event_type, day) — NULL
+    readings included, they occupy lag slots — overwrite
+    ``tail/epoch=e``. Both writes are idempotent epoch-partition
+    overwrites (replay rewrites identically). Reading the tail store
+    re-ranks the accumulated per-epoch tails down to the latest
+    EWMA_LAGS per key, so history stays O(keys x EWMA_LAGS x epochs)
+    on disk and O(keys x EWMA_LAGS) in the join — never the stream.
+
+    Scale shape: one window pass over (bounded tail UNION batch), one
+    filter, two bounded writes; no state store, no stream re-scan —
+    the applyInPandasWithState-free formulation of keyed smoothing
+    state, possible because EWMA state IS the last EWMA_LAGS rows."""
+
+    spark: SparkSession
+    out_path: str
+    tail_path: str
+    stats: dict = field(
+        default_factory=lambda: {"batches": 0, "flagged": 0, "scored": 0}
+    )
+
+    _TAIL_SCHEMA = (
+        "event_id bigint, event_type string, day date, ts timestamp, cents bigint"
+    )
+
+    def _tail_before(self, epoch_id: int) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        from projet_pipeline_bigdata_org_spark.operators.outliers import EWMA_LAGS
+
+        tails = _epoch_history_scan(
+            self.spark, self.tail_path, self._TAIL_SCHEMA, epoch_id
+        )
+        rn = F.row_number().over(
+            W.partitionBy("event_type", "day").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+        )
+        return tails.withColumn("_rn", rn).filter(F.col("_rn") <= EWMA_LAGS).drop("_rn")
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        from projet_pipeline_bigdata_org_spark.operators.outliers import (
+            EWMA_LAGS,
+            clamped_cents,
+            ewma_components,
+            ewma_is_anomalous,
+        )
+
+        self.stats["batches"] += 1
+        if batch_df.isEmpty():  # P9 empty-batch guard
+            return
+        b = batch_df.select(
+            "event_id",
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            "ts",
+            clamped_cents().alias("cents"),
+        ).persist()
+        try:
+            tagged = self._tail_before(epoch_id).select(
+                "*", F.lit(0).alias("is_batch")
+            ).unionByName(b.select("*", F.lit(1).alias("is_batch")))
+            flagged = (
+                ewma_components(tagged)
+                .filter((F.col("is_batch") == 1) & ewma_is_anomalous())
+                .select(
+                    "event_id",
+                    "event_type",
+                    "cents",
+                    "ewma_num",
+                    "ewma_den",
+                    "n_prior",
+                )
+            ).persist()
+            try:
+                n_flagged = flagged.count()
+                self.stats["flagged"] += n_flagged
+                self.stats["scored"] += b.count()
+                flagged.write.mode("overwrite").parquet(
+                    f"{self.out_path}/epoch={epoch_id}"
+                )
+            finally:
+                flagged.unpersist()
+            rn = F.row_number().over(
+                W.partitionBy("event_type", "day").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            )
+            tail_out = b.withColumn("_rn", rn).filter(
+                F.col("_rn") <= EWMA_LAGS
+            ).drop("_rn")
+            tail_out.write.mode("overwrite").parquet(
+                f"{self.tail_path}/epoch={epoch_id}"
+            )
+        finally:
+            b.unpersist()
+
+
 def start_foreach_batch(
     df: DataFrame,
     sink: FailoverBatchSink,

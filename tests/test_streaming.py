@@ -1099,3 +1099,55 @@ def test_history_dedup_sink_bloom_prefilter_mode_equality(spark, tmp_path):
     # keeper BEFORE admission accounting); epoch 1: beta rejected vs
     # history, gamma admitted; epoch 2: both novel
     assert results[True][1] == {"batches": 3, "admitted": 5, "rejected": 1}
+
+
+def test_anomaly_gate_sink_matches_batch_ewma_and_replays(spark, tmp_path):
+    """The streaming EWMA gate fed an in-order stream in three arbitrary
+    micro-batches must flag EXACTLY the rows the batch
+    anomaly_ewma_residual flags on the whole stream — same evidence
+    columns bit-for-bit (shared ewma_components arithmetic + the
+    cross-epoch tail store standing in for the window's lag reach) —
+    and a replayed epoch rewrites its partition identically."""
+    import datetime
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import outliers
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import AnomalyGateSink
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    # two event types interleaved; a NULL reading; one spike per type at
+    # different offsets so flags land in different micro-batches
+    for i in range(30):
+        rows.append((i, base + datetime.timedelta(seconds=i), 1, "click",
+                     None if i == 4 else (500.0 if i == 17 else 5.0), "{}"))
+    for i in range(30):
+        rows.append((100 + i, base + datetime.timedelta(seconds=i), 2, "view",
+                     900.0 if i == 26 else 40.0, "{}"))
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    full = spark.createDataFrame(rows, schema)
+    with mock.patch.object(outliers, "load", lambda _s, _d, _t: full):
+        want = {r.event_id: (r.cents, r.ewma_num, r.ewma_den, r.n_prior)
+                for r in outliers.anomaly_ewma_residual(spark, "ignored").collect()}
+    assert want, "fixture must flag at least one row"
+
+    out, tail = str(tmp_path / "anom"), str(tmp_path / "tail")
+    sink = AnomalyGateSink(spark, out, tail)
+    # split the stream IN ORDER per key: epoch boundaries at seconds 0-9,
+    # 10-19, 20-29 (both types advance together — the in-order contract)
+    for e, lo, hi in [(0, 0, 10), (1, 10, 20), (2, 20, 30)]:
+        epoch_rows = [r for r in rows if lo <= (r[1] - base).total_seconds() < hi]
+        sink(spark.createDataFrame(epoch_rows, schema), e)
+
+    got = {r.event_id: (r.cents, r.ewma_num, r.ewma_den, r.n_prior)
+           for r in spark.read.parquet(out).collect()}
+    assert got == want
+    assert sink.stats["flagged"] == len(want) and sink.stats["scored"] == 60
+
+    # replay epoch 1: identical rewrite, no duplicate or drifted rows
+    epoch_rows = [r for r in rows if 10 <= (r[1] - base).total_seconds() < 20]
+    sink(spark.createDataFrame(epoch_rows, schema), 1)
+    got2 = {r.event_id: (r.cents, r.ewma_num, r.ewma_den, r.n_prior)
+            for r in spark.read.parquet(out).collect()}
+    assert got2 == want
