@@ -69,6 +69,37 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """XML scan via Spark 4's BUILT-IN xml source (no external package —
+    the databricks-spark-xml lineage merged upstream in 3.4/4.x):
+    ``rowTag`` picks the repeating element, attributes surface under the
+    default ``_`` prefix, malformed rows null out PERMISSIVE-ly like the
+    JSON path. Pass a schema for one-pass deterministic types on large
+    directories (inference re-reads the data, the no-inferSchema rule
+    read_csv already applies)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag).option(
+        "mode", "PERMISSIVE"
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str, mode: str = "overwrite"
+) -> None:
+    """XML write (built-in sink, one <rowTag> element per row) — exists
+    for the interchange exports ORC/CSV cover on the columnar side;
+    row-major text, so parquet stays the lake format and this is an
+    edge-export only."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
 def read_binary_files(
     spark: SparkSession,
     path: str,

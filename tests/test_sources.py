@@ -508,3 +508,40 @@ def test_training_shard_export_replays_the_curriculum(spark, sf_dir, tmp_path):
         t = pq.read_table(f, columns=["stage", "rank_in_shard"])
         seq.extend(zip(t.column("stage").to_pylist(), t.column("rank_in_shard").to_pylist()))
     assert seq == sorted(seq)
+
+
+def test_xml_round_trip_with_schema_and_malformed_row(spark, tmp_path):
+    """Built-in XML source (Spark 4): a schema-enforced round trip
+    preserves values and types; a malformed row NULLs out PERMISSIVE-ly
+    (the JSON path's contract applied to XML); rowTag selects the
+    repeating element."""
+    from pyspark.sql import types as T
+
+    from projet_pipeline_bigdata_org_spark.sources.batch import read_xml, write_xml
+
+    src = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", -2.25), (3, None, 0.0)],
+        "k long, name string, score double",
+    )
+    path = str(tmp_path / "rows_xml")
+    write_xml(src, path, row_tag="rec")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    back = read_xml(spark, path, row_tag="rec", schema=schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "x.xml").write_text(
+        "<rows><rec><k>7</k><name>ok</name><score>1.0</score></rec>"
+        "<rec><k>not-a-number</k><name>broken</name><score>2.0</score></rec></rows>"
+    )
+    got = {r.k: r.name for r in
+           read_xml(spark, str(bad), row_tag="rec", schema=schema).collect()}
+    assert got[7] == "ok"
+    assert None in got  # malformed k nulls out, row survives PERMISSIVE-ly
