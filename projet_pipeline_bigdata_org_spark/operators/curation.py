@@ -904,3 +904,87 @@ def curate_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ppl_tail"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted priority sampling (the deterministic PPS-style subsample)
+# ---------------------------------------------------------------------------
+
+#: per-source sample size for the weighted priority sample
+WEIGHTED_SAMPLE_K = 50
+
+
+@query(
+    "curate_weighted_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             GREATEST(COALESCE(n_chars, 1), 1) AS w,
+             {sql_hash_coin("doc_id")} AS coin
+      FROM documents
+    ), p AS (
+      SELECT doc_id, source, w,
+             CAST(coin AS DOUBLE) / CAST(w AS DOUBLE) AS priority
+      FROM t
+    ), r AS (
+      SELECT doc_id, source, w, priority,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY priority, doc_id) AS rn
+      FROM p
+    )
+    SELECT source,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(w AS BIGINT) AS weight,
+           priority,
+           CAST(rn AS BIGINT) AS rn
+    FROM r
+    WHERE rn <= {WEIGHTED_SAMPLE_K}
+    """,
+    tags=("llm", "curation", "sampling", "documents"),
+)
+def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted priority subsample, WEIGHTED_SAMPLE_K docs per source:
+    each document draws the shared deterministic coin and competes with
+    priority coin/weight — lower wins — so selection probability rises
+    monotonically with weight (here n_chars, the length prior a
+    curation pass uses when no model score exists yet) while replay,
+    engines, and task retries all agree on the exact sample. This is
+    the certified analogue of Efraimidis-Shirazi priority sampling
+    (Efraimidis & Spirakis 2006 order by u^(1/w)): the exponential form
+    needs float pow — not certifiable cross-engine — where the linear
+    ratio keeps the monotone weight bias with ONE IEEE division, which
+    both engines round identically. Inclusion probabilities are
+    therefore weight-monotone rather than exactly proportional-to-size;
+    a production run wanting exact PPS swaps the priority expression
+    and gives up the oracle, nothing else changes.
+
+    Scale shape: one scan, one rank window per source that Spark's
+    WindowGroupLimit rewrites to per-partition bottom-K before the
+    exchange (the agg_kmv_distinct discipline), so the shuffle carries
+    at most K rows per input partition per source. NULL/zero n_chars
+    clamps to weight 1 (never a division by zero, never a NULL
+    priority dropping rows)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.greatest(F.coalesce(F.col("n_chars"), F.lit(1)), F.lit(1)).alias("w"),
+    )
+    p = d.select(
+        "doc_id",
+        "source",
+        "w",
+        (
+            hash_coin("doc_id").cast("double") / F.col("w").cast("double")
+        ).alias("priority"),
+    )
+    r = p.select(
+        "source",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("w").cast("long").alias("weight"),
+        "priority",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("priority", "doc_id"))
+        .cast("long")
+        .alias("rn"),
+    )
+    return r.filter(F.col("rn") <= WEIGHTED_SAMPLE_K)

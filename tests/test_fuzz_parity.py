@@ -683,3 +683,34 @@ def test_boilerplate_lines_twins_agree_on_fuzz(fuzz_df):
     from projet_pipeline_bigdata_org_spark.operators import dedup
 
     _fuzz_query_twins(fuzz_df, dedup, "dedup_boilerplate_lines")
+
+
+def test_weighted_sample_twins_agree_on_fuzz(spark):
+    """Priority arithmetic fuzzed with adversarial n_chars values (NULL,
+    zero, negative, huge) across several sources: the clamp, the IEEE
+    quotient, and the (priority, doc_id) rank order must agree exactly."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark import plans
+    from projet_pipeline_bigdata_org_spark.operators import curation
+
+    plans.load_all()
+    import random
+
+    rng = random.Random(77)
+    vals = [None, 0, -5, 1, 2, 37, 10**6, 10**9]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(500),
+            "source": [f"s{i % 5}" for i in range(500)],
+            "n_chars": [rng.choice(vals) for _ in range(500)],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    spec = plans.registry.all_specs()["curate_weighted_sample"]
+    with mock.patch.object(curation, "load", lambda _s, _d, _t: sdf):
+        got = {tuple(r) for r in spec.fn(spark, "ignored").collect()}
+    want = {tuple(r) for r in con.execute(spec.oracle).fetchall()}
+    assert got == want

@@ -2190,3 +2190,36 @@ def test_profile_columns_counts_nulls_and_typed_minmax(spark):
     assert got["o_orderdate"].min_str == "2023-12-31 23:59:59"
     assert got["o_orderdate"].max_str == "2024-01-02 03:04:05"
     assert got["o_orderkey"].n_nulls == 0 and got["o_orderkey"].n_distinct == 3
+
+
+def test_weighted_sample_biases_toward_heavy_docs_and_is_deterministic(spark):
+    """On a corpus of 200 light (weight 1) and 200 heavy (weight 1000)
+    docs in one source, the K-doc priority sample must be dominated by
+    heavy docs (priority = coin/w scales down 1000x) yet not be a
+    degenerate all-heavy cut (the coin still matters); re-running yields
+    the identical sample; weight clamps NULL/zero n_chars to 1 so no row
+    can vanish on a NULL priority."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import curation
+    from projet_pipeline_bigdata_org_spark.operators.curation import (
+        WEIGHTED_SAMPLE_K,
+    )
+
+    rows = [(i, "s", 1 if i < 200 else 1000) for i in range(400)]
+    rows.append((400, "s", None))  # NULL n_chars -> weight 1, still eligible
+    sdf = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    with mock.patch.object(curation, "load", lambda _s, _d, _t: sdf):
+        got1 = sorted(
+            (r.doc_id, r.weight, r.rn)
+            for r in curation.curate_weighted_sample(spark, "ignored").collect()
+        )
+        got2 = sorted(
+            (r.doc_id, r.weight, r.rn)
+            for r in curation.curate_weighted_sample(spark, "ignored").collect()
+        )
+    assert got1 == got2 and len(got1) == WEIGHTED_SAMPLE_K
+    n_heavy = sum(1 for _i, w, _r in got1 if w == 1000)
+    # heavy docs are half the corpus but must take the large majority of
+    # the sample under a 1000x priority advantage
+    assert n_heavy >= int(0.8 * WEIGHTED_SAMPLE_K)
