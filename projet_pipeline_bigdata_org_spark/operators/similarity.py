@@ -1597,3 +1597,125 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "n_id"
     )
     return _pq_exact_rerank(sl, pts, qsub)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (MRL) truncation cascade — the fourth compression family member
+# ---------------------------------------------------------------------------
+
+#: Matryoshka prefix width (16 of 64 dims = 4x cheaper stage-1 scan) and
+#: the shortlist over-fetch, calibrated like CASCADE_SHORTLIST on this
+#: near-random worst-case testdata
+MRL_DIMS = 16
+MRL_SHORTLIST = 16 * TOPK
+
+
+@query(
+    "compress_mrl_topk",
+    oracle=f"""
+    WITH pre AS (
+      SELECT vec_id, embedding[1:{MRL_DIMS}] AS p FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, p AS q_p FROM pre WHERE vec_id < {N_QUERIES}
+    ), s1 AS (
+      SELECT q.q_id, pre.vec_id AS n_id,
+             {SQL_DOT.format(a='q.q_p', b='pre.p')}
+               / ({SQL_NORM.format(a='q.q_p')} * {SQL_NORM.format(a='pre.p')})
+               AS pre_cosine
+      FROM pre JOIN q ON pre.vec_id <> q.q_id
+    ), short AS (
+      SELECT q_id, n_id, pre_cosine FROM (
+        SELECT q_id, n_id, pre_cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY pre_cosine DESC, n_id) AS p_rnk
+        FROM s1) t
+      WHERE p_rnk <= {MRL_SHORTLIST}
+    ), qv AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id < {N_QUERIES}
+    ), re AS (
+      SELECT short.q_id, short.n_id, short.pre_cosine,
+             {SQL_DOT.format(a='qv.q_emb', b='e.embedding')}
+               / ({SQL_NORM.format(a='qv.q_emb')} * {SQL_NORM.format(a='e.embedding')})
+               AS cosine
+      FROM short
+      JOIN embeddings e ON e.vec_id = short.n_id
+      JOIN qv ON qv.q_id = short.q_id
+    )
+    SELECT q_id, n_id, pre_cosine, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, n_id) AS BIGINT) AS rnk
+    FROM re
+    QUALIFY rnk <= {TOPK}
+    """,
+    tags=("llm", "similarity", "embeddings", "compression"),
+)
+def compress_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval cascade (Kusupati et al. 2022):
+    stage 1 ranks by cosine over the FIRST MRL_DIMS dimensions only —
+    an MRL-trained model packs coarse semantics into the prefix, so the
+    truncated vector is itself a legitimate embedding at 1/4 the scan
+    cost — stage 2 re-ranks the MRL_SHORTLIST survivors with the exact
+    full-width cosine. Completes the embedding-compression family:
+    int8 absmax (8x), sign-bit (32x), PQ (64x), MRL (dimension — the
+    only one that needs NO codebook and composes with the other three).
+
+    Exactness: both cosines are the engine-identical sequential fold
+    (approximation lives in WHICH candidates survive stage 1, never in
+    scores). On this near-random synthetic corpus the prefix carries
+    only 16/64 of the variance — the pinned recall floor
+    (``test_mrl_recall_vs_exact_topk``) is the honest worst case, and
+    real MRL-trained embeddings concentrate far more mass up front.
+
+    Scale shape: the cascade plan family — stage 1 scans a 4x-narrower
+    prefix (at 100 TB a materialized prefix column, the signature-column
+    discipline), query block broadcasts, partial WindowGroupLimit ahead
+    of the single rank exchange; stage 2 gathers only the shortlist by
+    broadcast; the corpus never repartitions."""
+    e = load(spark, sf_dir, "embeddings")
+    pre = e.select(
+        "vec_id", F.slice(F.col("embedding"), 1, MRL_DIMS).alias("p")
+    )
+    q = pre.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("p").alias("q_p"),
+        norm(F.col("p")).alias("q_pnorm"),
+    )
+    wp = W.partitionBy("q_id").orderBy(F.col("pre_cosine").desc(), "n_id")
+    short = (
+        pre.select("vec_id", "p", norm(F.col("p")).alias("pnorm"))
+        .join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            (dot(F.col("q_p"), F.col("p")) / (F.col("q_pnorm") * F.col("pnorm"))).alias(
+                "pre_cosine"
+            ),
+        )
+        .withColumn("p_rnk", F.row_number().over(wp))
+        .filter(F.col("p_rnk") <= MRL_SHORTLIST)
+        .drop("p_rnk")
+    )
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_norm"),
+    )
+    gathered = (
+        e.select("vec_id", "embedding", norm(F.col("embedding")).alias("e_norm"))
+        .join(F.broadcast(short), F.col("vec_id") == F.col("n_id"))
+        .join(F.broadcast(qv), "q_id")
+    )
+    wr = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
+    return (
+        gathered.select(
+            "q_id",
+            "n_id",
+            "pre_cosine",
+            (dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("e_norm"))).alias(
+                "cosine"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= TOPK)
+    )

@@ -842,3 +842,15 @@ def test_kcore_rounds_reuse_persisted_edges_without_reexchange(spark, sf_dir):
     p = formatted_plan(df)
     assert "InMemoryTableScan" in p, p
     assert p.count("Exchange hashpartitioning") == 0, p
+
+
+def test_mrl_cascade_broadcasts_and_corpus_never_exchanges(spark, sf_dir):
+    """compress_mrl_topk must follow the cascade plan family: query
+    block and shortlist broadcast, a partial WindowGroupLimit bounds
+    rows ahead of the single rank exchange, the corpus never
+    repartitions."""
+    df = _Q["compress_mrl_topk"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "BroadcastExchange" in p, p
+    assert "WindowGroupLimit" in p and "Partial" in p, p
