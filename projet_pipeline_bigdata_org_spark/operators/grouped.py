@@ -1126,3 +1126,105 @@ def algo_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))).alias("deg"),
         )
     return deg.select("node", F.col("deg").cast("long").alias("degree"))
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS (the sixth iterative-graph exemplar: expanding frontier)
+# ---------------------------------------------------------------------------
+
+#: deterministic scale-free seed rule (node % MOD == RESIDUE) and the
+#: bounded hop depth (the fixed-unrolling discipline)
+BFS_SEED_MOD = 97
+BFS_SEED_RESIDUE = 3
+BFS_ITERS = 3
+
+
+def _bfs_round_sql(frontier: str, visited: str, nf: str, nv: str, dist: int) -> str:
+    """One unrolled BFS round: neighbors of the frontier not yet visited
+    become the next frontier at ``dist``."""
+    return f"""
+    {nf} AS (
+      SELECT DISTINCT e.dst AS node, {dist} AS dist
+      FROM edges e
+      JOIN {frontier} f ON e.src = f.node
+      WHERE e.dst NOT IN (SELECT node FROM {visited})),
+    {nv} AS (
+      SELECT node FROM {visited} UNION ALL SELECT node FROM {nf})"""
+
+
+@query(
+    "algo_bfs_distance",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    edges AS (
+      SELECT u AS src, v AS dst FROM pairs
+      UNION ALL
+      SELECT v AS src, u AS dst FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    f0 AS (
+      SELECT node, 0 AS dist FROM nodes
+      WHERE node % {BFS_SEED_MOD} = {BFS_SEED_RESIDUE}),
+    v0 AS (SELECT node FROM f0),
+    {','.join(_bfs_round_sql(f'f{i}', f'v{i}', f'f{i + 1}', f'v{i + 1}', i + 1)
+              for i in range(BFS_ITERS))}
+    SELECT node, CAST(dist AS BIGINT) AS dist
+    FROM ({' UNION ALL '.join(f'SELECT * FROM f{i}' for i in range(BFS_ITERS + 1))})
+    """,
+    tags=("graph", "iterative", "lineitem"),
+)
+def algo_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source breadth-first search over the part co-purchase graph:
+    hop distance from the deterministic seed set (node % BFS_SEED_MOD ==
+    BFS_SEED_RESIDUE — scale-free, no sampled state) out to BFS_ITERS
+    hops; nodes beyond the horizon are absent (bounded peel depth, the
+    algo_kcore_peel contract). Completes the iterative-graph pack's
+    traversal axis: components answer "connected at all?", BFS answers
+    "how far?" — the reachability radius behind link-distance features
+    and influence-horizon audits.
+
+    Scale shape — the EXPANDING-frontier twin of k-core's dying
+    frontier: the symmetrized edge list persists hash-partitioned on src
+    and exchanges ONCE; each round joins only the CURRENT frontier
+    (|frontier| rows shuffle into the edge partitioning — the edges
+    never move), anti-joins the visited set, and the frontier advances.
+    Per-round exchange is proportional to the frontier and the matched
+    neighbor stream, never |E|. The DuckDB twin recomputes rounds as
+    NOT-IN set CTEs; equality is the frontier/anti-join-correctness
+    proof. Distances are loop indices (synchronous rounds), so the
+    result is partition-invariant by construction."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = copurchase_pairs(li)
+    edges = _persist_scoped(
+        "bfs_edges",
+        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .repartition("src"),
+    )
+    frontier = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % BFS_SEED_MOD == BFS_SEED_RESIDUE)
+        .select("node", F.lit(0).alias("dist"))
+    )
+    out = frontier
+    visited = frontier.select("node")
+    for i in range(1, BFS_ITERS + 1):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(i).alias("dist"))
+        )
+        out = out.unionByName(nxt)
+        visited = visited.unionByName(nxt.select("node"))
+        frontier = nxt
+    return out.select("node", F.col("dist").cast("long").alias("dist"))

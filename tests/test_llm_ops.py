@@ -2254,3 +2254,25 @@ def test_mrl_recall_vs_exact_topk(spark, sf_dir):
     overlap = set(exact) & set(mrl)
     assert len(overlap) / len(exact) >= 0.5
     assert all(exact[k] == mrl[k] for k in overlap)
+
+
+def test_bfs_distances_on_crafted_path_graph(spark):
+    """BFS on a crafted path + branch graph (lineitem mocked to orders
+    forming a known edge set): seed at node 3 (the BFS_SEED_RESIDUE),
+    exact hop distances out to BFS_ITERS, nodes beyond the horizon
+    absent, and a node reachable two ways gets the SHORTER distance."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import grouped
+
+    # orders as edges: each order links exactly two parts -> the graph is
+    # the path 3-10-20-30-40 plus shortcut 3-30
+    edge_list = [(3, 10), (10, 20), (20, 30), (30, 40), (3, 30)]
+    rows = [(oid, p) for oid, (a, b) in enumerate(edge_list) for p in (a, b)]
+    sdf = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    with mock.patch.object(grouped, "load", lambda _s, _d, _t: sdf):
+        got = {r.node: r.dist for r in
+               grouped.algo_bfs_distance(spark, "ignored").collect()}
+    # 3 is the only seed (others are not ≡ 3 mod 97); 30 via the shortcut
+    # is 1 hop, NOT 3 via the path; 40 is 2 via 30
+    assert got == {3: 0, 10: 1, 30: 1, 20: 2, 40: 2}

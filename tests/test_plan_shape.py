@@ -854,3 +854,13 @@ def test_mrl_cascade_broadcasts_and_corpus_never_exchanges(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert "BroadcastExchange" in p, p
     assert "WindowGroupLimit" in p and "Partial" in p, p
+
+
+def test_bfs_rounds_reuse_persisted_edges_without_reexchange(spark, sf_dir):
+    """algo_bfs_distance's edge list must exchange ONCE (inside the
+    persisted relation): the formatted plan shows only InMemoryTableScan
+    reuse — the same frontier discipline pin as the k-core peel."""
+    df = _Q["algo_bfs_distance"].fn(spark, sf_dir)
+    p = formatted_plan(df)
+    assert "InMemoryTableScan" in p, p
+    assert p.count("Exchange hashpartitioning") == 0, p
