@@ -805,6 +805,91 @@ def arrange_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+from projet_pipeline_bigdata_org_spark.functions.hilbert import (  # noqa: E402
+    sql_clamp_dim,
+    sql_hilbert_ctes,
+    with_hilbert_key,
+)
+
+
+@query(
+    "arrange_hilbert_layout",
+    oracle=f"""
+    WITH dims AS (
+      SELECT CAST(o_custkey AS BIGINT) AS ck,
+             CAST(DATE_DIFF('day', DATE '{ZORDER_DATE_EPOCH}', o_orderdate)
+                  AS BIGINT) AS dk
+      FROM orders
+    ), clamped AS (
+      SELECT ck, dk,
+             {sql_clamp_dim('ck')} AS cx,
+             {sql_clamp_dim('dk')} AS cy
+      FROM dims
+    ),
+    {sql_hilbert_ctes('clamped', ['ck', 'dk'], 'cx', 'cy', 'keyed')}
+    SELECT CAST(h >> 14 AS BIGINT) AS hbucket,
+           COUNT(*) AS n_orders,
+           CAST(MIN(h) AS BIGINT) AS h_lo,
+           CAST(MAX(h) AS BIGINT) AS h_hi,
+           CAST(MIN(ck) AS BIGINT) AS cust_lo,
+           CAST(MAX(ck) AS BIGINT) AS cust_hi,
+           CAST(MIN(dk) AS BIGINT) AS day_lo,
+           CAST(MAX(dk) AS BIGINT) AS day_hi
+    FROM keyed
+    GROUP BY hbucket
+    """,
+    tags=("sort", "layout", "orders"),
+)
+def arrange_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over orders' (custkey, orderdate) —
+    the locality-preserving upgrade of ``arrange_zorder_layout`` on the
+    SAME 16-bit-per-dimension grid. Z-order's interleave jumps at
+    quadrant boundaries (a key range can cover two distant rectangles);
+    the Hilbert walk is unit-adjacent at EVERY step (the bijection +
+    adjacency proof in tests defines the curve), so each file's key
+    range covers one contiguous blob and footer min/max prunes strictly
+    tighter boxes — the reason Delta liquid clustering replaced Z-order
+    with Hilbert. Same certification contract as the Morton twin: per
+    2^14-key bucket, row count, EXACT min/max key, and the raw-dimension
+    bounding box; the oracle replays all HILBERT_BITS rotation rounds as
+    chained CTEs, so a driver hash match pins every bit of the walk.
+
+    Scale shape: the key is HILBERT_BITS chained per-row projections.
+    Catalyst deliberately does NOT collapse them into one expression
+    (CollapseProject declines when merging would duplicate non-trivial
+    subexpressions — exactly the 2^rounds blowup chaining avoids), but
+    the whole chain plus the partial aggregate FUSES into a single
+    whole-stage-codegen span before the one exchange (plan-pinned), so
+    the walk costs one pass of straight-line generated code and no
+    shuffle; the rollup shuffles only post-partial-agg bucket rows. The
+    physical write path is write_zorder_table pointed at this key (the
+    ranged-exchange layout writer is curve-agnostic). NULL dims yield a
+    NULL key via the seeded-NULL accumulator — inside the rounds a NULL
+    pushes every CASE to ELSE, which would otherwise alias NULL rows to
+    key 0 (explicitly tested)."""
+    o = load(spark, sf_dir, "orders")
+    ck = F.col("o_custkey").cast("long")
+    dk = F.datediff(F.col("o_orderdate"), F.lit(ZORDER_DATE_EPOCH).cast("date")).cast(
+        "long"
+    )
+    keyed = with_hilbert_key(
+        o.select(ck.alias("ck"), dk.alias("dk")), F.col("ck"), F.col("dk"), "h"
+    )
+    return (
+        keyed.groupBy(F.shiftright(F.col("h"), 14).cast("long").alias("hbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("h").cast("long").alias("h_lo"),
+            F.max("h").cast("long").alias("h_hi"),
+            F.min("ck").cast("long").alias("cust_lo"),
+            F.max("ck").cast("long").alias("cust_hi"),
+            F.min("dk").cast("long").alias("day_lo"),
+            F.max("dk").cast("long").alias("day_hi"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations (SURVEY §2.7)
 # ---------------------------------------------------------------------------

@@ -2276,3 +2276,56 @@ def test_bfs_distances_on_crafted_path_graph(spark):
     # 3 is the only seed (others are not ≡ 3 mod 97); 30 via the shortcut
     # is 1 hop, NOT 3 via the path; 40 is 2 via 30
     assert got == {3: 0, 10: 1, 30: 1, 20: 2, 40: 2}
+
+
+def test_hilbert_key_matches_reference_and_curve_properties(spark):
+    """The engine Hilbert key must equal the pure-Python xy2d reference on
+    edge and random coordinates (including clamp saturation); NULL in
+    either dimension yields a NULL key, never an alias to cell 0; and the
+    reference itself satisfies the DEFINING curve properties on a full
+    small grid — bijection and unit adjacency of consecutive keys (the
+    locality guarantee Z-order lacks)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from projet_pipeline_bigdata_org_spark.functions.hilbert import (
+        HILBERT_MAX,
+        HILBERT_N,
+        with_hilbert_key,
+        xy2d_ref,
+    )
+
+    # defining properties on the 64x64 grid (generic-n reference)
+    n = 64
+    pos = {}
+    for x in range(n):
+        for y in range(n):
+            pos[xy2d_ref(n, x, y)] = (x, y)
+    assert len(pos) == n * n  # bijection
+    assert all(
+        abs(pos[d][0] - pos[d + 1][0]) + abs(pos[d][1] - pos[d + 1][1]) == 1
+        for d in range(n * n - 1)
+    )  # unit adjacency
+
+    rng = random.Random(42)
+    coords = [(0, 0), (HILBERT_MAX, HILBERT_MAX), (HILBERT_MAX, 0),
+              (0, HILBERT_MAX), (12345, 54321), (HILBERT_MAX + 999, 7),
+              (-3, 12)]  # saturating / negative clamp cases
+    coords += [(rng.randrange(HILBERT_N), rng.randrange(HILBERT_N))
+               for _ in range(60)]
+    rows = [(i, x, y) for i, (x, y) in enumerate(coords)]
+    rows.append((9999, None, 77))
+    rows.append((9998, 77, None))
+    sdf = spark.createDataFrame(rows, "i long, x long, y long")
+    got = {
+        r.i: r.h
+        for r in with_hilbert_key(sdf, F.col("x"), F.col("y"), "h").collect()
+    }
+
+    def clamp(v):
+        return min(max(v, 0), HILBERT_MAX)
+
+    for i, (x, y) in enumerate(coords):
+        assert got[i] == xy2d_ref(HILBERT_N, clamp(x), clamp(y)), (i, x, y)
+    assert got[9999] is None and got[9998] is None

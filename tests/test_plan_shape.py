@@ -864,3 +864,17 @@ def test_bfs_rounds_reuse_persisted_edges_without_reexchange(spark, sf_dir):
     p = formatted_plan(df)
     assert "InMemoryTableScan" in p, p
     assert p.count("Exchange hashpartitioning") == 0, p
+
+
+def test_hilbert_layout_single_exchange_partial_agg_below(spark, sf_dir):
+    """arrange_hilbert_layout's 16 chained rotation projections must run
+    shuffle-free under a partial aggregate: exactly ONE exchange in the
+    plan, with a HashAggregate on each side (two-phase rollup), and no
+    join anywhere — the whole walk is straight-line per-row code."""
+    df = _Q["arrange_hilbert_layout"].fn(spark, sf_dir)
+    p = formatted_plan(df)
+    # formatted output prints each node twice (tree line + detail header):
+    # count unique exchange NODES, not string hits
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2, p
+    assert "Join" not in p, p
