@@ -1109,27 +1109,27 @@ def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     full_regs = regs.join(F.broadcast(agg), "register", "left").select(
         "register", F.coalesce(F.col("max_rho"), F.lit(0)).alias("max_rho")
     )
-    s = full_regs.agg(
-        F.sum(
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), "
-                f"CAST({HLL_RHO_CAP + 1} - max_rho AS INT))"
-            )
-        )
-        .cast("long")
-        .alias("sum_inv_scaled")
+    # harmonic fold as an unpartitioned window over the 16 register rows
+    # (bounded by construction, the mix_temperature discipline) — folding
+    # via a separate .agg() branch would recompute the whole token
+    # explode+groupBy subtree a second time (review-caught double scan)
+    term = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_RHO_CAP + 1} - max_rho AS INT))"
+    )
+    folded = full_regs.select(
+        "register",
+        F.col("max_rho").cast("long").alias("max_rho"),
+        F.sum(term).over(W.partitionBy()).cast("long").alias("sum_inv_scaled"),
     ).select(
+        "register",
+        "max_rho",
         "sum_inv_scaled",
         F.expr(
             f"CAST({HLL_EST_NUMERATOR} div sum_inv_scaled AS BIGINT)"
         ).alias("hll_estimate_milli"),
     )
     e = toks.agg(F.count_distinct(F.col("tok")).cast("long").alias("exact_distinct"))
-    return (
-        full_regs.select("register", F.col("max_rho").cast("long").alias("max_rho"))
-        .crossJoin(F.broadcast(s))
-        .crossJoin(F.broadcast(e))
-    )
+    return folded.crossJoin(F.broadcast(e))
 
 
 #: KMV (k-minimum-values / bottom-k theta) sketch size, hash width, and

@@ -1059,12 +1059,19 @@ def _kcore_round_sql(alive: str, deg: str, nxt: str) -> str:
     a0 AS (SELECT DISTINCT src AS node FROM edges),
     {','.join(_kcore_round_sql(f'a{i}', f'd{i}', f'a{i + 1}')
               for i in range(KCORE_ITERS))},
-    dout AS (
+    dcnt AS (
       SELECT e.src AS node, COUNT(*) AS deg
       FROM edges e
       JOIN a{KCORE_ITERS} x ON e.src = x.node
       JOIN a{KCORE_ITERS} y ON e.dst = y.node
-      GROUP BY e.src)
+      GROUP BY e.src),
+    dout AS (
+      -- LEFT join: a final-round survivor whose last alive neighbors all
+      -- died in round {KCORE_ITERS} has NO alive edge and must surface
+      -- with degree 0, exactly as the incremental decrements leave it
+      -- (review-caught divergence: an inner join silently dropped it)
+      SELECT x.node, COALESCE(d.deg, 0) AS deg
+      FROM a{KCORE_ITERS} x LEFT JOIN dcnt d ON x.node = d.node)
     SELECT node, CAST(deg AS BIGINT) AS degree
     FROM dout
     """,
@@ -1097,9 +1104,12 @@ def algo_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # copurchase_pairs already deduplicates and the fixture's >= 90M node
+    # ids are disjoint from any l_partkey (and internally distinct), so no
+    # second dropDuplicates pass over the union (review-caught redundancy)
     pairs = copurchase_pairs(li).unionByName(
         spark.createDataFrame(list(KCORE_FIXTURE_PAIRS), "u long, v long")
-    ).dropDuplicates(["u", "v"])
+    )
     edges = _persist_scoped(
         "kcore_edges",
         pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))

@@ -911,26 +911,33 @@ class AnomalyGateSink:
         "event_id bigint, event_type string, day date, ts timestamp, cents bigint"
     )
 
-    def _tail_before(self, epoch_id: int) -> DataFrame:
+    @staticmethod
+    def _latest_tail(df: DataFrame) -> DataFrame:
+        """The ONE definition of the tail cut — the last EWMA_LAGS rows
+        per (event_type, day), desc tie-break on (ts, event_id) — shared
+        by the history READ (re-ranking accumulated epoch tails) and the
+        epoch WRITE (cutting the batch's own tail), so the read/write
+        symmetry the mode-equality guarantee rests on cannot drift."""
         from pyspark.sql import Window as W
 
         from projet_pipeline_bigdata_org_spark.operators.outliers import EWMA_LAGS
 
-        tails = _epoch_history_scan(
-            self.spark, self.tail_path, self._TAIL_SCHEMA, epoch_id
-        )
         rn = F.row_number().over(
             W.partitionBy("event_type", "day").orderBy(
                 F.col("ts").desc(), F.col("event_id").desc()
             )
         )
-        return tails.withColumn("_rn", rn).filter(F.col("_rn") <= EWMA_LAGS).drop("_rn")
+        return df.withColumn("_rn", rn).filter(F.col("_rn") <= EWMA_LAGS).drop("_rn")
+
+    def _tail_before(self, epoch_id: int) -> DataFrame:
+        return self._latest_tail(
+            _epoch_history_scan(
+                self.spark, self.tail_path, self._TAIL_SCHEMA, epoch_id
+            )
+        )
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        from pyspark.sql import Window as W
-
         from projet_pipeline_bigdata_org_spark.operators.outliers import (
-            EWMA_LAGS,
             clamped_cents,
             ewma_components,
             ewma_is_anomalous,
@@ -971,15 +978,7 @@ class AnomalyGateSink:
                 )
             finally:
                 flagged.unpersist()
-            rn = F.row_number().over(
-                W.partitionBy("event_type", "day").orderBy(
-                    F.col("ts").desc(), F.col("event_id").desc()
-                )
-            )
-            tail_out = b.withColumn("_rn", rn).filter(
-                F.col("_rn") <= EWMA_LAGS
-            ).drop("_rn")
-            tail_out.write.mode("overwrite").parquet(
+            self._latest_tail(b).write.mode("overwrite").parquet(
                 f"{self.tail_path}/epoch={epoch_id}"
             )
         finally:

@@ -2329,3 +2329,51 @@ def test_hilbert_key_matches_reference_and_curve_properties(spark):
     for i, (x, y) in enumerate(coords):
         assert got[i] == xy2d_ref(HILBERT_N, clamp(x), clamp(y)), (i, x, y)
     assert got[9999] is None and got[9998] is None
+
+
+def test_kcore_final_round_survivor_with_degree_zero_is_kept(spark):
+    """Review-caught oracle divergence, pinned: a node that passes every
+    round's degree check but loses ALL remaining neighbors in the final
+    round must surface with degree 0 (the incremental decrements leave it
+    at 0; an inner-join output formulation silently dropped it). Crafted
+    3-level star: leaves die round 1, mid nodes round 2, arms round 3 —
+    the center survives all three checks and ends bare."""
+    from unittest import mock
+
+    import duckdb
+
+    from projet_pipeline_bigdata_org_spark import plans
+    from projet_pipeline_bigdata_org_spark.operators import grouped
+
+    plans.load_all()
+    C = 1
+    edges = []
+    nid = 10
+    for _arm in range(4):
+        a = nid; nid += 1
+        edges.append((C, a))
+        for _mid in range(3):
+            b = nid; nid += 1
+            edges.append((a, b))
+            for _leaf in range(3):
+                leaf = nid; nid += 1
+                edges.append((b, leaf))
+    rows = [(oid, p) for oid, e in enumerate(edges) for p in e]
+    sdf = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    with mock.patch.object(grouped, "load", lambda _s, _d, _t: sdf):
+        got = {r.node: r.degree for r in
+               grouped.algo_kcore_peel(spark, "ignored").collect()}
+    # center alone survives the peel, at degree 0; the clique fixture
+    # rides along as always
+    assert got[C] == 0
+    assert all(d == 4 for n, d in got.items() if n != C)
+    # and the oracle agrees on the same crafted graph
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "lineitem", pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    )
+    want = dict(con.execute(
+        plans.registry.get("algo_kcore_peel").oracle).fetchall())
+    assert got == want

@@ -822,9 +822,12 @@ def test_kmv_rank_window_gets_partial_group_limit(spark, sf_dir):
     per input partition instead of the whole distinct-hash stream."""
     df = _Q["agg_kmv_distinct"].fn(spark, sf_dir)
     p = plan_of(df)
-    assert "WindowGroupLimit" in p, p
-    assert "Partial" in p[: p.find("Exchange hashpartitioning", p.find("WindowGroupLimit"))] or \
-        "Partial" in p[p.find("WindowGroupLimit"):], p
+    # the established sibling pattern (cosine-topk family): a
+    # Partial-mode WindowGroupLimit node must exist — the earlier
+    # disjunction accepted 'partial_count' from the downstream aggregate
+    # and sliced p[:-1] when the find missed (review-caught vacuity)
+    m = re.search(r"WindowGroupLimit[^\n]*Partial", p)
+    assert m, f"no Partial WindowGroupLimit in plan:\n{p}"
 
 
 def test_kcore_rounds_reuse_persisted_edges_without_reexchange(spark, sf_dir):
