@@ -744,3 +744,173 @@ def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _media_fixture_payloads(spark).mapInPandas(
         resize_batches, schema=RESIZE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-dup (aHash over the deterministic fake decode)
+# ---------------------------------------------------------------------------
+
+#: 8x8 average-hash grid (64 cells, one 16-bit word per 16-cell band)
+PHASH_CELLS = 64
+PHASH_BANDS = 4
+PHASH_BAND_CELLS = PHASH_CELLS // PHASH_BANDS
+#: maximum Hamming distance for a near-duplicate image pair
+PHASH_MAX_HAMMING = 6
+
+#: near-identical "images" riding along (the fixture discipline): two
+#: texts identical through the 64-cell grid (differ only beyond it —
+#:   hamming 0), one with a couple of in-grid edits (small hamming), one
+#: unrelated (must NOT pair)
+_PHASH_BASE = "the quick brown fox jumps over the lazy dog again and again ok"
+PHASH_FIXTURE_ROWS: tuple[tuple[int, str], ...] = (
+    (92_000_001, _PHASH_BASE + " tail-one"),
+    (92_000_002, _PHASH_BASE + " tail-two-differs-far-beyond-the-grid"),
+    # letter -> space edits (codepoint 32, far below any text mean) flip
+    # their cells' bits deterministically: a small POSITIVE hamming
+    (92_000_003, _PHASH_BASE.replace("quick", "qu ck").replace("lazy", "l zy") + " t"),
+    (92_000_004, "completely different pixels " + "z" * 40),
+)
+_PHASH_FIXTURE_SQL = " UNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text"
+    for i, t in PHASH_FIXTURE_ROWS
+)
+
+
+def _phash_mean_sql() -> str:
+    cells = " + ".join(
+        f"ASCII(SUBSTR(text, {p}, 1))" for p in range(1, PHASH_CELLS + 1)
+    )
+    return f"(({cells}) // {PHASH_CELLS})"
+
+
+def _phash_word_sql(b: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN ASCII(SUBSTR(text, {PHASH_BAND_CELLS * b + j + 1}, 1)) > m "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(PHASH_BAND_CELLS)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+@query(
+    "decode_phash_neardup",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL {_PHASH_FIXTURE_SQL}
+    ), g AS (
+      SELECT doc_id, text, {_phash_mean_sql()} AS m FROM docs
+    ), h AS (
+      SELECT doc_id,
+             {", ".join(f"{_phash_word_sql(b)} AS w{b}" for b in range(PHASH_BANDS))}
+      FROM g
+    ), bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS bidx, w{b} AS bval FROM h"
+          for b in range(PHASH_BANDS)
+      )}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT c.a_id, c.b_id,
+             CAST({" + ".join(
+                 f"BIT_COUNT(XOR(ha.w{b}, hb.w{b}))" for b in range(PHASH_BANDS)
+             )} AS BIGINT) AS hamming
+      FROM cand c
+      JOIN h ha ON ha.doc_id = c.a_id
+      JOIN h hb ON hb.doc_id = c.b_id
+    )
+    SELECT a_id, b_id, hamming
+    FROM verified
+    WHERE hamming <= {PHASH_MAX_HAMMING}
+    """,
+    tags=("llm", "multimodal", "dedup", "documents"),
+)
+def decode_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs — image dedup's shape, run on
+    the deterministic fake decode (the multimodal stub discipline: the
+    container env has no image codecs, so 'decode' reads the first
+    PHASH_CELLS codepoints of the payload as an 8x8 grayscale grid; a
+    real deployment swaps ONLY that projection for a Pandas-UDF pixel
+    decode and keeps every plan below). Average hash (aHash): each cell
+    brightens a bit iff it exceeds the integer grid mean; two payloads
+    pair when their 64-bit signatures sit within PHASH_MAX_HAMMING.
+
+    Scale shape: exactly the MinHash-LSH candidate discipline — the
+    64-bit hash rides as PHASH_BANDS 16-bit band words, candidates come
+    from ONE equi-join on (band index, band word) (a near-dup pair under
+    the Hamming budget must agree on at least one band by pigeonhole
+    when distance < PHASH_BANDS... the standard LSH recall argument —
+    pairs differing in every band are beyond this gate's recall, as with
+    any banded scheme), pairs are verified by XOR+POPCNT on the four
+    words. Never all-pairs; the verify join carries 8-byte signatures.
+
+    Exactness: codepoint arithmetic, integer mean (DIV), bit ops — every
+    engine computes the identical signature, so candidates, Hamming
+    values, and the emitted pair set match bit-for-bit (the
+    PHASH_FIXTURE_ROWS rider pins the hamming-0 twin, a small-distance
+    pair, and an unrelated payload that must stay out)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                list(PHASH_FIXTURE_ROWS), "doc_id long, text string"
+            )
+        )
+    )
+    cells = [
+        F.ascii(F.substring(F.col("text"), p, 1))
+        for p in range(1, PHASH_CELLS + 1)
+    ]
+    mean = (
+        sum(cells[1:], cells[0]).cast("long") / F.lit(PHASH_CELLS)
+    ).cast("long")
+    g = d.select("doc_id", "text", mean.alias("m"))
+    words = []
+    for b in range(PHASH_BANDS):
+        bits = [
+            F.when(
+                F.ascii(
+                    F.substring(F.col("text"), PHASH_BAND_CELLS * b + j + 1, 1)
+                )
+                > F.col("m"),
+                F.lit(1 << j),
+            ).otherwise(0)
+            for j in range(PHASH_BAND_CELLS)
+        ]
+        words.append(sum(bits[1:], bits[0]).cast("long").alias(f"w{b}"))
+    h = g.select("doc_id", *words)
+    bands = None
+    for b in range(PHASH_BANDS):
+        part = h.select(
+            "doc_id", F.lit(b).alias("bidx"), F.col(f"w{b}").alias("bval")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, bnd = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            bnd,
+            (F.col("a.bidx") == F.col("b.bidx"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    ha, hb = h.alias("ha"), h.alias("hb")
+    ham = sum(
+        (
+            F.bit_count(F.col(f"ha.w{b}").bitwiseXOR(F.col(f"hb.w{b}")))
+            for b in range(1, PHASH_BANDS)
+        ),
+        F.bit_count(F.col("ha.w0").bitwiseXOR(F.col("hb.w0"))),
+    ).cast("long")
+    return (
+        cand.join(ha, F.col("ha.doc_id") == F.col("a_id"))
+        .join(hb, F.col("hb.doc_id") == F.col("b_id"))
+        .select("a_id", "b_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+    )

@@ -2377,3 +2377,41 @@ def test_kcore_final_round_survivor_with_degree_zero_is_kept(spark):
     want = dict(con.execute(
         plans.registry.get("algo_kcore_peel").oracle).fetchall())
     assert got == want
+
+
+def test_phash_neardup_pins_fixture_pairs_and_band_recall_boundary(spark):
+    """aHash near-dup on ONLY the rider payloads (corpus mocked empty):
+    the beyond-grid twin pairs at hamming 0, the two-space-edit variant
+    at a small positive distance, the unrelated payload pairs with
+    nothing; and a crafted pair differing in ALL four bands — beyond the
+    banded join's pigeonhole recall — must NOT surface even though its
+    total hamming is under the threshold, pinning the documented LSH
+    recall boundary rather than leaving it prose."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import multimodal
+    from projet_pipeline_bigdata_org_spark.operators.multimodal import (
+        PHASH_BAND_CELLS,
+        PHASH_BANDS,
+        PHASH_MAX_HAMMING,
+    )
+
+    # alternating 'z'/' ' grid keeps every bit decisively far from the
+    # mean under small edits; the variant flips exactly ONE 'z' cell to
+    # ' ' in EVERY band: total hamming 4 < PHASH_MAX_HAMMING, yet no
+    # band agrees -> the banded join cannot see the pair
+    base = ["z" if i % 2 == 0 else " " for i in range(64)]
+    var = base.copy()
+    for b in range(PHASH_BANDS):
+        var[b * PHASH_BAND_CELLS] = " "  # position b*16 is even -> a 'z'
+    extra = [(1, "".join(base) + "pad"), (2, "".join(var) + "pad")]
+    sdf = spark.createDataFrame(extra, "doc_id long, text string")
+    with mock.patch.object(multimodal, "load", lambda _s, _d, _t: sdf):
+        got = {(r.a_id, r.b_id): r.hamming for r in
+               multimodal.decode_phash_neardup(spark, "ignored").collect()}
+    fixture_pairs = {k: v for k, v in got.items() if k[0] >= 92_000_000}
+    assert fixture_pairs[(92_000_001, 92_000_002)] == 0
+    assert 1 <= fixture_pairs[(92_000_001, 92_000_003)] <= PHASH_MAX_HAMMING
+    assert not any(92_000_004 in k for k in got)
+    # the all-bands-differ pair is invisible to the banded join
+    assert (1, 2) not in got
