@@ -1233,36 +1233,58 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     both_scopes = tok_d.unionByName(
         tok_d.select(F.lit("__all__").alias("lang"), "tok")
     ).distinct()
-    dh = both_scopes.select(
-        "lang",
-        F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, KMV_HASH_HEX), 16, 10)
+    kept = kmv_summarize(kmv_trim(both_scopes.select("lang", kmv_hash("tok"))))
+    exact = both_scopes.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+    )
+    return kept.join(F.broadcast(exact), "lang").select(
+        "lang", "n_kept", "kth_min_h", "kmv_estimate_milli", "exact_distinct"
+    )
+
+
+def kmv_hash(tok_col: str | F.Column) -> F.Column:
+    """The ONE 48-bit KMV hash definition (12 sha hex chars as BIGINT),
+    shared by the batch query and the streaming KmvSketchSink so bits
+    cannot drift between modes. Aliased ``h``."""
+    c = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    return (
+        F.conv(F.substring(F.sha2(c, 256), 1, KMV_HASH_HEX), 16, 10)
         .cast("long")
-        .alias("h"),
-    ).distinct()
-    ranked = dh.select(
+        .alias("h")
+    )
+
+
+def kmv_trim(scoped: DataFrame) -> DataFrame:
+    """Bottom-KMV_K distinct hashes per ``lang`` scope — the sketch
+    itself. Idempotent and associative under union-then-trim (the merge
+    identity the tests pin), which is what makes it the cross-epoch
+    streaming state. WindowGroupLimit turns the rank into per-partition
+    bottom-K before the exchange (plan-pinned)."""
+    ranked = scoped.distinct().select(
         "lang",
         "h",
         F.row_number().over(W.partitionBy("lang").orderBy("h")).alias("rn"),
     )
-    kept = (
-        ranked.filter(F.col("rn") <= KMV_K)
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("max_h"))
-    )
-    exact = both_scopes.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+    return ranked.filter(F.col("rn") <= KMV_K).drop("rn")
+
+
+def kmv_summarize(kept: DataFrame) -> DataFrame:
+    """Per-scope sketch summary (n_kept, kth threshold, milli-scaled
+    estimate) from trimmed (lang, h) rows — the shared estimator
+    arithmetic of the batch query and the streaming sink."""
+    agg = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("max_h")
     )
     est = F.when(
         F.col("n_kept") < KMV_K, F.col("n_kept") * 1000
     ).otherwise(F.expr(f"{KMV_EST_NUMERATOR} div max_h"))
-    return kept.join(F.broadcast(exact), "lang").select(
+    return agg.select(
         "lang",
         F.col("n_kept").cast("long").alias("n_kept"),
         F.when(F.col("n_kept") == KMV_K, F.col("max_h"))
         .cast("long")
         .alias("kth_min_h"),
         est.cast("long").alias("kmv_estimate_milli"),
-        "exact_distinct",
     )
 
 

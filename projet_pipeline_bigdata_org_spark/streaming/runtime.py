@@ -985,6 +985,84 @@ class AnomalyGateSink:
             b.unpersist()
 
 
+@dataclass
+class KmvSketchSink:
+    """Streaming distinct-count tracking via the KMV bottom-k sketch —
+    the mergeable-sketch discipline running ONLINE: each micro-batch's
+    distinct token hashes union the accumulated sketch and re-trim to
+    KMV_K per scope, and because union-then-trim is idempotent and
+    associative (the merge identity ``agg_kmv_distinct`` pins), the
+    sketch after any sequence of micro-batches EQUALS the batch sketch
+    over the concatenated stream — mode-equality test-pinned, and replay
+    is free: a replayed epoch unions rows that are already subsumed.
+
+    Per micro-batch (epoch ``e``): the batch's per-lang + '__all__'
+    distinct (scope, hash) rows union the <= |scopes| x KMV_K rows read
+    from ALL strictly-prior epoch partitions (re-trimmed at read — no
+    'latest epoch' pointer to corrupt), the merged sketch overwrites
+    ``sketch/epoch=e`` idempotently, and the per-scope summary
+    (n_kept, kth threshold, milli estimate — the shared
+    ``kmv_summarize`` arithmetic) overwrites ``estimates/epoch=e`` for
+    observability.
+
+    Scale shape: per-epoch state is O(scopes x KMV_K) rows on disk per
+    epoch and in the union — never the stream; the batch side is one
+    distinct + a WindowGroupLimit bottom-K. The hash, trim, and
+    estimator are the batch operator's own helpers (kmv_hash / kmv_trim
+    / kmv_summarize) — one definition, no drift."""
+
+    spark: SparkSession
+    sketch_path: str
+    content_col: str = "text"
+    lang_col: str = "lang"
+    stats: dict = field(default_factory=lambda: {"batches": 0})
+
+    def _sketch_before(self, epoch_id: int) -> DataFrame:
+        from projet_pipeline_bigdata_org_spark.operators.analytics_ext import (
+            kmv_trim,
+        )
+
+        return kmv_trim(
+            _epoch_history_scan(
+                self.spark,
+                f"{self.sketch_path}/sketch",
+                "lang string, h bigint",
+                epoch_id,
+            )
+        )
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from projet_pipeline_bigdata_org_spark.operators.analytics_ext import (
+            kmv_hash,
+            kmv_summarize,
+            kmv_trim,
+        )
+        from projet_pipeline_bigdata_org_spark.operators.textops import ws_tokens
+
+        self.stats["batches"] += 1
+        if batch_df.isEmpty():  # P9 empty-batch guard
+            return
+        toks = batch_df.select(
+            F.col(self.lang_col).alias("lang"),
+            F.explode(ws_tokens(self.content_col)).alias("tok"),
+        )
+        scoped = toks.unionByName(
+            toks.select(F.lit("__all__").alias("lang"), "tok")
+        ).select("lang", kmv_hash("tok"))
+        merged = kmv_trim(
+            scoped.unionByName(self._sketch_before(epoch_id))
+        ).persist()
+        try:
+            merged.write.mode("overwrite").parquet(
+                f"{self.sketch_path}/sketch/epoch={epoch_id}"
+            )
+            kmv_summarize(merged).write.mode("overwrite").parquet(
+                f"{self.sketch_path}/estimates/epoch={epoch_id}"
+            )
+        finally:
+            merged.unpersist()
+
+
 def start_foreach_batch(
     df: DataFrame,
     sink: FailoverBatchSink,

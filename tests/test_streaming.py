@@ -1151,3 +1151,64 @@ def test_anomaly_gate_sink_matches_batch_ewma_and_replays(spark, tmp_path):
     got2 = {r.event_id: (r.cents, r.ewma_num, r.ewma_den, r.n_prior)
             for r in spark.read.parquet(out).collect()}
     assert got2 == want
+
+
+def test_kmv_sketch_sink_merge_equals_batch_sketch_and_replays(spark, tmp_path):
+    """The streaming KMV sink fed a stream in three arbitrary micro-batch
+    splits must end with EXACTLY the batch sketch over the concatenated
+    stream — same kept hash sets per scope, same kth thresholds, same
+    milli estimates (the union-then-trim merge identity made
+    operational) — and a replayed epoch changes nothing."""
+    from projet_pipeline_bigdata_org_spark.operators.analytics_ext import (
+        kmv_hash,
+        kmv_summarize,
+        kmv_trim,
+    )
+    from projet_pipeline_bigdata_org_spark.operators.textops import ws_tokens
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import KmvSketchSink
+
+    rows = [
+        (i, " ".join(f"w{(i * 13 + j) % 90}" for j in range(10)), f"l{i % 3}")
+        for i in range(120)
+    ]
+    schema = "doc_id long, text string, lang string"
+    full = spark.createDataFrame(rows, schema)
+
+    def batch_sketch(df):
+        toks = df.select("lang", F.explode(ws_tokens("text")).alias("tok"))
+        scoped = toks.unionByName(
+            toks.select(F.lit("__all__").alias("lang"), "tok")
+        ).select("lang", kmv_hash("tok"))
+        kept = kmv_trim(scoped)
+        return (
+            {(r.lang, r.h) for r in kept.collect()},
+            {tuple(r) for r in kmv_summarize(kept).collect()},
+        )
+
+    want_kept, want_sum = batch_sketch(full)
+
+    store = str(tmp_path / "kmv")
+    sink = KmvSketchSink(spark, store)
+    for e, lo, hi in [(0, 0, 40), (1, 40, 80), (2, 80, 120)]:
+        sink(spark.createDataFrame(rows[lo:hi], schema), e)
+
+    got_kept = {
+        (r.lang, r.h)
+        for r in spark.read.parquet(f"{store}/sketch/epoch=2").collect()
+    }
+    got_sum = {
+        tuple(r)
+        for r in spark.read.parquet(f"{store}/estimates/epoch=2").collect()
+    }
+    assert got_kept == want_kept
+    assert got_sum == want_sum
+
+    # replay epoch 1: its partition rewrites identically and a re-run of
+    # epoch 2 (reading strictly-prior epochs) still matches the batch
+    sink(spark.createDataFrame(rows[40:80], schema), 1)
+    sink(spark.createDataFrame(rows[80:120], schema), 2)
+    got_kept2 = {
+        (r.lang, r.h)
+        for r in spark.read.parquet(f"{store}/sketch/epoch=2").collect()
+    }
+    assert got_kept2 == want_kept
