@@ -1168,3 +1168,58 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "segment_value"),
         )
     )
+
+
+#: target partition count for the range-layout planner
+RANGE_SPLIT_PARTS = 16
+
+
+@query(
+    "arrange_partition_splits",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_orderkey,
+             NTILE({RANGE_SPLIT_PARTS}) OVER (ORDER BY o_orderkey) AS pid
+      FROM orders
+    )
+    SELECT CAST(pid AS BIGINT) AS partition_id,
+           COUNT(*) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS key_lo,
+           CAST(MAX(o_orderkey) AS BIGINT) AS key_hi
+    FROM t
+    GROUP BY pid
+    """,
+    tags=("sort", "layout", "orders"),
+)
+def arrange_partition_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition planner over orders' sort key — the boundary table
+    behind every ``repartitionByRange`` / clustered write in this engine
+    (write_zorder_table, write_training_shards): RANGE_SPLIT_PARTS
+    equal-row buckets with their exact key bounds and row counts, i.e.
+    the split points a layout job feeds the ranged exchange so no
+    partition is fat. NTILE over a UNIQUE key is deterministic in both
+    engines (ties impossible), so the planner's boundaries — unlike
+    Spark's sampled RangePartitioner — are exact and replayable; the
+    certified plan also exposes the skew a sampled partitioner would
+    have to guess at (n_rows differs by at most 1 by construction,
+    key widths show value-space skew).
+
+    Scale shape: one window over the sort key. At 100 TB the exact NTILE
+    becomes the compressed-distribution form (stat_exact_percentiles'
+    discipline: rank boundaries over the |distinct-key| table, not the
+    row stream) or Spark's reservoir-sampled RangePartitioner when
+    approximate bounds suffice — this query is the exact planner and
+    the yardstick those approximations are judged against. Output:
+    RANGE_SPLIT_PARTS rows."""
+    o = load(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.ntile(RANGE_SPLIT_PARTS)
+        .over(W.orderBy("o_orderkey"))
+        .alias("pid"),
+    )
+    return t.groupBy(F.col("pid").cast("long").alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").cast("long").alias("key_lo"),
+        F.max("o_orderkey").cast("long").alias("key_hi"),
+    )

@@ -2415,3 +2415,25 @@ def test_phash_neardup_pins_fixture_pairs_and_band_recall_boundary(spark):
     assert not any(92_000_004 in k for k in got)
     # the all-bands-differ pair is invisible to the banded join
     assert (1, 2) not in got
+
+
+def test_partition_splits_are_contiguous_and_balanced(spark, sf_dir):
+    """The range-partition planner's boundaries must tile the key space:
+    buckets ordered by id have non-overlapping, contiguous [lo, hi]
+    ranges covering min..max, row counts differing by at most 1, and
+    RANGE_SPLIT_PARTS buckets exactly."""
+    from projet_pipeline_bigdata_org_spark.operators.relational import (
+        RANGE_SPLIT_PARTS,
+        arrange_partition_splits,
+    )
+
+    rows = sorted(
+        arrange_partition_splits(spark, sf_dir).collect(),
+        key=lambda r: r.partition_id,
+    )
+    assert len(rows) == RANGE_SPLIT_PARTS
+    assert [r.partition_id for r in rows] == list(range(1, RANGE_SPLIT_PARTS + 1))
+    counts = [r.n_rows for r in rows]
+    assert max(counts) - min(counts) <= 1
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev.key_hi < nxt.key_lo  # unique key: strictly increasing tiles
