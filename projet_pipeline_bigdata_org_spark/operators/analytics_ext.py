@@ -1955,3 +1955,73 @@ def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("true_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance (the materialized-view pattern: per-epoch
+# partial states merged at read — the batch twin of the streaming sinks'
+# cross-epoch stores, with the merge CERTIFIED against direct aggregation)
+# ---------------------------------------------------------------------------
+
+
+def rollup_epoch_partials(events: DataFrame) -> DataFrame:
+    """Per-(epoch_week, event_type) partial aggregate states: count,
+    exact-decimal sum, min, max. This is the table an incremental pipeline
+    PERSISTS — a new epoch's arrival costs one partial-agg over that epoch
+    alone, never a rescan of history (the dedup_incremental_* discipline
+    applied to aggregation)."""
+    return events.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("epoch_week"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("p_n"),
+        F.sum(F.col("value").cast(T.DecimalType(18, 6))).alias("p_sum"),
+        F.min("value").alias("p_min"),
+        F.max("value").alias("p_max"),
+    )
+
+
+def rollup_merge(partials: DataFrame) -> DataFrame:
+    """Merge partial states into the full per-type aggregate: counts and
+    decimal sums add, min/max fold — every column is an algebraic
+    aggregate, so merge(partials) == direct(stream) exactly (the identity
+    the oracle gate certifies; avg derives at read as sum/count)."""
+    return partials.groupBy("event_type").agg(
+        F.sum("p_n").cast("long").alias("n_events"),
+        F.sum("p_sum").cast("double").alias("total_value"),
+        F.min("p_min").cast("double").alias("min_value"),
+        F.max("p_max").cast("double").alias("max_value"),
+        F.count(F.lit(1)).cast("long").alias("n_epochs"),
+        (F.sum("p_sum").cast("double") / F.sum("p_n")).alias("avg_value"),
+    )
+
+
+@query(
+    "agg_incremental_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value,
+           CAST(COUNT(DISTINCT DATE_TRUNC('week', ts)) AS BIGINT) AS n_epochs,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "incremental", "events"),
+)
+def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintainable per-type event rollup: the stream folds
+    to per-(week, type) PARTIAL states (``rollup_epoch_partials`` — the
+    persisted table), which MERGE to the full aggregate at read
+    (``rollup_merge``). The oracle computes the same aggregate DIRECTLY
+    over the raw stream, so the driver gate is literally the
+    partial-merge correctness proof — the property that lets a 100 TB
+    pipeline maintain dashboards by aggregating only the newest epoch.
+
+    Scale shape: epoch partials partial-agg map-side (the shuffle carries
+    ≤ |weeks|×|types| rows per partition); the merge input IS that
+    bounded table, so the second exchange moves O(calendar) rows, not
+    O(stream). Exact decimal sums make the merge order-independent."""
+    return rollup_merge(rollup_epoch_partials(load(spark, sf_dir, "events")))

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from projet_pipeline_bigdata_org_spark.catalog import load
-from projet_pipeline_bigdata_org_spark.functions.exact import dsum
+from projet_pipeline_bigdata_org_spark.functions.exact import dec, dsum
 from projet_pipeline_bigdata_org_spark.plans.registry import query
 
 BUCKET_WIDTH = 25_000.0
@@ -619,3 +619,122 @@ def event_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rfm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff (the change-data-feed derivation: what MERGE consumed;
+# complements dim_scd2_intervals' interval versioning and sql_merge_upsert)
+# ---------------------------------------------------------------------------
+
+#: snapshot windows over o_orderdate: the OLD state covers [CDC_LO, CDC_OLD_HI),
+#: the NEW state [CDC_NEW_LO, CDC_HI). Sliding (not nested) windows so all
+#: three change classes occur naturally: customers active only before
+#: CDC_NEW_LO surface as deletes, only after CDC_OLD_HI as inserts.
+CDC_LO = "1995-01-01"
+CDC_NEW_LO = "1996-01-01"
+CDC_OLD_HI = "1998-01-01"
+CDC_HI = "1999-01-01"
+
+
+def cdc_snapshot_diff_frame(orders: DataFrame) -> DataFrame:
+    """Change-data-capture rows between two per-customer snapshot states
+    (order count, exact-decimal total, max order key): ``insert`` when the
+    key exists only in the new snapshot, ``delete`` only in the old,
+    ``update`` when present in both with ANY state column changed —
+    unchanged keys are excluded. This is the diff a lakehouse change feed
+    publishes and a MERGE INTO consumes.
+
+    Scale shape: because both snapshots are windows over ONE source, the
+    generic two-aggregate FULL OUTER JOIN (the DuckDB twin's formulation —
+    deliberately different, as the cross-check) collapses to a single
+    conditional aggregation: one scan with the union-window filter pushed
+    to parquet, one shuffle on the key, zero joins. State equality is
+    exact (BIGINT counts/keys, DECIMAL sums), so 'update' is never a
+    floating-point artifact."""
+    ts = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    in_old = F.col("o_orderdate") < ts(CDC_OLD_HI)
+    in_new = F.col("o_orderdate") >= ts(CDC_NEW_LO)
+    st = (
+        orders.filter(
+            (F.col("o_orderdate") >= ts(CDC_LO)) & (F.col("o_orderdate") < ts(CDC_HI))
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.when(in_old, 1)).cast("long").alias("old_n"),
+            F.sum(F.when(in_old, dec("o_totalprice"))).alias("old_t"),
+            F.max(F.when(in_old, F.col("o_orderkey"))).cast("long").alias("old_m"),
+            F.count(F.when(in_new, 1)).cast("long").alias("new_n"),
+            F.sum(F.when(in_new, dec("o_totalprice"))).alias("new_t"),
+            F.max(F.when(in_new, F.col("o_orderkey"))).cast("long").alias("new_m"),
+        )
+    )
+    unchanged = (
+        (F.col("old_n") == F.col("new_n"))
+        & F.col("old_t").eqNullSafe(F.col("new_t"))
+        & F.col("old_m").eqNullSafe(F.col("new_m"))
+    )
+    op = (
+        F.when(F.col("old_n") == 0, F.lit("insert"))
+        .when(F.col("new_n") == 0, F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return st.filter(~unchanged).select(
+        "o_custkey",
+        op.alias("change_op"),
+        F.col("old_n").alias("old_n_orders"),
+        F.col("new_n").alias("new_n_orders"),
+        F.col("old_t").cast("double").alias("old_total"),
+        F.col("new_t").cast("double").alias("new_total"),
+        F.col("old_m").alias("old_max_orderkey"),
+        F.col("new_m").alias("new_max_orderkey"),
+    )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH old_s AS (
+      SELECT o_custkey, COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS t,
+             MAX(o_orderkey) AS m
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{CDC_LO}'
+        AND o_orderdate < TIMESTAMP '{CDC_OLD_HI}'
+      GROUP BY o_custkey
+    ), new_s AS (
+      SELECT o_custkey, COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS t,
+             MAX(o_orderkey) AS m
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{CDC_NEW_LO}'
+        AND o_orderdate < TIMESTAMP '{CDC_HI}'
+      GROUP BY o_custkey
+    ), j AS (
+      SELECT COALESCE(o.o_custkey, n.o_custkey) AS o_custkey,
+             o.n AS old_n, o.t AS old_t, o.m AS old_m,
+             n.n AS new_n, n.t AS new_t, n.m AS new_m
+      FROM old_s o FULL OUTER JOIN new_s n ON o.o_custkey = n.o_custkey
+    )
+    SELECT o_custkey,
+           CASE WHEN old_n IS NULL THEN 'insert'
+                WHEN new_n IS NULL THEN 'delete'
+                ELSE 'update' END AS change_op,
+           CAST(COALESCE(old_n, 0) AS BIGINT) AS old_n_orders,
+           CAST(COALESCE(new_n, 0) AS BIGINT) AS new_n_orders,
+           CAST(old_t AS DOUBLE) AS old_total,
+           CAST(new_t AS DOUBLE) AS new_total,
+           CAST(old_m AS BIGINT) AS old_max_orderkey,
+           CAST(new_m AS BIGINT) AS new_max_orderkey
+    FROM j
+    WHERE old_n IS NULL OR new_n IS NULL
+       OR old_n <> new_n OR old_t <> new_t OR old_m <> new_m
+    """,
+    tags=("relational", "cdc", "orders"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed between two sliding per-customer order-state snapshots
+    (see ``cdc_snapshot_diff_frame``). The Spark side is the one-pass
+    conditional aggregation; the oracle is the independent generic form —
+    two snapshot aggregates FULL OUTER JOINed — so the gate certifies the
+    collapse, not just the arithmetic."""
+    return cdc_snapshot_diff_frame(load(spark, sf_dir, "orders"))

@@ -2437,3 +2437,114 @@ def test_partition_splits_are_contiguous_and_balanced(spark, sf_dir):
     assert max(counts) - min(counts) <= 1
     for prev, nxt in zip(rows, rows[1:]):
         assert prev.key_hi < nxt.key_lo  # unique key: strictly increasing tiles
+
+
+def test_cdc_snapshot_diff_classifies_all_change_classes(spark):
+    """Crafted orders exercising every CDC class: a customer active only
+    before the new window (delete), only after the old window (insert),
+    only in the overlap with identical state (unchanged — EXCLUDED), a
+    changed customer (update), and one entirely outside both snapshot
+    windows (invisible)."""
+    from datetime import datetime
+
+    from projet_pipeline_bigdata_org_spark.operators.timeseries import (
+        cdc_snapshot_diff_frame,
+    )
+
+    rows = [
+        # (orderkey, custkey, totalprice, orderdate)
+        (10, 1, 100.0, datetime(1995, 6, 1)),   # cust 1: old-only -> delete
+        (20, 2, 250.5, datetime(1998, 6, 1)),   # cust 2: new-only -> insert
+        (30, 3, 40.25, datetime(1997, 1, 5)),   # cust 3: overlap-only,
+        (31, 3, 9.75, datetime(1997, 8, 2)),    #   identical state -> excluded
+        (40, 4, 70.0, datetime(1995, 3, 3)),    # cust 4: one old-only order
+        (41, 4, 30.0, datetime(1996, 7, 7)),    #   + one overlap -> update
+        (50, 5, 999.0, datetime(1994, 1, 1)),   # cust 5: outside both windows
+        (51, 5, 999.0, datetime(2000, 1, 1)),   #   -> invisible
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp",
+    )
+    got = {r.o_custkey: r for r in cdc_snapshot_diff_frame(orders).collect()}
+    assert set(got) == {1, 2, 4}
+    d = got[1]
+    assert (d.change_op, d.old_n_orders, d.new_n_orders) == ("delete", 1, 0)
+    assert d.old_total == 100.0 and d.new_total is None
+    assert d.old_max_orderkey == 10 and d.new_max_orderkey is None
+    i = got[2]
+    assert (i.change_op, i.old_n_orders, i.new_n_orders) == ("insert", 0, 1)
+    assert i.old_total is None and i.new_total == 250.5
+    u = got[4]
+    assert (u.change_op, u.old_n_orders, u.new_n_orders) == ("update", 2, 1)
+    assert u.old_total == 100.0 and u.new_total == 30.0
+    assert u.old_max_orderkey == 41 and u.new_max_orderkey == 41
+
+
+def test_rollup_merge_of_disjoint_epoch_partials_equals_direct(spark):
+    """The incremental-rollup identity made operational: partials computed
+    on DISJOINT epoch slices, unioned and merged, must equal both the
+    one-shot operator and a direct Spark aggregation over the raw stream —
+    including an all-NULL-value epoch group (sum/min/max stay NULL-inert,
+    count doesn't)."""
+    from datetime import datetime
+
+    from projet_pipeline_bigdata_org_spark.operators.analytics_ext import (
+        rollup_epoch_partials,
+        rollup_merge,
+    )
+
+    rows = [
+        (datetime(2024, 1, 1, 5), "click", 2.5),
+        (datetime(2024, 1, 2, 6), "click", 1.5),
+        (datetime(2024, 1, 9, 7), "click", 4.0),   # second week
+        (datetime(2024, 1, 16, 8), "click", None),  # third week, NULL value
+        (datetime(2024, 1, 1, 9), "view", 10.0),
+        (datetime(2024, 1, 16, 1), "view", None),   # all-NULL epoch group
+    ]
+    e = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    cut = datetime(2024, 1, 8)
+    merged_split = rollup_merge(
+        rollup_epoch_partials(e.filter(F.col("ts") < F.lit(cut))).unionByName(
+            rollup_epoch_partials(e.filter(F.col("ts") >= F.lit(cut)))
+        )
+    )
+    one_shot = rollup_merge(rollup_epoch_partials(e))
+    a = {r.event_type: r.asDict() for r in merged_split.collect()}
+    b = {r.event_type: r.asDict() for r in one_shot.collect()}
+    assert a == b
+    c = a["click"]
+    assert c["n_events"] == 4 and c["n_epochs"] == 3
+    assert c["total_value"] == 8.0 and c["min_value"] == 1.5
+    assert c["max_value"] == 4.0 and c["avg_value"] == 2.0
+    v = a["view"]
+    assert v["n_events"] == 2 and v["n_epochs"] == 2
+    assert v["total_value"] == 10.0 and v["avg_value"] == 5.0
+
+
+def test_common_neighbor_recs_on_crafted_graph(spark):
+    """Crafted 6-node graph with a known answer: source selection by
+    (degree desc, id), existing neighbors excluded from candidates,
+    common-neighbor counts exact, and score ties broken by candidate id.
+
+    Graph: triangle 1-2-3, plus 2-4, 3-4, 4-5, 1-6. Degrees: 1,2,3,4 -> 3;
+    5,6 -> 1. Top-2 sources by (d desc, id) = {1, 2}. Source 1
+    (N={2,3,6}): candidate 4 seen via both 2 and 3 -> count 2. Source 2
+    (N={1,3,4}): candidates 5 (via 4) and 6 (via 1), both count 1 ->
+    tie broken by id: 5 before 6."""
+    from projet_pipeline_bigdata_org_spark.operators.grouped import (
+        common_neighbor_recs,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (1, 6)],
+        "u long, v long",
+    )
+    got = [
+        (r.source, r.candidate, r.n_common, r.cn_rank)
+        for r in common_neighbor_recs(pairs, n_sources=2, k=5)
+        .orderBy("source", "cn_rank")
+        .collect()
+    ]
+    assert got == [(1, 4, 2, 1), (2, 5, 1, 1), (2, 6, 1, 2)]

@@ -881,3 +881,32 @@ def test_hilbert_layout_single_exchange_partial_agg_below(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
     assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2, p
     assert "Join" not in p, p
+
+
+def test_cdc_snapshot_diff_is_one_pass_no_join(spark, sf_dir):
+    """cdc_snapshot_diff's load-bearing claim: the generic two-snapshot
+    FULL OUTER JOIN collapses to ONE conditional aggregation because both
+    snapshots window the same source — the physical plan must contain no
+    join at all and exactly one scan of orders (the tree numbers it once;
+    the formatted detail section repeats it once)."""
+    df = _Q["cdc_snapshot_diff"].fn(spark, sf_dir)
+    p = formatted_plan(df)
+    assert "Join" not in p, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+
+
+def test_common_neighbors_all_joins_broadcast(spark, sf_dir, no_auto_broadcast):
+    """algo_common_neighbors' bounded-wedge claim: the source set, the
+    source-incident edge probe, and the existing-edge exclusion all ride
+    explicit broadcasts (even when nothing auto-broadcasts), and the
+    both-directions edge list plus the source-edge set are persisted —
+    wedge expansion costs edge-list SCANS of one materialization, never a
+    per-branch re-derivation of the pair join."""
+    df = _Q["algo_common_neighbors"].fn(spark, sf_dir)
+    p = formatted_plan(df)
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "InMemoryTableScan" in p, p
+    # the bounded rank is WindowGroupLimit-eligible and the source cut is
+    # a TakeOrdered, not a global sort
+    assert "WindowGroupLimit" in p, p
+    assert "TakeOrderedAndProject" in p, p
