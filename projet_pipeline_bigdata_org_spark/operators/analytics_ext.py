@@ -1697,6 +1697,53 @@ def cm_token_features(
     )
 
 
+def cm_buckets(t: F.Column) -> F.Column:
+    """The ONE (row, bucket) fan-out definition: an array of
+    ``CM_ROW_PARAMS``-many (j, bucket) structs per token, buckets from the
+    portable feature projection. Shared by the batch sketch and the
+    streaming ``CountMinSketchSink`` so counter addresses cannot drift
+    between modes (the kmv_hash discipline)."""
+    a1, a2, ln, al = cm_token_features(t)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                ((a1 * a + a2 * b + ln * c + al * dd) % CM_WIDTH).alias("bucket"),
+            )
+            for j, (a, b, c, dd) in enumerate(CM_ROW_PARAMS)
+        ]
+    )
+
+
+def cm_sketch_counters(toks: DataFrame, col: str = "tok") -> DataFrame:
+    """Count-min counter table (j, bucket, c) from a token stream — one
+    explode to d pairs per token, partial-agg'd to <= d x w rows. Counters
+    are exact BIGINTs, so sketches ADD across shards/epochs (the merge the
+    streaming sink and any map-side combine rely on)."""
+    return (
+        toks.select(F.explode(cm_buckets(F.col(col))).alias("p"))
+        .select("p.j", "p.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def cm_probe_estimates(spark: SparkSession, sketch: DataFrame) -> DataFrame:
+    """Point-frequency estimates for CM_PROBE_TERMS against a counter
+    table: MIN over the d per-row counters, absent buckets read 0."""
+    probes = spark.createDataFrame([(t,) for t in CM_PROBE_TERMS], "term string")
+    pb = probes.select("term", F.explode(cm_buckets(F.col("term"))).alias("p")).select(
+        "term", "p.j", "p.bucket"
+    )
+    return (
+        pb.join(sketch, ["j", "bucket"], "left")
+        .groupBy("term")
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cm_estimate")
+        )
+    )
+
+
 _CM_FEATS_SQL = (
     "ASCII({t}) AS a1, ASCII(SUBSTR({t} || '_', 2, 1)) AS a2, "
     "LENGTH({t}) AS ln, ASCII(REVERSE({t})) AS al"
@@ -1780,36 +1827,7 @@ def agg_countmin_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     production sketch never scans for truth)."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(F.explode(ws_tokens("text")).alias("tok"))
-
-    def buckets(t: F.Column) -> F.Column:
-        a1, a2, ln, al = cm_token_features(t)
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    ((a1 * a + a2 * b + ln * c + al * dd) % CM_WIDTH).alias(
-                        "bucket"
-                    ),
-                )
-                for j, (a, b, c, dd) in enumerate(CM_ROW_PARAMS)
-            ]
-        )
-
-    sketch = (
-        toks.select(F.explode(buckets(F.col("tok"))).alias("p"))
-        .select("p.j", "p.bucket")
-        .groupBy("j", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    probes = spark.createDataFrame([(t,) for t in CM_PROBE_TERMS], "term string")
-    pb = probes.select(
-        "term", F.explode(buckets(F.col("term"))).alias("p")
-    ).select("term", "p.j", "p.bucket")
-    est = (
-        pb.join(sketch, ["j", "bucket"], "left")
-        .groupBy("term")
-        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cm_estimate"))
-    )
+    est = cm_probe_estimates(spark, cm_sketch_counters(toks))
     tru = (
         toks.filter(F.col("tok").isin(list(CM_PROBE_TERMS)))
         .groupBy(F.col("tok").alias("term"))

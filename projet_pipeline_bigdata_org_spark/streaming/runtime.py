@@ -1063,6 +1063,77 @@ class KmvSketchSink:
             merged.unpersist()
 
 
+@dataclass
+class CountMinSketchSink:
+    """Streaming term-frequency tracking via the count-min sketch — the
+    third mergeable sketch running ONLINE next to the Bloom position
+    store and ``KmvSketchSink``. Unlike KMV (whose cumulative sketch is
+    union-then-trim idempotent, so each epoch can store the MERGED
+    state), count-min counters ADD — re-summing cumulative snapshots
+    would double-count — so the store holds per-epoch DELTAS: each
+    micro-batch writes only its own counter table to
+    ``delta/epoch=e`` (idempotent overwrite, replay-safe), and the
+    cumulative sketch at any epoch is the SUM over deltas up to it.
+    Addition is associative and commutative, so the folded sketch equals
+    the batch sketch over the concatenated stream for ANY micro-batch
+    split (mode-equality test-pinned — the agg_incremental_rollup
+    identity applied to sketch counters).
+
+    Per micro-batch: counters ride the batch operator's own
+    ``cm_sketch_counters`` (one explode, partial-agg'd to <= d x w rows —
+    shared bucket addressing, no drift); ``estimates/epoch=e`` records
+    the probe-term estimates against the cumulative sketch
+    (strictly-prior deltas + this one, <= d x w rows per epoch in the
+    fold) for observability.
+
+    Scale shape: per-epoch state is <= 1,024 counter rows on disk and in
+    the fold — never the token stream; the only stream-sized work is the
+    batch's own partial-agg'd counter build."""
+
+    spark: SparkSession
+    sketch_path: str
+    content_col: str = "text"
+    stats: dict = field(default_factory=lambda: {"batches": 0})
+
+    def _deltas_before(self, epoch_id: int) -> DataFrame:
+        return _epoch_history_scan(
+            self.spark,
+            f"{self.sketch_path}/delta",
+            "j int, bucket int, c bigint",
+            epoch_id,
+        )
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from projet_pipeline_bigdata_org_spark.operators.analytics_ext import (
+            cm_probe_estimates,
+            cm_sketch_counters,
+        )
+        from projet_pipeline_bigdata_org_spark.operators.textops import ws_tokens
+
+        self.stats["batches"] += 1
+        if batch_df.isEmpty():  # P9 empty-batch guard
+            return
+        toks = batch_df.select(F.explode(ws_tokens(self.content_col)).alias("tok"))
+        delta = cm_sketch_counters(toks).persist()
+        try:
+            delta.write.mode("overwrite").parquet(
+                f"{self.sketch_path}/delta/epoch={epoch_id}"
+            )
+            cumulative = (
+                delta.select(
+                    F.col("j").cast("int"), F.col("bucket").cast("int"), "c"
+                )
+                .unionByName(self._deltas_before(epoch_id))
+                .groupBy("j", "bucket")
+                .agg(F.sum("c").cast("long").alias("c"))
+            )
+            cm_probe_estimates(self.spark, cumulative).write.mode(
+                "overwrite"
+            ).parquet(f"{self.sketch_path}/estimates/epoch={epoch_id}")
+        finally:
+            delta.unpersist()
+
+
 def start_foreach_batch(
     df: DataFrame,
     sink: FailoverBatchSink,

@@ -1212,3 +1212,66 @@ def test_kmv_sketch_sink_merge_equals_batch_sketch_and_replays(spark, tmp_path):
         for r in spark.read.parquet(f"{store}/sketch/epoch=2").collect()
     }
     assert got_kept2 == want_kept
+
+
+def test_countmin_sink_delta_sum_equals_batch_sketch_and_replays(spark, tmp_path):
+    """The streaming count-min sink fed a stream in three arbitrary
+    micro-batch splits: the SUM of its per-epoch deltas must equal the
+    batch counter table over the concatenated stream exactly (counter
+    addition made operational), the final estimates partition must equal
+    the batch operator's probe arithmetic on that sketch, and replaying
+    an epoch rewrites its delta identically."""
+    from projet_pipeline_bigdata_org_spark.operators.analytics_ext import (
+        cm_probe_estimates,
+        cm_sketch_counters,
+    )
+    from projet_pipeline_bigdata_org_spark.operators.textops import ws_tokens
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import CountMinSketchSink
+
+    rows = [
+        (i, "scan data " + " ".join(f"w{(i * 7 + j) % 40}" for j in range(8)))
+        for i in range(90)
+    ]
+    schema = "doc_id long, text string"
+    full = spark.createDataFrame(rows, schema)
+    toks = full.select(F.explode(ws_tokens("text")).alias("tok"))
+    want_counters = {
+        (r.j, r.bucket): r.c for r in cm_sketch_counters(toks).collect()
+    }
+    want_est = {
+        tuple(r)
+        for r in cm_probe_estimates(spark, cm_sketch_counters(toks)).collect()
+    }
+
+    store = str(tmp_path / "cm")
+    sink = CountMinSketchSink(spark, store)
+    for e, lo, hi in [(0, 0, 30), (1, 30, 60), (2, 60, 90)]:
+        sink(spark.createDataFrame(rows[lo:hi], schema), e)
+
+    deltas = spark.read.parquet(f"{store}/delta")
+    got_counters = {
+        (r.j, r.bucket): r.c
+        for r in deltas.groupBy("j", "bucket").agg(F.sum("c").alias("c")).collect()
+    }
+    assert got_counters == want_counters
+    got_est = {
+        tuple(r) for r in spark.read.parquet(f"{store}/estimates/epoch=2").collect()
+    }
+    assert got_est == want_est
+
+    # replay epoch 1: its delta rewrites identically (no double count)
+    before = {
+        (r.j, r.bucket): r.c
+        for r in spark.read.parquet(f"{store}/delta/epoch=1").collect()
+    }
+    sink(spark.createDataFrame(rows[30:60], schema), 1)
+    after = {
+        (r.j, r.bucket): r.c
+        for r in spark.read.parquet(f"{store}/delta/epoch=1").collect()
+    }
+    assert after == before
+    sink(spark.createDataFrame(rows[60:90], schema), 2)
+    got_est2 = {
+        tuple(r) for r in spark.read.parquet(f"{store}/estimates/epoch=2").collect()
+    }
+    assert got_est2 == want_est
