@@ -2043,3 +2043,202 @@ def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded table, so the second exchange moves O(calendar) rows, not
     O(stream). Exact decimal sums make the merge order-independent."""
     return rollup_merge(rollup_epoch_partials(load(spark, sf_dir, "events")))
+
+
+# ---------------------------------------------------------------------------
+# KMV theta-sketch set operations (the property the KMV docstring claims and
+# HLL lacks: sketches INTERSECT via the common-hashes-below-theta estimator)
+# ---------------------------------------------------------------------------
+
+#: theta of an UNSATURATED sketch (the sketch holds the whole set, so the
+#: "kept" region is the full 48-bit hash space)
+THETA_FULL = 1 << (4 * KMV_HASH_HEX)
+#: exact < 2^63 milli-scale numerator bound: 16 * 2^48 * 1000 ~ 4.5e18
+_THETA_EST_SCALE = THETA_FULL * 1000
+
+#: crafted partially-overlapping vocabularies (the KMV_FIXTURE_ROWS
+#: discipline): the shared corpus vocabulary makes every real lang pair
+#: near-identical, so these riders certify the interesting branches at any
+#: SF — a saturated pair with true Jaccard 1/3 (xa/xb), a mixed
+#: saturated/unsaturated pair (xa/xc), and an exact both-unsaturated pair
+#: (xc/xd, intersection {tc03, tc04})
+THETA_FIXTURE_ROWS: tuple[tuple[int, str, str], ...] = (
+    (91_000_001, " ".join(f"ta{i:02d}" for i in range(1, 21)), "xa"),
+    (91_000_002, " ".join(f"ta{i:02d}" for i in range(11, 31)), "xb"),
+    (91_000_003, "ta01 ta02 tc03 tc04 tc05", "xc"),
+    (91_000_004, "tc03 tc04 td05", "xd"),
+)
+_THETA_FIXTURE_SQL = " UNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text, '{g}' AS lang"
+    for i, t, g in THETA_FIXTURE_ROWS
+)
+
+
+@query(
+    "agg_theta_setops",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL {_THETA_FIXTURE_SQL}
+    ), tok_d AS (
+      SELECT DISTINCT lang, UNNEST({SQL_WS_TOKENS.format(c='text')}) AS tok
+      FROM docs
+    ), dh AS (
+      SELECT DISTINCT lang,
+             CAST(('0x' || SUBSTR(SHA256(tok), 1, {KMV_HASH_HEX})) AS BIGINT)
+               AS h
+      FROM tok_d
+    ), ranked AS (
+      SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+      FROM dh
+    ), sk AS (
+      SELECT lang, h FROM ranked WHERE rn <= {KMV_K}
+    ), summ AS (
+      SELECT lang, COUNT(*) AS n_kept, MAX(h) AS max_h FROM sk GROUP BY lang
+    ), pairs AS (
+      SELECT a.lang AS la, b.lang AS lb,
+             LEAST(CASE WHEN a.n_kept = {KMV_K} THEN a.max_h
+                        ELSE {THETA_FULL} END,
+                   CASE WHEN b.n_kept = {KMV_K} THEN b.max_h
+                        ELSE {THETA_FULL} END) AS theta
+      FROM summ a JOIN summ b ON a.lang < b.lang
+    ), com AS (
+      SELECT p.la, p.lb, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN sk sa ON sa.lang = p.la AND sa.h < p.theta
+      JOIN sk sb ON sb.lang = p.lb AND sb.h = sa.h
+      GROUP BY p.la, p.lb
+    ), abel AS (
+      SELECT p.la, p.lb, COUNT(*) AS na_below
+      FROM pairs p JOIN sk s ON s.lang = p.la AND s.h < p.theta
+      GROUP BY p.la, p.lb
+    ), bbel AS (
+      SELECT p.la, p.lb, COUNT(*) AS nb_below
+      FROM pairs p JOIN sk s ON s.lang = p.lb AND s.h < p.theta
+      GROUP BY p.la, p.lb
+    ), ex AS (
+      SELECT p.la, p.lb, COUNT(*) AS exact_intersection
+      FROM pairs p
+      JOIN dh da ON da.lang = p.la
+      JOIN dh db ON db.lang = p.lb AND db.h = da.h
+      GROUP BY p.la, p.lb
+    )
+    SELECT p.la AS lang_a, p.lb AS lang_b,
+           CAST(p.theta AS BIGINT) AS theta,
+           CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+           CAST(a.na_below + b.nb_below - COALESCE(c.n_common, 0) AS BIGINT)
+             AS n_union_below,
+           CAST(COALESCE(c.n_common, 0) * 1000
+                // (a.na_below + b.nb_below - COALESCE(c.n_common, 0))
+                AS BIGINT) AS jaccard_milli,
+           CAST(COALESCE(c.n_common, 0) * {_THETA_EST_SCALE} // p.theta
+                AS BIGINT) AS inter_estimate_milli,
+           CAST(COALESCE(e.exact_intersection, 0) AS BIGINT)
+             AS exact_intersection
+    FROM pairs p
+    LEFT JOIN com c ON c.la = p.la AND c.lb = p.lb
+    JOIN abel a ON a.la = p.la AND a.lb = p.lb
+    JOIN bbel b ON b.la = p.la AND b.lb = p.lb
+    LEFT JOIN ex e ON e.la = p.la AND e.lb = p.lb
+    """,
+    tags=("llm", "sketch", "documents"),
+)
+def agg_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set operations over per-language KMV sketches (Beyer
+    et al. 2007): for every unordered lang pair, theta = min of the two
+    sketch thresholds (an unsaturated sketch's theta is the full 2^48
+    space — its kept set IS the set), the intersection estimate counts
+    common kept hashes BELOW theta scaled by 2^48/theta (milli, one
+    integer division), and Jaccard is common/union restricted to the
+    same sub-theta region. When both sketches are unsaturated the
+    'estimates' are exact — the xc/xd fixture pair certifies that branch
+    while xa/xb exercises the saturated estimator. This is the
+    set-operation capability HLL registers structurally lack (max(rho)
+    destroys membership) and the reason shard-level corpus-overlap
+    audits ship KMV/theta sketches.
+
+    Scale shape: the only stream-sized work is the distinct (lang, hash)
+    pass + the WindowGroupLimit bottom-K trim (shared shape with
+    agg_kmv_distinct); everything after operates on <= |langs| x K kept
+    rows with the |pairs|-row theta table broadcast. exact_intersection
+    is the certification yardstick (a full hash-set self-join — dropped
+    at 100 TB, as exact_distinct is for the HLL twin)."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .unionByName(
+            spark.createDataFrame(
+                [(i, t, g) for i, t, g in THETA_FIXTURE_ROWS],
+                "doc_id long, text string, lang string",
+            )
+        )
+    )
+    tok_d = docs.select("lang", F.explode(ws_tokens("text")).alias("tok")).distinct()
+    dh = tok_d.select("lang", kmv_hash("tok")).distinct()
+    sk = kmv_trim(dh)
+    summ = sk.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("max_h")
+    )
+    theta = F.when(F.col("n_kept") == KMV_K, F.col("max_h")).otherwise(
+        F.lit(THETA_FULL)
+    )
+    a = summ.select(F.col("lang").alias("la"), theta.alias("ta"))
+    b = summ.select(F.col("lang").alias("lb"), theta.alias("tb"))
+    pairs = a.join(b, F.col("la") < F.col("lb")).select(
+        "la", "lb", F.least("ta", "tb").alias("theta")
+    )
+    sa = sk.select(F.col("lang").alias("la"), "h")
+    sb = sk.select(F.col("lang").alias("lb"), "h")
+    com = (
+        sa.join(sb, "h")
+        .join(F.broadcast(pairs), ["la", "lb"])
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("la", "lb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    abel = (
+        sa.join(F.broadcast(pairs), "la")
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("la", "lb")
+        .agg(F.count(F.lit(1)).alias("na_below"))
+    )
+    bbel = (
+        sb.join(F.broadcast(pairs), "lb")
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("la", "lb")
+        .agg(F.count(F.lit(1)).alias("nb_below"))
+    )
+    da = dh.select(F.col("lang").alias("la"), "h")
+    db = dh.select(F.col("lang").alias("lb"), "h")
+    ex = (
+        da.join(db, "h")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    n_common = F.coalesce(F.col("n_common"), F.lit(0))
+    n_union_below = F.col("na_below") + F.col("nb_below") - n_common
+    return (
+        pairs.join(com, ["la", "lb"], "left")
+        .join(abel, ["la", "lb"])
+        .join(bbel, ["la", "lb"])
+        .join(ex, ["la", "lb"], "left")
+        .select(
+            F.col("la").alias("lang_a"),
+            F.col("lb").alias("lang_b"),
+            F.col("theta").cast("long").alias("theta"),
+            n_common.cast("long").alias("n_common"),
+            n_union_below.cast("long").alias("n_union_below"),
+            F.expr(
+                "CAST(coalesce(n_common, 0) * 1000 div "
+                "(na_below + nb_below - coalesce(n_common, 0)) AS BIGINT)"
+            ).alias("jaccard_milli"),
+            F.expr(
+                f"CAST(coalesce(n_common, 0) * {_THETA_EST_SCALE} div theta "
+                "AS BIGINT)"
+            ).alias("inter_estimate_milli"),
+            F.coalesce(F.col("exact_intersection"), F.lit(0))
+            .cast("long")
+            .alias("exact_intersection"),
+        )
+    )

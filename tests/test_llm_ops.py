@@ -2548,3 +2548,38 @@ def test_common_neighbor_recs_on_crafted_graph(spark):
         .collect()
     ]
     assert got == [(1, 4, 2, 1), (2, 5, 1, 1), (2, 6, 1, 2)]
+
+
+def test_theta_setops_exact_branch_and_sub_theta_discipline(spark, sf_dir):
+    """The theta-sketch fixture pairs behave per construction: the
+    both-unsaturated pair (xc, xd) is EXACT — theta is the full hash
+    space, the intersection estimate is exactly 1000x the true
+    intersection, and Jaccard is the true 2/6 — while the saturated pair
+    (xa, xb) obeys the sub-theta discipline (n_common and n_union_below
+    never exceed what fits under theta; estimates are nonnegative and
+    Jaccard <= 1000) and carries the true exact_intersection yardstick
+    of 10 shared tokens."""
+    from projet_pipeline_bigdata_org_spark.operators.analytics_ext import (
+        KMV_K,
+        THETA_FULL,
+        agg_theta_setops,
+    )
+
+    rows = {
+        (r.lang_a, r.lang_b): r
+        for r in agg_theta_setops(spark, sf_dir)
+        .filter("lang_a LIKE 'x%' AND lang_b LIKE 'x%'")
+        .collect()
+    }
+    cd = rows[("xc", "xd")]
+    assert cd.theta == THETA_FULL
+    assert cd.n_common == 2 and cd.exact_intersection == 2
+    assert cd.inter_estimate_milli == 2000  # exact branch: estimate == truth
+    assert cd.n_union_below == 6 and cd.jaccard_milli == 333
+    ab = rows[("xa", "xb")]
+    assert ab.theta < THETA_FULL  # both saturated: theta is a kth threshold
+    assert ab.exact_intersection == 10
+    assert 0 <= ab.n_common <= KMV_K
+    assert ab.n_common <= ab.n_union_below <= 2 * KMV_K
+    assert 0 <= ab.jaccard_milli <= 1000
+    assert ab.inter_estimate_milli >= ab.n_common * 1000
