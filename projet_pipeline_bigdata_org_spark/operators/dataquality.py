@@ -292,3 +292,137 @@ def agg_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_str",
         "max_str",
     )
+
+
+# ---------------------------------------------------------------------------
+# metric-drift audit (the TIME dimension of data quality: Deequ-style
+# anomaly detection on aggregate metrics, week over week — complements
+# dq_expectations_audit's static contracts and agg_profile_columns'
+# single-snapshot discovery)
+# ---------------------------------------------------------------------------
+
+#: relative-change threshold in milli (300 = a 30% week-over-week change in
+#: row count or mean value flags the partition)
+DRIFT_MILLI = 300
+
+#: crafted drift riders (the KMV fixture discipline): real event volumes are
+#: statistically flat week over week, so these certify the FLAGGED branches
+#: at any SF — 'zzdrift' holds volume and moves the mean 10x, 'zzcount'
+#: holds the mean and drops volume 5x
+DRIFT_FIXTURE_ROWS: tuple[tuple[str, str, float], ...] = tuple(
+    [(f"2024-01-{d + 1:02d}", "zzdrift", 10.0) for d in range(4)]
+    + [(f"2024-01-{d + 8:02d}", "zzdrift", 100.0) for d in range(4)]
+    + [(f"2024-01-{d % 4 + 1:02d}", "zzcount", 5.0) for d in range(10)]
+    + [("2024-01-08", "zzcount", 5.0), ("2024-01-09", "zzcount", 5.0)]
+)
+_DRIFT_FIXTURE_SQL = " UNION ALL ".join(
+    f"SELECT TIMESTAMP '{ts} 12:00:00' AS ts, '{t}' AS event_type, "
+    f"CAST({v} AS DOUBLE) AS value"
+    for ts, t, v in DRIFT_FIXTURE_ROWS
+)
+
+
+@query(
+    "audit_metric_drift",
+    oracle=f"""
+    WITH ev AS (
+      SELECT ts, event_type, value FROM events
+      UNION ALL {_DRIFT_FIXTURE_SQL}
+    ), wk AS (
+      SELECT event_type, DATE_TRUNC('week', ts) AS week,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000 AS BIGINT)
+               AS sum_milli
+      FROM ev GROUP BY event_type, DATE_TRUNC('week', ts)
+    ), lagged AS (
+      SELECT event_type, week, n, sum_milli // n AS mean_milli,
+             LAG(n) OVER w AS prev_n,
+             LAG(sum_milli // n) OVER w AS prev_mean_milli
+      FROM wk
+      WINDOW w AS (PARTITION BY event_type ORDER BY week)
+    )
+    SELECT event_type,
+           STRFTIME(week, '%Y-%m-%d') AS week,
+           CAST(n AS BIGINT) AS n,
+           CAST(prev_n AS BIGINT) AS prev_n,
+           CAST(mean_milli AS BIGINT) AS mean_milli,
+           CAST(prev_mean_milli AS BIGINT) AS prev_mean_milli,
+           COALESCE(ABS(n - prev_n) * 1000 > prev_n * {DRIFT_MILLI}, FALSE)
+             AS count_drift,
+           COALESCE(prev_mean_milli > 0 AND
+                    ABS(mean_milli - prev_mean_milli) * 1000
+                      > prev_mean_milli * {DRIFT_MILLI}, FALSE)
+             AS mean_drift
+    FROM lagged
+    """,
+    tags=("dq", "timeseries", "events"),
+)
+def audit_metric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week metric-drift audit per event type (Deequ's
+    AnomalyCheck shape): each (type, week) partition's row count and
+    milli-scaled mean value compare against the previous week via LAG;
+    a relative change beyond DRIFT_MILLI (30%) flags the partition. The
+    drift tests are DIVISION-FREE cross-multiplications over exact
+    BIGINTs (|curr - prev| * 1000 > prev * 300), so the flags are
+    bit-identical across engines — no floating-point ratio ever exists.
+    The first week of a type never flags (no baseline), pinned via
+    COALESCE(..., FALSE).
+
+    Scale shape: one partial-agg'd pass folds the stream to
+    |types| x |weeks| metric rows; the LAG window sorts only that
+    bounded table. This is the audit a 100 TB ingest runs on yesterday's
+    partition before publishing it — the metrics table is the thing a
+    production deployment PERSISTS per epoch (the rollup_epoch_partials
+    discipline), with each new week appending one partial-agg scan."""
+    from projet_pipeline_bigdata_org_spark.functions.exact import dec
+
+    fixture = spark.createDataFrame(
+        [(f"{ts} 12:00:00", t, v) for ts, t, v in DRIFT_FIXTURE_ROWS],
+        "ts string, event_type string, value double",
+    ).select(F.col("ts").cast("timestamp"), "event_type", "value")
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("ts", "event_type", "value")
+        .unionByName(fixture)
+    )
+    wk = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(dec("value")) * 1000).cast("long").alias("sum_milli"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("event_type").orderBy("week")
+    mean_milli = F.expr("sum_milli div n")
+    lagged = wk.select(
+        "event_type",
+        "week",
+        "n",
+        mean_milli.alias("mean_milli"),
+        F.lag("n").over(w).alias("prev_n"),
+        F.lag(mean_milli).over(w).alias("prev_mean_milli"),
+    )
+    count_drift = F.coalesce(
+        F.abs(F.col("n") - F.col("prev_n")) * 1000
+        > F.col("prev_n") * DRIFT_MILLI,
+        F.lit(False),
+    )
+    mean_drift = F.coalesce(
+        (F.col("prev_mean_milli") > 0)
+        & (
+            F.abs(F.col("mean_milli") - F.col("prev_mean_milli")) * 1000
+            > F.col("prev_mean_milli") * DRIFT_MILLI
+        ),
+        F.lit(False),
+    )
+    return lagged.select(
+        "event_type",
+        F.date_format("week", "yyyy-MM-dd").alias("week"),
+        F.col("n").cast("long").alias("n"),
+        F.col("prev_n").cast("long").alias("prev_n"),
+        F.col("mean_milli").cast("long").alias("mean_milli"),
+        F.col("prev_mean_milli").cast("long").alias("prev_mean_milli"),
+        count_drift.alias("count_drift"),
+        mean_drift.alias("mean_drift"),
+    )

@@ -2583,3 +2583,26 @@ def test_theta_setops_exact_branch_and_sub_theta_discipline(spark, sf_dir):
     assert ab.n_common <= ab.n_union_below <= 2 * KMV_K
     assert 0 <= ab.jaccard_milli <= 1000
     assert ab.inter_estimate_milli >= ab.n_common * 1000
+
+
+def test_metric_drift_fixture_flags_fire_correctly(spark, sf_dir):
+    """The drift riders behave per construction: 'zzdrift' week 2 flags
+    mean_drift only (volume flat, mean 10x), 'zzcount' week 2 flags
+    count_drift only (mean flat, volume 5x down), and NO first week of
+    any type ever flags (no baseline)."""
+    from projet_pipeline_bigdata_org_spark.operators.dataquality import (
+        audit_metric_drift,
+    )
+
+    rows = audit_metric_drift(spark, sf_dir).collect()
+    by_key = {(r.event_type, r.week): r for r in rows}
+    d2 = by_key[("zzdrift", "2024-01-08")]
+    assert d2.mean_drift and not d2.count_drift
+    assert (d2.n, d2.prev_n) == (4, 4)
+    assert (d2.mean_milli, d2.prev_mean_milli) == (100_000, 10_000)
+    c2 = by_key[("zzcount", "2024-01-08")]
+    assert c2.count_drift and not c2.mean_drift
+    assert (c2.n, c2.prev_n) == (2, 10)
+    for r in rows:
+        if r.prev_n is None:
+            assert not r.count_drift and not r.mean_drift
