@@ -2126,10 +2126,13 @@ _THETA_FIXTURE_SQL = " UNION ALL ".join(
     SELECT p.la AS lang_a, p.lb AS lang_b,
            CAST(p.theta AS BIGINT) AS theta,
            CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
-           CAST(a.na_below + b.nb_below - COALESCE(c.n_common, 0) AS BIGINT)
-             AS n_union_below,
-           CAST(COALESCE(c.n_common, 0) * 1000
-                // (a.na_below + b.nb_below - COALESCE(c.n_common, 0))
+           CAST(COALESCE(a.na_below, 0) + COALESCE(b.nb_below, 0)
+                - COALESCE(c.n_common, 0) AS BIGINT) AS n_union_below,
+           CAST(CASE WHEN COALESCE(a.na_below, 0) + COALESCE(b.nb_below, 0)
+                          - COALESCE(c.n_common, 0) = 0 THEN 0
+                     ELSE COALESCE(c.n_common, 0) * 1000
+                          // (COALESCE(a.na_below, 0) + COALESCE(b.nb_below, 0)
+                              - COALESCE(c.n_common, 0)) END
                 AS BIGINT) AS jaccard_milli,
            CAST(COALESCE(c.n_common, 0) * {_THETA_EST_SCALE} // p.theta
                 AS BIGINT) AS inter_estimate_milli,
@@ -2137,8 +2140,8 @@ _THETA_FIXTURE_SQL = " UNION ALL ".join(
              AS exact_intersection
     FROM pairs p
     LEFT JOIN com c ON c.la = p.la AND c.lb = p.lb
-    JOIN abel a ON a.la = p.la AND a.lb = p.lb
-    JOIN bbel b ON b.la = p.la AND b.lb = p.lb
+    LEFT JOIN abel a ON a.la = p.la AND a.lb = p.lb
+    LEFT JOIN bbel b ON b.la = p.la AND b.lb = p.lb
     LEFT JOIN ex e ON e.la = p.la AND e.lb = p.lb
     """,
     tags=("llm", "sketch", "documents"),
@@ -2162,13 +2165,17 @@ def agg_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_kmv_distinct); everything after operates on <= |langs| x K kept
     rows with the |pairs|-row theta table broadcast. exact_intersection
     is the certification yardstick (a full hash-set self-join — dropped
-    at 100 TB, as exact_distinct is for the HLL twin)."""
+    at 100 TB, as exact_distinct is for the HLL twin). Every unordered
+    pair always emits a row: the below-theta and common counts attach by
+    LEFT join with COALESCE(0) (an inner join would silently delete a
+    pair whose one side keeps nothing below theta; review-caught), and a
+    zero union reads as Jaccard 0, never a division error."""
     docs = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "text", "lang")
         .unionByName(
             spark.createDataFrame(
-                [(i, t, g) for i, t, g in THETA_FIXTURE_ROWS],
+                list(THETA_FIXTURE_ROWS),
                 "doc_id long, text string, lang string",
             )
         )
@@ -2217,11 +2224,15 @@ def agg_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("exact_intersection"))
     )
     n_common = F.coalesce(F.col("n_common"), F.lit(0))
-    n_union_below = F.col("na_below") + F.col("nb_below") - n_common
+    n_union_below = (
+        F.coalesce(F.col("na_below"), F.lit(0))
+        + F.coalesce(F.col("nb_below"), F.lit(0))
+        - n_common
+    )
     return (
         pairs.join(com, ["la", "lb"], "left")
-        .join(abel, ["la", "lb"])
-        .join(bbel, ["la", "lb"])
+        .join(abel, ["la", "lb"], "left")
+        .join(bbel, ["la", "lb"], "left")
         .join(ex, ["la", "lb"], "left")
         .select(
             F.col("la").alias("lang_a"),
@@ -2230,8 +2241,11 @@ def agg_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_common.cast("long").alias("n_common"),
             n_union_below.cast("long").alias("n_union_below"),
             F.expr(
-                "CAST(coalesce(n_common, 0) * 1000 div "
-                "(na_below + nb_below - coalesce(n_common, 0)) AS BIGINT)"
+                "CAST(CASE WHEN coalesce(na_below, 0) + coalesce(nb_below, 0)"
+                " - coalesce(n_common, 0) = 0 THEN 0"
+                " ELSE coalesce(n_common, 0) * 1000 div"
+                " (coalesce(na_below, 0) + coalesce(nb_below, 0)"
+                " - coalesce(n_common, 0)) END AS BIGINT)"
             ).alias("jaccard_milli"),
             F.expr(
                 f"CAST(coalesce(n_common, 0) * {_THETA_EST_SCALE} div theta "

@@ -331,13 +331,13 @@ _DRIFT_FIXTURE_SQL = " UNION ALL ".join(
     ), wk AS (
       SELECT event_type, DATE_TRUNC('week', ts) AS week,
              COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000 AS BIGINT)
+             CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,6))) * 1000) AS BIGINT)
                AS sum_milli
       FROM ev GROUP BY event_type, DATE_TRUNC('week', ts)
     ), lagged AS (
-      SELECT event_type, week, n, sum_milli // n AS mean_milli,
+      SELECT event_type, week, n, sum_milli,
              LAG(n) OVER w AS prev_n,
-             LAG(sum_milli // n) OVER w AS prev_mean_milli
+             LAG(sum_milli) OVER w AS prev_sum
       FROM wk
       WINDOW w AS (PARTITION BY event_type ORDER BY week)
     )
@@ -345,13 +345,12 @@ _DRIFT_FIXTURE_SQL = " UNION ALL ".join(
            STRFTIME(week, '%Y-%m-%d') AS week,
            CAST(n AS BIGINT) AS n,
            CAST(prev_n AS BIGINT) AS prev_n,
-           CAST(mean_milli AS BIGINT) AS mean_milli,
-           CAST(prev_mean_milli AS BIGINT) AS prev_mean_milli,
+           CAST(sum_milli // n AS BIGINT) AS mean_milli,
+           CAST(prev_sum // prev_n AS BIGINT) AS prev_mean_milli,
            COALESCE(ABS(n - prev_n) * 1000 > prev_n * {DRIFT_MILLI}, FALSE)
              AS count_drift,
-           COALESCE(prev_mean_milli > 0 AND
-                    ABS(mean_milli - prev_mean_milli) * 1000
-                      > prev_mean_milli * {DRIFT_MILLI}, FALSE)
+           COALESCE(ABS(sum_milli * prev_n - prev_sum * n) * 1000
+                      > ABS(prev_sum) * n * {DRIFT_MILLI}, FALSE)
              AS mean_drift
     FROM lagged
     """,
@@ -363,10 +362,18 @@ def audit_metric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     milli-scaled mean value compare against the previous week via LAG;
     a relative change beyond DRIFT_MILLI (30%) flags the partition. The
     drift tests are DIVISION-FREE cross-multiplications over exact
-    BIGINTs (|curr - prev| * 1000 > prev * 300), so the flags are
-    bit-identical across engines — no floating-point ratio ever exists.
-    The first week of a type never flags (no baseline), pinned via
-    COALESCE(..., FALSE).
+    BIGINTs — count: |n - prev_n| * 1000 > prev_n * 300; mean:
+    |sum * prev_n - prev_sum * n| * 1000 > |prev_sum| * n * 300 (the
+    mean comparison runs on RAW sums, so a zero or negative baseline
+    still flags a real move — a prev-mean-ratio form would go blind at
+    zero; review-caught). No floating-point ratio ever exists, and the
+    sum itself rides FLOOR(decimal) before the BIGINT cast because the
+    engines disagree on decimal->int rounding (DuckDB rounds half away,
+    Spark truncates; floor is floor in both). The first week of a type
+    never flags (no baseline), pinned via COALESCE(..., FALSE). The
+    cross-multiplication needs sum_milli * n < 2^63 — fine to ~10^13
+    milli-units per 10^9-row partition; beyond that, widen to
+    DECIMAL(38,0) in both engines.
 
     Scale shape: one partial-agg'd pass folds the stream to
     |types| x |weeks| metric rows; the LAG window sorts only that
@@ -389,19 +396,18 @@ def audit_metric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("week", "ts").alias("week")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        (F.sum(dec("value")) * 1000).cast("long").alias("sum_milli"),
+        F.floor(F.sum(dec("value")) * 1000).cast("long").alias("sum_milli"),
     )
     from pyspark.sql import Window as _W
 
     w = _W.partitionBy("event_type").orderBy("week")
-    mean_milli = F.expr("sum_milli div n")
     lagged = wk.select(
         "event_type",
         "week",
         "n",
-        mean_milli.alias("mean_milli"),
+        "sum_milli",
         F.lag("n").over(w).alias("prev_n"),
-        F.lag(mean_milli).over(w).alias("prev_mean_milli"),
+        F.lag("sum_milli").over(w).alias("prev_sum"),
     )
     count_drift = F.coalesce(
         F.abs(F.col("n") - F.col("prev_n")) * 1000
@@ -409,11 +415,9 @@ def audit_metric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False),
     )
     mean_drift = F.coalesce(
-        (F.col("prev_mean_milli") > 0)
-        & (
-            F.abs(F.col("mean_milli") - F.col("prev_mean_milli")) * 1000
-            > F.col("prev_mean_milli") * DRIFT_MILLI
-        ),
+        F.abs(F.col("sum_milli") * F.col("prev_n") - F.col("prev_sum") * F.col("n"))
+        * 1000
+        > F.abs(F.col("prev_sum")) * F.col("n") * DRIFT_MILLI,
         F.lit(False),
     )
     return lagged.select(
@@ -421,8 +425,8 @@ def audit_metric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("week", "yyyy-MM-dd").alias("week"),
         F.col("n").cast("long").alias("n"),
         F.col("prev_n").cast("long").alias("prev_n"),
-        F.col("mean_milli").cast("long").alias("mean_milli"),
-        F.col("prev_mean_milli").cast("long").alias("prev_mean_milli"),
+        F.expr("sum_milli div n").cast("long").alias("mean_milli"),
+        F.expr("prev_sum div prev_n").cast("long").alias("prev_mean_milli"),
         count_drift.alias("count_drift"),
         mean_drift.alias("mean_drift"),
     )

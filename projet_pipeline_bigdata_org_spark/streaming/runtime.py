@@ -1120,10 +1120,7 @@ class CountMinSketchSink:
                 f"{self.sketch_path}/delta/epoch={epoch_id}"
             )
             cumulative = (
-                delta.select(
-                    F.col("j").cast("int"), F.col("bucket").cast("int"), "c"
-                )
-                .unionByName(self._deltas_before(epoch_id))
+                delta.unionByName(self._deltas_before(epoch_id))
                 .groupBy("j", "bucket")
                 .agg(F.sum("c").cast("long").alias("c"))
             )

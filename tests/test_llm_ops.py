@@ -2571,6 +2571,15 @@ def test_theta_setops_exact_branch_and_sub_theta_discipline(spark, sf_dir):
         .filter("lang_a LIKE 'x%' AND lang_b LIKE 'x%'")
         .collect()
     }
+    fixture_pairs = {
+        (a, b)
+        for a in ("xa", "xb", "xc", "xd")
+        for b in ("xa", "xb", "xc", "xd")
+        if a < b
+    }
+    assert fixture_pairs <= set(rows)  # no pair silently dropped (left joins)
+    ac = rows[("xa", "xc")]  # mixed saturated/unsaturated branch
+    assert ac.exact_intersection == 2 and 0 <= ac.n_common <= 2
     cd = rows[("xc", "xd")]
     assert cd.theta == THETA_FULL
     assert cd.n_common == 2 and cd.exact_intersection == 2
