@@ -714,3 +714,86 @@ def test_weighted_sample_twins_agree_on_fuzz(spark):
         got = {tuple(r) for r in spec.fn(spark, "ignored").collect()}
     want = {tuple(r) for r in con.execute(spec.oracle).fetchall()}
     assert got == want
+
+
+def test_incremental_rollup_twins_agree_on_fuzz_events(fuzz_events):
+    """Partial-state merge vs direct aggregation under negative, extreme,
+    and dyadic-tie values — the decimal sum, min/max fold, and
+    double-division average must agree bit-for-bit."""
+    from projet_pipeline_bigdata_org_spark.operators import analytics_ext
+
+    _fuzz_events_twins(fuzz_events, analytics_ext, "agg_incremental_rollup")
+
+
+def test_metric_drift_twins_agree_on_fuzz_events(fuzz_events):
+    """The drift audit's exact arithmetic under NEGATIVE sums — the class
+    the review flagged: floored decimal→BIGINT casts, truncating integer
+    division for the display means, and sign-safe cross-multiplication
+    flags must match across engines (the fuzz stream lands in one week;
+    the internal drift riders supply the multi-week chains)."""
+    from projet_pipeline_bigdata_org_spark.operators import dataquality
+
+    _fuzz_events_twins(fuzz_events, dataquality, "audit_metric_drift")
+
+
+@pytest.fixture(scope="module")
+def fuzz_orders(spark):
+    """Adversarial orders for the CDC diff: order dates EXACTLY ON every
+    snapshot-window boundary (inclusion is >= lo, < hi — one tick either
+    way flips a customer's class), negative and .5-cent totals, and
+    customers constructed to sit in each change class."""
+    import datetime as dt
+
+    rng = random.Random(77)
+    bounds = [
+        dt.datetime(1995, 1, 1), dt.datetime(1996, 1, 1),
+        dt.datetime(1998, 1, 1), dt.datetime(1999, 1, 1),
+    ]
+    rows = []
+    okey = 0
+
+    def add(cust, price, when):
+        nonlocal okey
+        rows.append((okey, cust, price, when))
+        okey += 1
+
+    # every boundary instant and its neighbors, for many customers
+    for cust in range(30):
+        for b in bounds:
+            for delta in (-1, 0, 1):
+                if rng.random() < 0.4:
+                    add(cust, rng.choice([-12.5, 0.005, 99.99, 0.0,
+                                          rng.uniform(-1e5, 1e5)]),
+                        b + dt.timedelta(seconds=delta))
+    # plus random in-window activity
+    for cust in range(30, 60):
+        for _ in range(rng.randint(1, 6)):
+            add(cust, round(rng.uniform(-1000, 1000), 2),
+                dt.datetime(1994, 6, 1)
+                + dt.timedelta(days=rng.randrange(2200)))
+    pdf = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("orders", pdf)
+    return sdf, con
+
+
+def test_cdc_twins_agree_on_fuzz_orders(fuzz_orders):
+    """One-pass conditional aggregation vs the oracle's generic FULL
+    OUTER JOIN on boundary-straddling order dates and negative totals —
+    the window-inclusion semantics and exact-decimal state equality must
+    classify every customer identically."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark import plans
+    from projet_pipeline_bigdata_org_spark.operators import timeseries
+
+    plans.load_all()
+    spec = plans.registry.all_specs()["cdc_snapshot_diff"]
+    sdf, con = fuzz_orders
+    with mock.patch.object(timeseries, "load", lambda _s, _d, _t: sdf):
+        got = sorted(tuple(r) for r in spec.fn(sdf.sparkSession, "x").collect())
+    want = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+    assert got == want, f"cdc drift: {got[:3]} vs {want[:3]}"
