@@ -2256,3 +2256,135 @@ def agg_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exact_intersection"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (sketch-prefiltered frequent-term extraction): the count-min
+# sketch made actionable — the two-pass production shape where the exact
+# groupBy only ever sees occurrences the sketch already admitted
+# ---------------------------------------------------------------------------
+
+#: support threshold as a stream fraction: heavy <=> count * HH_K >= total
+#: (phi = 1/HH_K of all token occurrences)
+HH_K = 30
+
+
+def hh_bucket_columns(t: F.Column) -> list[F.Column]:
+    """Per-row count-min bucket ids as four COLUMNS (``b0``..``b3``) on one
+    row — the no-explode twin of ``cm_buckets`` for probe-side plans that
+    join each hash row's counter slice independently (the
+    dedup_bloom_incremental probe shape). Same features, same parameters:
+    addresses cannot drift from the sketch builder's."""
+    a1, a2, ln, al = cm_token_features(t)
+    return [
+        ((a1 * a + a2 * b + ln * c + al * dd) % CM_WIDTH).alias(f"b{j}")
+        for j, (a, b, c, dd) in enumerate(CM_ROW_PARAMS)
+    ]
+
+
+_HH_BUCKET_COLS_SQL = ", ".join(
+    _CM_BUCKET_SQL.format(A=a, B=b, C=c, D=d, W=CM_WIDTH) + f" AS b{j}"
+    for j, (a, b, c, d) in enumerate(CM_ROW_PARAMS)
+)
+_HH_EST_JOINS_SQL = " ".join(
+    f"LEFT JOIN (SELECT bucket, c FROM sketch WHERE j = {j}) s{j} "
+    f"ON fb.b{j} = s{j}.bucket"
+    for j in range(len(CM_ROW_PARAMS))
+)
+_HH_EST_SQL = "LEAST(" + ", ".join(
+    f"COALESCE(s{j}.c, 0)" for j in range(len(CM_ROW_PARAMS))
+) + ")"
+
+
+@query(
+    "sketch_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT UNNEST({SQL_WS_TOKENS.format(c='text')}) AS tok FROM documents
+    ), tot AS (
+      SELECT COUNT(*) AS total_tokens FROM toks
+    ), f AS (
+      SELECT tok, {_CM_FEATS_SQL.format(t='tok')} FROM toks
+    ), pairs AS (
+      {_cm_pairs_sql('f')}
+    ), sketch AS (
+      SELECT j, bucket, COUNT(*) AS c FROM pairs GROUP BY j, bucket
+    ), fb AS (
+      SELECT tok, {_HH_BUCKET_COLS_SQL} FROM f
+    ), est AS (
+      SELECT fb.tok, {_HH_EST_SQL} AS e
+      FROM fb {_HH_EST_JOINS_SQL}
+    ), cand AS (
+      SELECT tok, e FROM est, tot WHERE e * {HH_K} >= tot.total_tokens
+    ), grp AS (
+      SELECT tok AS term, COUNT(*) AS true_count, MIN(e) AS cm_estimate
+      FROM cand GROUP BY tok
+    )
+    SELECT grp.term,
+           CAST(grp.true_count AS BIGINT) AS true_count,
+           CAST(grp.cm_estimate AS BIGINT) AS cm_estimate,
+           CAST(tot.total_tokens AS BIGINT) AS total_tokens,
+           grp.true_count * {HH_K} >= tot.total_tokens AS is_heavy
+    FROM grp, tot
+    """,
+    tags=("llm", "sketch", "documents"),
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with a count-min admission filter (Cormode &
+    Muthukrishnan 2005, the "point queries for frequent items" use): a
+    term is heavy iff its count is at least 1/HH_K of all token
+    occurrences. Pass 1 builds the 4x256 exact-counter sketch (shared
+    ``cm_buckets`` definition — the streaming ``CountMinSketchSink``
+    maintains the identical counters incrementally); pass 2 probes the
+    sketch PER OCCURRENCE via four <=256-row broadcast joins (the
+    dedup_bloom_incremental probe shape, one counter slice per hash row)
+    and only occurrences whose estimate clears the threshold reach the
+    exact groupBy. Because the estimate never undercounts, the candidate
+    set provably contains every true heavy hitter (no false negatives);
+    the exact confirm then splits candidates into ``is_heavy`` true/false
+    — the false band is exactly the sketch's overcount class.
+
+    Scale shape: the sketch shuffle is bounded by d x w counters at any
+    corpus size; the probe side is four broadcast hash joins (map-side,
+    zero exchange); the ONLY corpus-sized shuffle carries candidate
+    occurrences — at phi = 1/{HH_K} that is at most ~{HH_K} distinct
+    terms' worth of rows plus the overcount band, regardless of
+    vocabulary size. A direct groupBy(term) would shuffle the full
+    vocabulary; this plan's exact aggregation sees only what the sketch
+    admitted. Threshold compare is division-free (count * HH_K vs total)
+    on both engines."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(ws_tokens("text")).alias("tok"))
+    sketch = cm_sketch_counters(toks)
+    total = toks.agg(F.count(F.lit(1)).cast("long").alias("total_tokens"))
+    fb = toks.select("tok", *hh_bucket_columns(F.col("tok")))
+    est = fb
+    for j in range(len(CM_ROW_PARAMS)):
+        slice_j = (
+            sketch.filter(F.col("j") == j)
+            .select(F.col("bucket").alias(f"b{j}"), F.col("c").alias(f"c{j}"))
+        )
+        est = est.join(F.broadcast(slice_j), f"b{j}", "left")
+    e = F.least(
+        *[F.coalesce(F.col(f"c{j}"), F.lit(0)) for j in range(len(CM_ROW_PARAMS))]
+    )
+    cand = (
+        est.select("tok", e.alias("e"))
+        .join(F.broadcast(total), how="cross")
+        .filter(F.col("e") * HH_K >= F.col("total_tokens"))
+    )
+    return (
+        cand.groupBy(F.col("tok").alias("term"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("true_count"),
+            F.min("e").cast("long").alias("cm_estimate"),
+            F.min("total_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "term",
+            "true_count",
+            "cm_estimate",
+            "total_tokens",
+            (F.col("true_count") * HH_K >= F.col("total_tokens")).alias("is_heavy"),
+        )
+    )

@@ -2615,3 +2615,44 @@ def test_metric_drift_fixture_flags_fire_correctly(spark, sf_dir):
     for r in rows:
         if r.prev_n is None:
             assert not r.count_drift and not r.mean_drift
+
+
+def test_heavy_hitters_no_false_negatives_and_deterministic_fp_band(spark):
+    """sketch_heavy_hitters structural contract on a crafted corpus:
+    (a) every true heavy hitter (count * HH_K >= total) appears with
+    is_heavy=true — the sketch never undercounts, so the admission filter
+    cannot drop one; (b) a low-frequency full-projection twin of the
+    heavy term ('sczn' shares scan's first/second/last codepoint and
+    length) inherits the heavy counts in EVERY hash row, so it is
+    admitted as a candidate but the exact confirm marks is_heavy=false —
+    the overcount band demonstrated deterministically; (c) rare terms
+    with unique projections never reach the exact aggregation at all."""
+    import string
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import analytics_ext
+
+    fillers = [
+        a + b + "z"
+        for a in string.ascii_lowercase
+        for b in string.ascii_lowercase
+    ][:59]
+    vocab = ["scan"] * 40 + ["sczn"] + fillers  # total = 100 tokens
+    docs = [
+        (i, " ".join(vocab[i * 15 : (i + 1) * 15]))
+        for i in range((len(vocab) + 14) // 15)
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    with mock.patch.object(analytics_ext, "load", lambda _s, _d, _t: sdf):
+        got = {
+            r.term: r
+            for r in analytics_ext.sketch_heavy_hitters(spark, "ignored").collect()
+        }
+    assert set(got) == {"scan", "sczn"}  # fillers filtered map-side
+    assert got["scan"].is_heavy and got["scan"].true_count == 40
+    # estimate >= truth on every emitted row (count-min never undercounts)
+    assert all(r.cm_estimate >= r.true_count for r in got.values())
+    # the deterministic false-positive band: candidate via collision,
+    # rejected by the exact confirm
+    assert not got["sczn"].is_heavy and got["sczn"].true_count == 1
+    assert got["sczn"].cm_estimate == 41  # scan's 40 + its own occurrence

@@ -910,3 +910,18 @@ def test_common_neighbors_all_joins_broadcast(spark, sf_dir, no_auto_broadcast):
     # a TakeOrdered, not a global sort
     assert "WindowGroupLimit" in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_heavy_hitters_probes_broadcast_sketch_never_shuffles_corpus(
+    spark, sf_dir, no_auto_broadcast
+):
+    """sketch_heavy_hitters' four counter-slice probes must plan as
+    BROADCAST hash joins even when nothing auto-broadcasts (each slice
+    rides an explicit hint), the 1-row total a broadcast nested loop, and
+    no CartesianProduct: the corpus-sized token stream reaches its only
+    real exchange (the exact confirm groupBy) already admission-filtered
+    map-side."""
+    df = _Q["sketch_heavy_hitters"].fn(spark, sf_dir)
+    p = formatted_plan(df)
+    assert p.count("BroadcastHashJoin") >= 4, p
+    assert "CartesianProduct" not in p, p
