@@ -2388,3 +2388,157 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("true_count") * HH_K >= F.col("total_tokens")).alias("is_heavy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (bounded-memory mergeable quantiles): the
+# quantile member of the sketch family — HLL counts distincts, count-min
+# counts frequencies, KMV intersects sets, this one locates ranks
+# ---------------------------------------------------------------------------
+
+#: equi-width bucket size in cents (2^18 ~ $2,621): the sketch's whole
+#: memory is range/HQ_WIDTH counters, and its rank error is bounded by the
+#: largest single bucket's population
+HQ_WIDTH = 262_144
+#: percentiles the sketch is asked to locate (integer percents)
+HQ_PERCENTS: tuple[int, ...] = (1, 5, 25, 50, 75, 95, 99)
+
+
+def hq_histogram(cents: DataFrame) -> DataFrame:
+    """Equi-width counter table (bucket, cnt) from a cents column — ONE
+    partial-agg'd pass; counters are exact BIGINTs so histograms ADD
+    across shards/epochs (the cm_sketch_counters merge discipline applied
+    to quantiles; test-pinned merge identity)."""
+    return (
+        cents.select(F.expr(f"cents div {HQ_WIDTH}").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+@query(
+    "stat_histogram_quantiles",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ), hist AS (
+      SELECT cents // {HQ_WIDTH} AS bucket, COUNT(*) AS cnt
+      FROM c GROUP BY bucket
+    ), cum AS (
+      SELECT bucket, cnt,
+             SUM(cnt) OVER (ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (ORDER BY bucket) - cnt AS cum_before,
+             SUM(cnt) OVER () AS n
+      FROM hist
+    ), targets AS (
+      SELECT q, (q * (SELECT SUM(cnt) FROM hist) + 99) // 100 AS t
+      FROM (SELECT UNNEST(ARRAY{list(HQ_PERCENTS)}) AS q)
+    ), est AS (
+      SELECT targets.q, targets.t, cum.n,
+             cum.bucket * {HQ_WIDTH}
+               + ((targets.t - cum.cum_before) * {HQ_WIDTH}) // cum.cnt
+               AS est_cents
+      FROM targets JOIN cum
+        ON cum.cum >= targets.t AND cum.cum_before < targets.t
+    ), vcum AS (
+      SELECT cents,
+             SUM(cnt) OVER (ORDER BY cents) AS cum
+      FROM (SELECT cents, COUNT(*) AS cnt FROM c GROUP BY cents)
+    ), exact AS (
+      SELECT targets.q, MIN(vcum.cents) AS exact_cents
+      FROM targets JOIN vcum ON vcum.cum >= targets.t
+      GROUP BY targets.q
+    )
+    SELECT est.q,
+           CAST(est.t AS BIGINT) AS target_rank,
+           CAST(est.n AS BIGINT) AS n,
+           CAST(est.est_cents AS DOUBLE) / 100.0 AS est_price,
+           CAST(exact.exact_cents AS DOUBLE) / 100.0 AS exact_price,
+           CAST(est.est_cents - exact.exact_cents AS BIGINT) AS err_cents
+    FROM est JOIN exact ON est.q = exact.q
+    """,
+    tags=("sketch", "orders"),
+)
+def stat_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram quantile sketch over order totals: ONE
+    partial-agg'd pass folds the corpus into range/HQ_WIDTH exact
+    counters; any percentile then resolves inside the ~190-row histogram
+    (cumulative window + linear interpolation within the containing
+    bucket, all integer arithmetic, truncating div on both engines). The
+    quantile member of the sketch family — like the count-min counters,
+    histograms ADD across shards and epochs, so a cluster maintains one
+    per partition/day and merges at read (merge identity test-pinned).
+
+    The estimate's structural guarantee: the containing bucket covers the
+    target rank, and the exact value lies in the same bucket, so
+    |err_cents| <= HQ_WIDTH always (test-pinned). The known-range
+    equi-width tradeoff vs GK/KLL is deliberate: monetary columns have
+    operator-known ranges, and the fixed grid is what makes the sketch
+    partition-invariant and engine-portable (a rank-adaptive compactor
+    depends on arrival order). The ``exact_*`` columns are the
+    certification comparison only — a production sketch never runs the
+    value-level cumulative pass (which shuffles every distinct value; the
+    sketch shuffles <= range/width counters at any corpus size).
+
+    Scale shape: sketch build is one map-side-combined groupBy over
+    bucket ids (shuffle bounded by bucket count, not rows); quantile
+    extraction windows over the bounded histogram (the agg_hll_registers
+    16-register discipline); targets ride a 7-row broadcast."""
+    o = load(spark, sf_dir, "orders")
+    cents = o.select(F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"))
+    hist = hq_histogram(cents)
+    w_all = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w_all).alias("cum"),
+        (F.sum("cnt").over(w_all) - F.col("cnt")).alias("cum_before"),
+        F.sum("cnt").over(W.partitionBy()).alias("n"),
+    )
+    targets = (
+        spark.createDataFrame([(q,) for q in HQ_PERCENTS], "q int")
+        .join(F.broadcast(hist.agg(F.sum("cnt").cast("long").alias("_n"))), how="cross")
+        .select("q", F.expr("(q * _n + 99) div 100").alias("t"))
+    )
+    est = (
+        F.broadcast(targets)
+        .join(
+            cum,
+            (F.col("cum") >= F.col("t")) & (F.col("cum_before") < F.col("t")),
+        )
+        .select(
+            "q",
+            "t",
+            "n",
+            (
+                F.col("bucket") * HQ_WIDTH
+                + F.expr(f"((t - cum_before) * {HQ_WIDTH}) div cnt")
+            ).alias("est_cents"),
+        )
+    )
+    vcum = (
+        cents.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("vcnt"))
+        .select(
+            "cents",
+            F.sum("vcnt").over(W.orderBy("cents").rowsBetween(
+                W.unboundedPreceding, W.currentRow)).alias("vc"),
+        )
+    )
+    exact = (
+        F.broadcast(targets)
+        .join(vcum, F.col("vc") >= F.col("t"))
+        .groupBy("q")
+        .agg(F.min("cents").alias("exact_cents"))
+    )
+    return (
+        est.join(exact, "q")
+        .select(
+            "q",
+            F.col("t").cast("long").alias("target_rank"),
+            F.col("n").cast("long").alias("n"),
+            (F.col("est_cents").cast("double") / 100.0).alias("est_price"),
+            (F.col("exact_cents").cast("double") / 100.0).alias("exact_price"),
+            (F.col("est_cents") - F.col("exact_cents")).cast("long").alias("err_cents"),
+        )
+    )

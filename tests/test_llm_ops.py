@@ -2656,3 +2656,47 @@ def test_heavy_hitters_no_false_negatives_and_deterministic_fp_band(spark):
     # rejected by the exact confirm
     assert not got["sczn"].is_heavy and got["sczn"].true_count == 1
     assert got["sczn"].cm_estimate == 41  # scan's 40 + its own occurrence
+
+
+def test_histogram_quantile_sketch_merges_and_bounds_error(spark, sf_dir):
+    """stat_histogram_quantiles' two structural contracts: (a) histograms
+    are MERGEABLE — counters from any disjoint split of the corpus add to
+    exactly the whole-corpus sketch (the property a cluster's
+    per-shard/per-epoch maintenance rests on); (b) the estimate's rank
+    guarantee — est and exact live in the same bucket — bounds
+    |err_cents| by one bucket width on every emitted percentile."""
+    from pyspark.sql import functions as F
+
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.analytics_ext import (
+        HQ_WIDTH,
+        hq_histogram,
+        stat_histogram_quantiles,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    cents = o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    whole = {
+        r.bucket: r.cnt
+        for r in hq_histogram(cents.select("cents")).collect()
+    }
+    parts = [
+        hq_histogram(cents.filter(F.col("o_orderkey") % 2 == i).select("cents"))
+        for i in (0, 1)
+    ]
+    merged = {}
+    for p in parts:
+        for r in p.collect():
+            merged[r.bucket] = merged.get(r.bucket, 0) + r.cnt
+    assert merged == whole  # counters add exactly across any disjoint split
+
+    rows = stat_histogram_quantiles(spark, sf_dir).collect()
+    assert len(rows) == 7
+    assert all(abs(r.err_cents) <= HQ_WIDTH for r in rows)
+    # sanity: estimates are monotone in q (cumulative ranks are)
+    by_q = sorted(rows, key=lambda r: r.q)
+    est = [r.est_price for r in by_q]
+    assert est == sorted(est)
