@@ -663,6 +663,76 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_groups_frame",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, event_type,
+             STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+             value,
+             DENSE_RANK() OVER (PARTITION BY event_type
+                                ORDER BY DATE_TRUNC('day', ts)) AS grp
+      FROM events
+    )
+    SELECT event_id, event_type, day, value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             AS grp_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS grp_rows
+    FROM g
+    WINDOW w AS (PARTITION BY event_type ORDER BY grp
+                 RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "relational", "events"),
+)
+def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS window frames — the ANSI frame mode neither engine ships
+    (Spark 4.1.2 parses only ROWS/RANGE; this DuckDB build raises "GROUPS
+    mode ... not implemented", both verified) — provided exactly as a
+    composition: a GROUPS frame of ``k PRECEDING`` counts PEER GROUPS
+    (runs of rows tied on the order key), and ``dense_rank`` numbers
+    exactly those groups consecutively, so a RANGE frame of width ``k``
+    over the dense rank reproduces GROUPS semantics row-for-row. The
+    oracle is an independent SQL spelling of the same rewrite, and the
+    GROUPS *definition* itself is pinned by a first-principles fixture
+    test (peer groups enumerated in plain Python) — semantics, not just
+    cross-engine agreement.
+
+    Here: per event type ordered by event day (many events tie on a day),
+    the rolling sum over the current day plus two PRECEDING DAYS of
+    activity — what a ROWS frame cannot express (row counts per day vary)
+    and a RANGE frame over raw dates could only express with interval
+    arithmetic assuming no calendar gaps; GROUPS is gap-agnostic.
+
+    Scale: both windows share the one partition-by-type exchange and
+    sort (dense_rank and the frame sum pipeline in a single Window
+    node chain); exact DECIMAL accumulation keeps sums order-independent
+    across engines."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    wg = W.partitionBy("event_type").orderBy(day.alias("day"))
+    grp = F.dense_rank().over(wg).cast("long")
+    framed = e.select(
+        "event_id",
+        "event_type",
+        F.date_format(day, "yyyy-MM-dd").alias("day"),
+        "value",
+        grp.alias("_grp"),
+    )
+    wr = (
+        W.partitionBy("event_type")
+        .orderBy("_grp")
+        .rangeBetween(-2, 0)
+    )
+    return framed.select(
+        "event_id",
+        "event_type",
+        "day",
+        "value",
+        F.sum(dec("value")).over(wr).cast("double").alias("grp_sum"),
+        F.count(F.lit(1)).over(wr).cast("long").alias("grp_rows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / limits (SURVEY §2.6)
 # ---------------------------------------------------------------------------

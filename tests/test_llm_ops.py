@@ -2700,3 +2700,51 @@ def test_histogram_quantile_sketch_merges_and_bounds_error(spark, sf_dir):
     by_q = sorted(rows, key=lambda r: r.q)
     est = [r.est_price for r in by_q]
     assert est == sorted(est)
+
+
+def test_groups_frame_semantics_match_first_principles(spark):
+    """window_groups_frame pins the ANSI GROUPS definition itself (not
+    just cross-engine agreement): on a crafted series with uneven peer
+    groups and a calendar gap, every row's frame must cover the current
+    day plus exactly the two PRECEDING DISTINCT DAYS present in the data
+    — peer groups, not row counts (ROWS would split a day) and not date
+    intervals (RANGE over dates would let the gap shrink the frame)."""
+    import datetime as dt
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import relational
+
+    days = {  # day offset -> values (uneven group sizes, day 3 missing)
+        1: [1.0, 2.0],
+        2: [4.0],
+        4: [8.0, 16.0, 32.0],
+        5: [64.0],
+    }
+    rows, eid = [], 0
+    for d, vals in days.items():
+        for v in vals:
+            rows.append(
+                (eid, dt.datetime(2024, 1, d, 12, 0), 7, "x", v, "{}")
+            )
+            eid += 1
+    sdf = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with mock.patch.object(relational, "load", lambda _s, _d, _t: sdf):
+        got = {
+            r.event_id: r
+            for r in relational.window_groups_frame(spark, "ignored").collect()
+        }
+    ordered_days = sorted(days)
+    for gi, d in enumerate(ordered_days):
+        frame_days = ordered_days[max(0, gi - 2) : gi + 1]
+        want_sum = sum(sum(days[fd]) for fd in frame_days)
+        want_rows = sum(len(days[fd]) for fd in frame_days)
+        for r in (x for x in got.values() if x.day == f"2024-01-0{d}"):
+            assert r.grp_sum == want_sum, (d, r)
+            assert r.grp_rows == want_rows, (d, r)
+    # the gap check made explicit: day 5's frame spans days {2, 4, 5}
+    day5 = next(x for x in got.values() if x.day == "2024-01-05")
+    assert day5.grp_sum == 4.0 + 8.0 + 16.0 + 32.0 + 64.0 and day5.grp_rows == 5

@@ -925,3 +925,13 @@ def test_heavy_hitters_probes_broadcast_sketch_never_shuffles_corpus(
     p = formatted_plan(df)
     assert p.count("BroadcastHashJoin") >= 4, p
     assert "CartesianProduct" not in p, p
+
+
+def test_groups_frame_windows_share_one_exchange(spark, sf_dir):
+    """window_groups_frame's two Window nodes (dense_rank group numbering
+    + the RANGE frame over it) partition on the same key, so the plan
+    must carry exactly ONE hashpartitioning exchange — the second sort is
+    partition-local, never a reshuffle."""
+    df = _Q["window_groups_frame"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
