@@ -738,3 +738,114 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     two snapshot aggregates FULL OUTER JOINed — so the gate certifies the
     collapse, not just the arithmetic."""
     return cdc_snapshot_diff_frame(load(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation (seasonality / burstiness diagnostics on event series)
+# ---------------------------------------------------------------------------
+
+#: lags (in days) the ACF is evaluated at
+ACF_LAGS: tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7)
+
+
+@query(
+    "ts_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+             COUNT(*) AS cnt
+      FROM events GROUP BY event_type, di
+    ), lags AS (
+      SELECT UNNEST(ARRAY{list(ACF_LAGS)}) AS lag
+    ), pairs AS (
+      SELECT a.event_type, lags.lag, a.cnt AS x, b.cnt AS y
+      FROM daily a
+      CROSS JOIN lags
+      JOIN daily b
+        ON b.event_type = a.event_type AND b.di = a.di + lags.lag
+    ), s AS (
+      SELECT event_type, lag,
+             COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sx2, SUM(y * y) AS sy2
+      FROM pairs GROUP BY event_type, lag
+    )
+    SELECT event_type,
+           CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+           CASE WHEN (n * sx2 - sx * sx) * (n * sy2 - sy * sy) = 0 THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / SQRT(CAST(n * sx2 - sx * sx AS DOUBLE)
+                            * CAST(n * sy2 - sy * sy AS DOUBLE))
+           END AS acf
+    FROM s
+    """,
+    tags=("timeseries", "events"),
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation of per-type daily event counts (the ACF that
+    drives seasonality detection and burstiness QA on ingest volumes),
+    k = 1..7 days. Pairing is calendar-aware: (x, y) pairs a day with the
+    day exactly k later, only when both are observed — pairs, sums, and
+    the covariance numerator are exact BIGINT arithmetic; the single
+    inexact step is the final Pearson normalization, which both engines
+    evaluate as the IDENTICAL expression tree of correctly-rounded IEEE
+    ops (cast, multiply, sqrt, divide — no transcendentals), so even the
+    doubles hash-match. Constant series (zero variance) yield NULL via an
+    exact integer guard, never a divide-by-zero.
+
+    Scale shape: the daily rollup is one map-side-combined groupBy
+    (shuffle bounded by types x days, not events); the lag table is a
+    {len(ACF_LAGS)}-row broadcast; the self-join re-shuffles only the
+    bounded daily table on its own key; the final aggregate is
+    types x lags rows."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .alias("di"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    lags = F.broadcast(
+        daily.sparkSession.createDataFrame([(k,) for k in ACF_LAGS], "lag int")
+    )
+    a = daily.select("event_type", "di", F.col("cnt").alias("x"))
+    b = daily.select(
+        F.col("event_type").alias("bt"), F.col("di").alias("bdi"),
+        F.col("cnt").alias("y"),
+    )
+    pairs = (
+        a.join(lags, how="cross")
+        .join(
+            b,
+            (F.col("bt") == F.col("event_type"))
+            & (F.col("bdi") == F.col("di") + F.col("lag")),
+        )
+    )
+    s = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    return s.select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        num.cast("long").alias("cov_num"),
+        F.when(dx * dy == 0, F.lit(None).cast("double"))
+        .otherwise(
+            num.cast("double")
+            / F.sqrt(dx.cast("double") * dy.cast("double"))
+        )
+        .alias("acf"),
+    )

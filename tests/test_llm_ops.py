@@ -2748,3 +2748,41 @@ def test_groups_frame_semantics_match_first_principles(spark):
     # the gap check made explicit: day 5's frame spans days {2, 4, 5}
     day5 = next(x for x in got.values() if x.day == "2024-01-05")
     assert day5.grp_sum == 4.0 + 8.0 + 16.0 + 32.0 + 64.0 and day5.grp_rows == 5
+
+
+def test_autocorrelation_alternating_and_constant_series(spark):
+    """ts_autocorrelation on crafted series: a perfectly alternating
+    daily-count series has ACF exactly -1 at lag 1 and exactly +1 at
+    lag 2 (the integer covariance collapses to -d²/+d², whose IEEE
+    normalization is exact); a constant series has zero variance, which
+    the exact integer guard must map to NULL, never a division error."""
+    import datetime as dt
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import timeseries
+
+    rows, eid = [], 0
+    for d in range(1, 11):
+        n_alt = 1 if d % 2 else 2
+        for _ in range(n_alt):
+            rows.append((eid, dt.datetime(2024, 3, d), 1, "alt", 1.0, "{}"))
+            eid += 1
+        for _ in range(3):
+            rows.append((eid, dt.datetime(2024, 3, d), 1, "const", 1.0, "{}"))
+            eid += 1
+    sdf = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with mock.patch.object(timeseries, "load", lambda _s, _d, _t: sdf):
+        got = {
+            (r.event_type, r.lag): r
+            for r in timeseries.ts_autocorrelation(spark, "ignored").collect()
+        }
+    assert got[("alt", 1)].acf == -1.0
+    assert got[("alt", 2)].acf == 1.0
+    assert got[("alt", 1)].n_pairs == 9 and got[("alt", 2)].n_pairs == 8
+    for k in range(1, 8):
+        assert got[("const", k)].acf is None  # zero variance -> NULL
+        assert got[("const", k)].cov_num == 0
