@@ -931,3 +931,227 @@ def readability(d: DataFrame) -> DataFrame:
         * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double"))
     )
     return t.withColumn("flesch", flesch)
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary learning (tokenizer training as relational algebra)
+# ---------------------------------------------------------------------------
+
+#: number of unrolled merge rounds (the iterative-fixed-point discipline:
+#: LPA/PageRank/k-core unroll the same way)
+BPE_ROUNDS = 3
+#: end-of-word marker appended to every character sequence (Sennrich et al.
+#: 2016 §3.2); '<'/'/' cannot occur in the [a-z]+ word charset, so the
+#: marker can never collide with a learned symbol
+BPE_EOW = "</w>"
+
+
+def _bpe_sql() -> str:
+    """DuckDB twin of the unrolled BPE learner: the identical relational
+    steps (positional explode, weighted pair count, lexicographic argmax,
+    run-parity leftmost-non-overlap selection, ordered re-aggregation)
+    as one chained-CTE replay — the arrange_hilbert_layout discipline of
+    re-deriving every round in SQL rather than trusting the engine."""
+    from projet_pipeline_bigdata_org_spark.operators.textops import SQL_WS_TOKENS
+
+    parts = [
+        f"""w0 AS (
+      SELECT tok AS word, COUNT(*) AS freq
+      FROM (SELECT UNNEST({SQL_WS_TOKENS.format(c='text')}) AS tok FROM documents)
+      WHERE REGEXP_MATCHES(tok, '^[a-z]+$')
+      GROUP BY tok
+    ), v0 AS (
+      SELECT word, freq,
+             ARRAY_TO_STRING(STRING_SPLIT(word, '') || ['{BPE_EOW}'], ' ') AS seq
+      FROM w0
+    )"""
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        parts.append(f"""s{r} AS (
+      SELECT word, freq, i - 1 AS pos, l[i] AS sym, l[i + 1] AS nxt
+      FROM (SELECT word, freq, STRING_SPLIT(seq, ' ') AS l FROM v{r - 1}),
+           UNNEST(GENERATE_SERIES(1, LEN(l))) AS u(i)
+    ), pc{r} AS (
+      SELECT sym AS ls, nxt AS rs, SUM(freq) AS c
+      FROM s{r} WHERE nxt IS NOT NULL GROUP BY sym, nxt
+    ), best{r} AS (
+      SELECT ls AS bl, rs AS br, c AS bc FROM pc{r}
+      ORDER BY c DESC, ls, rs LIMIT 1
+    ), cand{r} AS (
+      SELECT s.word, s.pos FROM s{r} s, best{r} b
+      WHERE s.sym = b.bl AND s.nxt = b.br
+    ), keep{r} AS (
+      SELECT word, pos FROM (
+        SELECT word, pos,
+               ROW_NUMBER() OVER (PARTITION BY word, run ORDER BY pos) AS rk
+        FROM (SELECT word, pos,
+                     pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos)
+                       AS run
+              FROM cand{r})
+      ) WHERE rk % 2 = 1
+    ), v{r} AS (
+      SELECT s.word, s.freq,
+             STRING_AGG(CASE WHEN k.pos IS NOT NULL THEN s.sym || s.nxt
+                             ELSE s.sym END, ' ' ORDER BY s.pos) AS seq
+      FROM s{r} s
+      LEFT JOIN keep{r} k  ON s.word = k.word  AND s.pos = k.pos
+      LEFT JOIN keep{r} k2 ON s.word = k2.word AND s.pos = k2.pos + 1
+      WHERE k2.pos IS NULL
+      GROUP BY s.word, s.freq
+    ), m{r} AS (
+      SELECT CAST({r} AS BIGINT) AS round, bl AS left_sym, br AS right_sym,
+             CAST(bc AS BIGINT) AS pair_freq,
+             (SELECT CAST(SUM(LEN(STRING_SPLIT(seq, ' '))) AS BIGINT)
+              FROM v{r}) AS vocab_symbols_after
+      FROM best{r}
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM m{r}" for r in range(1, BPE_ROUNDS + 1)
+    )
+    return "WITH " + ", ".join(parts) + " " + union
+
+
+def bpe_merge_round(vocab: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
+    """One BPE merge round over the weighted symbol-sequence vocabulary
+    (word, freq, syms: array<string>). Returns (rebuilt vocabulary, 1-row
+    round summary). Pairing is window-free: ``posexplode`` plus an O(1)
+    ``F.get(syms, pos + 1)`` lookup yields (sym, next) without a
+    per-word sort; the only windows are the two row_numbers of the
+    run-parity rule, partitioned by word — and greedy leftmost
+    non-overlapping merging is EXACTLY "keep odd ranks within runs of
+    consecutive candidate positions" (a merge consumes pos and pos+1, so
+    only adjacent candidates conflict; non-adjacent candidates fall in
+    different runs and all survive)."""
+    from pyspark.sql import Window as W
+
+    ex = (
+        vocab.select("word", "freq", "syms", F.posexplode("syms").alias("pos", "sym"))
+        .select(
+            "word", "freq", "pos", "sym",
+            F.get("syms", F.col("pos") + 1).alias("nxt"),
+        )
+    )
+    pc = (
+        ex.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("sym").alias("ls"), F.col("nxt").alias("rs"))
+        .agg(F.sum("freq").cast("long").alias("c"))
+    )
+    best = (
+        pc.orderBy(F.desc("c"), "ls", "rs")
+        .limit(1)
+        .select(
+            F.col("ls").alias("bl"), F.col("rs").alias("br"), F.col("c").alias("bc")
+        )
+    )
+    cand = (
+        ex.join(
+            F.broadcast(best),
+            (F.col("sym") == F.col("bl")) & (F.col("nxt") == F.col("br")),
+        )
+        .select("word", "pos")
+    )
+    runs = cand.select(
+        "word",
+        "pos",
+        (F.col("pos") - F.row_number().over(W.partitionBy("word").orderBy("pos")))
+        .alias("run"),
+    )
+    keep = (
+        runs.select(
+            "word",
+            "pos",
+            F.row_number()
+            .over(W.partitionBy("word", "run").orderBy("pos"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") % 2 == 1)
+        .select("word", "pos")
+    )
+    k1 = keep.select(F.col("word").alias("kw"), F.col("pos").alias("kpos"))
+    k2 = keep.select(F.col("word").alias("dw"), (F.col("pos") + 1).alias("dpos"))
+    reb = (
+        ex.join(k1, (F.col("word") == F.col("kw")) & (F.col("pos") == F.col("kpos")), "left")
+        .join(k2, (F.col("word") == F.col("dw")) & (F.col("pos") == F.col("dpos")), "left")
+        .filter(F.col("dpos").isNull())
+        .select(
+            "word",
+            "freq",
+            "pos",
+            F.when(F.col("kpos").isNotNull(), F.concat(F.col("sym"), F.col("nxt")))
+            .otherwise(F.col("sym"))
+            .alias("out"),
+        )
+    )
+    rebuilt = reb.groupBy("word", "freq").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "out"))), lambda x: x["out"]
+        ).alias("syms")
+    )
+    after = rebuilt.agg(
+        F.sum(F.size("syms")).cast("long").alias("vocab_symbols_after")
+    )
+    summary = (
+        best.select(
+            F.lit(rnd).cast("long").alias("round"),
+            F.col("bl").alias("left_sym"),
+            F.col("br").alias("right_sym"),
+            F.col("bc").alias("pair_freq"),
+        )
+        .join(F.broadcast(after), how="cross")
+    )
+    return rebuilt, summary
+
+
+@query(
+    "text_bpe_learn",
+    oracle=_bpe_sql(),
+    tags=("llm", "text", "documents"),
+)
+def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding vocabulary learning (Sennrich, Haddow & Birch
+    2016 — the GPT/Llama tokenizer-training algorithm) as pure relational
+    algebra: BPE_ROUNDS unrolled merge rounds over the WEIGHTED word
+    vocabulary (BPE trains on (word, freq) pairs, never the raw corpus —
+    the one corpus-sized pass is the initial word count). Each round:
+    count adjacent symbol pairs weighted by word frequency, pick the max
+    (count DESC, then lexicographic — fully deterministic), merge greedy
+    leftmost-non-overlapping occurrences via the run-parity rule, and
+    re-aggregate sequences. The oracle replays every round's argmax AND
+    the merge application in DuckDB (``vocab_symbols_after`` certifies
+    the rewrite, not just the pair counts — each merge must remove
+    exactly one symbol per kept occurrence).
+
+    Scale shape: after the one map-side-combined word count, every table
+    is vocabulary-bounded (words x symbols-per-word), not corpus-bounded;
+    the 1-row argmax rides TakeOrdered + broadcast; each round's vocab is
+    scope-persisted so the three branches that read it (pair counts,
+    candidates, rebuild) share one materialization, and round N+1 never
+    recomputes round N (the iterative-graph persist discipline)."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(ws_tokens("text")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    vocab = _persist_scoped(
+        "bpe_v0",
+        words.select(
+            "word",
+            "freq",
+            F.concat(F.split(F.col("word"), ""), F.array(F.lit(BPE_EOW))).alias(
+                "syms"
+            ),
+        ),
+    )
+    summaries = []
+    for r in range(1, BPE_ROUNDS + 1):
+        vocab, summary = bpe_merge_round(vocab, r)
+        vocab = _persist_scoped(f"bpe_v{r}", vocab)
+        summaries.append(summary)
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionAll(s)
+    return out

@@ -2786,3 +2786,63 @@ def test_autocorrelation_alternating_and_constant_series(spark):
     for k in range(1, 8):
         assert got[("const", k)].acf is None  # zero variance -> NULL
         assert got[("const", k)].cov_num == 0
+
+
+def _bpe_reference(word_freqs, rounds):
+    """First-principles BPE (Sennrich et al. 2016): greedy leftmost
+    non-overlapping merging, argmax by (count DESC, lexicographic), the
+    plain-Python definition the relational form must reproduce."""
+    vocab = {w: [*w, "</w>"] for w in word_freqs}
+    out = []
+    for rnd in range(1, rounds + 1):
+        counts = {}
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_freqs[w]
+        best = min(counts, key=lambda p: (-counts[p], p))
+        for w, syms in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    merged.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            vocab[w] = merged
+        out.append(
+            (rnd, best[0], best[1], counts[best],
+             sum(len(s) for s in vocab.values()))
+        )
+    return out
+
+
+def test_bpe_learner_matches_reference_including_overlap_runs(spark):
+    """text_bpe_learn vs the plain-Python BPE on a crafted vocabulary that
+    forces the hard case: 'aaaa' under best pair (a, a) must merge to
+    ['aa', 'aa', '</w>'] (greedy leftmost non-overlap — the run-parity
+    rule), never 3 overlapping merges; every round's argmax, weighted
+    count, and post-merge symbol total must agree."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import textops
+
+    word_freqs = {"aaaa": 10, "aab": 6, "banana": 4, "low": 3, "lower": 2}
+    # build a corpus whose whitespace word counts are exactly word_freqs
+    text_tokens = [w for w, n in word_freqs.items() for _ in range(n)]
+    docs = [(0, " ".join(text_tokens), "en", "fx", 0)]
+    sdf = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with mock.patch.object(textops, "load", lambda _s, _d, _t: sdf):
+        got = sorted(
+            textops.text_bpe_learn(spark, "ignored").collect(),
+            key=lambda r: r.round,
+        )
+    want = _bpe_reference(word_freqs, len(got))
+    assert [
+        (r.round, r.left_sym, r.right_sym, r.pair_freq, r.vocab_symbols_after)
+        for r in got
+    ] == want
+    # the overlap case is actually live: (a, a) is round 1's argmax
+    assert (got[0].left_sym, got[0].right_sym) == ("a", "a")
