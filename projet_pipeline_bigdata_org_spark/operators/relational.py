@@ -733,6 +733,88 @@ def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_exclude_frame",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, event_type,
+             DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+             value
+      FROM events
+    )
+    SELECT event_id, event_type, CAST(di AS BIGINT) AS di, value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY event_type ORDER BY di
+                      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                      EXCLUDE CURRENT ROW) AS DOUBLE) AS loo_row_sum,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY event_type ORDER BY di
+                      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                      EXCLUDE GROUP) AS DOUBLE) AS loo_group_sum,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY event_type ORDER BY di
+                      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                      EXCLUDE TIES) AS DOUBLE) AS loo_ties_sum
+    FROM g
+    """,
+    tags=("window", "relational", "events"),
+)
+def window_exclude_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI window frame EXCLUDE clauses (EXCLUDE CURRENT ROW / GROUP /
+    TIES) — unsupported by Spark's engine — as exact DECIMAL
+    compositions: the excluded sets are themselves window aggregates
+    (own row; the peer group, a partition-by-(key, order-key) sum; peers
+    minus self), so each variant is ``full_frame - excluded`` with every
+    term order-independent decimal arithmetic. The oracle runs DuckDB's
+    NATIVE EXCLUDE frames, so the driver gate certifies the rewrite
+    against a real implementation of the frame mode, row for row.
+
+    The computed quantity is the leave-one-out neighborhood baseline
+    (current day ±3 days of same-type activity, excluding self / today's
+    peers) — the denominator anomaly scores compare against without
+    letting today's own volume contaminate its baseline.
+
+    The empty-remainder edge is honored: when exclusion leaves no rows
+    (an isolated row for CURRENT ROW, an isolated peer group for GROUP),
+    ANSI says the aggregate is NULL over an empty set — the subtraction
+    alone would say 0, so count-based guards restore the NULL
+    (fixture-tested on an isolated day; TIES always retains the current
+    row and can never empty).
+
+    Scale: all three sums share the one partition-by-type exchange; the
+    peer-group sum adds a partition-local window on (type, di), no
+    second shuffle (plan-pinned for the GROUPS sibling)."""
+    e = load(spark, sf_dir, "events")
+    di = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).alias("di")
+    g = e.select("event_id", "event_type", di, "value")
+    wf = (
+        W.partitionBy("event_type")
+        .orderBy("di")
+        .rangeBetween(-3, 3)
+    )
+    wp = W.partitionBy("event_type", "di")
+    full = F.sum(dec("value")).over(wf)
+    peers = F.sum(dec("value")).over(wp)
+    own = dec("value")
+    n_frame = F.count(F.lit(1)).over(wf)
+    n_peers = F.count(F.lit(1)).over(wp)
+    return g.select(
+        "event_id",
+        "event_type",
+        F.col("di").cast("long").alias("di"),
+        "value",
+        F.when(n_frame == 1, F.lit(None).cast("double"))
+        .otherwise((full - own).cast("double"))
+        .alias("loo_row_sum"),
+        F.when(n_frame == n_peers, F.lit(None).cast("double"))
+        .otherwise((full - peers).cast("double"))
+        .alias("loo_group_sum"),
+        (full - peers + own).cast("double").alias("loo_ties_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / limits (SURVEY §2.6)
 # ---------------------------------------------------------------------------

@@ -2846,3 +2846,71 @@ def test_bpe_learner_matches_reference_including_overlap_runs(spark):
     ] == want
     # the overlap case is actually live: (a, a) is round 1's argmax
     assert (got[0].left_sym, got[0].right_sym) == ("a", "a")
+
+
+def test_exclude_frame_matches_native_on_empty_remainder_edge(spark):
+    """window_exclude_frame's NULL edge: when exclusion empties the
+    remaining frame — an isolated single-row day for EXCLUDE CURRENT ROW,
+    an isolated peer group for EXCLUDE GROUP — ANSI yields NULL (empty
+    aggregate), which plain frame-minus-excluded subtraction would render
+    as 0. Crafted days: an isolated singleton (day 1, next day 10), an
+    isolated multi-row day (day 20), and a dense run. Verified against
+    DuckDB's NATIVE EXCLUDE implementation on the same rows."""
+    import datetime as dt
+    from unittest import mock
+
+    import duckdb
+
+    from projet_pipeline_bigdata_org_spark.operators import relational
+
+    plan = {1: [5.0], 10: [1.0], 11: [2.0], 12: [4.0], 20: [8.0, 16.0]}
+    rows, eid = [], 0
+    for d, vals in plan.items():
+        for v in vals:
+            rows.append((eid, dt.datetime(2024, 5, d), 1, "x", v, "{}"))
+            eid += 1
+    sdf = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with mock.patch.object(relational, "load", lambda _s, _d, _t: sdf):
+        got = {
+            r.event_id: r
+            for r in relational.window_exclude_frame(spark, "ignored").collect()
+        }
+    # isolated singleton: both CURRENT ROW and GROUP remainders are empty
+    assert got[0].loo_row_sum is None and got[0].loo_group_sum is None
+    assert got[0].loo_ties_sum == 5.0  # TIES keeps self
+    # isolated PAIR day: CURRENT ROW leaves the peer; GROUP empties
+    assert got[4].loo_row_sum == 16.0 and got[4].loo_group_sum is None
+    # the native cross-check, row for row
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (event_id BIGINT, di BIGINT, value DOUBLE)"
+    )
+    for eid_, r in got.items():
+        con.execute("INSERT INTO ev VALUES (?, ?, ?)", [eid_, r.di, r.value])
+    native = {
+        rec[0]: rec[1:]
+        for rec in con.execute(
+            """
+            SELECT event_id,
+                   SUM(CAST(value AS DECIMAL(18,6))) OVER
+                     (ORDER BY di RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                      EXCLUDE CURRENT ROW),
+                   SUM(CAST(value AS DECIMAL(18,6))) OVER
+                     (ORDER BY di RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                      EXCLUDE GROUP),
+                   SUM(CAST(value AS DECIMAL(18,6))) OVER
+                     (ORDER BY di RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                      EXCLUDE TIES)
+            FROM ev
+            """
+        ).fetchall()
+    }
+    for eid_, r in got.items():
+        nr, ng, nt = native[eid_]
+        assert r.loo_row_sum == (None if nr is None else float(nr)), eid_
+        assert r.loo_group_sum == (None if ng is None else float(ng)), eid_
+        assert r.loo_ties_sum == (None if nt is None else float(nt)), eid_

@@ -935,3 +935,13 @@ def test_groups_frame_windows_share_one_exchange(spark, sf_dir):
     df = _Q["window_groups_frame"].fn(spark, sf_dir)
     p = plan_of(df)
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
+
+
+def test_exclude_frame_windows_share_one_exchange(spark, sf_dir):
+    """window_exclude_frame's frame sum and peer-group sum partition on
+    compatible keys ((type) and (type, di)), so the plan must carry
+    exactly ONE hashpartitioning exchange — the peer window rides the
+    same distribution."""
+    df = _Q["window_exclude_frame"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
