@@ -946,12 +946,15 @@ BPE_ROUNDS = 3
 BPE_EOW = "</w>"
 
 
-def _bpe_sql() -> str:
-    """DuckDB twin of the unrolled BPE learner: the identical relational
-    steps (positional explode, weighted pair count, lexicographic argmax,
-    run-parity leftmost-non-overlap selection, ordered re-aggregation)
-    as one chained-CTE replay — the arrange_hilbert_layout discipline of
-    re-deriving every round in SQL rather than trusting the engine."""
+def _bpe_sql_ctes() -> list[str]:
+    """Shared CTE chain of the DuckDB BPE twin (w0 → v0 → per-round
+    s/pc/best/cand/keep/v/m): the identical relational steps (positional
+    explode, weighted pair count, lexicographic argmax, run-parity
+    leftmost-non-overlap selection, ordered re-aggregation) replayed in
+    SQL — the arrange_hilbert_layout discipline of re-deriving every
+    round rather than trusting the engine. Consumed by the learner's
+    merge-table oracle AND the tokenizer's document-rollup oracle, so the
+    two gates certify ONE vocabulary definition."""
     from projet_pipeline_bigdata_org_spark.operators.textops import SQL_WS_TOKENS
 
     parts = [
@@ -1005,10 +1008,46 @@ def _bpe_sql() -> str:
               FROM v{r}) AS vocab_symbols_after
       FROM best{r}
     )""")
+    return parts
+
+
+def _bpe_sql() -> str:
     union = " UNION ALL ".join(
         f"SELECT * FROM m{r}" for r in range(1, BPE_ROUNDS + 1)
     )
-    return "WITH " + ", ".join(parts) + " " + union
+    return "WITH " + ", ".join(_bpe_sql_ctes()) + " " + union
+
+
+def _bpe_tokenize_sql() -> str:
+    """Document-level rollup against the round-BPE_ROUNDS vocabulary of
+    the shared CTE chain."""
+    from projet_pipeline_bigdata_org_spark.operators.textops import SQL_WS_TOKENS
+
+    parts = _bpe_sql_ctes() + [
+        f"""vt AS (
+      SELECT word, LEN(STRING_SPLIT(seq, ' ')) AS n_sym FROM v{BPE_ROUNDS}
+    ), dw AS (
+      SELECT doc_id, tok AS word, COUNT(*) AS n_occ
+      FROM (SELECT doc_id, UNNEST({SQL_WS_TOKENS.format(c='text')}) AS tok
+            FROM documents)
+      WHERE REGEXP_MATCHES(tok, '^[a-z]+$')
+      GROUP BY doc_id, tok
+    )"""
+    ]
+    return (
+        "WITH " + ", ".join(parts) + f"""
+    SELECT dw.doc_id,
+           CAST(SUM(dw.n_occ) AS BIGINT) AS n_words,
+           CAST(SUM(dw.n_occ * (LENGTH(dw.word) + 1)) AS BIGINT)
+             AS n_char_tokens,
+           CAST(SUM(dw.n_occ * vt.n_sym) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(dw.n_occ * vt.n_sym) * 1000
+                // SUM(dw.n_occ * (LENGTH(dw.word) + 1)) AS BIGINT)
+             AS compression_milli
+    FROM dw JOIN vt USING (word)
+    GROUP BY dw.doc_id
+    """
+    )
 
 
 def bpe_merge_round(vocab: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
@@ -1127,6 +1166,23 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     scope-persisted so the three branches that read it (pair counts,
     candidates, rebuild) share one materialization, and round N+1 never
     recomputes round N (the iterative-graph persist discipline)."""
+    _vocab, summaries = bpe_learned_vocab(spark, sf_dir)
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionAll(s)
+    return out
+
+
+def bpe_learned_vocab(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The ONE Spark-side BPE training pipeline: word count → character
+    sequences → BPE_ROUNDS scope-persisted merge rounds. Returns the
+    final (word, freq, syms) vocabulary and the per-round 1-row
+    summaries; ``text_bpe_learn`` reports the summaries,
+    ``text_bpe_tokenize`` applies the vocabulary — both read this
+    function, so learner and tokenizer cannot train different
+    vocabularies (the cm_buckets shared-definition discipline)."""
     from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
 
     d = load(spark, sf_dir, "documents")
@@ -1151,7 +1207,58 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab, summary = bpe_merge_round(vocab, r)
         vocab = _persist_scoped(f"bpe_v{r}", vocab)
         summaries.append(summary)
-    out = summaries[0]
-    for s in summaries[1:]:
-        out = out.unionAll(s)
-    return out
+    return vocab, summaries
+
+
+@query(
+    "text_bpe_tokenize",
+    oracle=_bpe_tokenize_sql(),
+    tags=("llm", "text", "documents"),
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE vocabulary to the corpus — the token-budget
+    accounting a training pipeline runs before packing: per document, the
+    word count, the pre-merge character-token count (chars + the
+    end-of-word marker), the post-merge BPE token count under the
+    round-BPE_ROUNDS vocabulary, and the milli-scaled compression ratio
+    (division-free up to one truncating div, same on both engines). The
+    learner/applier pair mirrors dedup_repeated_passages →
+    dedup_passage_prune: ``text_bpe_learn`` certifies the training,
+    this query certifies the application (every document's token count
+    must reflect each merge's symbol removals exactly).
+
+    Scale shape: training tables are vocabulary-bounded (see
+    ``bpe_learned_vocab``); application is ONE corpus pass grouped to
+    (doc, word) map-side, then a broadcast join against the <=vocab-size
+    symbol-count table — documents never shuffle against each other.
+    Docs without a single [a-z]+ word drop out (inner join), identically
+    in both engines."""
+    vocab, _summaries = bpe_learned_vocab(spark, sf_dir)
+    vt = vocab.select("word", F.size("syms").alias("n_sym"))
+    d = load(spark, sf_dir, "documents")
+    dw = (
+        d.select("doc_id", F.explode(ws_tokens("text")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    )
+    return (
+        dw.join(F.broadcast(vt), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(F.col("n_occ") * (F.length("word") + 1))
+            .cast("long")
+            .alias("n_char_tokens"),
+            F.sum(F.col("n_occ") * F.col("n_sym")).cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_char_tokens",
+            "n_bpe_tokens",
+            F.expr("CAST(n_bpe_tokens * 1000 div n_char_tokens AS BIGINT)").alias(
+                "compression_milli"
+            ),
+        )
+    )

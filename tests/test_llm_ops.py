@@ -2914,3 +2914,58 @@ def test_exclude_frame_matches_native_on_empty_remainder_edge(spark):
         assert r.loo_row_sum == (None if nr is None else float(nr)), eid_
         assert r.loo_group_sum == (None if ng is None else float(ng)), eid_
         assert r.loo_ties_sum == (None if nt is None else float(nt)), eid_
+
+
+def test_bpe_tokenize_rollup_matches_reference_vocab(spark):
+    """text_bpe_tokenize's per-document counts must equal tokenizing with
+    the plain-Python reference's post-merge vocabulary: n_bpe_tokens is
+    the weighted sum of each word's final symbol count, n_char_tokens the
+    pre-merge chars+marker count, and the compression ratio the exact
+    truncating-div of the two."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import textops
+
+    word_freqs = {"aaaa": 10, "aab": 6, "banana": 4, "low": 3, "lower": 2}
+    # reference vocabulary after BPE_ROUNDS merges
+    vocab = {w: [*w, "</w>"] for w in word_freqs}
+    for _ in range(textops.BPE_ROUNDS):
+        counts = {}
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_freqs[w]
+        best = min(counts, key=lambda p: (-counts[p], p))
+        for w, syms in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    merged.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            vocab[w] = merged
+
+    # two docs with different word mixes
+    doc_words = {
+        0: ["aaaa"] * 10 + ["low"] * 3,
+        1: ["aab"] * 6 + ["banana"] * 4 + ["lower"] * 2,
+    }
+    docs = [
+        (i, " ".join(ws), "en", "fx", 0) for i, ws in doc_words.items()
+    ]
+    sdf = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with mock.patch.object(textops, "load", lambda _s, _d, _t: sdf):
+        got = {
+            r.doc_id: r
+            for r in textops.text_bpe_tokenize(spark, "ignored").collect()
+        }
+    for i, ws in doc_words.items():
+        want_bpe = sum(len(vocab[w]) for w in ws)
+        want_char = sum(len(w) + 1 for w in ws)
+        assert got[i].n_words == len(ws)
+        assert got[i].n_bpe_tokens == want_bpe, i
+        assert got[i].n_char_tokens == want_char, i
+        assert got[i].compression_milli == want_bpe * 1000 // want_char
