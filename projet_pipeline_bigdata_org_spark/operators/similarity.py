@@ -1719,3 +1719,199 @@ def compress_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(wr).cast("long"))
         .filter(F.col("rnk") <= TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal marginal relevance (diversified retrieval): the RAG re-ranker that
+# trades raw relevance against redundancy with the already-selected set
+# ---------------------------------------------------------------------------
+
+#: queries diversified, selections per query, relevance shortlist depth,
+#: and the relevance/diversity trade-off (0.5 = equal weight; exactly
+#: representable, so both engines' score arithmetic is bit-identical)
+MMR_QUERIES = 4
+MMR_K = 4
+MMR_SHORTLIST = 25
+MMR_LAMBDA = 0.5
+
+
+def _mmr_sql() -> str:
+    """DuckDB twin of the unrolled MMR selection: shortlist by relevance,
+    then MMR_K argmax rounds, each scoring candidates as
+    rel - MMR_LAMBDA * max-cosine-to-selected over the growing set."""
+    pair_sim = (
+        SQL_DOT.format(a="c.n_emb", b="x.n_emb") + " / (c.n_norm * x.n_norm)"
+    )
+    parts = [
+        f"""en AS (
+      SELECT vec_id, embedding, {SQL_NORM.format(a='embedding')} AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_norm
+      FROM en WHERE vec_id < {MMR_QUERIES}
+    ), sl AS (
+      SELECT q_id, n_id, n_emb, n_norm, rel FROM (
+        SELECT q.q_id, e.vec_id AS n_id, e.embedding AS n_emb,
+               e.nrm AS n_norm,
+               {SQL_DOT.format(a='q.q_emb', b='e.embedding')}
+                 / (q.q_norm * e.nrm) AS rel,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                  ORDER BY {SQL_DOT.format(a='q.q_emb', b='e.embedding')}
+                                           / (q.q_norm * e.nrm) DESC,
+                                           e.vec_id) AS rn
+        FROM q JOIN en e ON e.vec_id <> q.q_id
+      ) WHERE rn <= {MMR_SHORTLIST}
+    ), sel1 AS (
+      SELECT q_id, n_id, n_emb, n_norm, rel, rel AS mmr_score,
+             1 AS sel_rank
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                         ORDER BY rel DESC, n_id) AS rk
+            FROM sl) WHERE rk = 1
+    ), selset1 AS (
+      SELECT q_id, n_id, n_emb, n_norm FROM sel1
+    )"""
+    ]
+    for t in range(2, MMR_K + 1):
+        parts.append(f"""cand{t} AS (
+      SELECT s.* FROM sl s
+      LEFT JOIN selset{t - 1} x ON s.q_id = x.q_id AND s.n_id = x.n_id
+      WHERE x.n_id IS NULL
+    ), ms{t} AS (
+      SELECT c.q_id, c.n_id, MAX({pair_sim}) AS mx
+      FROM cand{t} c JOIN selset{t - 1} x ON c.q_id = x.q_id
+      GROUP BY c.q_id, c.n_id
+    ), sel{t} AS (
+      SELECT q_id, n_id, n_emb, n_norm, rel, score AS mmr_score,
+             {t} AS sel_rank
+      FROM (
+        SELECT c.q_id, c.n_id, c.n_emb, c.n_norm, c.rel,
+               c.rel - {MMR_LAMBDA} * m.mx AS score,
+               ROW_NUMBER() OVER (PARTITION BY c.q_id
+                                  ORDER BY c.rel - {MMR_LAMBDA} * m.mx DESC,
+                                           c.n_id) AS rk
+        FROM cand{t} c JOIN ms{t} m
+          ON c.q_id = m.q_id AND c.n_id = m.n_id
+      ) WHERE rk = 1
+    ), selset{t} AS (
+      SELECT q_id, n_id, n_emb, n_norm FROM selset{t - 1}
+      UNION ALL
+      SELECT q_id, n_id, n_emb, n_norm FROM sel{t}
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT q_id, CAST(sel_rank AS BIGINT) AS sel_rank, n_id, "
+        f"rel AS relevance, mmr_score FROM sel{t}"
+        for t in range(1, MMR_K + 1)
+    )
+    return "WITH " + ", ".join(parts) + " " + union
+
+
+@query(
+    "embed_mmr_topk",
+    oracle=_mmr_sql(),
+    tags=("llm", "similarity", "embeddings"),
+)
+def embed_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal marginal relevance (Carbonell & Goldstein 1998) — the
+    diversified top-k a RAG stack runs after retrieval so the K passages
+    aren't K paraphrases: greedily pick argmax of
+    ``rel - MMR_LAMBDA * max_sim_to_selected``, MMR_K unrolled rounds
+    (the text_bpe_learn argmax-per-round discipline applied per query).
+    Production shape throughout: relevance shortlists MMR_SHORTLIST
+    candidates per query FIRST (the one corpus-wide stage, identical
+    plan family to embed_cosine_topk), and every MMR round runs on that
+    scope-persisted bounded table — the O(K * shortlist²) pairwise
+    cosines never touch the corpus. All similarities are the shared
+    sequential-fold double arithmetic, and MMR_LAMBDA = 0.5 is exactly
+    representable, so scores hash-match DuckDB bit-for-bit.
+
+    Round 1 is pure relevance (empty selected set); later rounds join
+    candidates to the grown selected set (<= MMR_K * MMR_QUERIES rows,
+    broadcast), take the MAX pairwise cosine, and re-rank. Ties break on
+    n_id — fully deterministic."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    e = load(spark, sf_dir, "embeddings")
+    en = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    q = en.filter(F.col("vec_id") < MMR_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
+    )
+    rel = en.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_norm"),
+        (dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("nrm")))
+        .alias("rel"),
+    )
+    wq = W.partitionBy("q_id").orderBy(F.col("rel").desc(), "n_id")
+    sl = _persist_scoped(
+        "mmr_shortlist",
+        rel.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= MMR_SHORTLIST)
+        .drop("rn"),
+    )
+    sel = sl.withColumn("rk", F.row_number().over(wq)).filter(
+        F.col("rk") == 1
+    ).select(
+        "q_id", "n_id", "n_emb", "n_norm", "rel",
+        F.col("rel").alias("mmr_score"),
+        F.lit(1).alias("sel_rank"),
+    )
+    selset = sel.select("q_id", "n_id", "n_emb", "n_norm")
+    rounds = [sel]
+    for t in range(2, MMR_K + 1):
+        x = selset.select(
+            F.col("q_id").alias("xq"),
+            F.col("n_id").alias("x_id"),
+            F.col("n_emb").alias("x_emb"),
+            F.col("n_norm").alias("x_norm"),
+        )
+        cand = sl.join(
+            F.broadcast(
+                x.select(F.col("xq").alias("q_id"), F.col("x_id").alias("n_id"))
+            ),
+            ["q_id", "n_id"],
+            "left_anti",
+        )
+        ms = (
+            cand.join(F.broadcast(x), F.col("q_id") == F.col("xq"))
+            .select(
+                "q_id",
+                "n_id",
+                (
+                    dot(F.col("n_emb"), F.col("x_emb"))
+                    / (F.col("n_norm") * F.col("x_norm"))
+                ).alias("sim"),
+            )
+            .groupBy("q_id", "n_id")
+            .agg(F.max("sim").alias("mx"))
+        )
+        scored = cand.join(F.broadcast(ms), ["q_id", "n_id"]).withColumn(
+            "score", F.col("rel") - MMR_LAMBDA * F.col("mx")
+        )
+        ws = W.partitionBy("q_id").orderBy(F.col("score").desc(), "n_id")
+        sel = (
+            scored.withColumn("rk", F.row_number().over(ws))
+            .filter(F.col("rk") == 1)
+            .select(
+                "q_id", "n_id", "n_emb", "n_norm", "rel",
+                F.col("score").alias("mmr_score"),
+                F.lit(t).alias("sel_rank"),
+            )
+        )
+        selset = selset.unionAll(sel.select("q_id", "n_id", "n_emb", "n_norm"))
+        rounds.append(sel)
+    out = rounds[0].select(
+        "q_id", F.col("sel_rank").cast("long").alias("sel_rank"), "n_id",
+        F.col("rel").alias("relevance"), "mmr_score",
+    )
+    for s in rounds[1:]:
+        out = out.unionAll(
+            s.select(
+                "q_id", F.col("sel_rank").cast("long").alias("sel_rank"), "n_id",
+                F.col("rel").alias("relevance"), "mmr_score",
+            )
+        )
+    return out

@@ -2969,3 +2969,84 @@ def test_bpe_tokenize_rollup_matches_reference_vocab(spark):
         assert got[i].n_bpe_tokens == want_bpe, i
         assert got[i].n_char_tokens == want_char, i
         assert got[i].compression_milli == want_bpe * 1000 // want_char
+
+
+def test_mmr_matches_python_greedy_and_diversifies(spark):
+    """embed_mmr_topk on a crafted embedding set must equal a pure-Python
+    greedy MMR reference row-for-row (same left-fold dot, same division
+    order, same (score desc, n_id) tie-break), and the fixture makes the
+    diversity term BITE: vector 5 is an exact duplicate of vector 4, so
+    after round 1 picks 4, pure relevance would pick 5 next but MMR's
+    max-sim penalty (cos = 1.0) demotes it below the less-relevant,
+    less-redundant 6."""
+    import math
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import similarity
+    from projet_pipeline_bigdata_org_spark.operators.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_QUERIES,
+        MMR_SHORTLIST,
+    )
+
+    vecs = {
+        0: [1.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0],
+        2: [0.0, 0.0, 1.0],
+        3: [1.0, 1.0, 0.0],
+        4: [4.0, 1.0, 0.0],
+        5: [4.0, 1.0, 0.0],  # exact duplicate of 4 — the paraphrase
+        6: [4.0, -3.0, 0.0],  # relevant to q0 yet far from 4
+        7: [1.0, 2.0, 2.0],
+        8: [0.5, 3.0, 1.0],
+        9: [3.0, 3.0, 3.0],
+    }
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+
+    def pdot(a, b):
+        acc = 0.0
+        for p, r in zip(a, b):
+            acc += p * r
+        return acc
+
+    nrm = {i: math.sqrt(pdot(v, v)) for i, v in vecs.items()}
+
+    def cos(a, b):
+        return pdot(vecs[a], vecs[b]) / (nrm[a] * nrm[b])
+
+    want = set()
+    rel_second = {}
+    mmr_second = {}
+    for qid in range(MMR_QUERIES):
+        rel = {n: cos(qid, n) for n in vecs if n != qid}
+        shortlist = sorted(rel, key=lambda n: (-rel[n], n))[:MMR_SHORTLIST]
+        rel_second[qid] = shortlist[1]
+        selected = []
+        for t in range(1, MMR_K + 1):
+            remaining = [n for n in shortlist if n not in selected]
+            if t == 1:
+                scores = {n: rel[n] for n in remaining}
+            else:
+                scores = {
+                    n: rel[n] - MMR_LAMBDA * max(cos(n, s) for s in selected)
+                    for n in remaining
+                }
+            pick = min(remaining, key=lambda n: (-scores[n], n))
+            if t == 2:
+                mmr_second[qid] = pick
+            selected.append(pick)
+            want.add((qid, t, pick, rel[pick], scores[pick]))
+
+    # the fixture exercises the trade-off, not just the arithmetic
+    assert mmr_second[0] == 6 and rel_second[0] == 5
+
+    with mock.patch.object(similarity, "load", lambda _s, _d, _t: sdf):
+        got = {
+            (r.q_id, r.sel_rank, r.n_id, r.relevance, r.mmr_score)
+            for r in similarity.embed_mmr_topk(spark, "ignored").collect()
+        }
+    assert got == want
