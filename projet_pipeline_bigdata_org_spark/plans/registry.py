@@ -38,14 +38,31 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # Verification-window rotation: rounds 3-6 exported never-driver-checked
 # queries under a temporary ``a0_`` prefix to sort them into the driver's
 # ~50-name alphabetical hash-check window; with CORRECTNESS_r06.json the
-# final 7 rotated names landed green and the mechanism was retired empty.
-# REVIVED (round 10) for the two names whose canonical prefixes sort
-# beyond the window and therefore never received a driver row:
-# ``mm_resize_plan`` (oracle-gated since r9, previously relying on local
-# three-SF parity only) and ``sim_ann_ivfpq`` (rows-only, new r10). Once
-# their rows land, ROTATED returns to empty. ``bench.py:_resolve``
-# accepts ``a0_``-prefixed names so artifacts stay readable either way.
-ROTATED: frozenset[str] = frozenset({"mm_resize_plan", "sim_ann_ivfpq"})
+# final 7 rotated names landed green and the mechanism was retired empty,
+# then revived in round 10 (``mm_resize_plan``, ``sim_ann_ivfpq`` — both
+# landed rows in CORRECTNESS_r10.json and retired).
+# ROUND 11 rotation: the eight late-r10 oracle-gated queries whose
+# canonical names sort beyond the window and therefore never received a
+# driver row (VERDICT r10 finding #1). The eight names they displace from
+# the window (mm_resize_plan, sim_ann_ivfpq, curate_split_holdout,
+# curate_weighted_sample, decode_binary_media, decode_phash_neardup,
+# dedup_bloom_incremental, dedup_boilerplate_lines) ALL carry cumulative
+# green rows in CORRECTNESS_r10.json (verified by
+# tests/test_entry.py::test_window_discipline). Once these rows land,
+# ROTATED returns to empty. ``bench.py:_resolve`` accepts
+# ``a0_``-prefixed names so artifacts stay readable either way.
+ROTATED: frozenset[str] = frozenset(
+    {
+        "text_bpe_learn",
+        "text_bpe_tokenize",
+        "window_exclude_frame",
+        "window_groups_frame",
+        "ts_autocorrelation",
+        "sketch_heavy_hitters",
+        "stat_histogram_quantiles",
+        "embed_mmr_topk",
+    }
+)
 
 
 def display_name(name: str) -> str:

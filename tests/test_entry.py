@@ -42,6 +42,58 @@ def test_rotated_exports_match_declared_rotation():
         assert get(n).name == n.removeprefix("a0_")
 
 
+def test_window_discipline():
+    """Pre-landing window check (VERDICT r10 #9): every registered display
+    name must either sort inside the driver's 50-name alphabetical
+    correctness window or already carry a cumulative driver row in some
+    CORRECTNESS_r*.json (hash-green, rows-only, or documented no_oracle).
+    A new oracle-gated query landing outside the window with no prior row
+    and no ROTATED entry fails here, in the same commit that adds it."""
+    import glob
+    import json
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    covered: set[str] = set()
+    for f in glob.glob(str(repo / "CORRECTNESS_r*.json")):
+        for k, v in json.load(open(f)).items():
+            canon = k.removeprefix("a0_").removeprefix("ext_")
+            if v.get("spark_rows") is not None or v.get("hash_match"):
+                covered.add(canon)
+    names = sorted(entrymod.queries())
+    window = set(names[:50])
+    orphans = [
+        n for n in names if n not in window and n.removeprefix("a0_") not in covered
+    ]
+    assert not orphans, (
+        "queries outside the 50-name driver window with no cumulative "
+        f"CORRECTNESS row — add to ROTATED in the same commit: {orphans}"
+    )
+
+
+def test_rotation_displaces_only_covered_names():
+    """Each name the current rotation pushes out of the 50-name window must
+    already carry a cumulative driver row — rotating in must never orphan a
+    previously-window-resident name."""
+    import glob
+    import json
+
+    from projet_pipeline_bigdata_org_spark.plans.registry import ROTATED
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    covered: set[str] = set()
+    for f in glob.glob(str(repo / "CORRECTNESS_r*.json")):
+        for k, v in json.load(open(f)).items():
+            canon = k.removeprefix("a0_").removeprefix("ext_")
+            if v.get("spark_rows") is not None or v.get("hash_match"):
+                covered.add(canon)
+    canon_names = sorted(n.removeprefix("a0_") for n in entrymod.queries())
+    with_rot = set(sorted(entrymod.queries())[:50])
+    without_rot = set(sorted(canon_names)[:50])
+    displaced = {n for n in without_rot if n not in with_rot}
+    uncovered = sorted(n for n in displaced if n not in covered)
+    assert not uncovered, f"rotation would orphan window names: {uncovered}"
+
+
 def test_every_no_oracle_query_has_readme_rationale():
     """Hygiene sweep: every registry name either carries a DuckDB oracle or
     appears by name in README's "rows-only forever" rationale section, so
