@@ -766,9 +766,11 @@ ACF_LAGS: tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7)
         ON b.event_type = a.event_type AND b.di = a.di + lags.lag
     ), s AS (
       SELECT event_type, lag,
-             COUNT(*) AS n,
-             SUM(x) AS sx, SUM(y) AS sy,
-             SUM(x * y) AS sxy, SUM(x * x) AS sx2, SUM(y * y) AS sy2
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sx2,
+             SUM(CAST(y AS HUGEINT) * y) AS sy2
       FROM pairs GROUP BY event_type, lag
     )
     SELECT event_type,
@@ -789,7 +791,14 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     drives seasonality detection and burstiness QA on ingest volumes),
     k = 1..7 days. Pairing is calendar-aware: (x, y) pairs a day with the
     day exactly k later, only when both are observed — pairs, sums, and
-    the covariance numerator are exact BIGINT arithmetic; the single
+    the covariance numerator are exact WIDE-integer arithmetic: the Spark
+    side accumulates through DECIMAL(38,0) and the oracle through
+    HUGEINT/INT128 (r10 advice: int64 sums would silently wrap at high
+    daily volumes, and the engines overflow differently), so the engines
+    agree exactly while every term stays below 10^38 — a bound daily
+    event counts cannot breach (10^38 requires >10^18 events/day for
+    >10^18 days). The displayed ``cov_num`` BIGINT cast bounds that ONE
+    column at int64; ``acf`` derives from the wide terms. The single
     inexact step is the final Pearson normalization, which both engines
     evaluate as the IDENTICAL expression tree of correctly-rounded IEEE
     ops (cast, multiply, sqrt, divide — no transcendentals), so even the
@@ -826,13 +835,15 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("bdi") == F.col("di") + F.col("lag")),
         )
     )
+    xd = F.col("x").cast("decimal(18,0)")
+    yd = F.col("y").cast("decimal(18,0)")
     s = pairs.groupBy("event_type", "lag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sx2"),
-        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sx2"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("sy2"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     dx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
