@@ -56,6 +56,8 @@ HEADLINE = (
     "lex_bigram_fluency",                # LM-lite corpus-frequency scoring (new r3)
     "graph_triangle_count",              # exact wedge-join triangle count (new r5)
     "pair_cogrouped_asof",               # cogroup-API exemplar, Python kernel (new r5)
+    "arrange_zorder_layout",             # lake-layout family representative (new r11, VERDICT #8)
+    "algo_kcore_peel",                   # r10 iterative-graph family representative (new r11)
 )
 
 #: tier annotations surfaced in the bench JSON, so the headline total stays

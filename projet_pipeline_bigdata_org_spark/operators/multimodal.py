@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -336,18 +337,47 @@ def _wav_fixture(sample_rate: int, channels: int, frames: int) -> bytes:
     return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
 
 
+def bmp_fixture_pixels(w: int, h: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 RGB test pattern — linear channel
+    gradients with distinct coprime slopes, so every pixel is a pure
+    function of its coordinates and any resample/hash result is
+    reproducible from the constants alone."""
+    y = np.arange(h, dtype=np.int64)[:, None]
+    x = np.arange(w, dtype=np.int64)[None, :]
+    return np.stack(
+        [(x * 3 + y * 5) % 256, (x * 7 + y * 11) % 256, (x * 13 + y * 17) % 256],
+        axis=2,
+    ).astype(np.uint8)
+
+
 def _bmp_fixture(w: int, h: int) -> bytes:
-    """Minimal BITMAPINFOHEADER BMP: 14-byte file header (reserved zeros)
-    + 40-byte DIB header carrying signed little-endian dimensions."""
+    """24bpp BITMAPINFOHEADER BMP carrying a REAL pixel array (r11): the
+    deterministic ``bmp_fixture_pixels`` pattern stored bottom-up in BGR
+    with 4-byte row padding — so the registered binaryFile queries
+    exercise the pure-Python pixel decode path on true pixels, not just
+    header constants."""
+    stride = (w * 3 + 3) // 4 * 4
+    rgb = bmp_fixture_pixels(w, h)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
     dib = (
         (40).to_bytes(4, "little")
         + w.to_bytes(4, "little", signed=True)
         + h.to_bytes(4, "little", signed=True)
         + (1).to_bytes(2, "little")   # planes
         + (24).to_bytes(2, "little")  # bpp
-        + bytes(24)                   # compression..important colors
+        + bytes(4)                    # compression = BI_RGB
+        + (stride * h).to_bytes(4, "little")  # image size
+        + bytes(16)                   # ppm resolutions + palette counts
     )
-    return b"BM" + (54).to_bytes(4, "little") + bytes(4) + (54).to_bytes(4, "little") + dib
+    return (
+        b"BM"
+        + (54 + stride * h).to_bytes(4, "little")
+        + bytes(4)
+        + (54).to_bytes(4, "little")
+        + dib
+        + rows.tobytes()
+    )
 
 
 MM_MEDIA_FIXTURE_ROWS: tuple[tuple[int, bytes], ...] = (
@@ -651,6 +681,129 @@ RESIZE_SCHEMA = (
 )
 
 
+# ---------------------------------------------------------------------------
+# REAL pixel seam (r11, VERDICT #6): the two uncompressed raster formats a
+# pure-Python decoder can read without any codec — 24bpp BITMAPINFOHEADER
+# BMP and binary PPM (P6). They plug into the SAME decode projection the
+# stub documents as swappable, so one real format exercises the aHash grid
+# and the resize kernel end-to-end on true pixels; PNG/JPEG/GIF keep the
+# documented stub (their pixel streams need zlib/DCT codecs).
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp_pixels(payload: bytes) -> np.ndarray:
+    """24bpp uncompressed BITMAPINFOHEADER BMP → (h, w, 3) uint8 RGB.
+
+    Real parse, no codec needed: pixel-array offset from the file header,
+    rows stored bottom-up (positive height) with 4-byte padding, channels
+    on disk as BGR. Anything this decoder cannot faithfully read (other
+    bit depths, RLE compression, top-down negative heights, truncated
+    pixel arrays) raises NotImplementedError and the caller falls back to
+    the documented stub — never a wrong pixel."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise NotImplementedError("not a BMP")
+    data_off = int.from_bytes(payload[10:14], "little")
+    if int.from_bytes(payload[14:18], "little") != 40:
+        raise NotImplementedError("non-BITMAPINFOHEADER BMP")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if w <= 0 or h <= 0 or bpp != 24 or compression != 0:
+        raise NotImplementedError("unsupported BMP variant for pixel decode")
+    stride = (w * 3 + 3) // 4 * 4
+    if len(payload) < data_off + stride * h:
+        raise NotImplementedError("truncated BMP pixel array")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    return bgr[::-1, :, ::-1].copy()  # bottom-up → top-down, BGR → RGB
+
+
+def decode_ppm_pixels(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval ≤ 255) → (h, w, 3) uint8 RGB. Header is
+    whitespace-separated tokens with ``#`` comments, then one whitespace
+    byte, then raw RGB triplets."""
+    if payload[:2] != b"P6":
+        raise NotImplementedError("not a P6 PPM")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise NotImplementedError("truncated PPM header")
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(payload[start:pos])
+    w, h, maxval = (int(t) for t in tokens)
+    pos += 1  # exactly one whitespace byte after maxval
+    if w <= 0 or h <= 0 or maxval > 255:
+        raise NotImplementedError("unsupported PPM variant for pixel decode")
+    if len(payload) < pos + w * h * 3:
+        raise NotImplementedError("truncated PPM pixel array")
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def decode_pixels_real(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes to a REAL pure-Python pixel decode, or
+    NotImplementedError for formats that need a codec (the callers'
+    contract: real pixels or the documented stub, never a guess)."""
+    if payload[:2] == b"BM":
+        return decode_bmp_pixels(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm_pixels(payload)
+    raise NotImplementedError("no pure-Python pixel decoder for this format")
+
+
+def resize_pixels(px: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resample to (th, tw): source index
+    floor(i·src/dst) — pure integer arithmetic, identical on every
+    executor/architecture (no float kernel, no rounding mode)."""
+    h, w = px.shape[:2]
+    rows = (np.arange(th) * h) // th
+    cols = (np.arange(tw) * w) // tw
+    return px[np.ix_(rows, cols)]
+
+
+def ahash_words_from_pixels(px: np.ndarray) -> tuple[int, ...]:
+    """aHash over REAL pixels, emitting the same PHASH_BANDS 16-bit band
+    words as the text-stub projection in ``decode_phash_neardup`` (cell
+    p's bit sits in band p//16 at weight 1<<(p%16), row-major): integer
+    grayscale (r+g+b)//3, 8x8 block means over floor-boundary tiles,
+    bit set iff cell > the integer mean of the 64 cells. All-integer, so
+    every engine/host computes the identical signature."""
+    g = px.astype(np.int64).sum(axis=2) // 3
+    h, w = g.shape
+    side = int(PHASH_CELLS**0.5)
+    cells = []
+    for i in range(side):
+        r0, r1 = i * h // side, max((i + 1) * h // side, i * h // side + 1)
+        for j in range(side):
+            c0, c1 = j * w // side, max((j + 1) * w // side, j * w // side + 1)
+            block = g[r0:r1, c0:c1]
+            cells.append(int(block.sum()) // block.size)
+    m = sum(cells) // PHASH_CELLS
+    words = []
+    for b in range(PHASH_BANDS):
+        word = 0
+        for j in range(PHASH_BAND_CELLS):
+            if cells[b * PHASH_BAND_CELLS + j] > m:
+                word |= 1 << j
+        words.append(word)
+    return tuple(words)
+
+
 def resize_plan(width: int, height: int) -> tuple[int, int]:
     """Aspect-preserving longest-edge-capped target dimensions in pure
     integer arithmetic (truncating division — the twin of SQL DIV/`//`):
@@ -669,12 +822,22 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: image payload → resize plan + stubbed re-encode.
 
     The PLAN side is real: dimensions come from the actual header parse
-    (decode_media dispatch) and the target arithmetic is resize_plan. The
-    PIXEL side is the documented stub: this container ships no image
-    codec, so ``resized_n_bytes`` is the deterministic raw-RGB size
-    (target_w * target_h * 3) a real kernel's decode-scale-reencode would
-    replace — the Spark-side plumbing (schema, batch shape, whole-payload
-    partitioning) is exactly what a Pillow/libvips-backed kernel needs."""
+    (decode_media dispatch) and the target arithmetic is resize_plan.
+
+    The PIXEL side is format-dependent (r11): for the uncompressed raster
+    formats a pure-Python decoder can read (24bpp BMP, P6 PPM —
+    ``decode_pixels_real``), the kernel decodes the TRUE pixel array,
+    nearest-neighbor resamples it with ``resize_pixels``, and reports the
+    resampled array's actual byte size; a dimension mismatch between the
+    header parse and the pixel decode raises (corrupt file, never a
+    silent wrong answer). For codec-bound formats (PNG/JPEG/GIF) the
+    documented stub remains: ``resized_n_bytes`` is the deterministic
+    raw-RGB size (target_w * target_h * 3) — which is exactly what the
+    real branch's ``resized.nbytes`` equals, so the two branches are
+    indistinguishable to the oracle and a real-format driver row
+    certifies the real path. The Spark-side plumbing (schema, batch
+    shape, whole-payload partitioning) is what a Pillow/libvips-backed
+    kernel needs for the remaining formats."""
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -685,7 +848,17 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue
             w, h = meta["width"], meta["height"]
             tw, th = resize_plan(w, h)
-            rows.append((doc_id, w, h, tw, th, tw * th * 3))
+            try:
+                px = decode_pixels_real(bytes(payload))
+                if px.shape[:2] != (h, w):
+                    raise ValueError(
+                        f"header says {w}x{h}, pixel array is "
+                        f"{px.shape[1]}x{px.shape[0]}"
+                    )
+                n_bytes = int(resize_pixels(px, tw, th).nbytes)
+            except NotImplementedError:
+                n_bytes = tw * th * 3  # documented stub for codec formats
+            rows.append((doc_id, w, h, tw, th, n_bytes))
         if rows:  # empty object-dtype frames break Arrow schema inference
             yield pd.DataFrame(
                 rows,
@@ -883,6 +1056,16 @@ def decode_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         words.append(sum(bits[1:], bits[0]).cast("long").alias(f"w{b}"))
     h = g.select("doc_id", *words)
+    return phash_band_pairs(h)
+
+
+def phash_band_pairs(h: DataFrame) -> DataFrame:
+    """The banded candidate + XOR/POPCNT verify pipeline over a
+    signature table (doc_id, w0..w{PHASH_BANDS-1}) — shared by the
+    text-stub projection above and the REAL-pixel projection
+    (``ahash_words_from_pixels`` via mapInPandas; seam test drives a
+    constructed-BMP signature table through this exact plan), so
+    swapping the decode never touches the join strategy."""
     bands = None
     for b in range(PHASH_BANDS):
         part = h.select(
