@@ -1275,3 +1275,178 @@ def test_countmin_sink_delta_sum_equals_batch_sketch_and_replays(spark, tmp_path
         tuple(r) for r in spark.read.parquet(f"{store}/estimates/epoch=2").collect()
     }
     assert got_est2 == want_est
+
+
+def test_sketch_and_gate_sinks_soak_bounded_stores(spark, tmp_path):
+    """SOAK (r11, VERDICT #7): each r10 sink driven for 52 epochs with
+    adversarial micro-batch sizes (a deterministic 0..8-row cycle — many
+    singleton batches, seven EMPTY batches) must (a) keep every
+    cumulative store bounded — KMV <= scopes x KMV_K rows, count-min
+    deltas <= d x w rows each, anomaly tails <= EWMA_LAGS rows per
+    (event_type, day) in EVERY epoch partition and in the re-ranked
+    cumulative read — and (b) still satisfy the mode-equality contract:
+    after 52 arbitrary splits the folded state equals the batch operator
+    over the concatenated stream."""
+    import datetime
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import outliers
+    from projet_pipeline_bigdata_org_spark.operators.analytics_ext import (
+        CM_ROW_PARAMS,
+        CM_WIDTH,
+        KMV_K,
+        cm_sketch_counters,
+        kmv_hash,
+        kmv_summarize,
+        kmv_trim,
+    )
+    from projet_pipeline_bigdata_org_spark.operators.outliers import EWMA_LAGS
+    from projet_pipeline_bigdata_org_spark.operators.textops import ws_tokens
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        AnomalyGateSink,
+        CountMinSketchSink,
+        KmvSketchSink,
+    )
+
+    n_epochs = 52
+    sizes = [(i * 7) % 9 for i in range(n_epochs)]  # deterministic, 7 zeros
+    assert sizes.count(0) >= 5 and len(sizes) >= 50
+    bounds = [0]
+    for s in sizes:
+        bounds.append(bounds[-1] + s)
+    n_rows = bounds[-1]
+
+    # --- documents stream (shared by the two sketch sinks) ---------------
+    doc_rows = [
+        (i, " ".join(f"w{(i * 13 + j) % 97}" for j in range(8)), f"l{i % 3}")
+        for i in range(n_rows)
+    ]
+    doc_schema = "doc_id long, text string, lang string"
+    full_docs = spark.createDataFrame(doc_rows, doc_schema)
+
+    # --- KMV sink ---------------------------------------------------------
+    kmv_store = str(tmp_path / "kmv")
+    kmv_sink = KmvSketchSink(spark, kmv_store)
+    for e in range(n_epochs):
+        kmv_sink(
+            spark.createDataFrame(
+                doc_rows[bounds[e] : bounds[e + 1]] or [], doc_schema
+            )
+            if bounds[e + 1] > bounds[e]
+            else full_docs.limit(0),
+            e,
+        )
+    scopes = 4  # l0 l1 l2 + __all__
+    last = max(
+        e for e in range(n_epochs) if bounds[e + 1] > bounds[e]
+    )
+    final_sketch = spark.read.parquet(f"{kmv_store}/sketch/epoch={last}")
+    per_scope = {
+        r.lang: r.n
+        for r in final_sketch.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(per_scope) <= scopes
+    assert all(n <= KMV_K for n in per_scope.values()), per_scope
+    toks = full_docs.select("lang", F.explode(ws_tokens("text")).alias("tok"))
+    scoped = toks.unionByName(
+        toks.select(F.lit("__all__").alias("lang"), "tok")
+    ).select("lang", kmv_hash("tok"))
+    want_kept = {(r.lang, r.h) for r in kmv_trim(scoped).collect()}
+    assert {(r.lang, r.h) for r in final_sketch.collect()} == want_kept
+    want_sum = {tuple(r) for r in kmv_summarize(kmv_trim(scoped)).collect()}
+    got_sum = {
+        tuple(r)
+        for r in spark.read.parquet(f"{kmv_store}/estimates/epoch={last}").collect()
+    }
+    assert got_sum == want_sum
+
+    # --- count-min sink -----------------------------------------------------
+    cm_store = str(tmp_path / "cm")
+    cm_sink = CountMinSketchSink(spark, cm_store)
+    for e in range(n_epochs):
+        cm_sink(
+            spark.createDataFrame(
+                doc_rows[bounds[e] : bounds[e + 1]], "doc_id long, text string, lang string"
+            ).select("doc_id", "text")
+            if bounds[e + 1] > bounds[e]
+            else full_docs.select("doc_id", "text").limit(0),
+            e,
+        )
+    deltas = spark.read.parquet(f"{cm_store}/delta")
+    per_epoch = {
+        r.epoch: r.n
+        for r in deltas.groupBy("epoch").agg(F.count("*").alias("n")).collect()
+    }
+    cap = len(CM_ROW_PARAMS) * CM_WIDTH
+    assert all(n <= cap for n in per_epoch.values()), per_epoch
+    assert len(per_epoch) == sum(1 for s in sizes if s > 0)  # empties skipped
+    want_counters = {
+        (r.j, r.bucket): r.c
+        for r in cm_sketch_counters(
+            full_docs.select(F.explode(ws_tokens("text")).alias("tok"))
+        ).collect()
+    }
+    got_counters = {
+        (r.j, r.bucket): r.c
+        for r in deltas.groupBy("j", "bucket").agg(F.sum("c").alias("c")).collect()
+    }
+    assert got_counters == want_counters
+
+    # --- anomaly gate sink ---------------------------------------------------
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    ev_rows = []
+    for i in range(n_rows):
+        spike = i % 37 == 21
+        ev_rows.append(
+            (
+                i,
+                base + datetime.timedelta(seconds=i),
+                1,
+                f"t{i % 2}",
+                None if i % 29 == 11 else (700.0 if spike else 6.0 + (i % 5)),
+                "{}",
+            )
+        )
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    full_ev = spark.createDataFrame(ev_rows, ev_schema)
+    with mock.patch.object(outliers, "load", lambda _s, _d, _t: full_ev):
+        want_flags = {
+            r.event_id: (r.cents, r.ewma_num, r.ewma_den, r.n_prior)
+            for r in outliers.anomaly_ewma_residual(spark, "ignored").collect()
+        }
+    assert want_flags, "soak fixture must flag at least one spike"
+    out, tail = str(tmp_path / "anom"), str(tmp_path / "atail")
+    gate = AnomalyGateSink(spark, out, tail)
+    for e in range(n_epochs):
+        gate(
+            spark.createDataFrame(
+                ev_rows[bounds[e] : bounds[e + 1]], ev_schema
+            )
+            if bounds[e + 1] > bounds[e]
+            else full_ev.limit(0),
+            e,
+        )
+    got_flags = {
+        r.event_id: (r.cents, r.ewma_num, r.ewma_den, r.n_prior)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got_flags == want_flags
+    # every epoch tail partition respects the per-(type, day) cut
+    tails = spark.read.parquet(tail)
+    worst = (
+        tails.groupBy("epoch", "event_type", "day")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert worst <= EWMA_LAGS
+    # the cumulative re-ranked read stays O(keys x EWMA_LAGS)
+    cum_tail = gate._tail_before(n_epochs)
+    n_keys = full_ev.select(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).distinct().count()
+    assert cum_tail.count() <= n_keys * EWMA_LAGS
