@@ -581,3 +581,154 @@ def ewma_is_anomalous() -> F.Column:
     return (F.col("n_prior") >= EWMA_MIN_N) & (
         resid > EWMA_THRESHOLD_CENTS * F.col("ewma_den")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM level-shift gate — Page's cumulative-sum control chart as a
+# running-sum/running-min window rewrite (no recursion needed)
+# ---------------------------------------------------------------------------
+
+#: days whose mean establishes the in-control baseline level
+CUSUM_BASELINE_DAYS = 7
+#: slack (allowance) k, in cents: drift below this per day is absorbed
+CUSUM_SLACK_CENTS = 500
+#: decision threshold H, in cents of accumulated excess
+CUSUM_THRESHOLD_CENTS = 20_000
+
+
+@query(
+    "anomaly_cusum_gate",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(COALESCE({SQL_CLAMPED_CENTS}, 0)) AS HUGEINT)
+               AS daily_cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    r AS (
+      SELECT event_type, day, daily_cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               AS day_rank
+      FROM daily),
+    base AS (
+      SELECT event_type,
+             CAST(SUM(daily_cents) AS HUGEINT) AS base_num,
+             CAST(COUNT(*) AS HUGEINT) AS base_den
+      FROM r WHERE day_rank <= {CUSUM_BASELINE_DAYS} GROUP BY event_type),
+    y AS (
+      SELECT r.event_type, r.day, r.day_rank, r.daily_cents,
+             base.base_num, base.base_den,
+             r.daily_cents * base.base_den - base.base_num
+               - {CUSUM_SLACK_CENTS} * base.base_den AS y_scaled
+      FROM r JOIN base ON base.event_type = r.event_type),
+    p AS (
+      SELECT event_type, day, day_rank, daily_cents, base_num, base_den,
+             SUM(y_scaled) OVER w AS cum
+      FROM y
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING)),
+    c AS (
+      SELECT event_type, day, day_rank, daily_cents, base_num, base_den,
+             cum,
+             MIN(cum) OVER w AS runmin
+      FROM p
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING))
+    SELECT event_type,
+           STRFTIME(day, '%Y-%m-%d') AS day,
+           CAST(day_rank AS BIGINT) AS day_rank,
+           CAST(daily_cents AS BIGINT) AS daily_cents,
+           CAST(cum - LEAST(0, runmin) AS BIGINT) AS cusum_scaled,
+           CAST(base_num AS BIGINT) AS base_num,
+           CAST(base_den AS BIGINT) AS base_den,
+           day_rank > {CUSUM_BASELINE_DAYS}
+             AND cum - LEAST(0, runmin)
+                 > {CUSUM_THRESHOLD_CENTS} * base_den AS is_shift
+    FROM c
+    """,
+    tags=("llm", "events", "anomaly", "timeseries"),
+)
+def anomaly_cusum_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection (Page 1954 — the control chart SRE
+    and data-quality pipelines run on daily volume/spend series) over
+    per-type daily event-value totals. The third member of the gate
+    family: the z-score gate adapts to local variance, the EWMA gate
+    holds an absolute band around a recency-weighted level, CUSUM
+    accumulates small persistent drifts that neither flags — a +6%/day
+    shift that never breaches a per-day band trips the cumulative sum.
+
+    The textbook recursion S_i = max(0, S_{i-1} + y_i) needs no
+    recursion relationally: with partial sums P_i (P_0 = 0),
+    S_i = P_i − min(0, min_{j<=i} P_j) — ONE running-sum window and ONE
+    running-min over it, both in the same frame. The baseline level is
+    the first CUSUM_BASELINE_DAYS days' mean held as the exact integer
+    pair (base_num, base_den); every term is multiplied through by
+    base_den so the whole chart is division-free integer arithmetic
+    (daily sums fold as HUGEINT/decimal wide integers — the
+    ts_autocorrelation discipline; displayed columns cast to BIGINT,
+    exact to 2^63 of scaled cents).
+
+    Flags only after the baseline window (day_rank > baseline); all
+    (type, day) rows are emitted with their chart state so the oracle
+    certifies the rewrite on every row, not just the shifts.
+
+    Scale shape: the ONLY stream-sized op is the map-side-combined
+    daily rollup (shuffle bounded by types x days); baseline is a
+    per-type broadcast; both windows run over the bounded daily table
+    partitioned by type. Reference has no anomaly surface
+    (spark/preprocessor.py passes value through) — SURVEY §2.13
+    [GAP→add] family."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.coalesce(clamped_cents(), F.lit(0)).cast("decimal(18,0)"))
+            .cast("decimal(38,0)")
+            .alias("daily_cents")
+        )
+    )
+    wr = W.partitionBy("event_type").orderBy("day")
+    r = daily.select(
+        "event_type", "day", "daily_cents",
+        F.row_number().over(wr).alias("day_rank"),
+    )
+    base = (
+        r.filter(F.col("day_rank") <= CUSUM_BASELINE_DAYS)
+        .groupBy("event_type")
+        .agg(
+            F.sum("daily_cents").cast("decimal(38,0)").alias("base_num"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("base_den"),
+        )
+    )
+    y = r.join(F.broadcast(base), "event_type").select(
+        "event_type", "day", "day_rank", "daily_cents", "base_num", "base_den",
+        (
+            F.col("daily_cents") * F.col("base_den")
+            - F.col("base_num")
+            - F.lit(CUSUM_SLACK_CENTS) * F.col("base_den")
+        ).alias("y_scaled"),
+    )
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("y_scaled").over(wc)
+    c = y.select(
+        "event_type", "day", "day_rank", "daily_cents", "base_num", "base_den",
+        cum.alias("cum"),
+        F.min(cum).over(wc).alias("runmin"),
+    )
+    s = F.col("cum") - F.least(F.lit(0).cast("decimal(38,0)"), F.col("runmin"))
+    return c.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("day_rank").cast("long").alias("day_rank"),
+        F.col("daily_cents").cast("long").alias("daily_cents"),
+        s.cast("long").alias("cusum_scaled"),
+        F.col("base_num").cast("long").alias("base_num"),
+        F.col("base_den").cast("long").alias("base_den"),
+        (
+            (F.col("day_rank") > CUSUM_BASELINE_DAYS)
+            & (s > F.lit(CUSUM_THRESHOLD_CENTS) * F.col("base_den"))
+        ).alias("is_shift"),
+    )

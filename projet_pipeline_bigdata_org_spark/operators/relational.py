@@ -1375,3 +1375,186 @@ def arrange_partition_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("long").alias("key_lo"),
         F.max("o_orderkey").cast("long").alias("key_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RLE layout audit — what a sorted lake layout buys in run-length terms,
+# computed scale-safely (per-bucket runs + boundary stitch, never a
+# global single-partition window)
+# ---------------------------------------------------------------------------
+
+#: columns audited for run-length behavior under each layout
+RLE_AUDIT_COLS: tuple[str, ...] = (
+    "l_returnflag",
+    "l_linestatus",
+    "l_suppkey",
+    "l_shipdate",
+)
+#: orderkey range per bucket in the 'natural' (insert-order) layout
+RLE_NATURAL_BUCKET = 4096
+
+
+def _rle_bucket_runs(
+    df: DataFrame, ordering: str, bucket: F.Column, sort_cols: list[str]
+) -> DataFrame:
+    """Exact run counts for every audited column under (bucket, sort)
+    — the distributed formulation: per-bucket LAG windows run in
+    parallel (ONE exchange on the bucket key, one sort per bucket), the
+    per-bucket (runs, first, last) aggregates stitch across bucket
+    boundaries with a window over the BOUNDED bucket table (adjacent
+    buckets whose border values match merge two runs into one). The
+    bucket key is a prefix of the sort key, so bucket order extends row
+    order and the stitch is exact."""
+    w = W.partitionBy("_bkt").orderBy(*sort_cols)
+    keyed = df.select(
+        bucket.alias("_bkt"),
+        *sort_cols,
+        *[F.col(c) for c in RLE_AUDIT_COLS if c not in sort_cols],
+    )
+    sel = keyed.select(
+        "_bkt",
+        *sort_cols,
+        *[
+            F.when(
+                F.lag(c).over(w).isNull() | (F.lag(c).over(w) != F.col(c)),
+                1,
+            )
+            .otherwise(0)
+            .alias(f"chg_{i}")
+            for i, c in enumerate(RLE_AUDIT_COLS)
+        ],
+        *[F.col(c) for c in RLE_AUDIT_COLS if c not in sort_cols],
+    )
+    border = F.struct(
+        *[F.col(c).alias(f"k{i}") for i, c in enumerate(sort_cols)],
+        *[F.col(c).alias(f"v_{c}") for c in RLE_AUDIT_COLS],
+    )
+    per_bucket = sel.groupBy("_bkt").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[F.sum(f"chg_{i}").alias(f"runs_{i}") for i in range(len(RLE_AUDIT_COLS))],
+        F.min(border).alias("_first"),
+        F.max(border).alias("_last"),
+    )
+    wb = W.orderBy("_bkt")  # bounded: one row per bucket, never per row
+    prev_last = F.lag("_last").over(wb)
+    stitched = per_bucket.select(
+        "cnt",
+        *[
+            (
+                F.col(f"runs_{i}")
+                - F.when(
+                    prev_last.isNotNull()
+                    & (prev_last[f"v_{c}"] == F.col("_first")[f"v_{c}"]),
+                    1,
+                ).otherwise(0)
+            ).alias(f"runs_{i}")
+            for i, c in enumerate(RLE_AUDIT_COLS)
+        ],
+    )
+    total = stitched.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        *[
+            F.sum(f"runs_{i}").cast("long").alias(f"runs_{i}")
+            for i in range(len(RLE_AUDIT_COLS))
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{c}', runs_{i}" for i, c in enumerate(RLE_AUDIT_COLS)
+    )
+    return total.select(
+        F.lit(ordering).alias("ordering"),
+        F.expr(
+            f"stack({len(RLE_AUDIT_COLS)}, {stack_args}) AS (col_name, n_runs)"
+        ),
+        "n_rows",
+    ).select(
+        "ordering",
+        "col_name",
+        "n_rows",
+        F.col("n_runs").cast("long").alias("n_runs"),
+        F.expr("CAST(n_runs * 1000 div n_rows AS BIGINT)").alias("runs_milli"),
+    )
+
+
+def _rle_oracle_ordering(ordering: str, order_by: str) -> str:
+    lags = ", ".join(
+        f"LAG({c}) OVER (ORDER BY {order_by}) AS p{i}"
+        for i, c in enumerate(RLE_AUDIT_COLS)
+    )
+    runs = " UNION ALL ".join(
+        f"SELECT '{ordering}' AS ordering, '{c}' AS col_name,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        f" CAST(SUM(CASE WHEN p{i} IS NULL OR p{i} <> {c} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_runs,"
+        f" CAST(SUM(CASE WHEN p{i} IS NULL OR p{i} <> {c} THEN 1 ELSE 0 END)"
+        f" * 1000 // COUNT(*) AS BIGINT) AS runs_milli"
+        f" FROM lag_{ordering}"
+        for i, c in enumerate(RLE_AUDIT_COLS)
+    )
+    return lags, runs
+
+
+_RLE_NAT_LAGS, _RLE_NAT_RUNS = _rle_oracle_ordering(
+    "natural", "l_orderkey, l_linenumber"
+)
+_RLE_LAY_LAGS, _RLE_LAY_RUNS = _rle_oracle_ordering(
+    "layout",
+    "l_returnflag, l_linestatus, l_shipdate, l_orderkey, l_linenumber",
+)
+
+
+@query(
+    "arrange_rle_audit",
+    oracle=f"""
+    WITH lag_natural AS (
+      SELECT l_returnflag, l_linestatus, l_suppkey, l_shipdate,
+             {_RLE_NAT_LAGS}
+      FROM lineitem
+    ), lag_layout AS (
+      SELECT l_returnflag, l_linestatus, l_suppkey, l_shipdate,
+             {_RLE_LAY_LAGS}
+      FROM lineitem
+    )
+    {_RLE_NAT_RUNS}
+    UNION ALL
+    {_RLE_LAY_RUNS}
+    """,
+    tags=("relational", "lake", "lineitem"),
+)
+def arrange_rle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length layout audit — the measurement behind every 'sort your
+    lake' recommendation (Parquet RLE/dictionary pages, Delta
+    OPTIMIZE/Z-order): for each audited column, the exact number of
+    value RUNS the file would store under the natural insert order
+    (l_orderkey, l_linenumber) vs the layout sort
+    (l_returnflag, l_linestatus, l_shipdate, ...). Fewer runs = better
+    RLE: the layout sort collapses l_returnflag to ~|distinct| runs
+    while the natural order leaves ~|rows| runs; runs_milli
+    (runs·1000 div rows) is the per-column figure of merit.
+
+    Scale shape — the operator's real point: a naive runs count is an
+    UNPARTITIONED window (every row through one partition). Here each
+    ordering buckets by a PREFIX of its sort key ('natural': orderkey
+    div {RLE_NATURAL_BUCKET}; 'layout': l_returnflag), counts runs
+    per bucket in parallel (one exchange, one sort, all four columns'
+    LAGs in the same window), and stitches bucket boundaries with a
+    window over the bounded bucket table (adjacent buckets whose border
+    values match merge two runs into one). The ORACLE computes the same
+    numbers with the naive global window, so the driver gate certifies
+    the stitch itself. All counts BIGINT-exact; audited columns are
+    NOT-NULL TPC-H attributes (the lag inequality is null-safe only for
+    the run-opening first row)."""
+    li = load(spark, sf_dir, "lineitem")
+    nat = _rle_bucket_runs(
+        li,
+        "natural",
+        (F.col("l_orderkey") / RLE_NATURAL_BUCKET).cast("long"),
+        ["l_orderkey", "l_linenumber"],
+    )
+    lay = _rle_bucket_runs(
+        li,
+        "layout",
+        F.col("l_returnflag"),
+        ["l_returnflag", "l_linestatus", "l_shipdate", "l_orderkey", "l_linenumber"],
+    )
+    return nat.unionByName(lay)

@@ -10,6 +10,7 @@ F1-F4 (preprocessor.py:17-21), tokenization M1-M2.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from projet_pipeline_bigdata_org_spark.catalog import load
@@ -1259,6 +1260,122 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bpe_tokens",
             F.expr("CAST(n_bpe_tokens * 1000 div n_char_tokens AS BIGINT)").alias(
                 "compression_milli"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# delta-encoded posting lists — inverted-index compression accounting
+# ---------------------------------------------------------------------------
+
+#: tokens must appear in at least this many documents to carry a posting
+#: list worth compressing (singleton postings have no gaps to encode)
+POSTINGS_MIN_DF = 5
+
+#: LEB128-style varint widths: 7 payload bits per byte, so a gap g takes
+#: ceil(bits(g)/7) bytes (1 byte minimum); nonnegative int64 caps at 9
+_VARINT_STEPS = [(1 << (7 * b), b) for b in range(1, 9)]
+
+_VARINT_SQL_CASE = (
+    "CASE "
+    + " ".join(f"WHEN {{g}} < {lim} THEN {b}" for lim, b in _VARINT_STEPS)
+    + " ELSE 9 END"
+)
+
+
+def varint_bytes(g: Column) -> Column:
+    """Byte width of a nonnegative BIGINT under 7-bit varint coding —
+    the exact integer CASE chain ``_VARINT_SQL_CASE`` mirrors."""
+    expr = None
+    for lim, b in _VARINT_STEPS:
+        expr = (
+            F.when(g < F.lit(lim), F.lit(b))
+            if expr is None
+            else expr.when(g < F.lit(lim), F.lit(b))
+        )
+    return expr.otherwise(F.lit(9))
+
+
+@query(
+    "compress_delta_postings",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({SQL_WS_TOKENS.format(c='text')}) AS tok
+      FROM documents
+    ), postings AS (
+      SELECT DISTINCT tok, doc_id FROM toks
+      WHERE REGEXP_FULL_MATCH(tok, '[a-z]+')
+    ), g AS (
+      SELECT tok, doc_id,
+             COUNT(*) OVER (PARTITION BY tok) AS df,
+             COALESCE(doc_id - LAG(doc_id) OVER (PARTITION BY tok
+                                                 ORDER BY doc_id),
+                      doc_id) AS gap
+      FROM postings
+    )
+    SELECT tok,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM({_VARINT_SQL_CASE.format(g='gap')}) AS BIGINT)
+             AS delta_bytes,
+           CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes,
+           CAST(SUM({_VARINT_SQL_CASE.format(g='gap')}) * 1000
+                // (COUNT(*) * 8) AS BIGINT) AS ratio_milli
+    FROM g
+    WHERE df >= {POSTINGS_MIN_DF}
+    GROUP BY tok
+    """,
+    tags=("llm", "text", "compression", "documents"),
+)
+def compress_delta_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta + varint compression accounting for inverted-index posting
+    lists — the storage layout every sparse retrieval index (Lucene,
+    the BM25 sibling of this module) uses: per token, document ids
+    sorted ascending, each id stored as the GAP to its predecessor
+    (first id absolute), gaps in LEB128-style 7-bit varints. Emits per
+    token the exact encoded size vs the raw 8-byte-per-id size and the
+    milli-scaled ratio — the audit that decides whether an index shard
+    is worth delta-coding (dense tokens' small gaps compress ~8x;
+    sparse tokens' large gaps don't).
+
+    Exactness: gaps, the varint width CASE chain (shared generator for
+    both engines), sums, and the truncating-div ratio are all BIGINT.
+
+    Scale shape: ONE corpus-sized shuffle — the distinct (token, doc_id)
+    exchange partitioned by token, which IS the inverted-index build;
+    document frequency and the gap LAG share that one partition (a
+    single sort per token run); output is vocabulary-bounded, singleton
+    tokens (df < POSTINGS_MIN_DF) dropped before aggregation."""
+    d = load(spark, sf_dir, "documents")
+    postings = (
+        d.select(F.explode(ws_tokens("text")).alias("tok"), "doc_id")
+        .filter(F.col("tok").rlike("^[a-z]+$"))
+        .select("tok", "doc_id")
+        .distinct()
+    )
+    wp = W.partitionBy("tok")
+    wo = wp.orderBy("doc_id")
+    g = postings.select(
+        "tok",
+        F.count(F.lit(1)).over(wp).alias("df"),
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(wo), F.col("doc_id")
+        ).alias("gap"),
+    ).filter(F.col("df") >= POSTINGS_MIN_DF)
+    vb = varint_bytes(F.col("gap"))
+    return (
+        g.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(vb).cast("long").alias("delta_bytes"),
+        )
+        .select(
+            "tok",
+            "n_docs",
+            "delta_bytes",
+            (F.col("n_docs") * 8).cast("long").alias("raw_bytes"),
+            F.expr("CAST(delta_bytes * 1000 div (n_docs * 8) AS BIGINT)").alias(
+                "ratio_milli"
             ),
         )
     )

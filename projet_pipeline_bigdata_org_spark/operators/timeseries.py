@@ -7,6 +7,7 @@ reference's PowerBI layer implied but never computed in Spark.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from projet_pipeline_bigdata_org_spark.catalog import load
@@ -859,4 +860,102 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(dx.cast("double") * dy.cast("double"))
         )
         .alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# closed-form OLS trend — exact normal-equation arithmetic per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_ols_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+             COUNT(*) AS y
+      FROM events GROUP BY event_type, di
+    ), rec AS (
+      SELECT event_type, di - MIN(di) OVER (PARTITION BY event_type) AS x, y
+      FROM daily
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sx2
+      FROM rec GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sx2 - sx * sx AS BIGINT) AS slope_den,
+           CASE WHEN n * sx2 - sx * sx = 0 THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sx2 - sx * sx AS DOUBLE) END AS slope,
+           CASE WHEN n * sx2 - sx * sx = 0 THEN NULL
+                ELSE CAST(sy * (n * sx2 - sx * sx)
+                          - (n * sxy - sx * sy) * sx AS DOUBLE)
+                     / CAST(n * (n * sx2 - sx * sx) AS DOUBLE) END
+             AS intercept
+    FROM s
+    """,
+    tags=("timeseries", "events", "agg"),
+)
+def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type least-squares trend of daily event counts — the
+    closed-form normal equations (slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²))
+    a capacity-planning or drift audit runs over ingest volumes, the
+    regression companion of ``ts_autocorrelation``'s correlation.
+
+    Exactness: day indices are RE-CENTERED per type (x = di − min di),
+    keeping x small, and every sum accumulates through DECIMAL(38,0) on
+    the Spark side / HUGEINT in the oracle (the ts_autocorrelation r11
+    discipline — int64 cross terms would wrap at high daily volumes).
+    The numerator/denominator pairs are emitted as exact integers;
+    slope and intercept are the single inexact step, the IDENTICAL
+    correctly-rounded IEEE division tree in both engines. A
+    single-distinct-day group (zero x-variance) yields NULLs via the
+    exact-integer guard.
+
+    Scale shape: one map-side-combined daily rollup (shuffle bounded by
+    types x days); the per-type min rides the same bounded table; the
+    final aggregate is |types| rows."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .alias("di"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    rec = daily.select(
+        "event_type",
+        (F.col("di") - F.min("di").over(W.partitionBy("event_type"))).alias("x"),
+        "y",
+    )
+    xd = F.col("x").cast("decimal(18,0)")
+    yd = F.col("y").cast("decimal(18,0)")
+    s = rec.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sx2"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    inum = F.col("sy") * den - num * F.col("sx")
+    iden = F.col("n") * den
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("slope"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(inum.cast("double") / iden.cast("double"))
+        .alias("intercept"),
     )

@@ -3263,3 +3263,210 @@ def test_registered_bmp_fixture_feeds_real_pixels():
     assert np.array_equal(
         decode_pixels_real(bmp_payload), bmp_fixture_pixels(800, 600)
     )
+
+
+def test_cusum_gate_matches_textbook_recursion_and_catches_slow_drift(spark):
+    """Crafted daily series per type: (a) the relational
+    running-sum/running-min rewrite must equal the textbook recursion
+    S_i = max(0, S_{i-1} + y_i) computed in plain Python, row for row;
+    (b) a persistent small drift (+19.00/day over baseline, under the
+    EWMA band and under any single-day threshold) must trip is_shift
+    once accumulated past H, while a flat series and a single transient
+    spike that decays must NOT flag — the property that distinguishes
+    CUSUM from the per-day gates."""
+    import datetime
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import outliers
+
+    base_day = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    rows, eid = [], 0
+
+    def add_day(day_idx, etype, total_value):
+        nonlocal eid
+        rows.append(
+            (eid, base_day + datetime.timedelta(days=day_idx, hours=1), 1,
+             etype, float(total_value), "{}")
+        )
+        eid += 1
+
+    # 'drift': 7 baseline days at 100.00, then +9.00/day persistent drift
+    for d in range(7):
+        add_day(d, "drift", 100.0)
+    for d in range(7, 40):
+        add_day(d, "drift", 119.0)
+    # 'flat': constant forever
+    for d in range(40):
+        add_day(d, "flat", 100.0)
+    # 'transient': one +150.00 spike on day 10, flat otherwise — the
+    # spike exceeds slack once but decays back under H
+    for d in range(40):
+        add_day(d, "transient", 250.0 if d == 10 else 100.0)
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    full = spark.createDataFrame(rows, schema)
+    with mock.patch.object(outliers, "load", lambda _s, _d, _t: full):
+        got = sorted(
+            (
+                (r.event_type, r.day_rank, r.daily_cents, r.cusum_scaled,
+                 r.base_den, r.is_shift)
+                for r in outliers.anomaly_cusum_gate(spark, "ignored").collect()
+            )
+        )
+
+    # (a) textbook recursion replay, scaled by base_den, per type
+    series = {
+        "drift": [10_000] * 7 + [11_900] * 33,
+        "flat": [10_000] * 40,
+        "transient": [10_000] * 10 + [25_000] + [10_000] * 29,
+    }
+    want = []
+    for etype, xs in series.items():
+        den = min(len(xs), outliers.CUSUM_BASELINE_DAYS)
+        num = sum(xs[:den])
+        s = 0
+        for i, x in enumerate(xs, start=1):
+            y = x * den - num - outliers.CUSUM_SLACK_CENTS * den
+            s = max(0, s + y)
+            want.append(
+                (etype, i, x, s, den,
+                 i > outliers.CUSUM_BASELINE_DAYS
+                 and s > outliers.CUSUM_THRESHOLD_CENTS * den)
+            )
+    assert got == sorted(want)
+
+    flagged = {(t, r) for t, r, _x, _s, _d, f in got if f}
+    assert any(t == "drift" for t, _ in flagged)
+    assert all(t != "flat" for t, _ in flagged)
+    assert all(t != "transient" for t, _ in flagged)
+    # drift flags PERSIST once tripped (monotone accumulation)
+    drift_flag_ranks = sorted(r for t, r in flagged if t == "drift")
+    assert drift_flag_ranks == list(
+        range(drift_flag_ranks[0], 41)
+    )
+
+
+def test_ols_trend_recovers_exact_line_and_guards_degenerate_group(spark):
+    """Crafted daily counts lying EXACTLY on y = 3x + 7 must recover
+    slope 3.0 / intercept 7.0 bit-exactly (closed-form normal equations
+    on exact integers; a calendar gap must not bend the fit since x is
+    the day index, not the row number), and a type observed on a single
+    day (zero x-variance) must yield NULL slope/intercept via the
+    integer guard, never a divide-by-zero."""
+    import datetime
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import timeseries
+
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    rows, eid = [], 0
+    # 'line': days 0,1,2,4 (gap at 3) with 7,10,13,19 events — y = 3x+7
+    for d, n in [(0, 7), (1, 10), (2, 13), (4, 19)]:
+        for _ in range(n):
+            rows.append(
+                (eid, base + datetime.timedelta(days=d, hours=2), 1, "line",
+                 1.0, "{}")
+            )
+            eid += 1
+    # 'single': one day only
+    for _ in range(5):
+        rows.append((eid, base, 1, "single", 1.0, "{}"))
+        eid += 1
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    full = spark.createDataFrame(rows, schema)
+    with mock.patch.object(timeseries, "load", lambda _s, _d, _t: full):
+        got = {
+            r.event_type: (r.n_days, r.slope_num, r.slope_den, r.slope,
+                           r.intercept)
+            for r in timeseries.agg_ols_trend(spark, "ignored").collect()
+        }
+    # exact normal equations on x=(0,1,2,4), y=(7,10,13,19):
+    # n=4 sx=7 sy=49 sxy=112 sx2=21 -> num=4*112-7*49=105, den=4*21-49=35
+    assert got["line"] == (4, 105, 35, 3.0, 7.0)
+    assert got["single"] == (1, 0, 0, None, None)
+
+
+def test_delta_postings_varint_boundaries_and_crafted_lists(spark):
+    """varint_bytes pinned at every 7-bit boundary (0..2^63-1), and a
+    crafted corpus whose posting gaps straddle the 1/2/3-byte widths
+    yields the exactly-predicted encoded sizes — including the
+    first-id-absolute convention and the min-df cut."""
+    from unittest import mock
+
+    from pyspark.sql import functions as F
+
+    from projet_pipeline_bigdata_org_spark.operators import textops
+
+    vals = spark.range(1).select(
+        *[
+            textops.varint_bytes(F.lit(v)).alias(f"b{i}")
+            for i, v in enumerate(
+                [0, 1, 127, 128, 16_383, 16_384, (1 << 21) - 1, 1 << 21,
+                 (1 << 56) - 1, 1 << 56, (1 << 63) - 1]
+            )
+        ]
+    ).collect()[0]
+    assert list(vals) == [1, 1, 1, 2, 2, 3, 3, 4, 8, 9, 9]
+
+    # crafted postings: token 'alpha' in docs 0,127,255,16639,16889 ->
+    # gaps 0,127,128,16384,250 -> varint widths 1,1,2,3,2 = 9 bytes
+    # (raw 5*8 = 40 -> ratio 225 milli); 'rare' df=2 < min-df drops out
+    docs = (
+        [(i, "alpha filler") for i in (0, 127, 255, 16_639, 16_889)]
+        + [(9_000 + i, "rare x9") for i in range(2)]
+        + [(50 + i, "filler") for i in range(5)]
+    )
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    with mock.patch.object(textops, "load", lambda _s, _d, _t: full):
+        got = {
+            r.tok: (r.n_docs, r.delta_bytes, r.raw_bytes, r.ratio_milli)
+            for r in textops.compress_delta_postings(spark, "ignored").collect()
+        }
+    assert got["alpha"] == (5, 9, 40, 225)
+    assert "rare" not in got and "x9" not in got  # df cut; non-[a-z]+ cut
+    assert "filler" in got and got["filler"][0] == 10
+
+
+def test_rle_audit_bucket_stitch_merges_border_runs(spark):
+    """The per-bucket runs + boundary-stitch formulation pinned from
+    first principles on a crafted table: a value run SPANNING a bucket
+    border must count once (naive per-bucket sums would count it twice),
+    a border where values differ must not merge, and the milli ratio is
+    the truncating div of the stitched totals."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import relational
+
+    # 2 buckets of 4096 orderkeys; l_returnflag run 'A' spans the border,
+    # l_linestatus changes exactly at the border, suppkey/shipdate const
+    rows = []
+    for k in range(4090, 4102):
+        rows.append(
+            (k, 1, "A" if k < 4100 else "B",
+             "O" if k < 4096 else "F", 7, "1995-01-01")
+        )
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_returnflag string, "
+        "l_linestatus string, l_suppkey long, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("date"))
+    with mock.patch.object(relational, "load", lambda _s, _d, _t: df):
+        got = {
+            (r.ordering, r.col_name): (r.n_rows, r.n_runs, r.runs_milli)
+            for r in relational.arrange_rle_audit(spark, "ignored").collect()
+        }
+    # natural order = key order: returnflag runs A(10)B(2) -> 2 runs even
+    # though A spans the 4095/4096 bucket border; linestatus O(6)F(6) -> 2
+    # (border-aligned change, no merge); constants -> 1 run each
+    assert got[("natural", "l_returnflag")] == (12, 2, 166)
+    assert got[("natural", "l_linestatus")] == (12, 2, 166)
+    assert got[("natural", "l_suppkey")] == (12, 1, 83)
+    assert got[("natural", "l_shipdate")] == (12, 1, 83)
+    # layout order sorts by (returnflag, linestatus, ...): A-F, A-O, B-F
+    # -> returnflag 2 runs, linestatus 3 runs (F under A, O under A, F
+    # under B), constants 1
+    assert got[("layout", "l_returnflag")] == (12, 2, 166)
+    assert got[("layout", "l_linestatus")] == (12, 3, 250)
+    assert got[("layout", "l_suppkey")] == (12, 1, 83)
