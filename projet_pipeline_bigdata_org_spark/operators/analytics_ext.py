@@ -2561,3 +2561,151 @@ def stat_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_cents") - F.col("exact_cents")).cast("long").alias("err_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# shuffle-skew audit — the "why is my join slow" diagnostic
+# ---------------------------------------------------------------------------
+
+#: partitions the audit simulates (one hex nibble of the key's sha —
+#: engine-portable bucket addressing, no modulo, no engine hash)
+SKEW_PARTITIONS = 16
+#: heavy keys reported
+SKEW_TOP_KEYS = 5
+
+_SKEW_HEX = "0123456789abcdef"
+
+
+def skew_bucket(key_str: F.Column) -> F.Column:
+    """Partition id 0..15 from the first sha256 hex nibble — the same
+    portable-addressing discipline as the Bloom/count-min operators
+    (STRPOS over a hex alphabet, identical in both engines)."""
+    return (
+        F.instr(F.lit(_SKEW_HEX), F.substring(F.sha2(key_str, 256), 1, 1)) - 1
+    ).cast("long")
+
+
+@query(
+    "agg_shuffle_skew_audit",
+    oracle=f"""
+    WITH k AS (
+      SELECT COALESCE(CAST(user_id AS VARCHAR), '<null>') AS key,
+             COUNT(*) AS cnt
+      FROM events GROUP BY COALESCE(CAST(user_id AS VARCHAR), '<null>')
+    ), tot AS (
+      SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM k
+    ), b AS (
+      SELECT STRPOS('{_SKEW_HEX}', SUBSTR(SHA256(key), 1, 1)) - 1 AS bucket,
+             COUNT(*) AS n_keys, SUM(cnt) AS n_rows
+      FROM k GROUP BY 1
+    ), parts AS (
+      SELECT 'partition' AS section,
+             CAST(b.bucket AS VARCHAR) AS item,
+             CAST(b.n_rows AS BIGINT) AS n_rows,
+             CAST(b.n_keys AS BIGINT) AS n_keys,
+             CAST(b.n_rows * 1000 // tot.total AS BIGINT) AS share_milli
+      FROM b, tot
+    ), heavy AS (
+      SELECT 'heavy_key' AS section, key AS item,
+             CAST(cnt AS BIGINT) AS n_rows,
+             CAST(1 AS BIGINT) AS n_keys,
+             CAST(cnt * 1000 // tot.total AS BIGINT) AS share_milli
+      FROM (SELECT key, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rn
+            FROM k) t, tot
+      WHERE rn <= {SKEW_TOP_KEYS}
+    ), summary AS (
+      SELECT 'summary' AS section,
+             'max_partition_vs_ideal' AS item,
+             CAST(MAX(b.n_rows) AS BIGINT) AS n_rows,
+             CAST(MAX(tot.n_keys) AS BIGINT) AS n_keys,
+             CAST(MAX(b.n_rows) * {SKEW_PARTITIONS} * 1000
+                  // MAX(tot.total) AS BIGINT) AS share_milli
+      FROM b, tot
+    )
+    SELECT * FROM parts
+    UNION ALL SELECT * FROM heavy
+    UNION ALL SELECT * FROM summary
+    """,
+    tags=("agg", "diagnostics", "events"),
+)
+def agg_shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic for a prospective join/aggregation key —
+    the audit run BEFORE picking a partitioning at 100 TB (is this key
+    broadcastable? saltable? does one tenant own half the stream?):
+    simulates a {SKEW_PARTITIONS}-way hash partitioning of events by
+    user_id and reports (a) per-partition row/key loads with milli
+    shares, (b) the top {SKEW_TOP_KEYS} heavy keys — the salting
+    candidates, and (c) the max-partition-vs-ideal milli ratio (1000 =
+    perfectly balanced; the straggler factor AQE's skew-join would have
+    to absorb).
+
+    Partition addressing is the first sha256 nibble via a hex-alphabet
+    STRPOS (the Bloom/count-min portable-addressing discipline) — NOT
+    the engine's hash, which neither matches across engines nor is
+    documented stable across versions; for load-balance measurement any
+    uniform hash is equivalent. NULL keys collapse to the '<null>'
+    token (a real skew source worth seeing, not dropping).
+
+    Scale shape: the per-key count is the one stream-sized op
+    (map-side-combined groupBy); everything after runs on the key table
+    — partitions fold to {SKEW_PARTITIONS} rows, the heavy-key rank is
+    WindowGroupLimit-rewritten to per-partition top-{SKEW_TOP_KEYS},
+    totals ride broadcasts. Output is {SKEW_PARTITIONS}+{SKEW_TOP_KEYS}+1
+    rows at any corpus size."""
+    e = load(spark, sf_dir, "events")
+    k = (
+        e.select(
+            F.coalesce(F.col("user_id").cast("string"), F.lit("<null>")).alias(
+                "key"
+            )
+        )
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    k = _persist_scoped("skew_keys", k)
+    tot = F.broadcast(
+        k.agg(
+            F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("total_keys")
+        )
+    )
+    b = (
+        k.groupBy(skew_bucket(F.col("key")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("bn_keys"), F.sum("cnt").alias("bn_rows"))
+    )
+    parts = b.join(tot, how="cross").select(
+        F.lit("partition").alias("section"),
+        F.col("bucket").cast("string").alias("item"),
+        F.col("bn_rows").cast("long").alias("n_rows"),
+        F.col("bn_keys").cast("long").alias("n_keys"),
+        F.expr("CAST(bn_rows * 1000 div total AS BIGINT)").alias("share_milli"),
+    )
+    rn = F.row_number().over(W.orderBy(F.col("cnt").desc(), "key"))
+    heavy = (
+        k.withColumn("rn", rn)
+        .filter(F.col("rn") <= SKEW_TOP_KEYS)
+        .join(tot, how="cross")
+        .select(
+            F.lit("heavy_key").alias("section"),
+            F.col("key").alias("item"),
+            F.col("cnt").cast("long").alias("n_rows"),
+            F.lit(1).cast("long").alias("n_keys"),
+            F.expr("CAST(cnt * 1000 div total AS BIGINT)").alias("share_milli"),
+        )
+    )
+    summary = (
+        b.agg(F.max("bn_rows").alias("max_rows"))
+        .join(tot, how="cross")
+        .select(
+            F.lit("summary").alias("section"),
+            F.lit("max_partition_vs_ideal").alias("item"),
+            F.col("max_rows").cast("long").alias("n_rows"),
+            F.col("total_keys").cast("long").alias("n_keys"),
+            F.expr(
+                f"CAST(max_rows * {SKEW_PARTITIONS} * 1000 div total AS BIGINT)"
+            ).alias("share_milli"),
+        )
+    )
+    return parts.unionByName(heavy).unionByName(summary)

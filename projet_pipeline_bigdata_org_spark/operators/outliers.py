@@ -677,15 +677,28 @@ def anomaly_cusum_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by type. Reference has no anomaly surface
     (spark/preprocessor.py passes value through) — SURVEY §2.13
     [GAP→add] family."""
-    e = load(spark, sf_dir, "events")
-    daily = (
-        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(
-            F.sum(F.coalesce(clamped_cents(), F.lit(0)).cast("decimal(18,0)"))
-            .cast("decimal(38,0)")
-            .alias("daily_cents")
-        )
+    return cusum_chart(cusum_daily(load(spark, sf_dir, "events")))
+
+
+def cusum_daily(events_df: DataFrame) -> DataFrame:
+    """Per-(type, day) clamped-cents totals as DECIMAL(38,0) — the ONE
+    stream-sized rollup, and the mergeable partial the streaming
+    ``CusumGateSink`` stores per epoch (daily sums ADD across epochs,
+    so the sink's merged deltas reproduce this table exactly for any
+    micro-batch split, in-order or not)."""
+    return events_df.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.coalesce(clamped_cents(), F.lit(0)).cast("decimal(18,0)"))
+        .cast("decimal(38,0)")
+        .alias("daily_cents")
     )
+
+
+def cusum_chart(daily: DataFrame) -> DataFrame:
+    """The full CUSUM chart over a (event_type, day, daily_cents) table
+    — shared by the batch operator and the streaming sink (one
+    definition, no drift). See ``anomaly_cusum_gate`` for semantics."""
     wr = W.partitionBy("event_type").orderBy("day")
     r = daily.select(
         "event_type", "day", "daily_cents",
@@ -731,4 +744,117 @@ def anomaly_cusum_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("day_rank") > CUSUM_BASELINE_DAYS)
             & (s > F.lit(CUSUM_THRESHOLD_CENTS) * F.col("base_den"))
         ).alias("is_shift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# weekday-profile residual gate — calendar-aware seasonality baseline
+# ---------------------------------------------------------------------------
+
+#: absolute residual threshold vs the weekday profile, in cents
+SEASONAL_THRESHOLD_CENTS = 25_000
+
+
+@query(
+    "anomaly_seasonal_residual",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+             CAST(SUM(COALESCE({SQL_CLAMPED_CENTS}, 0)) AS HUGEINT)
+               AS daily_cents
+      FROM events GROUP BY event_type, di),
+    prof AS (
+      SELECT event_type, di % 7 AS dow,
+             CAST(SUM(daily_cents) AS HUGEINT) AS s_num,
+             CAST(COUNT(*) AS HUGEINT) AS s_den
+      FROM daily GROUP BY event_type, di % 7)
+    SELECT d.event_type,
+           CAST(d.di AS BIGINT) AS di,
+           CAST(d.di % 7 AS BIGINT) AS dow,
+           CAST(d.daily_cents AS BIGINT) AS daily_cents,
+           CAST(p.s_num AS BIGINT) AS s_num,
+           CAST(p.s_den AS BIGINT) AS s_den,
+           CAST(d.daily_cents * p.s_den - p.s_num AS BIGINT)
+             AS resid_scaled,
+           p.s_den > 1
+             AND ABS(d.daily_cents * p.s_den - p.s_num)
+                 > {SEASONAL_THRESHOLD_CENTS} * p.s_den AS is_anomaly
+    FROM daily d JOIN prof p
+      ON p.event_type = d.event_type AND p.dow = d.di % 7
+    """,
+    tags=("llm", "events", "anomaly", "timeseries"),
+)
+def anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware residual gate — the fourth member of the gate
+    family: z-score adapts to local variance, EWMA tracks a recency
+    level, CUSUM accumulates drifts, and THIS one removes the weekly
+    profile first, so a quiet-Sunday / busy-Monday corpus doesn't page
+    on every Monday (the classic false-positive of level-based gates).
+    Each (type, day)'s total is compared against the mean of ITS OWN
+    weekday class; the residual is the division-free pair
+    (x·s_den − s_num) tested against T·s_den.
+
+    The weekday class is di % 7 (epoch-day modulo), NOT the engines'
+    dayofweek() — Spark numbers Sunday 1 and DuckDB numbers Sunday 0,
+    so the modulo is the only engine-portable spelling (and the gate
+    needs a stable 7-class partition, not a named weekday). Sums fold
+    as wide integers (HUGEINT / DECIMAL(38,0) — the r11 discipline).
+    A class observed once compares a day against only itself (residual
+    identically 0), so it can never flag; the s_den > 1 guard states
+    that explicitly rather than relying on the identity.
+
+    Scale shape: one map-side-combined daily rollup (types x days),
+    profile is a types x 7 aggregate riding a broadcast join back;
+    every (type, day) row is emitted with its profile evidence so the
+    oracle certifies the de-seasonalization on every row."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .alias("di"),
+        )
+        .agg(
+            F.sum(F.coalesce(clamped_cents(), F.lit(0)).cast("decimal(18,0)"))
+            .cast("decimal(38,0)")
+            .alias("daily_cents")
+        )
+    )
+    prof = (
+        daily.groupBy("event_type", (F.col("di") % 7).alias("dow"))
+        .agg(
+            F.sum("daily_cents").cast("decimal(38,0)").alias("s_num"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("s_den"),
+        )
+    )
+    j = (
+        daily.alias("d")
+        .join(
+            F.broadcast(prof.alias("p")),
+            (F.col("d.event_type") == F.col("p.event_type"))
+            & (F.col("p.dow") == F.col("d.di") % 7),
+        )
+        .select(
+            F.col("d.event_type").alias("event_type"),
+            F.col("d.di").alias("di"),
+            F.col("p.dow").alias("dow"),
+            F.col("d.daily_cents").alias("daily_cents"),
+            F.col("p.s_num").alias("s_num"),
+            F.col("p.s_den").alias("s_den"),
+        )
+    )
+    resid = F.col("daily_cents") * F.col("s_den") - F.col("s_num")
+    return j.select(
+        "event_type",
+        F.col("di").cast("long").alias("di"),
+        F.col("dow").cast("long").alias("dow"),
+        F.col("daily_cents").cast("long").alias("daily_cents"),
+        F.col("s_num").cast("long").alias("s_num"),
+        F.col("s_den").cast("long").alias("s_den"),
+        resid.cast("long").alias("resid_scaled"),
+        (
+            (F.col("s_den") > 1)
+            & (F.abs(resid) > F.lit(SEASONAL_THRESHOLD_CENTS) * F.col("s_den"))
+        ).alias("is_anomaly"),
     )

@@ -1379,3 +1379,166 @@ def compress_delta_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# batched sparse retrieval — per-query BM25 top-k over the inverted index
+# ---------------------------------------------------------------------------
+
+#: number of data-derived probe queries and terms per query
+BMQ_QUERIES = 8
+BMQ_TERMS_PER_QUERY = 3
+#: results returned per query
+BMQ_TOPK = 5
+
+
+@query(
+    "bm25_query_topk",
+    oracle=f"""
+    WITH postings AS (
+      SELECT DISTINCT tok AS token, doc_id FROM (
+        SELECT doc_id, UNNEST({SQL_WS_TOKENS.format(c='text')}) AS tok
+        FROM documents) t
+      WHERE REGEXP_FULL_MATCH(tok, '[a-z]+')
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df FROM postings GROUP BY token
+    ), qterms AS (
+      SELECT token, df,
+             CAST((rn - 1) // {BMQ_TERMS_PER_QUERY} AS BIGINT) AS q_id,
+             CAST((rn - 1) % {BMQ_TERMS_PER_QUERY} AS BIGINT) AS slot
+      FROM (SELECT token, df,
+                   ROW_NUMBER() OVER (ORDER BY df DESC, token) AS rn
+            FROM dfreq) r
+      WHERE rn <= {BMQ_QUERIES * BMQ_TERMS_PER_QUERY}
+    ), dl AS (
+      SELECT doc_id,
+             LEN({SQL_WS_TOKENS.format(c='text')}) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl
+    ), tf AS (
+      SELECT p.token, p.doc_id, q.q_id, q.slot, q.df, COUNT(*) AS tf
+      FROM (
+        SELECT doc_id, UNNEST({SQL_WS_TOKENS.format(c='text')}) AS token
+        FROM documents) p
+      JOIN qterms q ON q.token = p.token
+      GROUP BY p.token, p.doc_id, q.q_id, q.slot, q.df
+    ), scored AS (
+      SELECT tf.q_id, tf.doc_id, tf.slot,
+             ((CAST(stats.n_docs AS DOUBLE) - CAST(tf.df AS DOUBLE) + 0.5)
+              / (CAST(tf.df AS DOUBLE) + 0.5))
+             * (CAST(tf.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+             / (CAST(tf.tf AS DOUBLE)
+                + {BM25_K1} * (1.0 - {BM25_B}
+                               + {BM25_B} * CAST(dl.dl AS DOUBLE)
+                                 / (CAST(stats.total_len AS DOUBLE)
+                                    / CAST(stats.n_docs AS DOUBLE))))
+               AS term_score
+      FROM tf JOIN dl ON dl.doc_id = tf.doc_id, stats
+    ), per_doc AS (
+      SELECT q_id, doc_id,
+             COALESCE(MAX(CASE WHEN slot = 0 THEN term_score END), 0.0)
+             + COALESCE(MAX(CASE WHEN slot = 1 THEN term_score END), 0.0)
+             + COALESCE(MAX(CASE WHEN slot = 2 THEN term_score END), 0.0)
+               AS bm25,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      FROM scored GROUP BY q_id, doc_id
+    )
+    SELECT q_id, CAST(rnk AS BIGINT) AS rnk, doc_id, n_terms_hit, bm25
+    FROM (SELECT q_id, doc_id, n_terms_hit, bm25,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY bm25 DESC, doc_id) AS rnk
+          FROM per_doc) t
+    WHERE rnk <= {BMQ_TOPK}
+    """,
+    tags=("llm", "text", "similarity", "documents"),
+)
+def bm25_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched sparse retrieval: BM25 top-{BMQ_TOPK} per query for a
+    batch of {BMQ_QUERIES} probe queries — the query-serving half of
+    lexical search ("bm25_rank_documents" scores ONE fixed query
+    corpus-wide; this answers a query BATCH through the inverted index,
+    the dense-retrieval cascade's sparse sibling). Queries derive
+    deterministically from the corpus itself: the top
+    {BMQ_QUERIES * BMQ_TERMS_PER_QUERY} [a-z]+ tokens by document
+    frequency (ties on token), chunked {BMQ_TERMS_PER_QUERY} per query
+    — so the operator needs no external query table and the oracle
+    rebuilds the identical batch.
+
+    Same rational-idf BM25 as the sibling (fixed correctly-rounded IEEE
+    tree, bit-exact cross-engine); per-(query, doc) scores sum in FIXED
+    slot order via the conditional-aggregate pivot (a shuffle-order
+    double SUM drifts in the last ulp — the sibling's measured finding).
+
+    Scale shape: the corpus token stream is filtered against the
+    broadcast query-term table BEFORE the tf groupBy, so the only
+    corpus-sized shuffle carries matching postings (term-at-a-time
+    retrieval through the index, never a per-query corpus scan);
+    doc-length and corpus stats ride broadcasts; the per-query top-k is
+    a WindowGroupLimit-rewritten rank over scored docs only."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", ws_tokens("text").alias("toks"))
+    dl = _persist_scoped(
+        "bmq_dl", toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    stream = toks.select("doc_id", F.explode("toks").alias("token"))
+    postings = (
+        stream.filter(F.col("token").rlike("^[a-z]+$"))
+        .select("token", "doc_id")
+        .distinct()
+    )
+    dfreq = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    rn = F.row_number().over(W.orderBy(F.col("df").desc(), "token"))
+    qterms = (
+        dfreq.withColumn("rn", rn)
+        .filter(F.col("rn") <= BMQ_QUERIES * BMQ_TERMS_PER_QUERY)
+        .select(
+            "token",
+            "df",
+            ((F.col("rn") - 1) / BMQ_TERMS_PER_QUERY).cast("long").alias("q_id"),
+            ((F.col("rn") - 1) % BMQ_TERMS_PER_QUERY).cast("long").alias("slot"),
+        )
+    )
+    tf = (
+        stream.join(F.broadcast(qterms), "token")
+        .groupBy("token", "doc_id", "q_id", "slot", "df")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    idf = (
+        (F.col("n_docs").cast("double") - F.col("df").cast("double")) + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    tf_d = F.col("tf").cast("double")
+    term_score = idf * (tf_d * (BM25_K1 + 1.0)) / (
+        tf_d
+        + BM25_K1
+        * (1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / avgdl)
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("q_id", "doc_id", "slot", term_score.alias("term_score"))
+    )
+    per_slot = [
+        F.coalesce(
+            F.max(F.when(F.col("slot") == s, F.col("term_score"))), F.lit(0.0)
+        )
+        for s in range(BMQ_TERMS_PER_QUERY)
+    ]
+    per_doc = scored.groupBy("q_id", "doc_id").agg(
+        (per_slot[0] + per_slot[1] + per_slot[2]).alias("bm25"),
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.col("bm25").desc(), "doc_id")
+    )
+    return (
+        per_doc.withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= BMQ_TOPK)
+        .select("q_id", "rnk", "doc_id", "n_terms_hit", "bm25")
+    )

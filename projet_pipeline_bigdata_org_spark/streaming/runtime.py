@@ -1150,3 +1150,78 @@ def start_foreach_batch(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+@dataclass
+class CusumGateSink:
+    """Streaming CUSUM level-shift gate — the change-detection member of
+    the streaming gate family, built on MERGEABLE DAILY PARTIALS rather
+    than a tail store: per-(type, day) clamped-cents sums ADD across
+    epochs (the agg_incremental_rollup identity), so each micro-batch
+    writes only its own daily DELTA table to ``delta/epoch=e``
+    (idempotent overwrite, replay-safe — the CountMinSketchSink delta
+    discipline: cumulative snapshots would double-count a day spanning
+    epochs), and the chart at any epoch recomputes over the SUM of
+    deltas up to it with the batch operator's own ``cusum_chart``
+    (one definition, no drift).
+
+    Because daily sums are commutative and associative, the final chart
+    EQUALS the batch ``anomaly_cusum_gate`` over the concatenated
+    stream for ANY micro-batch split — including OUT-OF-ORDER and
+    late-arriving rows, a strictly stronger guarantee than the tail
+    sinks' in-order contract (a late row lands in its day's partial and
+    the whole chart re-derives; mode-equality test-pinned under a
+    shuffled split).
+
+    Per micro-batch: ``delta/epoch=e`` gets the batch's daily partials
+    (<= types x batch-days rows); ``chart/epoch=e`` gets the full
+    recomputed chart (<= types x days rows). Scale shape: the only
+    stream-sized op is the batch's map-side-combined daily rollup; the
+    chart windows run over the bounded daily table."""
+
+    spark: SparkSession
+    store_path: str
+    stats: dict = field(default_factory=lambda: {"batches": 0, "shifts": 0})
+
+    _DELTA_SCHEMA = "event_type string, day date, daily_cents decimal(38,0)"
+
+    def _deltas_before(self, epoch_id: int) -> DataFrame:
+        return _epoch_history_scan(
+            self.spark, f"{self.store_path}/delta", self._DELTA_SCHEMA, epoch_id
+        )
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from projet_pipeline_bigdata_org_spark.operators.outliers import (
+            cusum_chart,
+            cusum_daily,
+        )
+
+        self.stats["batches"] += 1
+        if batch_df.isEmpty():  # P9 empty-batch guard
+            return
+        delta = cusum_daily(batch_df).persist()
+        try:
+            delta.write.mode("overwrite").parquet(
+                f"{self.store_path}/delta/epoch={epoch_id}"
+            )
+            merged = (
+                delta.unionByName(self._deltas_before(epoch_id))
+                .groupBy("event_type", "day")
+                .agg(
+                    F.sum("daily_cents")
+                    .cast("decimal(38,0)")
+                    .alias("daily_cents")
+                )
+            )
+            chart = cusum_chart(merged).persist()
+            try:
+                # the chart is a full recompute — "shifts" is the CURRENT
+                # chart's flag count, not a sum over epochs
+                self.stats["shifts"] = chart.filter(F.col("is_shift")).count()
+                chart.write.mode("overwrite").parquet(
+                    f"{self.store_path}/chart/epoch={epoch_id}"
+                )
+            finally:
+                chart.unpersist()
+        finally:
+            delta.unpersist()

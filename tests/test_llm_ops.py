@@ -3470,3 +3470,57 @@ def test_rle_audit_bucket_stitch_merges_border_runs(spark):
     assert got[("layout", "l_returnflag")] == (12, 2, 166)
     assert got[("layout", "l_linestatus")] == (12, 3, 250)
     assert got[("layout", "l_suppkey")] == (12, 1, 83)
+
+
+def test_seasonal_residual_ignores_weekly_pattern_and_flags_break(spark):
+    """A strong weekly profile (busy 'Mondays' at 800.00, quiet other
+    days at 100.00) must produce ZERO flags by itself — the property
+    level-based gates lack — while one broken Monday (at the quiet
+    level) and one spiked quiet day both flag against their own weekday
+    class. Classes are di % 7, so the test derives each row's class from
+    the epoch day exactly as the operator does."""
+    import datetime
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import outliers
+
+    base = datetime.datetime(2024, 3, 4, 6, 0, 0)  # arbitrary anchor
+    base_di = (base.date() - datetime.date(1970, 1, 1)).days
+    rows = []
+    for d in range(28):  # four full weeks
+        di = base_di + d
+        busy = di % 7 == 0
+        val = 800.0 if busy else 100.0
+        rows.append(
+            (d, base + datetime.timedelta(days=d), 1, "weekly", val, "{}")
+        )
+    # break week 4: the LAST busy day collapses to 100, one quiet day spikes
+    breaks = {}
+    for i, (eid, ts, u, t, v, p) in enumerate(rows):
+        di = base_di + eid
+        if di % 7 == 0 and eid >= 21:
+            breaks[i] = (eid, ts, u, t, 100.0, p)     # broken Monday
+        if di % 7 == 3 and eid >= 24:
+            breaks[i] = (eid, ts, u, t, 700.0, p)     # spiked quiet day
+    for i, r in breaks.items():
+        rows[i] = r
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    full = spark.createDataFrame(rows, schema)
+    with mock.patch.object(outliers, "load", lambda _s, _d, _t: full):
+        got = {
+            r.di: (r.dow, r.daily_cents, r.s_den, r.is_anomaly)
+            for r in outliers.anomaly_seasonal_residual(
+                spark, "ignored"
+            ).collect()
+        }
+    assert len(got) == 28
+    flagged = {di for di, (_w, _c, _n, f) in got.items() if f}
+    broken_monday = {base_di + e for e in range(21, 28) if (base_di + e) % 7 == 0}
+    spiked_quiet = {base_di + e for e in range(24, 28) if (base_di + e) % 7 == 3}
+    assert flagged == broken_monday | spiked_quiet
+    # every unbroken busy day sits in a 4-obs class and does NOT flag
+    for di, (dow, cents, s_den, f) in got.items():
+        if di not in flagged:
+            assert not f
+            assert s_den == 4

@@ -1450,3 +1450,71 @@ def test_sketch_and_gate_sinks_soak_bounded_stores(spark, tmp_path):
         "event_type", F.col("ts").cast("date").alias("day")
     ).distinct().count()
     assert cum_tail.count() <= n_keys * EWMA_LAGS
+
+
+def test_cusum_sink_matches_batch_chart_for_shuffled_splits(spark, tmp_path):
+    """The streaming CUSUM sink fed the stream in SHUFFLED micro-batches
+    (rows deliberately out of time order — the mergeable-partials
+    guarantee the tail sinks don't make) must end with exactly the batch
+    anomaly_cusum_gate chart over the whole stream; a replayed epoch
+    rewrites its delta identically and the re-run final chart still
+    matches."""
+    import datetime
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import outliers
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import CusumGateSink
+
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    rows, eid = [], 0
+    for d in range(30):
+        # two readings per day so days straddle micro-batches
+        for h in (3, 15):
+            val = 100.0 if d < 7 else 121.0  # drift after baseline
+            rows.append(
+                (eid, base + datetime.timedelta(days=d, hours=h), 1,
+                 "drift", val / 2, "{}")
+            )
+            eid += 1
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    full = spark.createDataFrame(rows, schema)
+    with mock.patch.object(outliers, "load", lambda _s, _d, _t: full):
+        want = {
+            tuple(r)
+            for r in outliers.anomaly_cusum_gate(spark, "ignored").collect()
+        }
+    assert any(r[-1] for r in want), "fixture must trip the chart"
+
+    # shuffled split: stride the rows so each epoch carries a scatter of
+    # days, late rows included
+    splits = [rows[i::4] for i in range(4)]
+    store = str(tmp_path / "cusum")
+    sink = CusumGateSink(spark, store)
+    for e, chunk in enumerate(splits):
+        sink(spark.createDataFrame(chunk, schema), e)
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(f"{store}/chart/epoch=3").collect()
+    }
+    assert got == want
+    assert sink.stats["shifts"] == sum(1 for r in want if r[-1])
+
+    # replay epoch 2: delta rewrites identically; re-run of the final
+    # epoch still reproduces the batch chart
+    before = {
+        tuple(r)
+        for r in spark.read.parquet(f"{store}/delta/epoch=2").collect()
+    }
+    sink(spark.createDataFrame(splits[2], schema), 2)
+    after = {
+        tuple(r)
+        for r in spark.read.parquet(f"{store}/delta/epoch=2").collect()
+    }
+    assert after == before
+    sink(spark.createDataFrame(splits[3], schema), 3)
+    got2 = {
+        tuple(r)
+        for r in spark.read.parquet(f"{store}/chart/epoch=3").collect()
+    }
+    assert got2 == want
