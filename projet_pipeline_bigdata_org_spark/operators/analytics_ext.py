@@ -2709,3 +2709,101 @@ def agg_shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return parts.unionByName(heavy).unionByName(summary)
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity of the training mixture — log-free concentration index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_simpson_diversity",
+    oracle="""
+    WITH g AS (
+      SELECT dim, grp, cnt FROM (
+        SELECT 'lang' AS dim, COALESCE(lang, '<null>') AS grp,
+               COUNT(*) AS cnt
+        FROM documents GROUP BY 2
+        UNION ALL
+        SELECT 'source' AS dim, COALESCE(source, '<null>') AS grp,
+               COUNT(*) AS cnt
+        FROM documents GROUP BY 2
+        UNION ALL
+        SELECT 'lang_x_source' AS dim,
+               COALESCE(lang, '<null>') || '|' || COALESCE(source, '<null>'),
+               COUNT(*)
+        FROM documents GROUP BY 2)
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           CAST(MAX(cnt) AS BIGINT) AS max_group,
+           CAST(SUM(CAST(cnt AS HUGEINT) * (cnt - 1)) * 1000
+                // (CAST(SUM(cnt) AS HUGEINT) * (SUM(cnt) - 1)) AS BIGINT)
+             AS simpson_milli,
+           CAST(MAX(cnt) * 1000 // SUM(cnt) AS BIGINT)
+             AS berger_parker_milli
+    FROM g GROUP BY dim
+    """,
+    tags=("llm", "agg", "curation", "documents"),
+)
+def agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration/diversity audit of the training mixture along its
+    lang, source, and joint dimensions — the balance check run before
+    fixing mixture weights (a corpus where one source owns 90% of
+    documents trains a different model than its doc count suggests).
+    Two LOG-FREE indices, chosen precisely because Shannon entropy's
+    transcendental log is not bit-reproducible across engines:
+    Simpson's index Σ n_i(n_i−1) / (N(N−1)) — the probability two
+    random documents share a group, 0 = perfectly diverse, 1000 milli =
+    monoculture — and Berger-Parker max n_i/N (the dominance of the
+    single largest group). Both are exact integer rationals under
+    truncating division, with the pair counts folded through
+    DECIMAL(38,0)/HUGEINT (n_i² wraps int64 past ~3e9 docs per group);
+    NULL groups collapse to a visible '<null>' token rather than
+    vanishing.
+
+    Scale shape: three map-side-combined groupBys over the corpus fold
+    to group tables bounded by |langs|, |sources|, and their product;
+    the index aggregation runs on those bounded tables. Output is 3
+    rows."""
+    d = load(spark, sf_dir, "documents")
+    lang = F.coalesce(F.col("lang"), F.lit("<null>"))
+    source = F.coalesce(F.col("source"), F.lit("<null>"))
+    dims = [
+        ("lang", lang),
+        ("source", source),
+        ("lang_x_source", F.concat(lang, F.lit("|"), source)),
+    ]
+    parts = None
+    for name, expr in dims:
+        p = d.groupBy(expr.alias("grp")).agg(F.count(F.lit(1)).alias("cnt")).select(
+            F.lit(name).alias("dim"), "grp", "cnt"
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    return (
+        parts.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("cnt").cast("long").alias("n_docs"),
+            F.max("cnt").cast("long").alias("max_group"),
+            F.sum(
+                F.col("cnt").cast("decimal(19,0)") * (F.col("cnt") - 1)
+            )
+            .cast("decimal(38,0)")
+            .alias("_pairs"),
+        )
+        .select(
+            "dim",
+            "n_groups",
+            "n_docs",
+            "max_group",
+            F.expr(
+                "CAST(_pairs * 1000 div (CAST(n_docs AS DECIMAL(19,0))"
+                " * (n_docs - 1)) AS BIGINT)"
+            ).alias("simpson_milli"),
+            F.expr("CAST(max_group * 1000 div n_docs AS BIGINT)").alias(
+                "berger_parker_milli"
+            ),
+        )
+    )

@@ -1558,3 +1558,83 @@ def arrange_rle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag", "l_linestatus", "l_shipdate", "l_orderkey", "l_linenumber"],
     )
     return nat.unionByName(lay)
+
+
+# ---------------------------------------------------------------------------
+# compaction planner — deterministic contiguous bin-packing of small files
+# ---------------------------------------------------------------------------
+
+#: target rows per compacted output file (stand-in for a byte budget)
+COMPACT_TARGET_ROWS = 2_000
+
+
+@query(
+    "arrange_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT o_orderdate AS day, COUNT(*) AS n_rows
+      FROM orders GROUP BY o_orderdate
+    ), c AS (
+      SELECT day, n_rows,
+             SUM(n_rows) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               - n_rows AS cum_before
+      FROM files
+    ), binned AS (
+      SELECT day, n_rows, cum_before // {COMPACT_TARGET_ROWS} AS bin
+      FROM c
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           STRFTIME(MIN(day), '%Y-%m-%d') AS first_day,
+           STRFTIME(MAX(day), '%Y-%m-%d') AS last_day,
+           CAST(SUM(n_rows) * 1000 // {COMPACT_TARGET_ROWS} AS BIGINT)
+             AS fill_milli
+    FROM binned GROUP BY bin
+    """,
+    tags=("relational", "lake", "orders"),
+)
+def arrange_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the maintenance pass every lake
+    runs (Delta OPTIMIZE / Iceberg rewrite_data_files): treat each
+    o_orderdate partition's row count as a small file in date order and
+    pack CONTIGUOUS runs into target-budget output files by the
+    quota-crossing rule (a file belongs to bin floor(cum_before /
+    target)) — contiguity preserves the date clustering the layout
+    already paid for (pack-by-size would destroy footer-stats pruning),
+    and the rule is a pure running-sum window, deterministic and
+    identical in both engines (unlike greedy close-on-overflow, whose
+    bins depend on evaluation order in a distributed fold). Bins can
+    exceed the target by at most one trailing file — the documented
+    tradeoff of quota packing. Emits each planned output file's
+    fill_milli so under/over-packed bins are visible.
+
+    Scale shape: the per-partition size rollup is the one stream-sized
+    op (map-side combined, shuffle bounded by |days|); the running sum
+    windows over the bounded file table (the stat_histogram_quantiles
+    bounded-window discipline); output is |bins| rows. At a real lake
+    the file table comes from the transaction log, not a scan —
+    the planner half is unchanged."""
+    o = load(spark, sf_dir, "orders")
+    files = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    binned = files.select(
+        "day",
+        "n_rows",
+        F.expr(
+            f"CAST((SUM(n_rows) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED"
+            f" PRECEDING AND CURRENT ROW) - n_rows) div {COMPACT_TARGET_ROWS}"
+            f" AS BIGINT)"
+        ).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day"),
+        F.expr(
+            f"CAST(SUM(n_rows) * 1000 div {COMPACT_TARGET_ROWS} AS BIGINT)"
+        ).alias("fill_milli"),
+    )

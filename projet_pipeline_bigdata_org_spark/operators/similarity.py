@@ -1915,3 +1915,133 @@ def embed_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# group-wise int4 quantization — the GPTQ/AWQ storage granularity
+# ---------------------------------------------------------------------------
+
+#: dims per quantization group (each group carries its own absmax scale)
+INT4_GROUP = 8
+INT4_GROUPS = EMBEDDING_DIM // INT4_GROUP
+#: symmetric int4 code range [-7, 7]
+INT4_MAX = 7
+
+
+@query(
+    "compress_int4_groupwise",
+    oracle=f"""
+    WITH t AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, x,
+        FLATTEN(LIST_TRANSFORM(GENERATE_SERIES(0, {INT4_GROUPS - 1}), g ->
+          LIST_TRANSFORM(LIST_SLICE(x, g*{INT4_GROUP}+1, g*{INT4_GROUP}+{INT4_GROUP}), v ->
+            CAST(FLOOR(v / (
+              CASE WHEN LIST_MAX(LIST_TRANSFORM(
+                     LIST_SLICE(x, g*{INT4_GROUP}+1, g*{INT4_GROUP}+{INT4_GROUP}),
+                     u -> ABS(u))) > 0
+                   THEN LIST_MAX(LIST_TRANSFORM(
+                     LIST_SLICE(x, g*{INT4_GROUP}+1, g*{INT4_GROUP}+{INT4_GROUP}),
+                     u -> ABS(u))) / {INT4_MAX}.0
+                   ELSE 1.0 END) + 0.5) AS INTEGER)))) AS codes,
+        LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(0, {INT4_GROUPS - 1}), g ->
+          LIST_REDUCE(
+            LIST_TRANSFORM(
+              LIST_ZIP(LIST_SLICE(x, g*{INT4_GROUP}+1, g*{INT4_GROUP}+{INT4_GROUP}),
+                       LIST_TRANSFORM(
+                         LIST_SLICE(x, g*{INT4_GROUP}+1, g*{INT4_GROUP}+{INT4_GROUP}), v ->
+                           CAST(FLOOR(v / (
+                             CASE WHEN LIST_MAX(LIST_TRANSFORM(
+                                    LIST_SLICE(x, g*{INT4_GROUP}+1, g*{INT4_GROUP}+{INT4_GROUP}),
+                                    u -> ABS(u))) > 0
+                                  THEN LIST_MAX(LIST_TRANSFORM(
+                                    LIST_SLICE(x, g*{INT4_GROUP}+1, g*{INT4_GROUP}+{INT4_GROUP}),
+                                    u -> ABS(u))) / {INT4_MAX}.0
+                                  ELSE 1.0 END) + 0.5) AS INTEGER))),
+              z -> (z[1] - z[2] * (
+                CASE WHEN LIST_MAX(LIST_TRANSFORM(
+                       LIST_SLICE(x, g*{INT4_GROUP}+1, g*{INT4_GROUP}+{INT4_GROUP}),
+                       u -> ABS(u))) > 0
+                     THEN LIST_MAX(LIST_TRANSFORM(
+                       LIST_SLICE(x, g*{INT4_GROUP}+1, g*{INT4_GROUP}+{INT4_GROUP}),
+                       u -> ABS(u))) / {INT4_MAX}.0
+                     ELSE 1.0 END))
+                * (z[1] - z[2] * (
+                CASE WHEN LIST_MAX(LIST_TRANSFORM(
+                       LIST_SLICE(x, g*{INT4_GROUP}+1, g*{INT4_GROUP}+{INT4_GROUP}),
+                       u -> ABS(u))) > 0
+                     THEN LIST_MAX(LIST_TRANSFORM(
+                       LIST_SLICE(x, g*{INT4_GROUP}+1, g*{INT4_GROUP}+{INT4_GROUP}),
+                       u -> ABS(u))) / {INT4_MAX}.0
+                     ELSE 1.0 END))),
+            (acc, v) -> acc + v)),
+          (acc, v) -> acc + v) / {EMBEDDING_DIM} AS mse
+      FROM t
+    )
+    SELECT vec_id,
+           ARRAY_TO_STRING(codes, ',') AS codes_csv,
+           mse
+    FROM q
+    """,
+    tags=("llm", "embedding", "quantize", "compression"),
+)
+def compress_int4_groupwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise symmetric int4 quantization — the storage granularity
+    modern LLM weight/embedding compression uses (GPTQ/AWQ group, each
+    {INT4_GROUP}-dim group scaled by its OWN absmax/{INT4_MAX}), vs the
+    per-vector int8 of ``embed_quantize_int8``: a single outlier
+    dimension now only widens its group's scale, not the whole vector's
+    — the motivation for group-wise scales in the quantization
+    literature. 4 bits/dim = 16x over float32; codes in [-{INT4_MAX},
+    {INT4_MAX}], zero-absmax groups take scale 1.0 (all-zero codes).
+
+    Exactness: the whole pipeline (group absmax, scale, half-up code
+    rounding, reconstruction MSE) is a fixed-order double expression
+    tree evaluated identically by both engines — codes ride the CSV
+    serialization (driver-canonicalizer discipline), MSE is a fixed
+    left-fold. No tolerance anywhere.
+
+    Scale shape: single projection, zero shuffle — a pure map stage
+    over the scan partitioning, like the int8 sibling; the nested
+    group lambdas stay inside one codegen'd expression."""
+    e = load(spark, sf_dir, "embeddings")
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    t = e.select("vec_id", x.alias("x"))
+
+    def _slice(g):
+        return F.slice(F.col("x"), g * INT4_GROUP + 1, F.lit(INT4_GROUP))
+
+    def _scale(g):
+        a = F.array_max(F.transform(_slice(g), lambda u: F.abs(u)))
+        return F.when(a > 0, a / float(INT4_MAX)).otherwise(F.lit(1.0))
+
+    def _codes(g):
+        return F.transform(
+            _slice(g), lambda v: F.floor(v / _scale(g) + 0.5).cast("int")
+        )
+
+    groups = F.sequence(F.lit(0), F.lit(INT4_GROUPS - 1))
+    codes = F.flatten(F.transform(groups, _codes))
+    err = F.aggregate(
+        F.transform(
+            groups,
+            lambda g: F.aggregate(
+                F.zip_with(
+                    _slice(g),
+                    _codes(g),
+                    lambda v, c: (v - c * _scale(g)) * (v - c * _scale(g)),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(EMBEDDING_DIM))
+    return t.select(
+        "vec_id",
+        F.array_join(codes.cast("array<string>"), ",").alias("codes_csv"),
+        err.alias("mse"),
+    )

@@ -945,3 +945,75 @@ def test_exclude_frame_windows_share_one_exchange(spark, sf_dir):
     df = _Q["window_exclude_frame"].fn(spark, sf_dir)
     p = plan_of(df)
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
+
+
+def test_skew_audit_heavy_keys_use_window_group_limit(spark, sf_dir):
+    """The heavy-key rank must never global-sort the key table: Spark
+    rewrites the rank<=K filter to per-partition heaps — either
+    WindowGroupLimit or (for the unpartitioned global rank) a
+    TakeOrderedAndProject limit under the window. After the one per-key
+    rollup every aggregate is partial-combined (two-phase)."""
+    df = _Q["agg_shuffle_skew_audit"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "WindowGroupLimit" in p or "TakeOrderedAndProject" in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_bm25_query_batch_broadcasts_terms_and_stats(spark, sf_dir, no_auto_broadcast):
+    """Term-at-a-time retrieval: the query-term table and corpus stats
+    ride explicit broadcasts (the corpus token stream must never be the
+    build side), and the per-query top-k is WindowGroupLimit-rewritten."""
+    df = _Q["bm25_query_topk"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert p.count("BroadcastExchange") >= 2, p
+    assert "WindowGroupLimit" in p, p
+
+
+def test_delta_postings_single_token_exchange(spark, sf_dir):
+    """The inverted-index build shuffles ONCE on the token key: document
+    frequency and the gap LAG share that partitioning (no second
+    corpus-sized exchange between the window and the final aggregate)."""
+    df = _Q["compress_delta_postings"].fn(spark, sf_dir)
+    p = plan_of(df)
+    # exchanges: one for distinct, one hashpartitioning(tok) for the
+    # window+agg chain, plus the single-partition gather at most
+    assert p.count("hashpartitioning(tok") <= 2, p
+    assert "Window" in p, p
+
+
+def test_rle_audit_windows_partition_by_bucket(spark, sf_dir):
+    """The per-row LAG windows must be partitioned by the bucket key —
+    a global unpartitioned window over lineitem rows would be the exact
+    single-partition funnel the operator exists to avoid. (The bounded
+    boundary-stitch window over the bucket TABLE is the only
+    unpartitioned one.)"""
+    df = _Q["arrange_rle_audit"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "partitionBy=[_bkt" in p.replace(" ", "") or "_bkt" in p, p
+    # the row-level windows carry the bucket in their partition spec
+    import re as _re
+
+    row_windows = [
+        w for w in _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
+    ]
+    assert any("_bkt" in w for w in row_windows), p
+
+
+def test_int4_groupwise_is_shuffle_free_projection(spark, sf_dir):
+    """Group-wise quantization is a pure map stage: zero exchanges in
+    the plan — it rides the scan partitioning at any scale."""
+    df = _Q["compress_int4_groupwise"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "Exchange" not in p, p
+
+
+def test_cusum_windows_over_bounded_daily_table(spark, sf_dir):
+    """Both chart windows run AFTER the daily rollup's aggregate — the
+    window input is the bounded (type, day) table, never raw events —
+    and the rollup itself is partial-combined before its exchange."""
+    df = _Q["anomaly_cusum_gate"].fn(spark, sf_dir)
+    p = plan_of(df)
+    first_window = p.find("Window")
+    assert first_window != -1
+    assert "HashAggregate" in p[first_window:], p
+    assert p.count("HashAggregate") >= 2, p
