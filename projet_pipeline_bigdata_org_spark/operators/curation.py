@@ -988,3 +988,99 @@ def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rn"),
     )
     return r.filter(F.col("rn") <= WEIGHTED_SAMPLE_K)
+
+
+# ---------------------------------------------------------------------------
+# classifier calibration audit — model margin vs the rule-based gate
+# ---------------------------------------------------------------------------
+
+#: reliability-diagram bins over the per-token margin range
+CALIB_BINS = 10
+
+
+def _calib_oracle() -> str:
+    from projet_pipeline_bigdata_org_spark.plans.registry import get as _get
+
+    clf = _get("curate_quality_classifier").oracle
+    rules = _get("lex_gopher_rules").oracle
+    half = QC_M // 2
+    return f"""
+    WITH clf AS ({clf}), rules AS ({rules})
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rule_keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rule_pass,
+           CAST(SUM(CASE WHEN rule_keep THEN 1 ELSE 0 END) * 1000
+                // COUNT(*) AS BIGINT) AS pass_milli,
+           CAST(MIN(margin) AS BIGINT) AS min_margin,
+           CAST(MAX(margin) AS BIGINT) AS max_margin
+    FROM (
+      SELECT CAST((clf.margin + {half} * clf.n_tokens) * {CALIB_BINS}
+                  // ({QC_M} * clf.n_tokens) AS BIGINT) AS bin,
+             clf.margin, rules.keep AS rule_keep
+      FROM clf JOIN rules ON rules.doc_id = clf.doc_id
+      WHERE clf.n_tokens > 0) t
+    GROUP BY bin
+    """
+
+
+@query(
+    "audit_calibration_bins",
+    oracle=_calib_oracle(),
+    tags=("llm", "quality", "audit", "documents"),
+)
+def audit_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration of the model-based quality
+    classifier against the INDEPENDENT rule-based Gopher gate — the
+    agreement audit a curation pipeline runs before trusting a learned
+    filter's threshold (if high-margin bins don't pass the heuristic
+    gate more often than low-margin bins, the classifier's score is not
+    a quality signal for this corpus). Documents bin by per-token
+    margin — the engine-portable all-nonnegative form
+    (margin + {QC_M // 2}·n)·{CALIB_BINS} div ({QC_M}·n), which avoids
+    the floor-vs-truncate divergence of negative integer division —
+    and each bin reports the Gopher pass rate in exact milli.
+
+    CERTIFIED COMPOSITION: both inputs are the registered operators
+    themselves (`curate_quality_classifier`, `lex_gopher_rules`), and
+    the ORACLE composes those operators' own certified oracle SQL as
+    CTEs — the audit cannot drift from the operators it audits, by
+    construction. Empty documents (n_tokens = 0) carry no margin signal
+    and are excluded.
+
+    Scale shape: two single-projection corpus passes (both inputs are
+    shuffle-free scan→flags pipelines) joined on doc_id, folded to
+    {CALIB_BINS} bins by one partial-agg'd groupBy."""
+    from projet_pipeline_bigdata_org_spark.operators.textops import text_gopher_rules
+
+    half = QC_M // 2
+    clf = curate_quality_classifier(spark, sf_dir).select(
+        "doc_id", "n_tokens", "margin"
+    )
+    rules = text_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rule_keep")
+    )
+    binned = (
+        clf.filter(F.col("n_tokens") > 0)
+        .join(rules, "doc_id")
+        .select(
+            F.expr(
+                f"CAST((margin + {half} * n_tokens) * {CALIB_BINS}"
+                f" div ({QC_M} * n_tokens) AS BIGINT)"
+            ).alias("bin"),
+            "margin",
+            "rule_keep",
+        )
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("rule_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rule_pass"),
+        F.expr(
+            "CAST(SUM(CASE WHEN rule_keep THEN 1 ELSE 0 END) * 1000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("pass_milli"),
+        F.min("margin").cast("long").alias("min_margin"),
+        F.max("margin").cast("long").alias("max_margin"),
+    )

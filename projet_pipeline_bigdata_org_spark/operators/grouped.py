@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from projet_pipeline_bigdata_org_spark.catalog import load
+from projet_pipeline_bigdata_org_spark.functions.hashing import hash_coin, sql_hash_coin
 from projet_pipeline_bigdata_org_spark.plans.registry import query
 
 
@@ -1369,3 +1370,132 @@ def algo_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     See ``common_neighbor_recs`` for the bounded-wedge scale shape."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return common_neighbor_recs(copurchase_pairs(li))
+
+
+# ---------------------------------------------------------------------------
+# deterministic random-walk sampling — the graph-embedding corpus generator
+# ---------------------------------------------------------------------------
+
+#: walks started (from the highest-degree nodes) and steps per walk
+WALK_SEEDS = 8
+WALK_LEN = 4
+#: step-mixing constant for the per-(walk, step) coin
+_WALK_STEP_MIX = 1009
+
+
+def _walk_coin(walk_id, step: int, dst):
+    """Deterministic neighbor-selection coin for (walk, step, candidate):
+    the portable hash_coin chained so every intermediate stays far below
+    int64 at any node-id magnitude."""
+    return hash_coin(hash_coin(walk_id) + F.lit(step * _WALK_STEP_MIX) + dst)
+
+
+def _sql_walk_coin(walk_id: str, step: int, dst: str) -> str:
+    return sql_hash_coin(
+        f"({sql_hash_coin(walk_id)} + {step * _WALK_STEP_MIX} + {dst})"
+    )
+
+
+def _walk_step_sql(prev: str, this: str, step: int) -> str:
+    coin = _sql_walk_coin("w.walk_id", step, "e.dst")
+    return f"""s{step} AS (
+      SELECT w.walk_id, e.dst, {coin} AS coin,
+             ROW_NUMBER() OVER (PARTITION BY w.walk_id
+                                ORDER BY {coin}, e.dst) AS rn
+      FROM {prev} w JOIN edges e ON e.src = w.node),
+    {this} AS (
+      SELECT walk_id, dst AS node, {step} AS step FROM s{step} WHERE rn = 1)"""
+
+
+@query(
+    "algo_walk_sampling",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    edges AS (
+      SELECT u AS src, v AS dst FROM pairs
+      UNION ALL
+      SELECT v AS src, u AS dst FROM pairs),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    seeds AS (
+      SELECT node FROM (
+        SELECT node, ROW_NUMBER() OVER (ORDER BY deg DESC, node) AS rn
+        FROM deg) t
+      WHERE rn <= {WALK_SEEDS}),
+    w0 AS (SELECT node AS walk_id, node, 0 AS step FROM seeds),
+    {','.join(_walk_step_sql(f'w{i}', f'w{i + 1}', i + 1)
+              for i in range(WALK_LEN))}
+    SELECT CAST(walk_id AS BIGINT) AS walk_id,
+           CAST(step AS BIGINT) AS step,
+           CAST(node AS BIGINT) AS node
+    FROM ({' UNION ALL '.join(f'SELECT * FROM w{i}'
+                              for i in range(WALK_LEN + 1))})
+    """,
+    tags=("graph", "iterative", "lineitem"),
+)
+def algo_walk_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk sampling over the part co-purchase
+    graph — the corpus generator of DeepWalk/node2vec (p = q = 1):
+    WALK_SEEDS walks from the highest-degree nodes, WALK_LEN steps each,
+    the next hop chosen uniformly-by-hash among the current node's
+    neighbors. The 'randomness' is the portable hash_coin chained over
+    (walk, step, candidate) — every engine, task retry, and partitioning
+    picks the IDENTICAL neighbor (argmin coin with a dst tie-break), so
+    the walk corpus is reproducible and oracle-checkable, unlike
+    rand()-driven samplers. Walks may revisit nodes (memoryless chain,
+    the DeepWalk default); a dead-end walk simply ends (cannot occur on
+    this symmetrized graph's top-degree seeds).
+
+    Scale shape: edges symmetrize once and persist hash-partitioned on
+    src (the iterative-graph persist discipline); each of the WALK_LEN
+    unrolled steps joins the WALK_SEEDS-row frontier (broadcast) against
+    the persisted edges and reduces per-walk with a rank-1 cut — per-step
+    shuffle is bounded by the frontier's adjacency, never |E|; seed
+    selection is a TakeOrdered top-{WALK_SEEDS} over the degree table."""
+    from pyspark.sql import Window as W
+
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = copurchase_pairs(li)
+    edges = _persist_scoped(
+        "walk_edges",
+        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .repartition("src"),
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    rn = F.row_number().over(W.orderBy(F.col("deg").desc(), "src"))
+    seeds = (
+        deg.withColumn("rn", rn)
+        .filter(F.col("rn") <= WALK_SEEDS)
+        .select(F.col("src").alias("walk_id"), F.col("src").alias("node"))
+    )
+    frontier = seeds.select("walk_id", "node", F.lit(0).alias("step"))
+    out = frontier
+    for s in range(1, WALK_LEN + 1):
+        coin = _walk_coin(F.col("walk_id"), s, F.col("dst"))
+        picked = (
+            F.broadcast(frontier.select("walk_id", "node"))
+            .join(edges, F.col("node") == F.col("src"))
+            .select("walk_id", "dst", coin.alias("coin"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("walk_id").orderBy("coin", "dst")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        frontier = picked.select(
+            "walk_id", F.col("dst").alias("node"), F.lit(s).alias("step")
+        )
+        out = out.unionByName(frontier)
+    return out.select(
+        F.col("walk_id").cast("long").alias("walk_id"),
+        F.col("step").cast("long").alias("step"),
+        F.col("node").cast("long").alias("node"),
+    )

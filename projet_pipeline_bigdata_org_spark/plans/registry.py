@@ -61,6 +61,11 @@ ROTATED: frozenset[str] = frozenset(
         "sketch_heavy_hitters",
         "stat_histogram_quantiles",
         "embed_mmr_topk",
+        # new-in-r11 queries pushed past slot 50 by other new-in-r11 names
+        # that sort earlier (caught by test_window_discipline in the same
+        # commit that added them):
+        "compress_delta_postings",
+        "compress_int4_groupwise",
     }
 )
 

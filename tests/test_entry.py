@@ -87,7 +87,9 @@ def test_rotation_displaces_only_covered_names():
             if v.get("spark_rows") is not None or v.get("hash_match"):
                 covered.add(canon)
     canon_names = sorted(n.removeprefix("a0_") for n in entrymod.queries())
-    with_rot = set(sorted(entrymod.queries())[:50])
+    with_rot = {
+        n.removeprefix("a0_") for n in sorted(entrymod.queries())[:50]
+    }
     without_rot = set(sorted(canon_names)[:50])
     displaced = {n for n in without_rot if n not in with_rot}
     uncovered = sorted(n for n in displaced if n not in covered)

@@ -3524,3 +3524,94 @@ def test_seasonal_residual_ignores_weekly_pattern_and_flags_break(spark):
         if di not in flagged:
             assert not f
             assert s_den == 4
+
+
+def test_walk_sampling_replays_coin_argmin_in_python(spark):
+    """The walk's neighbor choice pinned from first principles: on a
+    crafted graph (hub with three spokes, plus a chain) the next hop at
+    every step must be the argmin of the portable hash_coin over
+    (walk, step, candidate), replayed here in plain Python with the
+    published constants — and the walk length/step structure must be
+    exactly WALK_LEN + 1 rows per walk."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.functions.hashing import KNUTH, PRIME32
+    from projet_pipeline_bigdata_org_spark.operators import grouped
+
+    def coin(key):
+        return (key % PRIME32) * KNUTH % PRIME32
+
+    # orders: basket {1,2,3,4} makes a clique; baskets chain 4-5, 5-6
+    rows = []
+    for o, parts in [(10, [1, 2, 3, 4]), (11, [4, 5]), (12, [5, 6])]:
+        for pkey in parts:
+            rows.append((o, pkey))
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    with mock.patch.object(grouped, "load", lambda _s, _d, _t: li):
+        got = sorted(
+            (r.walk_id, r.step, r.node)
+            for r in grouped.algo_walk_sampling(spark, "ignored").collect()
+        )
+
+    # rebuild adjacency + replay in python
+    import itertools
+
+    edges = set()
+    for o, parts in [(10, [1, 2, 3, 4]), (11, [4, 5]), (12, [5, 6])]:
+        for u, v in itertools.combinations(sorted(parts), 2):
+            edges.add((u, v))
+            edges.add((v, u))
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    deg = {u: len(vs) for u, vs in adj.items()}
+    seeds = sorted(deg, key=lambda n: (-deg[n], n))[: grouped.WALK_SEEDS]
+    want = []
+    for s0 in seeds:
+        cur = s0
+        want.append((s0, 0, s0))
+        for step in range(1, grouped.WALK_LEN + 1):
+            cur = min(
+                adj[cur],
+                key=lambda d: (
+                    coin(coin(s0) + step * grouped._WALK_STEP_MIX + d),
+                    d,
+                ),
+            )
+            want.append((s0, step, cur))
+    assert got == sorted(want)
+
+
+def test_calibration_bins_cover_margin_extremes(spark):
+    """The all-nonnegative bin formula pinned at its edges: a document of
+    maximally-negative per-token margin lands in bin 0, maximally
+    positive in bin CALIB_BINS-1, and the n_tokens=0 document is
+    excluded. Uses synthetic margin/keep tables through the same bin
+    arithmetic the operator applies."""
+    from pyspark.sql import functions as F
+
+    from projet_pipeline_bigdata_org_spark.operators.curation import (
+        CALIB_BINS,
+        QC_M,
+    )
+
+    half = QC_M // 2
+    rows = [
+        (1, 10, -half * 10),   # all tokens at the minimum weight
+        (2, 10, half * 10),    # all tokens at the maximum weight
+        (3, 7, 0),             # dead-center
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, margin long")
+    got = {
+        r.doc_id: r.bin
+        for r in df.select(
+            "doc_id",
+            F.expr(
+                f"CAST((margin + {half} * n_tokens) * {CALIB_BINS}"
+                f" div ({QC_M} * n_tokens) AS BIGINT)"
+            ).alias("bin"),
+        ).collect()
+    }
+    assert got[1] == 0
+    assert got[2] == CALIB_BINS - 1
+    assert got[3] == CALIB_BINS // 2 - (1 if CALIB_BINS % 2 == 0 else 0)
