@@ -2807,3 +2807,170 @@ def agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals — error bars without resampling scans
+# ---------------------------------------------------------------------------
+
+#: bootstrap resamples (one weight column each, single corpus pass)
+BOOT_B = 32
+#: per-(row, resample) coin mixing constant
+_BOOT_MIX = 7919
+
+#: inverse-CDF thresholds of Poisson(1) scaled to the coin range [0, P):
+#: weight k iff t_{k-1} <= coin < t_k (cap at 6; tail mass ~8e-5)
+import math as _math
+
+from projet_pipeline_bigdata_org_spark.functions.hashing import PRIME32 as _P32
+
+_BOOT_THRESH: tuple[int, ...] = tuple(
+    int(round(sum(_math.exp(-1) / _math.factorial(i) for i in range(k + 1)) * _P32))
+    for k in range(6)
+)
+
+
+def _boot_weight_sql(coin: str) -> str:
+    cases = " ".join(
+        f"WHEN {coin} < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH)
+    )
+    return f"(CASE {cases} ELSE 6 END)"
+
+
+def boot_weight(coin) -> F.Column:
+    """Pseudo-Poisson(1) weight from a uniform coin — the fixed integer
+    threshold table both engines share."""
+    expr = None
+    for k, t in enumerate(_BOOT_THRESH):
+        expr = (
+            F.when(coin < F.lit(t), F.lit(k))
+            if expr is None
+            else expr.when(coin < F.lit(t), F.lit(k))
+        )
+    return expr.otherwise(F.lit(6))
+
+
+def _boot_oracle() -> str:
+    from projet_pipeline_bigdata_org_spark.operators.outliers import (
+        SQL_CLAMPED_CENTS,
+    )
+
+    coin = sql_hash_coin(f"({sql_hash_coin('event_id')} + b * {_BOOT_MIX})")
+    return _BOOT_ORACLE_TEMPLATE.format(clamped=SQL_CLAMPED_CENTS, coin=coin)
+
+
+_BOOT_ORACLE_TEMPLATE = f"""
+    WITH e AS (
+      SELECT event_id, event_type,
+             COALESCE({{clamped}}, 0) AS cents
+      FROM events
+    ), w AS (
+      SELECT event_type, b,
+             {_boot_weight_sql('c2')} AS w, cents
+      FROM (
+        SELECT event_type, cents, b,
+               {{coin}} AS c2
+        FROM e CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {BOOT_B - 1})) AS b) bs
+      ) t
+    ), means AS (
+      SELECT event_type, b,
+             CAST(SUM(CAST(w AS HUGEINT) * cents) AS BIGINT) AS s_b,
+             CAST(SUM(w) AS BIGINT) AS n_b,
+             CAST(SUM(CAST(w AS HUGEINT) * cents) AS DOUBLE)
+               / CAST(SUM(w) AS DOUBLE) AS mean_b
+      FROM w GROUP BY event_type, b
+    ), ranked AS (
+      SELECT event_type, mean_b,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY mean_b, b) AS rn
+      FROM means
+    ), full_m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / COUNT(*)
+               AS mean_cents
+      FROM e GROUP BY event_type
+    )
+    SELECT f.event_type, f.n_events, f.mean_cents,
+           MIN(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
+           MIN(CASE WHEN rn = {BOOT_B - 1} THEN mean_b END) AS ci_hi
+    FROM full_m f JOIN ranked r ON r.event_type = f.event_type
+    GROUP BY f.event_type, f.n_events, f.mean_cents
+    """
+
+
+@query(
+    "agg_bootstrap_ci",
+    oracle=_boot_oracle(),
+    tags=("agg", "statistics", "events"),
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-type mean event
+    value (in cents) — the error bars a metrics pipeline should publish
+    beside every mean, computed the way a DISTRIBUTED bootstrap must be
+    (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+    Google 2012): classical resampling-with-replacement needs the full
+    sample per resample (impossible at scale), the Poisson bootstrap
+    gives each row an independent Poisson(1) multiplicity PER RESAMPLE —
+    one corpus pass computes all {BOOT_B} resampled means.
+
+    Determinism: the Poisson draw is the portable hash_coin over
+    (event, resample) pushed through a fixed integer inverse-CDF
+    threshold table (weights 0..6, tail mass ~8e-5 folded into 6) — no
+    rand(), so every engine/retry/partitioning produces the identical
+    resample weights, and the whole statistic is oracle-checkable.
+    Resample sums fold exactly (wide integers); each mean is one
+    long/long double division; the interval is the (2/{BOOT_B},
+    {BOOT_B - 1}/{BOOT_B}) order statistics of the {BOOT_B} means with
+    a deterministic resample-id tie-break.
+
+    Scale shape: the explode is x{BOOT_B} on the event stream but folds
+    immediately in a map-side-combined groupBy (shuffle = types x
+    {BOOT_B} partials, not rows); the rank runs over {BOOT_B} rows per
+    type. NULL readings carry zero cents (present in n_events, inert in
+    the mean — matching the full-mean denominator)."""
+    from projet_pipeline_bigdata_org_spark.operators.outliers import clamped_cents
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.coalesce(clamped_cents(), F.lit(0)).alias("cents"),
+    )
+    bs = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
+    coin = hash_coin(hash_coin(F.col("event_id")) + F.col("b") * _BOOT_MIX)
+    w = e.select("event_id", "event_type", "cents", bs).select(
+        "event_type", "cents", "b", boot_weight(coin).alias("w")
+    )
+    means = w.groupBy("event_type", "b").agg(
+        F.sum(F.col("w").cast("decimal(19,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("s_b"),
+        F.sum("w").cast("long").alias("n_b"),
+    ).select(
+        "event_type",
+        "b",
+        (F.col("s_b").cast("double") / F.col("n_b").cast("double")).alias(
+            "mean_b"
+        ),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("event_type").orderBy("mean_b", "b")
+    )
+    ranked = means.withColumn("rn", rn)
+    full_m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (
+            F.sum(F.col("cents").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_cents"),
+    )
+    return (
+        full_m.join(ranked, "event_type")
+        .groupBy("event_type", "n_events", "mean_cents")
+        .agg(
+            F.min(F.when(F.col("rn") == 2, F.col("mean_b"))).alias("ci_lo"),
+            F.min(F.when(F.col("rn") == BOOT_B - 1, F.col("mean_b"))).alias(
+                "ci_hi"
+            ),
+        )
+    )

@@ -959,3 +959,81 @@ def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(inum.cast("double") / iden.cast("double"))
         .alias("intercept"),
     )
+
+
+@query(
+    "cdc_apply_changes",
+    oracle=f"""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{CDC_NEW_LO} 00:00:00'
+      AND o_orderdate <  TIMESTAMP '{CDC_HI} 00:00:00'
+    GROUP BY o_custkey
+    """,
+    tags=("relational", "cdc", "orders"),
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-apply of the change feed — the consuming half of the CDC
+    loop (``cdc_snapshot_diff`` derives WHAT changed; this applies it):
+    the OLD snapshot state table merged with the published change rows
+    under standard MERGE semantics (delete removes the key, insert adds
+    it, update replaces the payload, keys without a change row carry
+    forward unchanged). The ORACLE computes the NEW snapshot DIRECTLY
+    from the raw orders — so a driver match is the ROUNDTRIP PROOF:
+    old_state + derived_changes ≡ new_state, certifying both the diff's
+    completeness (a missed change would leave a stale carried-forward
+    row) and the apply's semantics (a mis-applied op would corrupt a
+    payload), row for row, key for key.
+
+    Scale shape: the old snapshot is one windowed-filter groupBy (filter
+    pushed to the scan); the change feed reuses
+    ``cdc_snapshot_diff_frame`` (single-scan conditional aggregation);
+    the apply is ONE full-outer join on the key — exactly the shuffle a
+    real MERGE INTO performs — with the carried-forward majority never
+    rewritten anywhere but here (at a lakehouse this join is the
+    file-rewrite planner's input)."""
+    ts = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    orders = load(spark, sf_dir, "orders")
+    old = (
+        orders.filter(
+            (F.col("o_orderdate") >= ts(CDC_LO))
+            & (F.col("o_orderdate") < ts(CDC_OLD_HI))
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("old_n"),
+            F.sum(dec("o_totalprice")).alias("old_t"),
+            F.max("o_orderkey").cast("long").alias("old_m"),
+        )
+    )
+    diff = cdc_snapshot_diff_frame(orders).select(
+        F.col("o_custkey").alias("d_custkey"),
+        "change_op",
+        "new_n_orders",
+        "new_total",
+        "new_max_orderkey",
+    )
+    merged = old.join(
+        diff, old["o_custkey"] == diff["d_custkey"], "full_outer"
+    )
+    no_change = F.col("change_op").isNull()
+    return (
+        merged.filter(F.col("change_op").isNull() | (F.col("change_op") != "delete"))
+        .select(
+            F.coalesce(F.col("o_custkey"), F.col("d_custkey")).alias("o_custkey"),
+            F.when(no_change, F.col("old_n"))
+            .otherwise(F.col("new_n_orders"))
+            .cast("long")
+            .alias("n_orders"),
+            F.when(no_change, F.col("old_t").cast("double"))
+            .otherwise(F.col("new_total"))
+            .alias("total"),
+            F.when(no_change, F.col("old_m"))
+            .otherwise(F.col("new_max_orderkey"))
+            .cast("long")
+            .alias("max_orderkey"),
+        )
+    )

@@ -66,6 +66,7 @@ ROTATED: frozenset[str] = frozenset(
         # commit that added them):
         "compress_delta_postings",
         "compress_int4_groupwise",
+        "cdc_apply_changes",
     }
 )
 

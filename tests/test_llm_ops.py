@@ -3615,3 +3615,58 @@ def test_calibration_bins_cover_margin_extremes(spark):
     assert got[1] == 0
     assert got[2] == CALIB_BINS - 1
     assert got[3] == CALIB_BINS // 2 - (1 if CALIB_BINS % 2 == 0 else 0)
+
+
+def test_bootstrap_ci_replays_poisson_weights_in_python(spark):
+    """The Poisson-bootstrap machinery pinned from first principles on a
+    crafted stream: plain-Python replay of the coin → threshold-table
+    weight draw reproduces every resampled mean, the emitted interval is
+    exactly the (2nd, B-1th) order statistics of those means, and weight
+    frequencies look Poisson(1)-ish (more 0/1 than >=3)."""
+    import datetime
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.functions.hashing import KNUTH, PRIME32
+    from projet_pipeline_bigdata_org_spark.operators import analytics_ext as ax
+    from projet_pipeline_bigdata_org_spark.operators import outliers
+
+    def coin(key):
+        return (key % PRIME32) * KNUTH % PRIME32
+
+    def weight(c):
+        for k, t in enumerate(ax._BOOT_THRESH):
+            if c < t:
+                return k
+        return 6
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(seconds=i), 1, "t", float(10 + i % 7), "{}")
+        for i in range(200)
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    full = spark.createDataFrame(rows, schema)
+    with mock.patch.object(ax, "load", lambda _s, _d, _t: full):
+        got = ax.agg_bootstrap_ci(spark, "ignored").collect()[0]
+
+    cents = [int(round((10 + i % 7) * 100)) for i in range(200)]
+    means = []
+    weight_counts = {}
+    for b in range(ax.BOOT_B):
+        s_b = n_b = 0
+        for i, c in enumerate(cents):
+            w = weight(coin(coin(i) + b * ax._BOOT_MIX))
+            weight_counts[w] = weight_counts.get(w, 0) + 1
+            s_b += w * c
+            n_b += w
+        means.append((s_b / n_b, b))
+    means.sort()
+    assert got.n_events == 200
+    assert got.mean_cents == sum(cents) / 200
+    assert got.ci_lo == means[1][0]
+    assert got.ci_hi == means[ax.BOOT_B - 2][0]
+    assert got.ci_lo <= got.mean_cents <= got.ci_hi
+    assert weight_counts.get(0, 0) + weight_counts.get(1, 0) > sum(
+        v for k, v in weight_counts.items() if k >= 3
+    )
