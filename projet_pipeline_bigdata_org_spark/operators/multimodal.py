@@ -315,10 +315,23 @@ def _gif_fixture(w: int, h: int, frames: int) -> bytes:
     return b"GIF89a" + screen + (gce + img) * frames + b"\x3b"
 
 
+def wav_fixture_samples(channels: int, frames: int) -> np.ndarray:
+    """Deterministic (frames, channels) int16 test waveform — per-channel
+    integer sawtooth with coprime periods, so every sample is a pure
+    function of (frame, channel) and any level/resample result derives
+    from the constants alone (the bmp_fixture_pixels discipline for
+    audio)."""
+    i = np.arange(frames, dtype=np.int64)[:, None]
+    c = np.arange(channels, dtype=np.int64)[None, :]
+    return (((i * (251 + 17 * c)) % 2048) - 1024).astype(np.int16)
+
+
 def _wav_fixture(sample_rate: int, channels: int, frames: int) -> bytes:
-    """Canonical 16-bit PCM WAV: RIFF header + fmt chunk + data chunk whose
-    byte size is frames * block_align (samples themselves are zeros — the
-    parser never reads them)."""
+    """Canonical 16-bit PCM WAV: RIFF header + fmt chunk + data chunk
+    carrying the REAL ``wav_fixture_samples`` waveform (r11: interleaved
+    little-endian int16 — so the registered binaryFile queries exercise
+    the pure-Python PCM decode path on true samples, not just header
+    constants)."""
     bits = 16
     block_align = channels * bits // 8
     fmt_body = (
@@ -329,7 +342,10 @@ def _wav_fixture(sample_rate: int, channels: int, frames: int) -> bytes:
         + block_align.to_bytes(2, "little")
         + bits.to_bytes(2, "little")
     )
-    data_body = bytes(frames * block_align)
+    data_body = (
+        wav_fixture_samples(channels, frames).astype("<i2").tobytes()
+    )
+    assert len(data_body) == frames * block_align
     chunks = (
         b"fmt " + len(fmt_body).to_bytes(4, "little") + fmt_body
         + b"data" + len(data_body).to_bytes(4, "little") + data_body
@@ -1096,4 +1112,127 @@ def phash_band_pairs(h: DataFrame) -> DataFrame:
         .join(hb, F.col("hb.doc_id") == F.col("b_id"))
         .select("a_id", "b_id", ham.alias("hamming"))
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL PCM audio seam (r11): 16-bit PCM WAV is codec-free, so a pure-Python
+# decoder reads true samples — the audio twin of the BMP/PPM pixel seam
+# ---------------------------------------------------------------------------
+
+
+def decode_wav_pcm(payload: bytes) -> np.ndarray:
+    """16-bit PCM WAV → (frames, channels) int16 sample array. Real
+    decode, no codec: RIFF chunk walk, fmt must declare PCM/16-bit, data
+    chunk parsed as interleaved little-endian int16. Anything this
+    decoder cannot faithfully read (compressed formats, other bit
+    depths, truncated data) raises NotImplementedError — the callers'
+    real-or-stub contract, never a wrong sample."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE stream")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise NotImplementedError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise NotImplementedError("WAV missing fmt/data chunk")
+    codec = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if codec != 1 or bits != 16 or channels < 1:
+        raise NotImplementedError("non-16-bit-PCM WAV needs a codec")
+    block = channels * 2
+    if len(data) % block:
+        raise NotImplementedError("WAV data not frame-aligned")
+    return (
+        np.frombuffer(data, dtype="<i2").reshape(len(data) // block, channels)
+    )
+
+
+def wav_levels_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: WAV payload → per-file exact level statistics
+    from TRUE samples — peak absolute amplitude and the int64 sum of
+    squares (the RMS numerator; sqrt stays out so every emitted value is
+    an exact integer). Non-audio payloads drop on their DECODED mime;
+    payloads whose PCM cannot be faithfully read raise (a level audit
+    must never silently report zeros for real audio)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            meta = decode_media(payload)
+            if meta["mime"] != "audio/wav":
+                continue
+            s = decode_wav_pcm(bytes(payload)).astype(np.int64)
+            rows.append(
+                (
+                    doc_id,
+                    meta["width"],            # sample rate (decode_media convention)
+                    s.shape[1],
+                    s.shape[0],
+                    int(np.abs(s).max()) if s.size else 0,
+                    int((s * s).sum()),
+                )
+            )
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_channels", "n_frames",
+                    "peak_abs", "sum_sq",
+                ],
+            )
+
+
+WAV_LEVELS_SCHEMA = (
+    "doc_id long, sample_rate long, n_channels long, n_frames long, "
+    "peak_abs long, sum_sq long"
+)
+
+
+@query(
+    "mm_wav_pcm_levels",
+    oracle=f"""
+    WITH grid AS (
+      SELECT i.i, c.c,
+             ((i.i * (251 + 17 * c.c)) % 2048) - 1024 AS v
+      FROM (SELECT UNNEST(GENERATE_SERIES(0, {_MM_WAV[3] - 1})) AS i) i
+      CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {_MM_WAV[2] - 1})) AS c) c
+    )
+    SELECT CAST({_MM_WAV[0]} AS BIGINT) AS doc_id,
+           CAST({_MM_WAV[1]} AS BIGINT) AS sample_rate,
+           CAST({_MM_WAV[2]} AS BIGINT) AS n_channels,
+           CAST({_MM_WAV[3]} AS BIGINT) AS n_frames,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq
+    FROM grid
+    """,
+    tags=("llm", "multimodal"),
+)
+def mm_wav_pcm_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio level audit over the binaryFile ingestion path on TRUE PCM
+    samples — the audio twin of the real-pixel seam: real files →
+    binaryFile scan → mapInPandas PCM decode (``decode_wav_pcm``, pure
+    Python — 16-bit PCM needs no codec) → exact integer levels (peak
+    amplitude, sum of squared samples). The ORACLE regenerates the
+    waveform from the construction formula alone, so a driver hash match
+    certifies the RIFF walk, the int16 interleave parse, and the level
+    arithmetic end-to-end on every sample — not just header fields.
+    Non-audio files in the same directory drop on their DECODED mime
+    (the bytes decide, never the filename).
+
+    Scale shape: identical to decode_binary_media — executor-side
+    listing/read, embarrassingly parallel kernel, whole payloads per
+    task; emitted statistics are O(files), the samples never leave the
+    kernel. Compressed audio (MP3/AAC) stays behind the documented
+    NotImplementedError stub exactly like PNG/JPEG pixels."""
+    return _media_fixture_payloads(spark).mapInPandas(
+        wav_levels_batches, schema=WAV_LEVELS_SCHEMA
     )

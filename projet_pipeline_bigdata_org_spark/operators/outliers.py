@@ -858,3 +858,98 @@ def anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.abs(resid) > F.lit(SEASONAL_THRESHOLD_CENTS) * F.col("s_den"))
         ).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# row-pattern recognition — MATCH_RECOGNIZE semantics as LEAD chains
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_match_recognize",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(COALESCE({SQL_CLAMPED_CENTS}, 0)) AS HUGEINT)
+               AS daily_cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    l AS (
+      SELECT event_type, day, daily_cents,
+             LEAD(daily_cents, 1) OVER w AS d1,
+             LEAD(daily_cents, 2) OVER w AS d2,
+             LEAD(daily_cents, 3) OVER w AS d3,
+             LEAD(daily_cents, 4) OVER w AS d4,
+             LEAD(day, 2) OVER w AS trough_day,
+             LEAD(day, 4) OVER w AS end_day
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type,
+           STRFTIME(day, '%Y-%m-%d') AS start_day,
+           STRFTIME(trough_day, '%Y-%m-%d') AS trough_day,
+           STRFTIME(end_day, '%Y-%m-%d') AS end_day,
+           CAST(daily_cents AS BIGINT) AS start_cents,
+           CAST(d2 AS BIGINT) AS trough_cents,
+           CAST(d4 AS BIGINT) AS end_cents,
+           CAST(daily_cents - d2 AS BIGINT) AS depth_cents,
+           CAST(d4 - d2 AS BIGINT) AS recovery_cents
+    FROM l
+    WHERE d4 IS NOT NULL
+      AND daily_cents > d1 AND d1 > d2
+      AND d3 > d2 AND d4 > d3
+    """,
+    tags=("events", "window", "timeseries", "agg"),
+)
+def agg_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern recognition — SQL:2016 MATCH_RECOGNIZE's
+    ``PATTERN (STRT DOWN DOWN UP UP)`` over per-type daily totals,
+    provided as a composition since NEITHER engine ships the clause
+    (Spark has no MATCH_RECOGNIZE; DuckDB likewise): a fixed-length
+    pattern over ROW adjacency compiles to a LEAD chain sharing ONE
+    window — row i opens a match iff the next four rows satisfy the
+    per-step predicates (strict fall, strict fall, strict rise, strict
+    rise). This is the V-shape / dip-and-recovery detector a spend or
+    volume monitor runs; emitted evidence (start/trough/end days and
+    cents, depth, recovery) is exactly MATCH_RECOGNIZE's MEASURES
+    clause. ALL overlapping matches are reported (AFTER MATCH SKIP TO
+    NEXT ROW semantics — the most informative default; consumers
+    wanting SKIP PAST LAST ROW filter on start_day spacing downstream).
+
+    Adjacency is ROW adjacency in the ordered daily series (the
+    MATCH_RECOGNIZE contract), not calendar adjacency — a missing day
+    simply does not produce a row, like a gap in a ticker. Wide-integer
+    daily sums (the r11 discipline); every comparison and measure is
+    exact integer arithmetic.
+
+    Scale shape: one map-side-combined daily rollup (types x days), the
+    four LEADs share one window partitioned by type over the bounded
+    daily table, matches filter map-side."""
+    daily = cusum_daily(load(spark, sf_dir, "events"))
+    wl = W.partitionBy("event_type").orderBy("day")
+    l = daily.select(
+        "event_type",
+        "day",
+        "daily_cents",
+        F.lead("daily_cents", 1).over(wl).alias("d1"),
+        F.lead("daily_cents", 2).over(wl).alias("d2"),
+        F.lead("daily_cents", 3).over(wl).alias("d3"),
+        F.lead("daily_cents", 4).over(wl).alias("d4"),
+        F.lead("day", 2).over(wl).alias("trough_day"),
+        F.lead("day", 4).over(wl).alias("end_day"),
+    )
+    return l.filter(
+        F.col("d4").isNotNull()
+        & (F.col("daily_cents") > F.col("d1"))
+        & (F.col("d1") > F.col("d2"))
+        & (F.col("d3") > F.col("d2"))
+        & (F.col("d4") > F.col("d3"))
+    ).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("start_day"),
+        F.date_format("trough_day", "yyyy-MM-dd").alias("trough_day"),
+        F.date_format("end_day", "yyyy-MM-dd").alias("end_day"),
+        F.col("daily_cents").cast("long").alias("start_cents"),
+        F.col("d2").cast("long").alias("trough_cents"),
+        F.col("d4").cast("long").alias("end_cents"),
+        (F.col("daily_cents") - F.col("d2")).cast("long").alias("depth_cents"),
+        (F.col("d4") - F.col("d2")).cast("long").alias("recovery_cents"),
+    )

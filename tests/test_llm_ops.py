@@ -3670,3 +3670,111 @@ def test_bootstrap_ci_replays_poisson_weights_in_python(spark):
     assert weight_counts.get(0, 0) + weight_counts.get(1, 0) > sum(
         v for k, v in weight_counts.items() if k >= 3
     )
+
+
+def test_wav_pcm_decoder_roundtrip_and_reject():
+    """decode_wav_pcm reads back the exact int16 waveform the fixture
+    embeds (byte-level round-trip through a real RIFF walk), and every
+    unreadable variant — truncated data, 8-bit depth, non-PCM codec,
+    misaligned data chunk — raises NotImplementedError."""
+    import numpy as np
+    import pytest
+
+    from projet_pipeline_bigdata_org_spark.operators.multimodal import (
+        _wav_fixture,
+        decode_wav_pcm,
+        wav_fixture_samples,
+    )
+
+    for ch, fr in ((2, 480), (1, 7), (3, 64)):
+        payload = _wav_fixture(44_100, ch, fr)
+        s = decode_wav_pcm(payload)
+        assert s.shape == (fr, ch)
+        assert np.array_equal(s, wav_fixture_samples(ch, fr))
+
+    good = _wav_fixture(44_100, 2, 480)
+    eight_bit = bytearray(good)
+    eight_bit[34:36] = (8).to_bytes(2, "little")   # bits-per-sample field
+    adpcm = bytearray(good)
+    adpcm[20:22] = (2).to_bytes(2, "little")       # codec field
+    for bad in (good[:-3], bytes(eight_bit), bytes(adpcm), b"RIFFxxxxWAVE"):
+        with pytest.raises(NotImplementedError):
+            decode_wav_pcm(bytes(bad))
+
+
+def test_wav_levels_kernel_true_samples_and_mime_dispatch():
+    """The level kernel computes peak/sum-of-squares from TRUE samples
+    (checked against a plain-Python fold over the construction formula)
+    and drops non-audio payloads on their decoded mime."""
+    import pandas as pd
+
+    from projet_pipeline_bigdata_org_spark.operators import multimodal as mm
+
+    wav = mm._wav_fixture(44_100, 2, 480)
+    png = mm._png_fixture(640, 360)
+    pdf = pd.DataFrame({"doc_id": [1, 2], "payload": [wav, png]})
+    out = pd.concat(list(mm.wav_levels_batches(iter([pdf]))))
+    assert list(out["doc_id"]) == [1]
+    row = out.iloc[0]
+    peak = sum_sq = 0
+    for i in range(480):
+        for c in range(2):
+            v = ((i * (251 + 17 * c)) % 2048) - 1024
+            peak = max(peak, abs(v))
+            sum_sq += v * v
+    assert (row.sample_rate, row.n_channels, row.n_frames) == (44_100, 2, 480)
+    assert row.peak_abs == peak and row.sum_sq == sum_sq
+
+
+def test_match_recognize_finds_vshape_and_reports_overlaps(spark):
+    """Crafted daily series: a clean V (5 rows down-down-up-up) matches
+    with exact measures; a W-shape reports BOTH overlapping Vs (AFTER
+    MATCH SKIP TO NEXT ROW semantics); a monotone series and a flat
+    bottom (plateau breaks strictness) never match; a calendar gap
+    inside the V does not break ROW adjacency."""
+    import datetime
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import outliers
+
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    rows, eid = [], 0
+
+    def day(etype, d, total):
+        nonlocal eid
+        rows.append(
+            (eid, base + datetime.timedelta(days=d, hours=1), 1, etype,
+             float(total), "{}")
+        )
+        eid += 1
+
+    # clean V with a calendar gap (day 3 missing): 50,40,30,45,60
+    for d, v in [(0, 50), (1, 40), (2, 30), (4, 45), (5, 60)]:
+        day("vee", d, v)
+    # W: 50,40,30,40,50,40,30,40,50 — Vs start at rows 0 and 4;
+    # rows 1..3 and 5..7 fail strictness somewhere
+    for d, v in enumerate([50, 40, 30, 40, 50, 40, 30, 40, 50]):
+        day("dubya", d, v)
+    # monotone rise and a flat-bottom U (plateau) must not match
+    for d, v in enumerate([10, 20, 30, 40, 50]):
+        day("mono", d, v)
+    for d, v in enumerate([50, 40, 30, 30, 40, 50]):
+        day("flat", d, v)
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    full = spark.createDataFrame(rows, schema)
+    with mock.patch.object(outliers, "load", lambda _s, _d, _t: full):
+        got = {
+            (r.event_type, r.start_day): (
+                r.trough_cents, r.depth_cents, r.recovery_cents
+            )
+            for r in outliers.agg_match_recognize(spark, "ignored").collect()
+        }
+    d0 = base.date()
+    iso = lambda d: (d0 + datetime.timedelta(days=d)).isoformat()  # noqa: E731
+    assert got == {
+        ("vee", iso(0)): (3000, 2000, 3000),
+        ("dubya", iso(0)): (3000, 2000, 2000),
+        ("dubya", iso(4)): (3000, 2000, 2000),
+    }
