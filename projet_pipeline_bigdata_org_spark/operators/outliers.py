@@ -808,19 +808,30 @@ def anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile is a types x 7 aggregate riding a broadcast join back;
     every (type, day) row is emitted with its profile evidence so the
     oracle certifies the de-seasonalization on every row."""
-    e = load(spark, sf_dir, "events")
-    daily = (
-        e.groupBy(
-            "event_type",
-            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
-            .alias("di"),
-        )
-        .agg(
-            F.sum(F.coalesce(clamped_cents(), F.lit(0)).cast("decimal(18,0)"))
-            .cast("decimal(38,0)")
-            .alias("daily_cents")
-        )
+    return seasonal_flags(seasonal_daily(load(spark, sf_dir, "events")))
+
+
+def seasonal_daily(events_df: DataFrame) -> DataFrame:
+    """Per-(type, epoch-day-index) clamped-cents totals as DECIMAL(38,0)
+    — the mergeable partial the streaming ``SeasonalGateSink`` stores
+    per epoch (the ``cusum_daily`` discipline keyed by the integer day
+    index the weekday classes derive from)."""
+    return events_df.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .alias("di"),
+    ).agg(
+        F.sum(F.coalesce(clamped_cents(), F.lit(0)).cast("decimal(18,0)"))
+        .cast("decimal(38,0)")
+        .alias("daily_cents")
     )
+
+
+def seasonal_flags(daily: DataFrame) -> DataFrame:
+    """The weekday-profile residual gate over a (event_type, di,
+    daily_cents) table — shared by the batch operator and the streaming
+    sink (one definition, no drift). See ``anomaly_seasonal_residual``
+    for semantics."""
     prof = (
         daily.groupBy("event_type", (F.col("di") % 7).alias("dow"))
         .agg(

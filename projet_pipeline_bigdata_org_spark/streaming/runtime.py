@@ -1225,3 +1225,76 @@ class CusumGateSink:
                 chart.unpersist()
         finally:
             delta.unpersist()
+
+
+@dataclass
+class SeasonalGateSink:
+    """Streaming weekday-profile residual gate — the seasonal gate's
+    streaming twin, on the same MERGEABLE DAILY PARTIALS discipline as
+    ``CusumGateSink``: per-(type, day-index) clamped-cents sums ADD
+    across epochs, so each micro-batch writes only its own daily DELTA
+    to ``delta/epoch=e`` (idempotent overwrite, replay-safe) and the
+    gate at any epoch recomputes over the SUM of deltas up to it with
+    the batch operator's own ``seasonal_flags`` (one definition, no
+    drift). Commutative partials ⇒ the final flag table EQUALS the
+    batch ``anomaly_seasonal_residual`` over the concatenated stream
+    for ANY split, out-of-order and late rows included (mode-equality
+    test-pinned under a shuffled stride split).
+
+    Note the semantics this recompute-from-partials form buys: the
+    weekday PROFILE itself updates as data arrives (each epoch's flags
+    are judged against the profile of everything seen so far), which is
+    the batch operator's own definition — a frozen-profile variant is a
+    different gate and would diverge from its batch twin.
+
+    Per micro-batch: ``delta/epoch=e`` <= types x batch-days rows;
+    ``flags/epoch=e`` the full recomputed gate (<= types x days rows).
+    The only stream-sized op is the batch's map-side-combined rollup."""
+
+    spark: SparkSession
+    store_path: str
+    stats: dict = field(default_factory=lambda: {"batches": 0, "anomalies": 0})
+
+    _DELTA_SCHEMA = "event_type string, di int, daily_cents decimal(38,0)"
+
+    def _deltas_before(self, epoch_id: int) -> DataFrame:
+        return _epoch_history_scan(
+            self.spark, f"{self.store_path}/delta", self._DELTA_SCHEMA, epoch_id
+        )
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from projet_pipeline_bigdata_org_spark.operators.outliers import (
+            seasonal_daily,
+            seasonal_flags,
+        )
+
+        self.stats["batches"] += 1
+        if batch_df.isEmpty():  # P9 empty-batch guard
+            return
+        delta = seasonal_daily(batch_df).persist()
+        try:
+            delta.write.mode("overwrite").parquet(
+                f"{self.store_path}/delta/epoch={epoch_id}"
+            )
+            merged = (
+                delta.unionByName(self._deltas_before(epoch_id))
+                .groupBy("event_type", "di")
+                .agg(
+                    F.sum("daily_cents")
+                    .cast("decimal(38,0)")
+                    .alias("daily_cents")
+                )
+            )
+            flags = seasonal_flags(merged).persist()
+            try:
+                # full recompute — "anomalies" is the CURRENT gate's count
+                self.stats["anomalies"] = flags.filter(
+                    F.col("is_anomaly")
+                ).count()
+                flags.write.mode("overwrite").parquet(
+                    f"{self.store_path}/flags/epoch={epoch_id}"
+                )
+            finally:
+                flags.unpersist()
+        finally:
+            delta.unpersist()

@@ -1518,3 +1518,69 @@ def test_cusum_sink_matches_batch_chart_for_shuffled_splits(spark, tmp_path):
         for r in spark.read.parquet(f"{store}/chart/epoch=3").collect()
     }
     assert got2 == want
+
+
+def test_seasonal_sink_matches_batch_gate_for_shuffled_splits(spark, tmp_path):
+    """The streaming seasonal gate fed SHUFFLED micro-batches must end
+    with exactly the batch anomaly_seasonal_residual table over the
+    whole stream (mergeable daily partials — out-of-order safe), and a
+    replayed epoch rewrites its delta identically."""
+    import datetime
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import outliers
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import SeasonalGateSink
+
+    base = datetime.datetime(2024, 3, 4, 6, 0, 0)
+    base_di = (base.date() - datetime.date(1970, 1, 1)).days
+    rows, eid = [], 0
+    for d in range(28):
+        di = base_di + d
+        busy = di % 7 == 0
+        val = 800.0 if busy else 100.0
+        if busy and d >= 21:
+            val = 100.0          # broken final busy day -> must flag
+        for h in (2, 14):        # two readings so days straddle epochs
+            rows.append(
+                (eid, base + datetime.timedelta(days=d, hours=h), 1,
+                 "weekly", val / 2, "{}")
+            )
+            eid += 1
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    full = spark.createDataFrame(rows, schema)
+    with mock.patch.object(outliers, "load", lambda _s, _d, _t: full):
+        want = {
+            tuple(r)
+            for r in outliers.anomaly_seasonal_residual(spark, "ignored").collect()
+        }
+    assert any(r[-1] for r in want), "fixture must flag the broken day"
+
+    splits = [rows[i::4] for i in range(4)]  # strided: every epoch scatters days
+    store = str(tmp_path / "seasonal")
+    sink = SeasonalGateSink(spark, store)
+    for e, chunk in enumerate(splits):
+        sink(spark.createDataFrame(chunk, schema), e)
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(f"{store}/flags/epoch=3").collect()
+    }
+    assert got == want
+    assert sink.stats["anomalies"] == sum(1 for r in want if r[-1])
+
+    before = {
+        tuple(r)
+        for r in spark.read.parquet(f"{store}/delta/epoch=1").collect()
+    }
+    sink(spark.createDataFrame(splits[1], schema), 1)
+    after = {
+        tuple(r)
+        for r in spark.read.parquet(f"{store}/delta/epoch=1").collect()
+    }
+    assert after == before
+    sink(spark.createDataFrame(splits[3], schema), 3)
+    got2 = {
+        tuple(r)
+        for r in spark.read.parquet(f"{store}/flags/epoch=3").collect()
+    }
+    assert got2 == want
