@@ -2738,9 +2738,10 @@ def agg_shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_groups,
            CAST(SUM(cnt) AS BIGINT) AS n_docs,
            CAST(MAX(cnt) AS BIGINT) AS max_group,
-           CAST(SUM(CAST(cnt AS HUGEINT) * (cnt - 1)) * 1000
-                // (CAST(SUM(cnt) AS HUGEINT) * (SUM(cnt) - 1)) AS BIGINT)
-             AS simpson_milli,
+           CASE WHEN SUM(cnt) > 1 THEN
+             CAST(SUM(CAST(cnt AS HUGEINT) * (cnt - 1)) * 1000
+                  // (CAST(SUM(cnt) AS HUGEINT) * (SUM(cnt) - 1)) AS BIGINT)
+           END AS simpson_milli,
            CAST(MAX(cnt) * 1000 // SUM(cnt) AS BIGINT)
              AS berger_parker_milli
     FROM g GROUP BY dim
@@ -2798,9 +2799,13 @@ def agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_groups",
             "n_docs",
             "max_group",
+            # n_docs <= 1 zeroes the denominator: Spark's integral div
+            # returns NULL but DuckDB's // raises, so both sides guard the
+            # degenerate corpus with the same CASE (ADVICE r11)
             F.expr(
-                "CAST(_pairs * 1000 div (CAST(n_docs AS DECIMAL(19,0))"
-                " * (n_docs - 1)) AS BIGINT)"
+                "CASE WHEN n_docs > 1 THEN"
+                " CAST(_pairs * 1000 div (CAST(n_docs AS DECIMAL(19,0))"
+                " * (n_docs - 1)) AS BIGINT) END"
             ).alias("simpson_milli"),
             F.expr("CAST(max_group * 1000 div n_docs AS BIGINT)").alias(
                 "berger_parker_milli"
@@ -2884,6 +2889,7 @@ _BOOT_ORACLE_TEMPLATE = f"""
              ROW_NUMBER() OVER (PARTITION BY event_type
                                 ORDER BY mean_b, b) AS rn
       FROM means
+      WHERE n_b > 0
     ), full_m AS (
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -2941,17 +2947,25 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = e.select("event_id", "event_type", "cents", bs).select(
         "event_type", "cents", "b", boot_weight(coin).alias("w")
     )
-    means = w.groupBy("event_type", "b").agg(
-        F.sum(F.col("w").cast("decimal(19,0)") * F.col("cents"))
-        .cast("decimal(38,0)")
-        .alias("s_b"),
-        F.sum("w").cast("long").alias("n_b"),
-    ).select(
-        "event_type",
-        "b",
-        (F.col("s_b").cast("double") / F.col("n_b").cast("double")).alias(
-            "mean_b"
-        ),
+    means = (
+        w.groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w").cast("decimal(19,0)") * F.col("cents"))
+            .cast("decimal(38,0)")
+            .alias("s_b"),
+            F.sum("w").cast("long").alias("n_b"),
+        )
+        # an all-zero-weight resample (P ~ e^-n per resample) would make
+        # mean_b NULL, and Spark/DuckDB disagree on NULL sort order — drop
+        # it before ranking on both sides (ADVICE r11)
+        .filter(F.col("n_b") > 0)
+        .select(
+            "event_type",
+            "b",
+            (F.col("s_b").cast("double") / F.col("n_b").cast("double")).alias(
+                "mean_b"
+            ),
+        )
     )
     rn = F.row_number().over(
         W.partitionBy("event_type").orderBy("mean_b", "b")

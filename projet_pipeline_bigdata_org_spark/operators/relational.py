@@ -1548,7 +1548,9 @@ def arrange_rle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = _rle_bucket_runs(
         li,
         "natural",
-        (F.col("l_orderkey") / RLE_NATURAL_BUCKET).cast("long"),
+        # exact truncating integer division — float div is exact today
+        # only because 4096 is a power of two (ADVICE r11)
+        F.expr(f"l_orderkey div {RLE_NATURAL_BUCKET}"),
         ["l_orderkey", "l_linenumber"],
     )
     lay = _rle_bucket_runs(

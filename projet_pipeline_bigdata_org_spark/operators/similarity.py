@@ -1923,6 +1923,10 @@ def embed_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: dims per quantization group (each group carries its own absmax scale)
 INT4_GROUP = 8
+# a non-divisible group width would silently quantize a prefix of the
+# vector (both engines would drop the same trailing dims, so the oracle
+# gate could not catch it) — fail loudly at import instead (ADVICE r11)
+assert EMBEDDING_DIM % INT4_GROUP == 0, "INT4_GROUP must divide EMBEDDING_DIM"
 INT4_GROUPS = EMBEDDING_DIM // INT4_GROUP
 #: symmetric int4 code range [-7, 7]
 INT4_MAX = 7
