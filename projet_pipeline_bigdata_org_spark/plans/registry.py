@@ -35,49 +35,81 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
-# Verification-window rotation: rounds 3-6 exported never-driver-checked
-# queries under a temporary ``a0_`` prefix to sort them into the driver's
-# ~50-name alphabetical hash-check window; with CORRECTNESS_r06.json the
-# final 7 rotated names landed green and the mechanism was retired empty,
-# then revived in round 10 (``mm_resize_plan``, ``sim_ann_ivfpq`` — both
-# landed rows in CORRECTNESS_r10.json and retired).
-# ROUND 11 rotation: the eight late-r10 oracle-gated queries whose
-# canonical names sort beyond the window and therefore never received a
-# driver row (VERDICT r10 finding #1). The eight names they displace from
-# the window (mm_resize_plan, sim_ann_ivfpq, curate_split_holdout,
-# curate_weighted_sample, decode_binary_media, decode_phash_neardup,
-# dedup_bloom_incremental, dedup_boilerplate_lines) ALL carry cumulative
-# green rows in CORRECTNESS_r10.json (verified by
-# tests/test_entry.py::test_window_discipline). Once these rows land,
-# ROTATED returns to empty. ``bench.py:_resolve`` accepts
-# ``a0_``-prefixed names so artifacts stay readable either way.
-ROTATED: frozenset[str] = frozenset(
-    {
-        "text_bpe_learn",
-        "text_bpe_tokenize",
-        "window_exclude_frame",
-        "window_groups_frame",
-        "ts_autocorrelation",
-        "sketch_heavy_hitters",
-        "stat_histogram_quantiles",
-        "embed_mmr_topk",
-        # new-in-r11 queries pushed past slot 50 by other new-in-r11 names
-        # that sort earlier (caught by test_window_discipline in the same
-        # commit that added them):
-        "compress_delta_postings",
-        "compress_int4_groupwise",
-        "cdc_apply_changes",
-        # r11 audio seam: mm_* sorts far beyond the window
-        "mm_wav_pcm_levels",
-        # displaced past slot 50 by agg_match_recognize (same-commit catch)
-        "bm25_query_topk",
-    }
-)
+# Verification-window rotation. The external driver hash-checks only the
+# first ~50 display names in alphabetical order each round; an ``a0_``
+# prefix sorts a name into that window. Rounds 3-11 maintained a hand-kept
+# ROTATED set for never-driver-checked names (see ROUND*.md); round 12
+# replaced it with a COMPUTED re-certification rotation (VERDICT r11 #2):
+# every round, the window is exactly the ROTATION_WIDTH registered names
+# whose most recent driver row (across all committed CORRECTNESS_r*.json)
+# is OLDEST, ties broken by name. Never-checked names have no row at all,
+# so a new query always enters the window in the same commit that adds it
+# (test_window_discipline stays the backstop), and previously-certified
+# names are re-certified oldest-first — with 227 names and a 50-slot
+# window a full refresh cycle is 5 rounds, so no name's driver row can go
+# stale beyond ~6 rounds in steady state
+# (tests/test_entry.py::test_rotation_recertifies_oldest_first pins the
+# oldest-first property). ``bench.py:_resolve`` accepts ``a0_``-prefixed
+# names so artifacts stay readable across rotations.
+ROTATION_WIDTH = 50
+
+_ROT_CACHE: tuple[int, frozenset[str]] | None = None
+
+
+def _last_driver_rows() -> dict[str, int]:
+    """Most recent round carrying a driver row per canonical name, from
+    the committed CORRECTNESS_r*.json artifacts at the repo root."""
+    import glob
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    last: dict[str, int] = {}
+    for f in glob.glob(str(root / "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", Path(f).name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(f) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for k, v in data.items():
+            canon = k.removeprefix("a0_").removeprefix("ext_")
+            if isinstance(v, dict) and (
+                v.get("spark_rows") is not None or v.get("hash_match")
+            ):
+                last[canon] = max(last.get(canon, 0), rnd)
+    return last
+
+
+def _rotated() -> frozenset[str]:
+    """The ROTATION_WIDTH stalest registered names, oldest-row-first
+    (never-checked names rank as round 0 and therefore always rotate in).
+    Cached per registry size so late registrations recompute."""
+    global _ROT_CACHE
+    if _ROT_CACHE is not None and _ROT_CACHE[0] == len(_REGISTRY):
+        return _ROT_CACHE[1]
+    last = _last_driver_rows()
+    ranked = sorted(_REGISTRY, key=lambda n: (last.get(n, 0), n))
+    rot = frozenset(ranked[:ROTATION_WIDTH])
+    _ROT_CACHE = (len(_REGISTRY), rot)
+    return rot
+
+
+def __getattr__(name: str):
+    # PEP 562: keep ``from registry import ROTATED`` working while the set
+    # is computed lazily (it needs the full registry + the JSON artifacts)
+    if name == "ROTATED":
+        return _rotated()
+    raise AttributeError(name)
 
 
 def display_name(name: str) -> str:
     """Driver-facing name: canonical, or ``a0_``-prefixed while rotated."""
-    return f"a0_{name}" if name in ROTATED else name
+    return f"a0_{name}" if name in _rotated() else name
 
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):

@@ -96,6 +96,38 @@ def test_rotation_displaces_only_covered_names():
     assert not uncovered, f"rotation would orphan window names: {uncovered}"
 
 
+def test_rotation_recertifies_oldest_first():
+    """Re-certification discipline (VERDICT r11 #2): the upcoming driver
+    window must be exactly the ROTATION_WIDTH registered names with the
+    OLDEST most-recent driver rows (never-checked names rank as round 0),
+    ties broken only at the boundary round. This bounds staleness: with
+    227 names and a 50-slot window a full cycle is 5 rounds, so no name's
+    driver row can lag the current round by more than ~6 in steady state.
+    The set is computed, not hand-kept — this test guards against anyone
+    reverting to a static ROTATED and silently freezing the refresh."""
+    from projet_pipeline_bigdata_org_spark.plans.registry import (
+        ROTATION_WIDTH,
+        _last_driver_rows,
+    )
+
+    last = _last_driver_rows()
+    names = sorted(entrymod.queries())
+    window = {n.removeprefix("a0_") for n in names[:ROTATION_WIDTH]}
+    outside = {n.removeprefix("a0_") for n in names[ROTATION_WIDTH:]}
+    if not outside:
+        return
+    newest_in = max(last.get(n, 0) for n in window)
+    oldest_out = min(last.get(n, 0) for n in outside)
+    assert newest_in <= oldest_out, (
+        "window holds a fresher row than a name left outside: "
+        f"newest inside r{newest_in} > oldest outside r{oldest_out}"
+    )
+    # every never-checked name must be inside the window (first driver
+    # exposure in the same round the query lands)
+    unchecked_out = sorted(n for n in outside if last.get(n, 0) == 0)
+    assert not unchecked_out, f"never-checked names outside window: {unchecked_out}"
+
+
 def test_every_no_oracle_query_has_readme_rationale():
     """Hygiene sweep: every registry name either carries a DuckDB oracle or
     appears by name in README's "rows-only forever" rationale section, so
