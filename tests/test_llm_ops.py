@@ -36,6 +36,42 @@ def test_minhash_pairs_sound_and_recall(spark, sf_dir, exact_jaccard_pairs):
         assert recall >= 0.5, f"minhash recall too low: {recall:.2f}"
 
 
+def test_minhash_certified_matches_production_pairs(
+    spark, sf_dir, exact_jaccard_pairs
+):
+    """The certified (sha-hash) and production (xxhash64) MinHash variants
+    share the signature/banding/verify CODE and differ only in hash
+    source; both are sound (subset of exact Jaccard pairs, same values),
+    and at test scale their verified pair sets agree — a drift in the
+    shared machinery would desynchronize them before it reached the
+    driver gate."""
+    cert = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in _Q["dedup_minhash_certified"].fn(spark, sf_dir).collect()
+    }
+    prod = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in _Q["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert set(cert) <= set(exact_jaccard_pairs)
+    for k, v in cert.items():
+        assert abs(v - exact_jaccard_pairs[k]) < 1e-12
+    assert set(cert) == set(prod)
+
+
+def test_simhash_certified_sound_and_aligned(spark, sf_dir):
+    """Certified SimHash invariants: ordered pairs, Hamming within the
+    published bound, and (since both variants share simhash_pairs) the
+    certified pair set stays deterministic across invocations."""
+    df = _Q["dedup_simhash_certified"].fn(spark, sf_dir)
+    r1 = sorted((r.a_id, r.b_id, r.hamming) for r in df.collect())
+    r2 = sorted((r.a_id, r.b_id, r.hamming) for r in df.collect())
+    assert r1 == r2
+    for a, b, h in r1:
+        assert a < b
+        assert 0 <= h <= 12
+
+
 def test_simhash_deterministic_and_bounded(spark, sf_dir):
     df = _Q["dedup_simhash"].fn(spark, sf_dir)
     r1 = sorted((r.a_id, r.b_id, r.hamming) for r in df.collect())
