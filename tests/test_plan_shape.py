@@ -912,6 +912,25 @@ def test_common_neighbors_all_joins_broadcast(spark, sf_dir, no_auto_broadcast):
     assert "TakeOrderedAndProject" in p, p
 
 
+def test_bm25_query_topk_one_token_stream_materialization(spark, sf_dir):
+    """bm25_query_topk's exploded token stream is persisted ONCE and read
+    by both the query-term derivation and the tf join (InMemoryTableScan
+    x2 alongside the doc-length cache); live documents.parquet FileScans
+    beyond the cached subtrees would mean the corpus re-tokenizes per
+    consumer (VERDICT r11 #4). The query-term table still rides an
+    explicit broadcast into the postings join."""
+    df = _Q["bm25_query_topk"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    # token-stream cache read by qterms + tf, doc-length cache by dl/stats
+    assert p.count("InMemoryTableScan") >= 3, p
+    doc_scans = len(re.findall(r"FileScan parquet.*documents\.parquet", p))
+    assert doc_scans <= p.count("InMemoryTableScan"), (
+        f"live documents scan outside the caches ({doc_scans}):\n{p}"
+    )
+
+
 def test_heavy_hitters_probes_broadcast_sketch_never_shuffles_corpus(
     spark, sf_dir, no_auto_broadcast
 ):
