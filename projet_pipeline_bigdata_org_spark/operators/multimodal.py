@@ -271,14 +271,64 @@ _MM_WAV = (3_000_000_004, 44_100, 2, 480)  # (id, sample rate, channels, frames)
 _MM_BMP = (3_000_000_005, 800, 600)
 
 
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + zlib.crc32(typ + data).to_bytes(4, "big")
+    )
+
+
+def _paeth_np(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized PNG Paeth predictor (left, up, up-left) — the spec's
+    tie-break order (left, then up, then up-left) exactly."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
 def _png_fixture(w: int, h: int) -> bytes:
-    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 6, 0, 0, 0])
+    """FULL truecolor PNG (bit depth 8, color type 2, no interlace)
+    carrying the REAL ``bmp_fixture_pixels`` pattern (r12: upgraded from
+    a header-only fixture so the dominant raster format exercises the
+    pure-Python pixel decode end-to-end). Scanlines are filtered with a
+    CYCLE of all five PNG filter types (y % 5), so the decoder's every
+    defilter path is exercised by the fixture itself, then
+    zlib-deflated into one IDAT. CRCs are real (zlib.crc32)."""
+    import zlib
+
+    px = bmp_fixture_pixels(w, h).astype(np.int64)
+    stride = w * 3
+    lines = px.reshape(h, stride)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        line = lines[y]
+        left = np.concatenate([np.zeros(3, dtype=np.int64), line[:-3]])
+        upleft = np.concatenate([np.zeros(3, dtype=np.int64), prev[:-3]])
+        f = y % 5
+        if f == 0:
+            filt = line
+        elif f == 1:
+            filt = line - left
+        elif f == 2:
+            filt = line - prev
+        elif f == 3:
+            filt = line - (left + prev) // 2
+        else:
+            filt = line - _paeth_np(left, prev, upleft)
+        raw.append(f)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = line
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
     return (
         b"\x89PNG\r\n\x1a\n"
-        + len(ihdr).to_bytes(4, "big")
-        + b"IHDR"
-        + ihdr
-        + b"\x00\x00\x00\x00"  # CRC placeholder (header parse ignores it)
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -698,12 +748,13 @@ RESIZE_SCHEMA = (
 
 
 # ---------------------------------------------------------------------------
-# REAL pixel seam (r11, VERDICT #6): the two uncompressed raster formats a
-# pure-Python decoder can read without any codec — 24bpp BITMAPINFOHEADER
-# BMP and binary PPM (P6). They plug into the SAME decode projection the
-# stub documents as swappable, so one real format exercises the aHash grid
-# and the resize kernel end-to-end on true pixels; PNG/JPEG/GIF keep the
-# documented stub (their pixel streams need zlib/DCT codecs).
+# REAL pixel seam (r11 VERDICT #6, widened r12): the raster formats a
+# pure-Python decoder can read with at most the stdlib — 24bpp
+# BITMAPINFOHEADER BMP, binary PPM (P6), and (r12) truecolor PNG whose
+# codec is stdlib zlib. They plug into the SAME decode projection the
+# stub documents as swappable, so the real formats exercise the aHash
+# grid and the resize kernel end-to-end on true pixels; JPEG/GIF keep the
+# documented stub (their pixel streams need DCT/LZW codecs).
 # ---------------------------------------------------------------------------
 
 
@@ -771,14 +822,109 @@ def decode_ppm_pixels(payload: bytes) -> np.ndarray:
     )
 
 
+def decode_png_pixels(payload: bytes) -> np.ndarray:
+    """Truecolor PNG → (h, w, 3) uint8 RGB via stdlib zlib only (r12,
+    VERDICT r11 #3): chunk walk → concatenated-IDAT inflate → per-row
+    defilter of all five PNG filter types (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6). Supports bit depth 8, color types 2 (RGB) and 6 (RGBA,
+    alpha dropped after defilter), no interlace. Anything else —
+    palettes, 16-bit, Adam7, truncated chunks, a pixel-buffer length
+    that disagrees with IHDR — raises NotImplementedError and the
+    caller falls back to the documented stub, never a wrong pixel.
+
+    Defilter arithmetic: Sub is a per-channel cumulative sum down the
+    pixel axis (vectorized); Average/Paeth recurse on the reconstructed
+    left pixel, so those rows walk pixels with channel-vector ops —
+    exact per the spec, fixture-scale cost."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG")
+    pos, w, h, ch = 8, None, None, None
+    idat: list[bytes] = []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise NotImplementedError("truncated PNG chunk")
+        if typ == b"IHDR":
+            if ln != 13:
+                raise NotImplementedError("malformed IHDR")
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type = data[8], data[9]
+            if bit_depth != 8 or color_type not in (2, 6):
+                raise NotImplementedError("unsupported PNG pixel layout")
+            if data[10] != 0 or data[11] != 0 or data[12] != 0:
+                raise NotImplementedError("unsupported PNG method/interlace")
+            ch = 3 if color_type == 2 else 4
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if not w or not h or ch is None or not idat:
+        raise NotImplementedError("PNG missing IHDR/IDAT")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise NotImplementedError(f"PNG inflate failed: {e}") from e
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise NotImplementedError("PNG pixel buffer disagrees with IHDR")
+    out = np.empty((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        base = y * (stride + 1)
+        f = raw[base]
+        filt = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=base + 1
+        ).astype(np.int64)
+        if f == 0:
+            recon = filt
+        elif f == 1:  # Sub: cumulative per channel down the pixel axis
+            recon = np.cumsum(filt.reshape(w, ch), axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            recon = (filt + prev) % 256
+        elif f == 3:  # Average — recurses on reconstructed left pixel
+            fp = filt.reshape(w, ch)
+            pp = prev.reshape(w, ch)
+            rec = np.empty((w, ch), dtype=np.int64)
+            left = np.zeros(ch, dtype=np.int64)
+            for i in range(w):
+                left = (fp[i] + (left + pp[i]) // 2) % 256
+                rec[i] = left
+            recon = rec.reshape(stride)
+        elif f == 4:  # Paeth — recurses on reconstructed left pixel
+            fp = filt.reshape(w, ch)
+            pp = prev.reshape(w, ch)
+            rec = np.empty((w, ch), dtype=np.int64)
+            left = np.zeros(ch, dtype=np.int64)
+            upleft = np.zeros(ch, dtype=np.int64)
+            for i in range(w):
+                left = (fp[i] + _paeth_np(left, pp[i], upleft)) % 256
+                rec[i] = left
+                upleft = pp[i]
+            recon = rec.reshape(stride)
+        else:
+            raise NotImplementedError(f"unknown PNG filter type {f}")
+        out[y] = recon
+        prev = recon
+    return out.reshape(h, w, ch)[:, :, :3].astype(np.uint8)
+
+
 def decode_pixels_real(payload: bytes) -> np.ndarray:
     """Dispatch on magic bytes to a REAL pure-Python pixel decode, or
-    NotImplementedError for formats that need a codec (the callers'
-    contract: real pixels or the documented stub, never a guess)."""
+    NotImplementedError for formats that need a codec the stdlib lacks
+    (the callers' contract: real pixels or the documented stub, never a
+    guess). PNG joined the real set in r12 — its codec is stdlib zlib."""
     if payload[:2] == b"BM":
         return decode_bmp_pixels(payload)
     if payload[:2] == b"P6":
         return decode_ppm_pixels(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(payload)
     raise NotImplementedError("no pure-Python pixel decoder for this format")
 
 
@@ -840,13 +986,14 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     The PLAN side is real: dimensions come from the actual header parse
     (decode_media dispatch) and the target arithmetic is resize_plan.
 
-    The PIXEL side is format-dependent (r11): for the uncompressed raster
-    formats a pure-Python decoder can read (24bpp BMP, P6 PPM —
-    ``decode_pixels_real``), the kernel decodes the TRUE pixel array,
-    nearest-neighbor resamples it with ``resize_pixels``, and reports the
-    resampled array's actual byte size; a dimension mismatch between the
-    header parse and the pixel decode raises (corrupt file, never a
-    silent wrong answer). For codec-bound formats (PNG/JPEG/GIF) the
+    The PIXEL side is format-dependent (r11, widened r12): for the raster
+    formats a pure-Python decoder can read (24bpp BMP, P6 PPM, and
+    zlib-inflated truecolor PNG — ``decode_pixels_real``), the kernel
+    decodes the TRUE pixel array, nearest-neighbor resamples it with
+    ``resize_pixels``, and reports the resampled array's actual byte
+    size; a dimension mismatch between the header parse and the pixel
+    decode raises (corrupt file, never a silent wrong answer). For the
+    remaining codec-bound formats (JPEG/GIF) the
     documented stub remains: ``resized_n_bytes`` is the deterministic
     raw-RGB size (target_w * target_h * 3) — which is exactly what the
     real branch's ``resized.nbytes`` equals, so the two branches are
@@ -917,8 +1064,9 @@ _MM_IMAGE_DIMS_SQL = " UNION ALL ".join(
 def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize over the binaryFile ingestion path: real files →
     binaryFile scan → mapInPandas resize kernel (real header decode +
-    aspect-preserving integer plan; pixel re-encode stubbed — see
-    resize_batches). The glob prunes obvious non-media at LISTING time;
+    aspect-preserving integer plan; TRUE pixel resample for BMP/PPM/PNG,
+    stub re-encode for JPEG/GIF — see resize_batches). The glob prunes
+    obvious non-media at LISTING time;
     the kernel then drops anything whose DECODED mime is not image/* —
     the bytes decide, never the filename (the WAV rides a wav glob into
     the scan here precisely to exercise that kernel-side drop).

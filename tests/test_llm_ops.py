@@ -3196,7 +3196,8 @@ def test_resize_kernel_runs_real_pixel_path_for_bmp(monkeypatch):
     from projet_pipeline_bigdata_org_spark.operators import multimodal as mm
 
     bmp = mm._bmp_fixture(800, 600)        # real pixels, caps to 512-edge
-    png = mm._png_fixture(640, 360)        # codec format -> stub branch
+    png = mm._png_fixture(640, 360)        # real pixels since r12 (zlib)
+    jpeg = mm._jpeg_fixture(1024, 768)     # codec format -> stub branch
     trunc = mm._bmp_fixture(800, 600)[:-7]  # pixels truncated -> stub
 
     def run(payloads):
@@ -3206,15 +3207,17 @@ def test_resize_kernel_runs_real_pixel_path_for_bmp(monkeypatch):
         out = pd.concat(list(mm.resize_batches(iter([pdf]))))
         return out.set_index("doc_id")
 
-    out = run([bmp, png, trunc])
-    # plan agrees for both 800x600 variants; all three report the raw-RGB
-    # size of the SAME plan (real nbytes == tw*th*3 by construction)
+    out = run([bmp, png, jpeg, trunc])
+    # plan agrees for both 800x600 variants; all report the raw-RGB size
+    # of the SAME plan (real nbytes == tw*th*3 by construction)
     assert (out.loc[0, ["target_w", "target_h"]] == (512, 384)).all()
     assert out.loc[0, "resized_n_bytes"] == 512 * 384 * 3
-    assert out.loc[2, "resized_n_bytes"] == 512 * 384 * 3
+    assert out.loc[3, "resized_n_bytes"] == 512 * 384 * 3
     assert out.loc[1, "resized_n_bytes"] == 512 * 288 * 3
+    assert out.loc[2, "resized_n_bytes"] == 512 * 384 * 3
 
-    # canary: only the pixel-bearing BMP reaches resize_pixels
+    # canary: the pixel-bearing BMP and PNG reach resize_pixels; the
+    # codec-bound JPEG and the truncated BMP stay on the stub
     calls = []
 
     def canary(px, tw, th):
@@ -3222,11 +3225,67 @@ def test_resize_kernel_runs_real_pixel_path_for_bmp(monkeypatch):
         return np.zeros((1, 1, 3), dtype=np.uint8)
 
     monkeypatch.setattr(mm, "resize_pixels", canary)
-    out2 = run([bmp, png, trunc])
-    assert calls == [(600, 800, 3)]
+    out2 = run([bmp, png, jpeg, trunc])
+    assert calls == [(600, 800, 3), (360, 640, 3)]
     assert out2.loc[0, "resized_n_bytes"] == 3          # canary nbytes
-    assert out2.loc[1, "resized_n_bytes"] == 512 * 288 * 3  # stub untouched
+    assert out2.loc[1, "resized_n_bytes"] == 3          # canary nbytes
     assert out2.loc[2, "resized_n_bytes"] == 512 * 384 * 3  # stub untouched
+    assert out2.loc[3, "resized_n_bytes"] == 512 * 384 * 3  # stub untouched
+
+
+def test_png_zlib_decode_roundtrip_all_filters():
+    """The stdlib-zlib PNG decoder reconstructs the exact fixture pixels
+    across shapes (the fixture encoder cycles all five PNG filter types
+    per row, so None/Sub/Up/Average/Paeth defilters are all exercised);
+    RGBA drops alpha after defilter; truncation, filter-byte corruption,
+    and a pixel-buffer/IHDR disagreement raise NotImplementedError
+    (stub fallback, never a wrong pixel)."""
+    import zlib
+
+    import numpy as np
+
+    from projet_pipeline_bigdata_org_spark.operators import multimodal as mm
+
+    for w, h in [(640, 360), (17, 9), (1, 1), (3, 7)]:
+        px = mm.decode_png_pixels(mm._png_fixture(w, h))
+        assert px.shape == (h, w, 3)
+        assert (px == mm.bmp_fixture_pixels(w, h)).all(), (w, h)
+
+    # RGBA (color type 6): alpha plane dropped, RGB planes exact
+    rgb = mm.bmp_fixture_pixels(5, 4)
+    raw = bytearray()
+    for y in range(4):
+        raw.append(0)
+        raw.extend(
+            np.concatenate(
+                [rgb[y], np.full((5, 1), 200, np.uint8)], axis=1
+            ).tobytes()
+        )
+    ihdr = (5).to_bytes(4, "big") + (4).to_bytes(4, "big") + bytes([8, 6, 0, 0, 0])
+    rgba = (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    assert (mm.decode_png_pixels(rgba) == rgb).all()
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_png_pixels(mm._png_fixture(10, 10)[:-20])
+    # inflated buffer length disagreeing with IHDR must refuse
+    short = (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(
+            b"IHDR",
+            (9).to_bytes(4, "big") + (9).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0]),
+        )
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        mm.decode_png_pixels(short)
 
 
 def test_phash_band_pairs_on_real_bmp_pixels(spark):
