@@ -1266,6 +1266,454 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece-style, Kudo 2018) — the OTHER
+# tokenizer family real pipelines train next to BPE: seed a substring
+# vocabulary, score pieces by corpus likelihood, Viterbi-segment every
+# word, re-estimate from the segmentation (hard EM), segment again.
+# Likelihoods are FIXED-POINT INTEGERS: -log2 p(piece) is approximated by
+# lg(total) - lg(occ) where lg is a floor-interpolated milli-scaled
+# integer log2 (msb position + linear fraction — exact shifts/divides
+# both engines replay bit-identically; max interpolation error ~0.086
+# bits, monotone, so Viterbi decisions are deterministic).
+# ---------------------------------------------------------------------------
+
+#: words longer than this are excluded from unigram training/accounting
+#: (identically in both engines); bounds the Viterbi DP unroll depth
+UNI_MAX_WORD = 12
+#: maximum piece length in the seed vocabulary
+UNI_MAX_PIECE = 4
+#: multi-char seed pieces need at least this corpus occurrence count
+#: (single chars are always kept so every word stays segmentable)
+UNI_MIN_OCC = 2
+#: Viterbi state packing: pack = cost_milli*2^16 + n_pieces*2^12 + mask.
+#: cost <= UNI_MAX_WORD * lg(2^63) < 2^20 milli, n <= 12 < 2^4, boundary
+#: mask < 2^12 — fields never carry, so MIN(pack) IS the lexicographic
+#: minimum of (cost, n_pieces, mask): one deterministic aggregation per
+#: DP cell, no window, no tie ambiguity.
+_UNI_CPACK = 1 << 16
+_UNI_NPACK = 1 << 12
+
+
+def _lg_spark(x: str) -> str:
+    """Spark-SQL fragment: milli-scaled integer log2 of positive BIGINT
+    ``x`` — msb position (via bin()) plus a shift-exact linear fraction."""
+    p = f"(LENGTH(BIN({x})) - 1)"
+    return (
+        f"(CAST({p} AS BIGINT) * 1000 + shiftright(({x} - "
+        f"shiftleft(CAST(1 AS BIGINT), {p})) * 1000, {p}))"
+    )
+
+
+def _lg_duck(x: str) -> str:
+    """The identical fragment in DuckDB SQL (<< / >> operators)."""
+    p = f"(LENGTH(BIN({x})) - 1)"
+    return (
+        f"(CAST({p} AS BIGINT) * 1000 + ((({x} - "
+        f"(CAST(1 AS BIGINT) << {p})) * 1000) >> {p}))"
+    )
+
+
+def _uni_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, len) over the [a-z]+ corpus vocabulary, length-capped."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(ws_tokens("text")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .filter(F.length("word") <= UNI_MAX_WORD)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .withColumn("len", F.length("word").cast("int"))
+    )
+
+
+def _uni_cost(vocab: DataFrame) -> DataFrame:
+    """(piece, c): c = lg(total) - lg(occ), the fixed-point -log2 p(piece)."""
+    total = vocab.agg(F.sum("occ").cast("long").alias("total"))
+    return (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "piece",
+            F.expr(f"CAST({_lg_spark('total')} - {_lg_spark('occ')} AS BIGINT)").alias(
+                "c"
+            ),
+        )
+    )
+
+
+def _uni_viterbi(words: DataFrame, cost: DataFrame) -> DataFrame:
+    """Unrolled Viterbi DP over word positions 1..UNI_MAX_WORD: each cell
+    is MIN(parent_pack + c*2^16 + 2^12 + 2^(j-1)) over the <=UNI_MAX_PIECE
+    pieces ending at j — the packed-field arithmetic makes the min
+    lexicographic in (cost, n_pieces, mask), so the chosen segmentation
+    is fully deterministic. Returns (word, len, cost, n, mask) at each
+    word's final position. Every dp table is vocabulary-bounded and
+    CHECKPOINTED per level (the connected_components discipline, not the
+    3-round BPE persist: each level references up to UNI_MAX_PIECE prior
+    levels, so an unbroken lineage grows the LOGICAL plan
+    4^UNI_MAX_WORD-fold — persist caches runtime results but not the
+    analyzer's tree; measured as an analysis-time hang before the first
+    job). The piece table rides a broadcast into each unrolled join."""
+    sc = words.sparkSession.sparkContext
+
+    def _checkpoint(df: DataFrame) -> DataFrame:
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    dps = {0: words.select("word", "len", F.lit(0).cast("long").alias("pack"))}
+    for j in range(1, UNI_MAX_WORD + 1):
+        cands = None
+        for k in range(1, min(UNI_MAX_PIECE, j) + 1):
+            c = (
+                dps[j - k]
+                .filter(F.col("len") >= j)
+                .select(
+                    "word",
+                    "len",
+                    F.expr(f"substring(word, {j - k + 1}, {k})").alias("piece"),
+                    "pack",
+                )
+                .join(F.broadcast(cost), "piece")
+                .select(
+                    "word",
+                    "len",
+                    (
+                        F.col("pack")
+                        + F.col("c") * _UNI_CPACK
+                        + F.lit(_UNI_NPACK + (1 << (j - 1))).cast("long")
+                    ).alias("cand"),
+                )
+            )
+            cands = c if cands is None else cands.unionAll(c)
+        dps[j] = _checkpoint(
+            cands.groupBy("word", "len").agg(F.min("cand").alias("pack"))
+        )
+    fin = None
+    for j in range(1, UNI_MAX_WORD + 1):
+        f_j = dps[j].filter(F.col("len") == j)
+        fin = f_j if fin is None else fin.unionAll(f_j)
+    return fin.select(
+        "word",
+        "len",
+        F.shiftright("pack", 16).cast("long").alias("cost"),
+        F.expr("shiftright(pack, 12) & 15").cast("long").alias("n"),
+        F.expr("pack & 4095").cast("long").alias("mask"),
+    )
+
+
+def unigram_learned(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, list[tuple[int, DataFrame, DataFrame]]]:
+    """The ONE Spark-side Unigram-LM training pipeline: seed substring
+    counts → cost table → Viterbi pass 1 → hard-EM recount (pieces the
+    pass-1 segmentations actually used — unused seeds PRUNE out, Kudo's
+    vocabulary shrink) → Viterbi pass 2. Returns (words, fin2, iters)
+    where iters = [(1, fin1, cost1-vocab), (2, fin2, cost2-vocab)];
+    both registered queries read this function, so learner and tokenizer
+    cannot train different vocabularies (the bpe_learned_vocab
+    discipline)."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    words = _persist_scoped("uni_words", _uni_words(spark, sf_dir))
+    seed = (
+        words.select(
+            "word",
+            "freq",
+            "len",
+            F.explode(F.sequence(F.lit(1), F.lit(UNI_MAX_PIECE))).alias("k"),
+        )
+        .filter(F.col("k") <= F.col("len"))
+        .select(
+            "word", "freq", "k", F.explode(F.expr("sequence(1, len - k + 1)")).alias("i")
+        )
+        .select(F.expr("substring(word, i, k)").alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("occ"))
+    )
+    vocab1 = _persist_scoped(
+        "uni_v1",
+        seed.filter((F.length("piece") == 1) | (F.col("occ") >= UNI_MIN_OCC)),
+    )
+    cost1 = _persist_scoped("uni_c1", _uni_cost(vocab1))
+    fin1 = _persist_scoped("uni_fin1", _uni_viterbi(words, cost1))
+    # hard-EM M-step: explode each word's boundary mask back into its
+    # segment pieces, recount occurrence mass from the segmentations
+    bounds = (
+        fin1.select("word", "mask", F.explode(F.expr("sequence(1, len)")).alias("b"))
+        .filter(F.expr("(shiftright(mask, b - 1) & 1) = 1"))
+        .select(
+            "word",
+            "b",
+            F.lag("b", 1, 0).over(W.partitionBy("word").orderBy("b")).alias("prev"),
+        )
+        .select("word", F.expr("substring(word, prev + 1, b - prev)").alias("piece"))
+    )
+    vocab2 = _persist_scoped(
+        "uni_v2",
+        bounds.join(words.select("word", "freq"), "word")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("occ")),
+    )
+    cost2 = _persist_scoped("uni_c2", _uni_cost(vocab2))
+    fin2 = _persist_scoped("uni_fin2", _uni_viterbi(words, cost2))
+    return words, fin2, [(1, fin1, vocab1), (2, fin2, vocab2)]
+
+
+def _uni_sql_ctes() -> list[str]:
+    """Shared CTE chain of the DuckDB Unigram twin: the identical seed
+    count, integer-log2 costs, BOTH unrolled Viterbi DP passes (every
+    cell's MIN over the packed candidates), the mask-explode M-step, and
+    the per-pass summaries — replayed step for step, the _bpe_sql_ctes
+    discipline. Consumed by the learner's summary oracle AND the
+    tokenizer's document rollup, so the two gates certify ONE training
+    run."""
+    parts = [
+        f"""uw AS MATERIALIZED (
+      SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq,
+             LENGTH(tok) AS len
+      FROM (SELECT UNNEST({SQL_WS_TOKENS.format(c='text')}) AS tok FROM documents)
+      WHERE REGEXP_MATCHES(tok, '^[a-z]+$') AND LENGTH(tok) <= {UNI_MAX_WORD}
+      GROUP BY tok
+    ), useed AS (
+      SELECT SUBSTR(word, i, k) AS piece, CAST(SUM(freq) AS BIGINT) AS occ
+      FROM uw,
+           UNNEST(GENERATE_SERIES(1, {UNI_MAX_PIECE})) uk(k),
+           UNNEST(GENERATE_SERIES(1, len - k + 1)) ui(i)
+      GROUP BY piece
+    ), uv1 AS (
+      SELECT piece, occ FROM useed
+      WHERE LENGTH(piece) = 1 OR occ >= {UNI_MIN_OCC}
+    )"""
+    ]
+
+    def cost_cte(it: int) -> str:
+        return f"""ut{it} AS (
+      SELECT CAST(SUM(occ) AS BIGINT) AS total FROM uv{it}
+    ), uc{it} AS MATERIALIZED (
+      SELECT piece,
+             CAST({_lg_duck('t.total')} - {_lg_duck('v.occ')} AS BIGINT) AS c
+      FROM uv{it} v, ut{it} t
+    )"""
+
+    def dp_ctes(it: int) -> list[str]:
+        # AS MATERIALIZED is load-bearing: each dp level is referenced by
+        # up to UNI_MAX_PIECE successors, so DuckDB's default CTE inlining
+        # would expand the chain 4^UNI_MAX_WORD-fold (measured: file-handle
+        # exhaustion before the first row) — materialization makes the
+        # oracle evaluate each DP level once, like the Spark persists
+        out = [
+            f"""udp{it}_0 AS MATERIALIZED (
+      SELECT word, len, CAST(0 AS BIGINT) AS pack FROM uw
+    )"""
+        ]
+        for j in range(1, UNI_MAX_WORD + 1):
+            arms = "\n        UNION ALL\n        ".join(
+                f"""SELECT d.word, d.len,
+               d.pack + p.c * {_UNI_CPACK}
+                 + {_UNI_NPACK + (1 << (j - 1))} AS cand
+        FROM udp{it}_{j - k} d
+        JOIN uc{it} p ON p.piece = SUBSTR(d.word, {j - k + 1}, {k})
+        WHERE d.len >= {j}"""
+                for k in range(1, min(UNI_MAX_PIECE, j) + 1)
+            )
+            out.append(f"""udp{it}_{j} AS MATERIALIZED (
+      SELECT word, len, MIN(cand) AS pack
+      FROM ({arms})
+      GROUP BY word, len
+    )""")
+        fins = "\n        UNION ALL\n        ".join(
+            f"SELECT word, len, pack FROM udp{it}_{j} WHERE len = {j}"
+            for j in range(1, UNI_MAX_WORD + 1)
+        )
+        out.append(f"""ufin{it} AS MATERIALIZED (
+      SELECT word, len, pack >> 16 AS cost,
+             (pack >> 12) & 15 AS n, pack & 4095 AS mask
+      FROM ({fins})
+    )""")
+        return out
+
+    def summary_cte(it: int) -> str:
+        return f"""um{it} AS (
+      SELECT CAST({it} AS BIGINT) AS iter,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM uc{it}) AS vocab_size,
+             (SELECT total FROM ut{it}) AS total_occ,
+             CAST(SUM(CAST(w.freq AS HUGEINT) * f.n) AS BIGINT)
+               AS corpus_tokens,
+             CAST(SUM(CAST(w.freq AS HUGEINT) * f.cost) AS BIGINT)
+               AS corpus_cost_milli,
+             CAST(SUM(CAST(w.freq AS HUGEINT) * f.mask) AS BIGINT)
+               AS seg_checksum
+      FROM ufin{it} f JOIN uw w USING (word)
+    )"""
+
+    parts.append(cost_cte(1))
+    parts.extend(dp_ctes(1))
+    parts.append("""uv2 AS (
+      SELECT piece, CAST(SUM(w.freq) AS BIGINT) AS occ
+      FROM (
+        SELECT word, SUBSTR(word, prev + 1, b - prev) AS piece FROM (
+          SELECT f.word, b,
+                 LAG(b, 1, 0) OVER (PARTITION BY f.word ORDER BY b) AS prev
+          FROM ufin1 f, UNNEST(GENERATE_SERIES(1, f.len)) ub(b)
+          WHERE ((f.mask >> (b - 1)) & 1) = 1
+        )
+      ) s JOIN uw w USING (word)
+      GROUP BY piece
+    )""")
+    parts.append(cost_cte(2))
+    parts.extend(dp_ctes(2))
+    parts.append(summary_cte(1))
+    parts.append(summary_cte(2))
+    return parts
+
+
+def _uni_learn_sql() -> str:
+    return (
+        "WITH "
+        + ",\n    ".join(_uni_sql_ctes())
+        + "\n    SELECT * FROM um1 UNION ALL SELECT * FROM um2"
+    )
+
+
+def _uni_tokenize_sql() -> str:
+    return (
+        "WITH "
+        + ",\n    ".join(_uni_sql_ctes())
+        + f""",
+    udw AS (
+      SELECT doc_id, tok AS word, CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM (SELECT doc_id, UNNEST({SQL_WS_TOKENS.format(c='text')}) AS tok
+            FROM documents)
+      WHERE REGEXP_MATCHES(tok, '^[a-z]+$') AND LENGTH(tok) <= {UNI_MAX_WORD}
+      GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(n_occ) AS BIGINT) AS n_words,
+           CAST(SUM(n_occ * LENGTH(word)) AS BIGINT) AS n_char_tokens,
+           CAST(SUM(n_occ * f.n) AS BIGINT) AS n_uni_tokens,
+           CAST(SUM(n_occ * f.n) * 1000
+                // SUM(n_occ * LENGTH(word)) AS BIGINT) AS compression_milli
+    FROM udw JOIN ufin2 f USING (word)
+    GROUP BY doc_id"""
+    )
+
+
+@query(
+    "text_unigram_learn",
+    oracle=_uni_learn_sql(),
+    tags=("llm", "text", "documents"),
+)
+def text_unigram_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018, the SentencePiece
+    algorithm — the other tokenizer family next to BPE) as pure
+    relational algebra with FIXED-POINT INTEGER likelihoods: seed all
+    substrings up to UNI_MAX_PIECE chars (singles always kept), score
+    pieces by the milli-scaled integer -log2 p = lg(total) - lg(occ),
+    Viterbi-segment every vocabulary word under a packed
+    (cost, n_pieces, boundary-mask) BIGINT whose plain MIN is the
+    lexicographic optimum (no window, no tie ambiguity), hard-EM
+    recount from the chosen segmentations (unused seeds prune out),
+    and segment again. One summary row per EM pass: vocabulary size,
+    total occurrence mass, corpus token count, corpus cost, and the
+    freq-weighted boundary-mask checksum — the checksum certifies the
+    EXACT segmentation of every word, so the oracle (which replays the
+    seed count, both cost tables, all 2x{UNI_MAX_WORD} DP cells, and the
+    M-step explode) gates every Viterbi decision, not just the totals.
+
+    Scale shape: one corpus-sized word count; everything after is
+    vocabulary-bounded (words x positions). Each DP cell is a
+    broadcast-joined MIN aggregation; dp tables scope-persist so pass
+    N+1 never recomputes pass N (the bpe_learned_vocab discipline)."""
+    words, _fin2, iters = unigram_learned(spark, sf_dir)
+    out = None
+    for it, fin, vocab in iters:
+        total = vocab.agg(F.sum("occ").cast("long").alias("total_occ"))
+        vs = vocab.agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+        stats = (
+            fin.join(words.select("word", "freq"), "word")
+            .agg(
+                F.sum((F.col("freq") * F.col("n")).cast("decimal(38,0)"))
+                .cast("long")
+                .alias("corpus_tokens"),
+                F.sum((F.col("freq") * F.col("cost")).cast("decimal(38,0)"))
+                .cast("long")
+                .alias("corpus_cost_milli"),
+                F.sum((F.col("freq") * F.col("mask")).cast("decimal(38,0)"))
+                .cast("long")
+                .alias("seg_checksum"),
+            )
+        )
+        row = (
+            stats.crossJoin(F.broadcast(vs))
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(it).cast("long").alias("iter"),
+                "vocab_size",
+                "total_occ",
+                "corpus_tokens",
+                "corpus_cost_milli",
+                "seg_checksum",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+@query(
+    "text_unigram_tokenize",
+    oracle=_uni_tokenize_sql(),
+    tags=("llm", "text", "documents"),
+)
+def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the pass-2 Unigram-LM segmentation to the corpus — the
+    token-budget accounting next to ``text_bpe_tokenize``, so the two
+    trained tokenizer families are cost-comparable per document: word
+    count, character-token count, unigram token count (each word costs
+    its Viterbi n_pieces), and the milli-scaled compression ratio.
+    Learner/applier mirror the BPE pair: the learner certifies training,
+    this certifies application, and both read ``unigram_learned`` so
+    they cannot diverge.
+
+    Scale shape: application is ONE corpus pass grouped to (doc, word)
+    map-side, then a broadcast join against the vocabulary-bounded
+    per-word piece counts — documents never shuffle against each other.
+    Words beyond UNI_MAX_WORD chars (and docs with none left) drop out
+    identically in both engines."""
+    _words, fin2, _iters = unigram_learned(spark, sf_dir)
+    vt = fin2.select("word", F.col("n").alias("n_piece"))
+    d = load(spark, sf_dir, "documents")
+    dw = (
+        d.select("doc_id", F.explode(ws_tokens("text")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .filter(F.length("word") <= UNI_MAX_WORD)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    )
+    return (
+        dw.join(F.broadcast(vt), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(F.col("n_occ") * F.length("word"))
+            .cast("long")
+            .alias("n_char_tokens"),
+            F.sum(F.col("n_occ") * F.col("n_piece"))
+            .cast("long")
+            .alias("n_uni_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_char_tokens",
+            "n_uni_tokens",
+            F.expr("CAST(n_uni_tokens * 1000 div n_char_tokens AS BIGINT)").alias(
+                "compression_milli"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # delta-encoded posting lists — inverted-index compression accounting
 # ---------------------------------------------------------------------------
 

@@ -72,6 +72,91 @@ def test_simhash_certified_sound_and_aligned(spark, sf_dir):
         assert 0 <= h <= 12
 
 
+def test_unigram_viterbi_matches_bruteforce_dp(spark):
+    """The packed-BIGINT Viterbi DP (_uni_viterbi) must choose exactly
+    the segmentation a plain-Python lexicographic-(cost, n_pieces, mask)
+    brute force chooses, for crafted words under a crafted cost table —
+    including a tie the mask field must break deterministically."""
+    from itertools import combinations
+
+    from projet_pipeline_bigdata_org_spark.operators.textops import (
+        UNI_MAX_PIECE,
+        _uni_viterbi,
+    )
+
+    costs = {
+        "a": 5000, "b": 5000, "c": 5000, "d": 5000,
+        "ab": 6000, "bc": 6000, "cd": 6000, "abc": 8000, "abcd": 30000,
+    }
+    words = ["abcd", "abc", "dcba", "aaaa"]
+    wdf = spark.createDataFrame(
+        [(w, 1, len(w)) for w in words], "word string, freq long, len int"
+    )
+    cdf = spark.createDataFrame(
+        [(p, c) for p, c in costs.items()], "piece string, c long"
+    )
+    got = {
+        r.word: (r.cost, r.n, r.mask)
+        for r in _uni_viterbi(wdf, cdf).collect()
+    }
+
+    def brute(word):
+        best = None
+        L = len(word)
+        for nb in range(L):
+            for cuts in combinations(range(1, L), nb):
+                bounds = list(cuts) + [L]
+                prev, tot, ok, mask = 0, 0, True, 0
+                for b in bounds:
+                    piece = word[prev:b]
+                    if len(piece) > UNI_MAX_PIECE or piece not in costs:
+                        ok = False
+                        break
+                    tot += costs[piece]
+                    mask |= 1 << (b - 1)
+                    prev = b
+                if ok:
+                    cand = (tot, len(bounds), mask)
+                    best = cand if best is None or cand < best else best
+        return best
+
+    for w in words:
+        assert got[w] == brute(w), (w, got[w], brute(w))
+
+
+def test_unigram_em_prunes_and_certifies(spark, sf_dir):
+    """Structural EM contract on the corpus: every capped [a-z]+ word is
+    segmented in both passes; pass-2 vocabulary is exactly the pieces
+    pass 1 used (hard-EM pruning); per word the mask's top bit is the
+    word end and n equals the mask popcount (the packing invariants the
+    oracle's checksum relies on)."""
+    from projet_pipeline_bigdata_org_spark.operators.textops import (
+        unigram_learned,
+    )
+
+    words, fin2, iters = unigram_learned(spark, sf_dir)
+    n_words = words.count()
+    (_, fin1, vocab1), (_, fin2b, vocab2) = iters
+    r1 = fin1.collect()
+    r2 = fin2b.collect()
+    assert len(r1) == n_words and len(r2) == n_words
+    for rows in (r1, r2):
+        for r in rows:
+            assert r.mask & (1 << (r.len - 1)), r
+            assert r.n == bin(r.mask).count("1"), r
+    # pruning: vocab2 pieces = exactly the segments pass 1 chose
+    used = set()
+    for r in r1:
+        prev = 0
+        for b in range(1, r.len + 1):
+            if (r.mask >> (b - 1)) & 1:
+                used.add(r.word[prev:b])
+                prev = b
+    v2 = {r.piece for r in vocab2.collect()}
+    assert v2 == used
+    assert v2 <= {r.piece for r in vocab1.collect()}
+
+
 def test_simhash_deterministic_and_bounded(spark, sf_dir):
     df = _Q["dedup_simhash"].fn(spark, sf_dir)
     r1 = sorted((r.a_id, r.b_id, r.hamming) for r in df.collect())
