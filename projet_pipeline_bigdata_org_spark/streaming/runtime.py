@@ -247,6 +247,64 @@ def _epoch_history_scan(
     )
 
 
+def _epoch_fold_batch(sink, batch_df: DataFrame, epoch_id: int) -> None:
+    """The shared epoch-store skeleton of every MERGEABLE-STATE sink
+    (KMV, count-min, CUSUM gate, seasonal gate — r12, VERDICT r11 #7:
+    previously copy-adjacent per sink). A new mergeable sink is its
+    arithmetic hooks plus a dataclass; the per-epoch-store /
+    strict-prior-epoch / idempotent-overwrite / single-cache-per-stage
+    contract lives HERE, once.
+
+    Hooks the sink provides:
+
+    - ``_partial(batch)``  -> the batch's bounded partial-state table;
+    - ``_merge(unioned)``  -> fold of (partial ∪ strictly-prior state);
+    - ``_derive(folded)``  -> the observable table for this epoch;
+    - ``_stat(derived)``   -> optional stats update (the derived table is
+      persisted around stat + write, so they share one cache — the
+      HistoryDedupSink never-one-job-per-consumer discipline);
+    - ``STATE_SCHEMA``, ``STORE_FOLDED``, ``_state_dir()``,
+      ``_derived_dir()``.
+
+    ``STORE_FOLDED`` picks the state representation: False stores
+    per-epoch DELTAS (counters/partials ADD — cumulative snapshots would
+    double-count; count-min, CUSUM, seasonal), True stores the MERGED
+    state (union-then-trim is idempotent/associative, so the folded rows
+    subsume replays; KMV). Replay safety and idempotence are the
+    harness's job: state reads are strictly-prior-epoch scans
+    (``_epoch_history_scan``), every write an epoch-partition
+    overwrite."""
+    sink.stats["batches"] += 1
+    if batch_df.isEmpty():  # P9 empty-batch guard
+        return
+    part = sink._partial(batch_df).persist()
+    try:
+        prior = _epoch_history_scan(
+            sink.spark, sink._state_dir(), sink.STATE_SCHEMA, epoch_id
+        )
+        folded = sink._merge(part.unionByName(prior))
+        if sink.STORE_FOLDED:
+            folded = folded.persist()
+        try:
+            state = folded if sink.STORE_FOLDED else part
+            state.write.mode("overwrite").parquet(
+                f"{sink._state_dir()}/epoch={epoch_id}"
+            )
+            derived = sink._derive(folded).persist()
+            try:
+                sink._stat(derived)
+                derived.write.mode("overwrite").parquet(
+                    f"{sink._derived_dir()}/epoch={epoch_id}"
+                )
+            finally:
+                derived.unpersist()
+        finally:
+            if sink.STORE_FOLDED:
+                folded.unpersist()
+    finally:
+        part.unpersist()
+
+
 @dataclass
 class HistoryDedupSink:
     """Exactly-once streaming dedup against a persisted historical corpus —
@@ -1017,50 +1075,51 @@ class KmvSketchSink:
     lang_col: str = "lang"
     stats: dict = field(default_factory=lambda: {"batches": 0})
 
-    def _sketch_before(self, epoch_id: int) -> DataFrame:
-        from projet_pipeline_bigdata_org_spark.operators.analytics_ext import (
-            kmv_trim,
-        )
+    STATE_SCHEMA = "lang string, h bigint"
+    STORE_FOLDED = True  # trim is idempotent: merged rows subsume replays
 
-        return kmv_trim(
-            _epoch_history_scan(
-                self.spark,
-                f"{self.sketch_path}/sketch",
-                "lang string, h bigint",
-                epoch_id,
-            )
-        )
+    def _state_dir(self) -> str:
+        return f"{self.sketch_path}/sketch"
 
-    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+    def _derived_dir(self) -> str:
+        return f"{self.sketch_path}/estimates"
+
+    def _partial(self, batch_df: DataFrame) -> DataFrame:
         from projet_pipeline_bigdata_org_spark.operators.analytics_ext import (
             kmv_hash,
-            kmv_summarize,
-            kmv_trim,
         )
         from projet_pipeline_bigdata_org_spark.operators.textops import ws_tokens
 
-        self.stats["batches"] += 1
-        if batch_df.isEmpty():  # P9 empty-batch guard
-            return
         toks = batch_df.select(
             F.col(self.lang_col).alias("lang"),
             F.explode(ws_tokens(self.content_col)).alias("tok"),
         )
-        scoped = toks.unionByName(
+        return toks.unionByName(
             toks.select(F.lit("__all__").alias("lang"), "tok")
         ).select("lang", kmv_hash("tok"))
-        merged = kmv_trim(
-            scoped.unionByName(self._sketch_before(epoch_id))
-        ).persist()
-        try:
-            merged.write.mode("overwrite").parquet(
-                f"{self.sketch_path}/sketch/epoch={epoch_id}"
-            )
-            kmv_summarize(merged).write.mode("overwrite").parquet(
-                f"{self.sketch_path}/estimates/epoch={epoch_id}"
-            )
-        finally:
-            merged.unpersist()
+
+    def _merge(self, unioned: DataFrame) -> DataFrame:
+        # trim(batch ∪ prior) — prior rows are already trimmed per epoch,
+        # and trim is associative/idempotent, so one trim of the raw
+        # union equals the old trim-at-read-then-trim-again form
+        from projet_pipeline_bigdata_org_spark.operators.analytics_ext import (
+            kmv_trim,
+        )
+
+        return kmv_trim(unioned)
+
+    def _derive(self, folded: DataFrame) -> DataFrame:
+        from projet_pipeline_bigdata_org_spark.operators.analytics_ext import (
+            kmv_summarize,
+        )
+
+        return kmv_summarize(folded)
+
+    def _stat(self, derived: DataFrame) -> None:
+        pass
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        _epoch_fold_batch(self, batch_df, epoch_id)
 
 
 @dataclass
@@ -1095,40 +1154,42 @@ class CountMinSketchSink:
     content_col: str = "text"
     stats: dict = field(default_factory=lambda: {"batches": 0})
 
-    def _deltas_before(self, epoch_id: int) -> DataFrame:
-        return _epoch_history_scan(
-            self.spark,
-            f"{self.sketch_path}/delta",
-            "j int, bucket int, c bigint",
-            epoch_id,
-        )
+    STATE_SCHEMA = "j int, bucket int, c bigint"
+    STORE_FOLDED = False  # counters ADD: store per-epoch deltas
 
-    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+    def _state_dir(self) -> str:
+        return f"{self.sketch_path}/delta"
+
+    def _derived_dir(self) -> str:
+        return f"{self.sketch_path}/estimates"
+
+    def _partial(self, batch_df: DataFrame) -> DataFrame:
         from projet_pipeline_bigdata_org_spark.operators.analytics_ext import (
-            cm_probe_estimates,
             cm_sketch_counters,
         )
         from projet_pipeline_bigdata_org_spark.operators.textops import ws_tokens
 
-        self.stats["batches"] += 1
-        if batch_df.isEmpty():  # P9 empty-batch guard
-            return
-        toks = batch_df.select(F.explode(ws_tokens(self.content_col)).alias("tok"))
-        delta = cm_sketch_counters(toks).persist()
-        try:
-            delta.write.mode("overwrite").parquet(
-                f"{self.sketch_path}/delta/epoch={epoch_id}"
-            )
-            cumulative = (
-                delta.unionByName(self._deltas_before(epoch_id))
-                .groupBy("j", "bucket")
-                .agg(F.sum("c").cast("long").alias("c"))
-            )
-            cm_probe_estimates(self.spark, cumulative).write.mode(
-                "overwrite"
-            ).parquet(f"{self.sketch_path}/estimates/epoch={epoch_id}")
-        finally:
-            delta.unpersist()
+        return cm_sketch_counters(
+            batch_df.select(F.explode(ws_tokens(self.content_col)).alias("tok"))
+        )
+
+    def _merge(self, unioned: DataFrame) -> DataFrame:
+        return unioned.groupBy("j", "bucket").agg(
+            F.sum("c").cast("long").alias("c")
+        )
+
+    def _derive(self, folded: DataFrame) -> DataFrame:
+        from projet_pipeline_bigdata_org_spark.operators.analytics_ext import (
+            cm_probe_estimates,
+        )
+
+        return cm_probe_estimates(self.spark, folded)
+
+    def _stat(self, derived: DataFrame) -> None:
+        pass
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        _epoch_fold_batch(self, batch_df, epoch_id)
 
 
 def start_foreach_batch(
@@ -1183,48 +1244,41 @@ class CusumGateSink:
     store_path: str
     stats: dict = field(default_factory=lambda: {"batches": 0, "shifts": 0})
 
-    _DELTA_SCHEMA = "event_type string, day date, daily_cents decimal(38,0)"
+    STATE_SCHEMA = "event_type string, day date, daily_cents decimal(38,0)"
+    STORE_FOLDED = False  # daily sums ADD: store per-epoch deltas
 
-    def _deltas_before(self, epoch_id: int) -> DataFrame:
-        return _epoch_history_scan(
-            self.spark, f"{self.store_path}/delta", self._DELTA_SCHEMA, epoch_id
-        )
+    def _state_dir(self) -> str:
+        return f"{self.store_path}/delta"
 
-    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+    def _derived_dir(self) -> str:
+        return f"{self.store_path}/chart"
+
+    def _partial(self, batch_df: DataFrame) -> DataFrame:
         from projet_pipeline_bigdata_org_spark.operators.outliers import (
-            cusum_chart,
             cusum_daily,
         )
 
-        self.stats["batches"] += 1
-        if batch_df.isEmpty():  # P9 empty-batch guard
-            return
-        delta = cusum_daily(batch_df).persist()
-        try:
-            delta.write.mode("overwrite").parquet(
-                f"{self.store_path}/delta/epoch={epoch_id}"
-            )
-            merged = (
-                delta.unionByName(self._deltas_before(epoch_id))
-                .groupBy("event_type", "day")
-                .agg(
-                    F.sum("daily_cents")
-                    .cast("decimal(38,0)")
-                    .alias("daily_cents")
-                )
-            )
-            chart = cusum_chart(merged).persist()
-            try:
-                # the chart is a full recompute — "shifts" is the CURRENT
-                # chart's flag count, not a sum over epochs
-                self.stats["shifts"] = chart.filter(F.col("is_shift")).count()
-                chart.write.mode("overwrite").parquet(
-                    f"{self.store_path}/chart/epoch={epoch_id}"
-                )
-            finally:
-                chart.unpersist()
-        finally:
-            delta.unpersist()
+        return cusum_daily(batch_df)
+
+    def _merge(self, unioned: DataFrame) -> DataFrame:
+        return unioned.groupBy("event_type", "day").agg(
+            F.sum("daily_cents").cast("decimal(38,0)").alias("daily_cents")
+        )
+
+    def _derive(self, folded: DataFrame) -> DataFrame:
+        from projet_pipeline_bigdata_org_spark.operators.outliers import (
+            cusum_chart,
+        )
+
+        return cusum_chart(folded)
+
+    def _stat(self, derived: DataFrame) -> None:
+        # the chart is a full recompute — "shifts" is the CURRENT chart's
+        # flag count, not a sum over epochs
+        self.stats["shifts"] = derived.filter(F.col("is_shift")).count()
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        _epoch_fold_batch(self, batch_df, epoch_id)
 
 
 @dataclass
@@ -1255,46 +1309,37 @@ class SeasonalGateSink:
     store_path: str
     stats: dict = field(default_factory=lambda: {"batches": 0, "anomalies": 0})
 
-    _DELTA_SCHEMA = "event_type string, di int, daily_cents decimal(38,0)"
+    STATE_SCHEMA = "event_type string, di int, daily_cents decimal(38,0)"
+    STORE_FOLDED = False  # daily sums ADD: store per-epoch deltas
 
-    def _deltas_before(self, epoch_id: int) -> DataFrame:
-        return _epoch_history_scan(
-            self.spark, f"{self.store_path}/delta", self._DELTA_SCHEMA, epoch_id
-        )
+    def _state_dir(self) -> str:
+        return f"{self.store_path}/delta"
 
-    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+    def _derived_dir(self) -> str:
+        return f"{self.store_path}/flags"
+
+    def _partial(self, batch_df: DataFrame) -> DataFrame:
         from projet_pipeline_bigdata_org_spark.operators.outliers import (
             seasonal_daily,
+        )
+
+        return seasonal_daily(batch_df)
+
+    def _merge(self, unioned: DataFrame) -> DataFrame:
+        return unioned.groupBy("event_type", "di").agg(
+            F.sum("daily_cents").cast("decimal(38,0)").alias("daily_cents")
+        )
+
+    def _derive(self, folded: DataFrame) -> DataFrame:
+        from projet_pipeline_bigdata_org_spark.operators.outliers import (
             seasonal_flags,
         )
 
-        self.stats["batches"] += 1
-        if batch_df.isEmpty():  # P9 empty-batch guard
-            return
-        delta = seasonal_daily(batch_df).persist()
-        try:
-            delta.write.mode("overwrite").parquet(
-                f"{self.store_path}/delta/epoch={epoch_id}"
-            )
-            merged = (
-                delta.unionByName(self._deltas_before(epoch_id))
-                .groupBy("event_type", "di")
-                .agg(
-                    F.sum("daily_cents")
-                    .cast("decimal(38,0)")
-                    .alias("daily_cents")
-                )
-            )
-            flags = seasonal_flags(merged).persist()
-            try:
-                # full recompute — "anomalies" is the CURRENT gate's count
-                self.stats["anomalies"] = flags.filter(
-                    F.col("is_anomaly")
-                ).count()
-                flags.write.mode("overwrite").parquet(
-                    f"{self.store_path}/flags/epoch={epoch_id}"
-                )
-            finally:
-                flags.unpersist()
-        finally:
-            delta.unpersist()
+        return seasonal_flags(folded)
+
+    def _stat(self, derived: DataFrame) -> None:
+        # full recompute — "anomalies" is the CURRENT gate's count
+        self.stats["anomalies"] = derived.filter(F.col("is_anomaly")).count()
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        _epoch_fold_batch(self, batch_df, epoch_id)
