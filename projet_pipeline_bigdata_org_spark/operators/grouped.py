@@ -909,10 +909,12 @@ def _lpa_iteration_sql(prev: str, out: str) -> str:
       GROUP BY node)"""
 
 
-@query(
-    "algo_label_propagation",
-    oracle=f"""
-    WITH pairs AS (
+def _lpa_sql_ctes() -> str:
+    """The shared CTE chain of the DuckDB LPA twin (pairs → symmetrized
+    edges → l0 → LPA_ITERS unrolled rounds): consumed by the community
+    oracle AND the modularity oracle, so both gates certify ONE labeling
+    (the _bpe_sql_ctes discipline)."""
+    return f"""pairs AS (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       FROM lineitem a
       JOIN lineitem b
@@ -922,7 +924,13 @@ def _lpa_iteration_sql(prev: str, out: str) -> str:
       UNION ALL
       SELECT v AS src, u AS dst FROM pairs),
     l0 AS (SELECT DISTINCT src AS node, src AS community FROM edges),
-    {','.join(_lpa_iteration_sql(f'l{i}', f'l{i + 1}') for i in range(LPA_ITERS))}
+    {','.join(_lpa_iteration_sql(f'l{i}', f'l{i + 1}') for i in range(LPA_ITERS))}"""
+
+
+@query(
+    "algo_label_propagation",
+    oracle=f"""
+    WITH {_lpa_sql_ctes()}
     SELECT node, CAST(community AS BIGINT) AS community
     FROM l{LPA_ITERS}
     """,
@@ -953,6 +961,17 @@ def algo_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree at 100 TB); AQE splits the hub fan-in. Fixed unrolling keeps
     lineage small; a convergence variant would checkpoint per round like
     star_cluster_components."""
+    _edges, labels = lpa_labels(spark, sf_dir)
+    return labels.select("node", F.col("community").cast("long").alias("community"))
+
+
+def lpa_labels(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The ONE Spark-side LPA pipeline: symmetrized co-purchase edges
+    (persisted hash-partitioned on src) → LPA_ITERS synchronous rounds.
+    Returns (edges, labels); ``algo_label_propagation`` reports the
+    labeling, ``algo_modularity_score`` grades it — both read this
+    function, so the two queries cannot label differently (the
+    bpe_learned_vocab discipline)."""
     from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -992,7 +1011,142 @@ def algo_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "community"
             )
         )
-    return labels.select("node", F.col("community").cast("long").alias("community"))
+    return edges, labels
+
+
+@query(
+    "algo_modularity_score",
+    oracle=f"""
+    WITH {_lpa_sql_ctes()},
+    lab AS (SELECT node, community FROM l{LPA_ITERS}),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    m2t AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM edges),
+    intra AS (
+      SELECT ls.community, CAST(COUNT(*) AS BIGINT) AS intra_deg
+      FROM edges e
+      JOIN lab ls ON e.src = ls.node
+      JOIN lab ld ON e.dst = ld.node
+      WHERE ls.community = ld.community
+      GROUP BY ls.community),
+    comm AS (
+      SELECT l.community,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d.deg) AS BIGINT) AS degree_mass
+      FROM lab l JOIN deg d USING (node) GROUP BY l.community),
+    j AS (
+      SELECT c.community, c.n_nodes, c.degree_mass,
+             COALESCE(i.intra_deg, 0) AS intra_deg
+      FROM comm c LEFT JOIN intra i USING (community)),
+    g AS (
+      SELECT CAST(1000000 * (SUM(CAST(intra_deg AS HUGEINT)) * m2
+                             - SUM(CAST(degree_mass AS HUGEINT)
+                                   * degree_mass))
+                  // (CAST(m2 AS HUGEINT) * m2) AS BIGINT)
+               AS modularity_micro
+      FROM j, m2t GROUP BY m2)
+    SELECT CAST(j.community AS BIGINT) AS community,
+           j.n_nodes, j.degree_mass, j.intra_deg,
+           CAST(1000000 * (CAST(j.intra_deg AS HUGEINT) * m.m2
+                           - CAST(j.degree_mass AS HUGEINT) * j.degree_mass)
+                // (CAST(m.m2 AS HUGEINT) * m.m2) AS BIGINT)
+             AS contrib_micro,
+           g.modularity_micro
+    FROM j, m2t m, g
+    """,
+    tags=("graph", "iterative", "lineitem"),
+)
+def algo_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities — the quality score a
+    pipeline publishes beside any community detection (Newman & Girvan
+    2004): Q = Σ_c [e_c/m − (d_c/2m)²], the intra-community edge mass
+    against its degree-proportional expectation. All arithmetic is exact
+    integer rationals, micro-scaled by one truncating division per row
+    (DECIMAL(38,0)/HUGEINT products — intra·2m and d_c² wrap int64 past
+    ~3e9 directed edges): over the symmetrized directed edge list,
+    2m = |edges|, e_c counts both directions, d_c sums degrees, so
+    contrib_micro = 10⁶·(intra_deg·2m − d_c²) div (2m)² and the global
+    modularity_micro folds the sums BEFORE the division (one truncation,
+    not a sum of truncations). The labeling is ``lpa_labels`` — shared
+    code with ``algo_label_propagation``, and the oracle re-derives all
+    LPA_ITERS rounds through the same CTE chain as that query's gate, so
+    the score is certified against the exact labeling it grades.
+
+    Scale shape: one persisted edge list (the LPA cache, reused), the
+    intra count is one self-equi-join of edges against the |nodes|-row
+    labeling on each endpoint, and everything after is bounded by
+    |communities|; the global fold is an unpartitioned window over that
+    bounded table (the agg_hll_registers discipline)."""
+    edges, labels = lpa_labels(spark, sf_dir)
+    lab = labels.select("node", "community")
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    m2 = edges.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+    intra = (
+        edges.join(
+            lab.select(F.col("node").alias("src"), F.col("community").alias("cs")),
+            "src",
+        )
+        .join(
+            lab.select(F.col("node").alias("dst"), F.col("community").alias("cd")),
+            "dst",
+        )
+        .filter(F.col("cs") == F.col("cd"))
+        .groupBy(F.col("cs").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_deg"))
+    )
+    comm = (
+        lab.join(deg, "node")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("degree_mass"),
+        )
+    )
+    j = comm.join(intra, "community", "left").select(
+        F.col("community").cast("long").alias("community"),
+        "n_nodes",
+        "degree_mass",
+        F.coalesce(F.col("intra_deg"), F.lit(0).cast("long")).alias("intra_deg"),
+    ).crossJoin(F.broadcast(m2))
+    # global fold as an unpartitioned window over the |communities|-bounded
+    # table — a separate .agg() branch would recompute the LPA subtree
+    contrib = F.expr(
+        "CAST(1000000 * (CAST(intra_deg AS DECIMAL(38,0)) * m2"
+        " - CAST(degree_mass AS DECIMAL(38,0)) * degree_mass)"
+        " div (CAST(m2 AS DECIMAL(38,0)) * m2) AS BIGINT)"
+    )
+    from pyspark.sql import Window as _W
+
+    sum_intra = F.sum(F.col("intra_deg").cast("decimal(38,0)")).over(
+        _W.partitionBy()
+    )
+    sum_dsq = F.sum(
+        (F.col("degree_mass").cast("decimal(38,0)") * F.col("degree_mass"))
+    ).over(_W.partitionBy())
+    return (
+        j.select(
+            "community",
+            "n_nodes",
+            "degree_mass",
+            "intra_deg",
+            contrib.alias("contrib_micro"),
+            sum_intra.alias("_si"),
+            sum_dsq.alias("_sd"),
+            "m2",
+        )
+        .select(
+            "community",
+            "n_nodes",
+            "degree_mass",
+            "intra_deg",
+            "contrib_micro",
+            F.expr(
+                "CAST(1000000 * (_si * m2 - _sd)"
+                " div (CAST(m2 AS DECIMAL(38,0)) * m2) AS BIGINT)"
+            ).alias("modularity_micro"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
