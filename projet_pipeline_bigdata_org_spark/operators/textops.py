@@ -1713,6 +1713,86 @@ def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tokenizer_compare_sql() -> str:
+    return (
+        "WITH "
+        + ",\n    ".join(_bpe_sql_ctes())
+        + ",\n    "
+        + ",\n    ".join(_uni_sql_ctes())
+        + f""",
+    b AS (
+      SELECT word, freq, LEN(STRING_SPLIT(seq, ' ')) AS n_bpe
+      FROM v{BPE_ROUNDS} WHERE LENGTH(word) <= {UNI_MAX_WORD}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(b.freq) AS BIGINT) AS total_freq,
+           CAST(SUM(b.freq * LENGTH(b.word)) AS BIGINT) AS char_tokens,
+           CAST(SUM(b.freq * b.n_bpe) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(b.freq * f.n) AS BIGINT) AS uni_tokens,
+           CAST(SUM(b.freq * b.n_bpe) * 1000
+                // SUM(b.freq * LENGTH(b.word)) AS BIGINT) AS bpe_milli,
+           CAST(SUM(b.freq * f.n) * 1000
+                // SUM(b.freq * LENGTH(b.word)) AS BIGINT) AS uni_milli
+    FROM b JOIN ufin2 f USING (word)"""
+    )
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle=_tokenizer_compare_sql(),
+    tags=("llm", "text", "documents"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility comparison of the two TRAINED tokenizer families — the
+    decision table a pipeline publishes before picking its tokenizer:
+    the round-BPE_ROUNDS BPE vocabulary vs the pass-2 Unigram-LM
+    segmentation, joined per word over the shared length-capped [a-z]+
+    vocabulary, rolled to ONE corpus row of freq-weighted token counts
+    and milli-scaled tokens-per-character ratios. BPE counts include its
+    end-of-word marker (that IS a token BPE emits; documented, identical
+    in the oracle). The oracle replays BOTH trainings through the same
+    CTE chains as their own gates (_bpe_sql_ctes + _uni_sql_ctes), so
+    the comparison is certified against the exact vocabularies the
+    learner queries certify — a drift in either trainer breaks this row
+    too.
+
+    Scale shape: both trainings are vocabulary-bounded after their one
+    corpus word count (shared scan at the catalog layer); the compare
+    join and rollup run on the <=|words| joined table."""
+    bvocab, _summaries = bpe_learned_vocab(spark, sf_dir)
+    _w, fin2, _iters = unigram_learned(spark, sf_dir)
+    b = (
+        bvocab.select("word", "freq", F.size("syms").cast("long").alias("n_bpe"))
+        .filter(F.length("word") <= UNI_MAX_WORD)
+    )
+    u = fin2.select("word", F.col("n").alias("n_uni"))
+    return (
+        b.join(u, "word")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("freq").cast("long").alias("total_freq"),
+            F.sum(F.col("freq") * F.length("word"))
+            .cast("long")
+            .alias("char_tokens"),
+            F.sum(F.col("freq") * F.col("n_bpe")).cast("long").alias("bpe_tokens"),
+            F.sum(F.col("freq") * F.col("n_uni")).cast("long").alias("uni_tokens"),
+        )
+        .select(
+            "n_words",
+            "total_freq",
+            "char_tokens",
+            "bpe_tokens",
+            "uni_tokens",
+            F.expr("CAST(bpe_tokens * 1000 div char_tokens AS BIGINT)").alias(
+                "bpe_milli"
+            ),
+            F.expr("CAST(uni_tokens * 1000 div char_tokens AS BIGINT)").alias(
+                "uni_milli"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # delta-encoded posting lists — inverted-index compression accounting
 # ---------------------------------------------------------------------------
