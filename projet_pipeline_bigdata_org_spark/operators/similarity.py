@@ -1001,6 +1001,156 @@ def embed_binary_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 CASCADE_SHORTLIST = 16 * TOPK
 
 
+#: reciprocal-rank-fusion constant (Cormack, Clarke & Buettcher 2009 —
+#: k=60 is the published default) and the micro fixed-point scale: each
+#: arm contributes 10^6 div (k + rank), an exact truncating division
+RRF_K = 60
+RRF_SCALE = 1_000_000
+
+
+def _rrf_oracle() -> str:
+    from projet_pipeline_bigdata_org_spark.operators.textops import (
+        BMQ_TOPK,
+        _bmq_sql_ctes,
+    )
+
+    return f"""
+    WITH {_bmq_sql_ctes()},
+    sig AS (
+      SELECT vec_id,
+             {_SIG_SQL}
+      FROM embeddings
+    ), seed AS (
+      SELECT q_id, doc_id FROM (
+        SELECT b.q_id, b.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY b.q_id ORDER BY b.rnk) AS sr
+        FROM bmq_top b JOIN sig sg ON sg.vec_id = b.doc_id)
+      WHERE sr = 1
+    ), qsig AS (
+      SELECT seed.q_id, {_Q_SIG_SQL}
+      FROM seed JOIN sig ON sig.vec_id = seed.doc_id
+    ), dense AS (
+      SELECT q_id, vec_id AS doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY ham, vec_id) AS BIGINT)
+               AS dense_rnk
+      FROM (
+        SELECT q.q_id, s.vec_id, CAST({_HAM_SQL} AS BIGINT) AS ham
+        FROM sig s CROSS JOIN qsig q)
+      QUALIFY dense_rnk <= {BMQ_TOPK}
+    ), fused AS (
+      SELECT COALESCE(s.q_id, d.q_id) AS q_id,
+             COALESCE(s.doc_id, d.doc_id) AS doc_id,
+             CAST(COALESCE(s.rnk, 0) AS BIGINT) AS sparse_rnk,
+             CAST(COALESCE(d.dense_rnk, 0) AS BIGINT) AS dense_rnk,
+             CAST(COALESCE({RRF_SCALE} // ({RRF_K} + s.rnk), 0)
+                  + COALESCE({RRF_SCALE} // ({RRF_K} + d.dense_rnk), 0)
+                  AS BIGINT) AS rrf_micro
+      FROM bmq_top s
+      FULL OUTER JOIN dense d
+        ON s.q_id = d.q_id AND s.doc_id = d.doc_id
+    )
+    SELECT q_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY rrf_micro DESC, doc_id)
+                AS BIGINT) AS fused_rnk,
+           doc_id, sparse_rnk, dense_rnk, rrf_micro
+    FROM fused
+    QUALIFY fused_rnk <= {BMQ_TOPK}
+    """
+
+
+@query(
+    "rank_fusion_rrf",
+    oracle=_rrf_oracle(),
+    tags=("llm", "similarity", "text", "documents", "embeddings"),
+)
+def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion — the standard way real
+    search stacks combine a sparse (lexical) and a dense (embedding) arm
+    without score calibration (Cormack et al. 2009: ranks fuse, scores
+    don't). The sparse arm is the certified batched BM25 top-k
+    (``bm25_query_topk`` — SAME builder, shared code); the dense arm is
+    pseudo-relevance feedback over the sign-signature index: each
+    query's best BM25 hit THAT HAS AN EMBEDDING seeds a Hamming
+    nearest-neighbor ranking over the embedded corpus (the
+    embed_binary_sign_topk machinery — shared helpers). Arms fuse per
+    (query, doc) as Σ 10^6 div (60 + rank), an exact integer, absent
+    arms contributing 0; the fused top-k re-ranks on (rrf DESC, doc_id).
+    The oracle replays the ENTIRE stack — BM25 chain, signatures, seeds,
+    Hamming ranks, fusion — through the same CTE fragments the arm
+    queries certify.
+
+    Scale shape: the sparse arm's only corpus shuffle is its tf groupBy
+    (plan-tested); the dense arm broadcasts |queries| seed signatures
+    against the signature scan with a WindowGroupLimit-bounded rank; the
+    fusion join touches <= 2 x queries x k rows. Docs without embeddings
+    participate in the sparse arm only (sf0.1 embeds a corpus prefix —
+    the realistic partially-embedded lake)."""
+    from projet_pipeline_bigdata_org_spark.operators.textops import (
+        BMQ_TOPK,
+        bm25_query_topk,
+    )
+
+    sparse = bm25_query_topk(spark, sf_dir).select(
+        "q_id", "doc_id", F.col("rnk").alias("sparse_rnk")
+    )
+    e = load(spark, sf_dir, "embeddings")
+    sig = e.select(
+        "vec_id",
+        *[
+            _sign_word(F.col("embedding"), 32 * k).alias(f"sig_{k}")
+            for k in range(SIGN_WORDS)
+        ],
+    )
+    sr = F.row_number().over(W.partitionBy("q_id").orderBy("sparse_rnk"))
+    seed = (
+        sparse.join(sig.select(F.col("vec_id").alias("doc_id")), "doc_id")
+        .withColumn("sr", sr)
+        .filter(F.col("sr") == 1)
+        .select("q_id", "doc_id")
+    )
+    qsig = seed.join(sig, seed.doc_id == sig.vec_id).select(
+        "q_id", *[F.col(f"sig_{k}").alias(f"q_{k}") for k in range(SIGN_WORDS)]
+    )
+    word_hams = [
+        F.bit_count(F.col(f"sig_{k}").bitwiseXOR(F.col(f"q_{k}")))
+        for k in range(SIGN_WORDS)
+    ]
+    ham = word_hams[0]
+    for wh in word_hams[1:]:
+        ham = ham + wh
+    dw = W.partitionBy("q_id").orderBy(F.col("ham"), F.col("vec_id"))
+    dense = (
+        sig.crossJoin(F.broadcast(qsig))
+        .select("q_id", "vec_id", ham.cast("long").alias("ham"))
+        .withColumn("dense_rnk", F.row_number().over(dw).cast("long"))
+        .filter(F.col("dense_rnk") <= BMQ_TOPK)
+        .select("q_id", F.col("vec_id").alias("doc_id"), "dense_rnk")
+    )
+    fused = sparse.join(dense, ["q_id", "doc_id"], "full_outer").select(
+        "q_id",
+        "doc_id",
+        F.coalesce(F.col("sparse_rnk"), F.lit(0)).cast("long").alias("sparse_rnk"),
+        F.coalesce(F.col("dense_rnk"), F.lit(0)).cast("long").alias("dense_rnk"),
+    )
+    rrf = F.expr(
+        f"CAST(CASE WHEN sparse_rnk > 0"
+        f" THEN {RRF_SCALE} div ({RRF_K} + sparse_rnk) ELSE 0 END"
+        f" + CASE WHEN dense_rnk > 0"
+        f" THEN {RRF_SCALE} div ({RRF_K} + dense_rnk) ELSE 0 END AS BIGINT)"
+    )
+    fw = W.partitionBy("q_id").orderBy(F.col("rrf_micro").desc(), "doc_id")
+    return (
+        fused.withColumn("rrf_micro", rrf)
+        .withColumn("fused_rnk", F.row_number().over(fw).cast("long"))
+        .filter(F.col("fused_rnk") <= BMQ_TOPK)
+        .select(
+            "q_id", "fused_rnk", "doc_id", "sparse_rnk", "dense_rnk", "rrf_micro"
+        )
+    )
+
+
 @query(
     "embed_cascade_topk",
     oracle=f"""

@@ -1920,10 +1920,12 @@ BMQ_TERMS_PER_QUERY = 3
 BMQ_TOPK = 5
 
 
-@query(
-    "bm25_query_topk",
-    oracle=f"""
-    WITH postings AS (
+def _bmq_sql_ctes() -> str:
+    """Shared CTE chain of the DuckDB batched-BM25 twin, ending in
+    ``bmq_top`` (the ranked top-{BMQ_TOPK} per query). Consumed by the
+    bm25_query_topk gate AND the rank-fusion gate, so both certify ONE
+    sparse ranking (the _bpe_sql_ctes discipline)."""
+    return f"""postings AS (
       SELECT DISTINCT tok AS token, doc_id FROM (
         SELECT doc_id, UNNEST({SQL_WS_TOKENS.format(c='text')}) AS tok
         FROM documents) t
@@ -1971,13 +1973,21 @@ BMQ_TOPK = 5
                AS bm25,
              CAST(COUNT(*) AS BIGINT) AS n_terms_hit
       FROM scored GROUP BY q_id, doc_id
-    )
-    SELECT q_id, CAST(rnk AS BIGINT) AS rnk, doc_id, n_terms_hit, bm25
-    FROM (SELECT q_id, doc_id, n_terms_hit, bm25,
-                 ROW_NUMBER() OVER (PARTITION BY q_id
-                                    ORDER BY bm25 DESC, doc_id) AS rnk
-          FROM per_doc) t
-    WHERE rnk <= {BMQ_TOPK}
+    ), bmq_top AS (
+      SELECT q_id, CAST(rnk AS BIGINT) AS rnk, doc_id, n_terms_hit, bm25
+      FROM (SELECT q_id, doc_id, n_terms_hit, bm25,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY bm25 DESC, doc_id) AS rnk
+            FROM per_doc) t
+      WHERE rnk <= {BMQ_TOPK}
+    )"""
+
+
+@query(
+    "bm25_query_topk",
+    oracle=f"""
+    WITH {_bmq_sql_ctes()}
+    SELECT q_id, rnk, doc_id, n_terms_hit, bm25 FROM bmq_top
     """,
     tags=("llm", "text", "similarity", "documents"),
 )
