@@ -912,6 +912,33 @@ def test_common_neighbors_all_joins_broadcast(spark, sf_dir, no_auto_broadcast):
     assert "TakeOrderedAndProject" in p, p
 
 
+def test_modularity_reads_cached_labels_no_cartesian(spark, sf_dir):
+    """algo_modularity_score must read the LPA edge list AND the final
+    labeling from caches (unpersisted labels would recompute the whole
+    LPA_ITERS-round subtree once per reference — both intra-join
+    endpoints plus the degree rollup), and the only nested-loop join is
+    the broadcast of the 1-row edge total."""
+    df = _Q["algo_modularity_score"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p, p
+    # edges cache + labels cache each read multiple times
+    assert p.count("InMemoryTableScan") >= 4, p
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p
+
+
+def test_rank_fusion_broadcast_seeds_window_group_limit(spark, sf_dir):
+    """rank_fusion_rrf's dense arm must broadcast the |queries| seed
+    signatures against the signature scan (never repartition the
+    embedded corpus) with WindowGroupLimit-bounded ranks, and no
+    CartesianProduct anywhere (the only nested-loop joins are bounded
+    broadcasts: corpus stats + seed signatures)."""
+    df = _Q["rank_fusion_rrf"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p, p
+    assert "WindowGroupLimit" in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
 def test_bm25_query_topk_one_token_stream_materialization(spark, sf_dir):
     """bm25_query_topk's exploded token stream is persisted ONCE and read
     by both the query-term derivation and the tf join (InMemoryTableScan
