@@ -58,6 +58,9 @@ HEADLINE = (
     "pair_cogrouped_asof",               # cogroup-API exemplar, Python kernel (new r5)
     "arrange_zorder_layout",             # lake-layout family representative (new r11, VERDICT #8)
     "algo_kcore_peel",                   # r10 iterative-graph family representative (new r11)
+    "dedup_minhash_certified",           # certified near-dedup backbone (new r12, VERDICT #1)
+    "text_unigram_learn",                # Viterbi-EM tokenizer training (new r12)
+    "rank_fusion_rrf",                   # hybrid sparse+dense retrieval fusion (new r12)
 )
 
 #: tier annotations surfaced in the bench JSON, so the headline total stays
@@ -69,9 +72,11 @@ HEADLINE = (
 #: event_asof_last_purchase, ~10x faster)
 TIERS = {
     "dedup_ngram_jaccard": "audit",
+    "dedup_minhash_certified": "audit",
     "graph_triangle_count": "graph",
     "algo_pagerank": "graph",
     "pair_cogrouped_asof": "api-exemplar",
+    "text_unigram_learn": "iterative",
 }
 
 

@@ -1380,7 +1380,7 @@ def mm_wav_pcm_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     listing/read, embarrassingly parallel kernel, whole payloads per
     task; emitted statistics are O(files), the samples never leave the
     kernel. Compressed audio (MP3/AAC) stays behind the documented
-    NotImplementedError stub exactly like PNG/JPEG pixels."""
+    NotImplementedError stub exactly like JPEG/GIF pixels."""
     return _media_fixture_payloads(spark).mapInPandas(
         wav_levels_batches, schema=WAV_LEVELS_SCHEMA
     )
