@@ -923,12 +923,25 @@ def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one map-side-combined daily rollup (shuffle bounded by
     types x days); the per-type min rides the same bounded table; the
     final aggregate is |types| rows."""
-    e = load(spark, sf_dir, "events")
-    daily = e.groupBy(
+    return ols_trend_from_daily(ols_daily(load(spark, sf_dir, "events")))
+
+
+def ols_daily(events: DataFrame) -> DataFrame:
+    """(event_type, di, y): per-type daily counts — the MERGEABLE partial
+    of the OLS trend (daily counts ADD across epochs, the
+    agg_incremental_rollup identity), shared by the batch query and the
+    streaming ``OlsTrendSink`` so the two cannot drift."""
+    return events.groupBy(
         "event_type",
         F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
         .alias("di"),
     ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+
+
+def ols_trend_from_daily(daily: DataFrame) -> DataFrame:
+    """Closed-form normal equations over a (event_type, di, y) daily
+    table — the derivation stage both the batch query and the streaming
+    sink run (one definition, no drift)."""
     rec = daily.select(
         "event_type",
         (F.col("di") - F.min("di").over(W.partitionBy("event_type"))).alias("x"),

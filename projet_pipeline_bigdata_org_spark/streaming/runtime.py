@@ -1282,6 +1282,56 @@ class CusumGateSink:
 
 
 @dataclass
+class OlsTrendSink:
+    """Streaming per-type OLS trend on mergeable daily partials — the
+    first sink written AGAINST the extracted ``_epoch_fold_batch``
+    contract (r12): the class is its arithmetic hooks and nothing else.
+    Daily counts ADD across epochs, so the state store holds per-epoch
+    deltas and the trend at any epoch is the batch operator's own
+    ``ols_trend_from_daily`` over the summed deltas — the final table
+    equals the batch ``agg_ols_trend`` over the concatenated stream for
+    ANY split, out-of-order rows included (mode-equality test-pinned)."""
+
+    spark: SparkSession
+    store_path: str
+    stats: dict = field(default_factory=lambda: {"batches": 0, "types": 0})
+
+    STATE_SCHEMA = "event_type string, di int, y bigint"
+    STORE_FOLDED = False  # daily counts ADD: store per-epoch deltas
+
+    def _state_dir(self) -> str:
+        return f"{self.store_path}/delta"
+
+    def _derived_dir(self) -> str:
+        return f"{self.store_path}/trend"
+
+    def _partial(self, batch_df: DataFrame) -> DataFrame:
+        from projet_pipeline_bigdata_org_spark.operators.timeseries import (
+            ols_daily,
+        )
+
+        return ols_daily(batch_df)
+
+    def _merge(self, unioned: DataFrame) -> DataFrame:
+        return unioned.groupBy("event_type", "di").agg(
+            F.sum("y").cast("long").alias("y")
+        )
+
+    def _derive(self, folded: DataFrame) -> DataFrame:
+        from projet_pipeline_bigdata_org_spark.operators.timeseries import (
+            ols_trend_from_daily,
+        )
+
+        return ols_trend_from_daily(folded)
+
+    def _stat(self, derived: DataFrame) -> None:
+        self.stats["types"] = derived.count()
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        _epoch_fold_batch(self, batch_df, epoch_id)
+
+
+@dataclass
 class SeasonalGateSink:
     """Streaming weekday-profile residual gate — the seasonal gate's
     streaming twin, on the same MERGEABLE DAILY PARTIALS discipline as

@@ -1452,6 +1452,77 @@ def test_sketch_and_gate_sinks_soak_bounded_stores(spark, tmp_path):
     assert cum_tail.count() <= n_keys * EWMA_LAGS
 
 
+def test_ols_trend_sink_matches_batch_for_shuffled_splits(spark, tmp_path):
+    """The streaming OLS-trend sink — the first sink written purely
+    against the extracted _epoch_fold_batch contract — fed SHUFFLED
+    micro-batches must end with exactly the batch agg_ols_trend table
+    over the whole stream, and a replayed epoch rewrites its delta
+    identically."""
+    import datetime
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import timeseries
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import OlsTrendSink
+
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    rows, eid = [], 0
+    for d in range(21):
+        # rising volume for one type, flat for the other; two readings a
+        # day so days straddle micro-batches
+        for k in range(2 + d // 3):
+            rows.append(
+                (eid, base + datetime.timedelta(days=d, hours=3 + k), 1,
+                 "rising", 1.0, "{}")
+            )
+            eid += 1
+        rows.append(
+            (eid, base + datetime.timedelta(days=d, hours=12), 1,
+             "flat", 1.0, "{}")
+        )
+        eid += 1
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    full = spark.createDataFrame(rows, schema)
+    with mock.patch.object(timeseries, "load", lambda _s, _d, _t: full):
+        want = {
+            tuple(r)
+            for r in timeseries.agg_ols_trend(spark, "ignored").collect()
+        }
+    slopes = {r[0]: r[4] for r in want}
+    assert slopes["rising"] > 0 and abs(slopes["flat"]) < 1e-9
+
+    splits = [rows[i::4] for i in range(4)]  # shuffled stride: days scatter
+    store = str(tmp_path / "ols")
+    sink = OlsTrendSink(spark, store)
+    for e, chunk in enumerate(splits):
+        sink(spark.createDataFrame(chunk, schema), e)
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(f"{store}/trend/epoch=3").collect()
+    }
+    assert got == want
+    assert sink.stats["types"] == len(want)
+
+    # replay epoch 1: delta rewrites identically; re-run of the final
+    # epoch still reproduces the batch table
+    before = {
+        tuple(r)
+        for r in spark.read.parquet(f"{store}/delta/epoch=1").collect()
+    }
+    sink(spark.createDataFrame(splits[1], schema), 1)
+    after = {
+        tuple(r)
+        for r in spark.read.parquet(f"{store}/delta/epoch=1").collect()
+    }
+    assert after == before
+    sink(spark.createDataFrame(splits[3], schema), 3)
+    got2 = {
+        tuple(r)
+        for r in spark.read.parquet(f"{store}/trend/epoch=3").collect()
+    }
+    assert got2 == want
+
+
 def test_cusum_sink_matches_batch_chart_for_shuffled_splits(spark, tmp_path):
     """The streaming CUSUM sink fed the stream in SHUFFLED micro-batches
     (rows deliberately out of time order — the mergeable-partials
