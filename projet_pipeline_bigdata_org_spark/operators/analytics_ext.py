@@ -1461,6 +1461,143 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: two-sided-geometric (discrete Laplace) mechanism constants: the noise
+#: distribution is P(k) ∝ DP_ALPHA^|k| with DP_ALPHA = 3/4, i.e. epsilon
+#: = ln(4/3) per released count; support clamps at ±DP_CLAMP with the
+#: tail mass folded into the extremes (documented utility tradeoff). The
+#: inverse-CDF threshold table is computed in EXACT rational arithmetic
+#: at import (Fractions -> floor-scaled to the coin range), so both
+#: engines share identical integer thresholds — the _BOOT_THRESH
+#: discipline, rational instead of float.
+DP_ALPHA = (3, 4)
+DP_CLAMP = 16
+DP_EPS_MILLI = 288  # round(ln(4/3) * 1000)
+
+
+def _dp_thresholds() -> tuple[tuple[int, int], ...]:
+    from fractions import Fraction
+
+    from projet_pipeline_bigdata_org_spark.functions.hashing import PRIME32
+
+    a = Fraction(*DP_ALPHA)
+    p0 = (1 - a) / (1 + a)
+    cdf, out = Fraction(0), []
+    for k in range(-DP_CLAMP, DP_CLAMP + 1):
+        cdf += p0 * a ** abs(k)
+        out.append((k, int(cdf * PRIME32)))
+    # fold the clamped upper tail into +DP_CLAMP: the last threshold
+    # becomes the full coin range so the CASE chain is total
+    out[-1] = (DP_CLAMP, PRIME32)
+    return tuple(out)
+
+
+DP_THRESHOLDS = _dp_thresholds()
+
+
+def dp_geometric_noise(coin) -> F.Column:
+    """Two-sided-geometric noise from a uniform coin via the exact
+    integer inverse-CDF table (smallest k with coin < T_k)."""
+    expr = None
+    for k, t in DP_THRESHOLDS:
+        expr = (
+            F.when(coin < F.lit(t), F.lit(k))
+            if expr is None
+            else expr.when(coin < F.lit(t), F.lit(k))
+        )
+    return expr.otherwise(F.lit(DP_CLAMP))
+
+
+def _dp_noise_sql(coin: str) -> str:
+    cases = " ".join(
+        f"WHEN {coin} < {t} THEN ({k})" for k, t in DP_THRESHOLDS
+    )
+    return f"(CASE {cases} ELSE {DP_CLAMP} END)"
+
+
+def _dp_counts_oracle() -> str:
+    key_int = (
+        "(CAST('0x' || SUBSTR(SHA256(CAST(c_nationkey AS VARCHAR)"
+        " || '|' || c_mktsegment), 1, 8) AS BIGINT))"
+    )
+    coin = sql_hash_coin(key_int)
+    return f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST({_dp_noise_sql(coin)} AS BIGINT) AS noise
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+           n_rows, noise,
+           GREATEST(CAST(0 AS BIGINT), n_rows + noise) AS noisy_count,
+           CAST({DP_EPS_MILLI} AS BIGINT) AS eps_milli
+    FROM g
+    """
+
+
+@query(
+    "privacy_dp_counts",
+    oracle=_dp_counts_oracle(),
+    tags=("llm", "privacy", "customer"),
+)
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release — the PUBLISHING member of
+    the privacy family (k-anonymity and l-diversity AUDIT risk; this
+    adds the calibrated noise a real release applies): per (nation,
+    segment) counts plus two-sided-geometric noise (the discrete Laplace
+    mechanism — Ghosh, Roughgarden & Sundararajan 2009 prove it
+    universally utility-optimal for counts), epsilon = ln(4/3), support
+    clamped at ±{DP_CLAMP} with the tail folded into the extremes,
+    negative releases post-processed to 0 (both standard, both
+    epsilon-free post-processing).
+
+    Determinism-for-certification: production DP draws fresh randomness
+    per release; HERE the noise coin is the portable hash_coin of the
+    group key's sha-slice pushed through an inverse-CDF threshold table
+    computed in EXACT rational arithmetic at import — so the oracle
+    replays every noise draw bit-identically and the driver certifies
+    the MECHANISM (thresholds, clamp, post-processing), which is exactly
+    the part a DP bug silently corrupts. The true n_rows column rides
+    along as certification evidence; a production release drops it (and
+    seeds the coin from a secret salt, not the key alone).
+
+    Scale shape: one map-side-combined groupBy; the noise is a codegen'd
+    CASE chain over the bounded group table. Output |nations x
+    segments| rows."""
+    c = load(spark, sf_dir, "customer")
+    key_int = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.col("c_nationkey").cast("string"),
+                    F.lit("|"),
+                    F.col("c_mktsegment"),
+                ),
+                256,
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    noise = dp_geometric_noise(hash_coin(key_int)).cast("long")
+    return g.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_mktsegment",
+        "n_rows",
+        noise.alias("noise"),
+        F.greatest(F.lit(0).cast("long"), F.col("n_rows") + noise).alias(
+            "noisy_count"
+        ),
+        F.lit(DP_EPS_MILLI).cast("long").alias("eps_milli"),
+    )
+
+
 @query(
     "stat_exact_percentiles",
     oracle="""
