@@ -1001,6 +1001,144 @@ def embed_binary_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 CASCADE_SHORTLIST = 16 * TOPK
 
 
+#: certified-IVF geometry: IVFC_K data-seeded coarse cells (first K
+#: vectors by id — the PQ codebook's k-means|0 seeding), IVFC_PROBES
+#: nearest cells probed per query
+IVFC_K = 16
+IVFC_PROBES = 4
+
+_IVFC_CTES = f"""fpts AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {PW_XS}, 0) AS BIGINT)
+               AS xs
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS t(i)
+    ), cents AS (
+      SELECT vec_id AS cid, dim, xs AS cs FROM fpts WHERE vec_id < {IVFC_K}
+    ), cdist AS (
+      SELECT p.vec_id, c.cid,
+             CAST(SUM((p.xs - c.cs) * (p.xs - c.cs)) AS BIGINT) AS dist
+      FROM fpts p JOIN cents c ON p.dim = c.dim
+      GROUP BY p.vec_id, c.cid
+    ), assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM cdist)
+      WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS q_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM cdist WHERE vec_id < {N_QUERIES})
+      WHERE rn <= {IVFC_PROBES}
+    ), cand AS (
+      SELECT p.q_id, a.vec_id AS n_id, a.cell
+      FROM probes p JOIN assign a ON a.cell = p.cell
+      WHERE a.vec_id <> p.q_id
+    ), rerank AS (
+      SELECT c.q_id, c.n_id, c.cell,
+             CAST(SUM((qp.xs - np.xs) * (qp.xs - np.xs)) AS BIGINT) AS l2s
+      FROM cand c
+      JOIN fpts qp ON qp.vec_id = c.q_id
+      JOIN fpts np ON np.vec_id = c.n_id AND np.dim = qp.dim
+      GROUP BY c.q_id, c.n_id, c.cell
+    )"""
+
+
+@query(
+    "sim_ann_ivf_certified",
+    oracle=f"""
+    WITH {_IVFC_CTES}
+    SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, cell, l2s
+    FROM (SELECT q_id, n_id, cell, l2s,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY l2s, n_id) AS rnk
+          FROM rerank) t
+    WHERE rnk <= {TOPK}
+    """,
+    tags=("llm", "similarity", "embeddings"),
+)
+def sim_ann_ivf_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate-nearest-neighbor with CERTIFIED arithmetic — the
+    oracle-gated twin of the rows-only ``sim_ann_ivf`` (whose coarse
+    quantizer is SparkML KMeans, JVM-internal), extending the r12
+    certification theme from MinHash/SimHash to the ANN scale path:
+    coarse cells are data-seeded (first {IVFC_K} vectors by id — the PQ
+    codebook's k-means|0 discipline, refinable by the oracle-gated
+    ``cluster_kmeans_fixed_point``), every assignment/probe/re-rank
+    distance is an exact BIGINT over integer-millionth coordinates, and
+    argmins break ties on id — so the oracle rebuilds the ENTIRE index
+    and search bit-identically: inverted lists, probe sets, and the
+    re-ranked top-{TOPK} per query.
+
+    Scale shape: the cell assignment is one partial-agg'd per-(vector,
+    centroid) aggregation against a broadcast {IVFC_K}-row codebook
+    (linear in corpus, the index build); search touches only the
+    {IVFC_PROBES} probed cells' lists — the sub-linear candidate bound
+    that makes IVF the 100 TB path — and the exact re-rank joins
+    per-dim rows for candidates only. WindowGroupLimit bounds every
+    rank."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    e = load(spark, sf_dir, "embeddings")
+    pts = _persist_scoped(
+        "ivfc_pts",
+        e.select("vec_id", F.posexplode("embedding").alias("dim", "xv")).select(
+            "vec_id",
+            "dim",
+            F.round(F.col("xv").cast("double") * PW_XS, 0).cast("long").alias("xs"),
+        ),
+    )
+    cents = pts.filter(F.col("vec_id") < IVFC_K).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("xs").alias("cs")
+    )
+    cdist = _persist_scoped(
+        "ivfc_cdist",
+        pts.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum((F.col("xs") - F.col("cs")) * (F.col("xs") - F.col("cs")))
+            .cast("long")
+            .alias("dist")
+        ),
+    )
+    arn = F.row_number().over(W.partitionBy("vec_id").orderBy("dist", "cid"))
+    assign = (
+        cdist.withColumn("rn", arn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    probes = (
+        cdist.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", arn)
+        .filter(F.col("rn") <= IVFC_PROBES)
+        .select(F.col("vec_id").alias("q_id"), F.col("cid").alias("cell"))
+    )
+    cand = probes.join(assign.withColumnRenamed("vec_id", "n_id"), "cell").filter(
+        F.col("n_id") != F.col("q_id")
+    )
+    qp = pts.select(F.col("vec_id").alias("q_id"), "dim", F.col("xs").alias("qx"))
+    np_ = pts.select(F.col("vec_id").alias("n_id"), "dim", F.col("xs").alias("nx"))
+    rerank = (
+        cand.join(qp, "q_id")
+        .join(np_, ["n_id", "dim"])
+        .groupBy("q_id", "n_id", "cell")
+        .agg(
+            F.sum((F.col("qx") - F.col("nx")) * (F.col("qx") - F.col("nx")))
+            .cast("long")
+            .alias("l2s")
+        )
+    )
+    rnk = F.row_number().over(W.partitionBy("q_id").orderBy("l2s", "n_id"))
+    return (
+        rerank.withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= TOPK)
+        .select("q_id", "rnk", "n_id", "cell", "l2s")
+    )
+
+
 #: reciprocal-rank-fusion constant (Cormack, Clarke & Buettcher 2009 —
 #: k=60 is the published default) and the micro fixed-point scale: each
 #: arm contributes 10^6 div (k + rank), an exact truncating division
