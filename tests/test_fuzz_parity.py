@@ -797,3 +797,42 @@ def test_cdc_twins_agree_on_fuzz_orders(fuzz_orders):
         got = sorted(tuple(r) for r in spec.fn(sdf.sparkSession, "x").collect())
     want = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
     assert got == want, f"cdc drift: {got[:3]} vs {want[:3]}"
+
+
+def test_minhash_certified_twins_agree_on_fuzz(fuzz_df):
+    """The certified MinHash stack — sha-slice shingle hashes, all 32
+    affine-permutation mins, the coin-fold band buckets, candidates, and
+    the exact-Jaccard verify — on adversarial text: unicode shingles,
+    whitespace runs, and sub-3-token docs (which drop from both engines'
+    shingle tables identically)."""
+    from projet_pipeline_bigdata_org_spark.operators import dedup
+
+    _fuzz_query_twins(fuzz_df, dedup, "dedup_minhash_certified")
+
+
+def test_simhash_certified_twins_agree_on_fuzz(fuzz_df):
+    """The certified SimHash stack — 48-bit sha-slice features, bit
+    votes, chunk-pair bands, hot-bucket census, Hamming join — on the
+    same adversarial corpus."""
+    from projet_pipeline_bigdata_org_spark.operators import dedup
+
+    _fuzz_query_twins(fuzz_df, dedup, "dedup_simhash_certified")
+
+
+def test_unigram_learn_twins_agree_on_fuzz(fuzz_df):
+    """Viterbi-EM tokenizer training on adversarial text: the [a-z]+
+    filter and the UNI_MAX_WORD cap must drop the same words in both
+    engines (x*40 exceeds the cap; uppercase/unicode fail the regex),
+    and both summary rows' checksums must still match bit-exactly."""
+    from projet_pipeline_bigdata_org_spark.operators import textops
+
+    _fuzz_query_twins(fuzz_df, textops, "text_unigram_learn")
+
+
+def test_unigram_tokenize_twins_agree_on_fuzz(fuzz_df):
+    """Per-document unigram token accounting on the fuzz corpus — docs
+    whose every token fails the filter drop out identically (inner
+    join), survivors' compression ratios match bit-exactly."""
+    from projet_pipeline_bigdata_org_spark.operators import textops
+
+    _fuzz_query_twins(fuzz_df, textops, "text_unigram_tokenize")
