@@ -1007,7 +1007,10 @@ CASCADE_SHORTLIST = 16 * TOPK
 IVFC_K = 16
 IVFC_PROBES = 4
 
-_IVFC_CTES = f"""fpts AS (
+#: shared base of the certified-IVF family (fpts -> cents -> cdist ->
+#: assign): consumed by the ANN search oracle AND the certified-SemDeDup
+#: oracle, so both gates certify ONE index construction
+_IVFC_BASE_CTES = f"""fpts AS (
       SELECT vec_id, i - 1 AS dim,
              CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {PW_XS}, 0) AS BIGINT)
                AS xs
@@ -1026,7 +1029,51 @@ _IVFC_CTES = f"""fpts AS (
                                   ORDER BY dist, cid) AS rn
         FROM cdist)
       WHERE rn = 1
-    ), probes AS (
+    )"""
+
+def _ivfc_points_and_assign(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The ONE Spark-side certified-IVF index build: integer-millionth
+    per-dim points, exact L2 against the data-seeded codebook, argmin
+    cells. Returns (pts, cdist, assign); the ANN search and the
+    certified SemDeDup both read this function, so the two queries
+    cannot index differently (the lpa_labels discipline)."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    e = load(spark, sf_dir, "embeddings")
+    pts = _persist_scoped(
+        "ivfc_pts",
+        e.select("vec_id", F.posexplode("embedding").alias("dim", "xv")).select(
+            "vec_id",
+            "dim",
+            F.round(F.col("xv").cast("double") * PW_XS, 0).cast("long").alias("xs"),
+        ),
+    )
+    cents = pts.filter(F.col("vec_id") < IVFC_K).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("xs").alias("cs")
+    )
+    cdist = _persist_scoped(
+        "ivfc_cdist",
+        pts.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum((F.col("xs") - F.col("cs")) * (F.col("xs") - F.col("cs")))
+            .cast("long")
+            .alias("dist")
+        ),
+    )
+    arn = F.row_number().over(W.partitionBy("vec_id").orderBy("dist", "cid"))
+    assign = _persist_scoped(
+        "ivfc_assign",
+        cdist.withColumn("rn", arn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell")),
+    )
+    return pts, cdist, assign
+
+
+_IVFC_CTES = f"""{_IVFC_BASE_CTES}, probes AS (
       SELECT vec_id AS q_id, cid AS cell FROM (
         SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1080,36 +1127,8 @@ def sim_ann_ivf_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     that makes IVF the 100 TB path — and the exact re-rank joins
     per-dim rows for candidates only. WindowGroupLimit bounds every
     rank."""
-    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
-
-    e = load(spark, sf_dir, "embeddings")
-    pts = _persist_scoped(
-        "ivfc_pts",
-        e.select("vec_id", F.posexplode("embedding").alias("dim", "xv")).select(
-            "vec_id",
-            "dim",
-            F.round(F.col("xv").cast("double") * PW_XS, 0).cast("long").alias("xs"),
-        ),
-    )
-    cents = pts.filter(F.col("vec_id") < IVFC_K).select(
-        F.col("vec_id").alias("cid"), "dim", F.col("xs").alias("cs")
-    )
-    cdist = _persist_scoped(
-        "ivfc_cdist",
-        pts.join(F.broadcast(cents), "dim")
-        .groupBy("vec_id", "cid")
-        .agg(
-            F.sum((F.col("xs") - F.col("cs")) * (F.col("xs") - F.col("cs")))
-            .cast("long")
-            .alias("dist")
-        ),
-    )
+    pts, cdist, assign = _ivfc_points_and_assign(spark, sf_dir)
     arn = F.row_number().over(W.partitionBy("vec_id").orderBy("dist", "cid"))
-    assign = (
-        cdist.withColumn("rn", arn)
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cell"))
-    )
     probes = (
         cdist.filter(F.col("vec_id") < N_QUERIES)
         .withColumn("rn", arn)
@@ -1136,6 +1155,152 @@ def sim_ann_ivf_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank.withColumn("rnk", rnk.cast("long"))
         .filter(F.col("rnk") <= TOPK)
         .select("q_id", "rnk", "n_id", "cell", "l2s")
+    )
+
+
+#: certified-SemDeDup constants: cosine threshold as an exact rational
+#: and the cluster sub-split cap. The CERTIFICATION threshold is 2/5,
+#: deliberately INSIDE the synthetic corpus' similarity range (its
+#: near-orthogonal vectors top out at pair cosine ~0.5, so production's
+#: 0.9 would never fire and the driver row would certify only the keep
+#: branch); the epsilon-ball arithmetic is threshold-independent, and
+#: the production ``embed_semdedup`` keeps SEMDEDUP_TAU = 0.9.
+SEMC_TAU = (2, 5)
+SEMC_MAX = 256
+
+
+def _semdedup_certified_oracle() -> str:
+    tn, td = SEMC_TAU
+    return f"""
+    WITH {_IVFC_BASE_CTES},
+    n2 AS (
+      SELECT vec_id, CAST(SUM(xs * xs) AS BIGINT) AS n2
+      FROM fpts GROUP BY vec_id
+    ), csize AS (
+      SELECT cell, COUNT(*) AS n_cell FROM assign GROUP BY cell
+    ), subbed AS (
+      SELECT a.vec_id, a.cell,
+             CASE WHEN c.n_cell > {SEMC_MAX}
+                  THEN a.vec_id % ((c.n_cell + {SEMC_MAX} - 1) // {SEMC_MAX})
+                  ELSE 0 END AS sub
+      FROM assign a JOIN csize c USING (cell)
+    ), prs AS (
+      SELECT x.vec_id AS a_id, y.vec_id AS b_id
+      FROM subbed x
+      JOIN subbed y
+        ON x.cell = y.cell AND x.sub = y.sub AND x.vec_id < y.vec_id
+    ), dots AS (
+      SELECT p.a_id, p.b_id, CAST(SUM(fa.xs * fb.xs) AS BIGINT) AS dot
+      FROM prs p
+      JOIN fpts fa ON fa.vec_id = p.a_id
+      JOIN fpts fb ON fb.vec_id = p.b_id AND fb.dim = fa.dim
+      GROUP BY p.a_id, p.b_id
+    ), dups AS (
+      SELECT d.b_id, CAST(MIN(d.a_id) AS BIGINT) AS dup_with,
+             CAST(COUNT(*) AS BIGINT) AS n_dups
+      FROM dots d
+      JOIN n2 na ON na.vec_id = d.a_id
+      JOIN n2 nb ON nb.vec_id = d.b_id
+      WHERE d.dot > 0
+        AND {td * td} * CAST(d.dot AS HUGEINT) * d.dot
+              >= {tn * tn} * CAST(na.n2 AS HUGEINT) * nb.n2
+      GROUP BY d.b_id
+    )
+    SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+           CAST(COALESCE(u.n_dups, 0) AS BIGINT) AS n_dups,
+           u.dup_with,
+           (u.b_id IS NULL) AS kept
+    FROM subbed s LEFT JOIN dups u ON u.b_id = s.vec_id
+    """
+
+
+@query(
+    "embed_semdedup_certified",
+    oracle=_semdedup_certified_oracle(),
+    tags=("llm", "similarity", "dedup", "embeddings"),
+)
+def embed_semdedup_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with CERTIFIED arithmetic — the oracle-gated twin of the
+    rows-only ``embed_semdedup`` (whose clusters are SparkML KMeans and
+    whose cosine is a float fold): clusters come from the same certified
+    IVF index build as ``sim_ann_ivf_certified`` (``_ivfc_points_and_
+    assign`` — shared code, shared oracle CTEs), over-cap cells sub-split
+    by the same integer rule as production, and the epsilon-ball test
+    cos >= {SEMC_TAU[0]}/{SEMC_TAU[1]} is evaluated WITHOUT floats:
+    cos >= t  <=>  dot > 0 AND den^2·dot^2 >= num^2·|a|^2·|b|^2, all
+    products through DECIMAL(38,0)/HUGEINT over integer-millionth
+    coordinates — so the oracle rebuilds every keep/drop decision, the
+    duplicate counts, and the canonical keeper (min lower-id partner)
+    bit-identically. Canonical SemDeDup keep-first semantics (Abbas et
+    al. 2023): a vector drops iff some lower-id member of its (sub-split)
+    cell sits within the epsilon ball.
+
+    Scale shape: the index build is the shared one-pass assignment; pair
+    work is confined within (cell, sub) blocks bounded by {SEMC_MAX}
+    members (the quadratic cap), and the per-dim dot join touches only
+    those pairs. Output is one row per vector."""
+    tn, td = SEMC_TAU
+    pts, _cdist, assign = _ivfc_points_and_assign(spark, sf_dir)
+    n2 = pts.groupBy("vec_id").agg(
+        F.sum(F.col("xs") * F.col("xs")).cast("long").alias("n2")
+    )
+    csize = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n_cell"))
+    subbed = assign.join(csize, "cell").select(
+        "vec_id",
+        "cell",
+        F.expr(
+            f"CASE WHEN n_cell > {SEMC_MAX}"
+            f" THEN vec_id % ((n_cell + {SEMC_MAX} - 1) div {SEMC_MAX})"
+            f" ELSE 0 END"
+        ).alias("sub"),
+    )
+    prs = (
+        subbed.select(F.col("vec_id").alias("a_id"), "cell", "sub")
+        .join(
+            subbed.select(F.col("vec_id").alias("b_id"), "cell", "sub"),
+            ["cell", "sub"],
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+    fa = pts.select(F.col("vec_id").alias("a_id"), "dim", F.col("xs").alias("ax"))
+    fb = pts.select(F.col("vec_id").alias("b_id"), "dim", F.col("xs").alias("bx"))
+    dots = (
+        prs.join(fa, "a_id")
+        .join(fb, ["b_id", "dim"])
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("ax") * F.col("bx")).cast("long").alias("dot"))
+    )
+    na = n2.select(F.col("vec_id").alias("a_id"), F.col("n2").alias("n2a"))
+    nb = n2.select(F.col("vec_id").alias("b_id"), F.col("n2").alias("n2b"))
+    dups = (
+        dots.join(F.broadcast(na), "a_id")
+        .join(F.broadcast(nb), "b_id")
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(td * td).cast("decimal(38,0)")
+                * F.col("dot").cast("decimal(19,0)")
+                * F.col("dot").cast("decimal(19,0)")
+                >= F.lit(tn * tn).cast("decimal(38,0)")
+                * F.col("n2a").cast("decimal(19,0)")
+                * F.col("n2b").cast("decimal(19,0)")
+            )
+        )
+        .groupBy("b_id")
+        .agg(
+            F.min("a_id").cast("long").alias("dup_with"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+    )
+    return subbed.join(
+        dups.withColumnRenamed("b_id", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.coalesce(F.col("n_dups"), F.lit(0).cast("long")).alias("n_dups"),
+        "dup_with",
+        F.col("n_dups").isNull().alias("kept"),
     )
 
 

@@ -72,6 +72,51 @@ def test_simhash_certified_sound_and_aligned(spark, sf_dir):
         assert 0 <= h <= 12
 
 
+def test_semdedup_certified_drop_semantics(spark):
+    """The integer epsilon-ball test (den²·dot² >= num²·|a|²·|b|² with
+    dot > 0) must reproduce float-cosine thresholding on crafted
+    vectors: an exact duplicate drops against its lower-id twin, an
+    anti-parallel copy (cos = -1) survives the dot>0 guard, and
+    orthogonal vectors never pair."""
+    from unittest import mock
+
+    import numpy as np
+
+    from projet_pipeline_bigdata_org_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 64)).astype("float32")
+    base[10] = base[2]        # exact duplicate -> must drop, keeper 2
+    base[11] = -base[2]       # anti-parallel -> cos -1, must be kept
+    rows = [(i, [float(x) for x in base[i]], 0) for i in range(20)]
+    edf = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with mock.patch.object(sim, "load", lambda _s, _d, _t: edf):
+        got = {r.vec_id: r for r in sim.embed_semdedup_certified(
+            spark, "ignored").collect()}
+    assert len(got) == 20
+    assert not got[10].kept and got[10].dup_with == 2
+    assert got[2].kept          # keep-first: the lower id survives
+    assert got[11].kept         # dot < 0 never drops
+    # float replay within the same cells: every certified drop must have
+    # a true lower-id same-cell partner with cos >= tau (and vice versa)
+    tn, td = sim.SEMC_TAU
+    cells = {v: got[v].cell for v in got}
+    xq = np.round(base.astype(np.float64) * sim.PW_XS)
+    for b in range(20):
+        dup = False
+        for a in range(b):
+            if cells[a] != cells[b]:
+                continue
+            dot = float(np.dot(xq[a], xq[b]))
+            if dot > 0 and td * td * dot * dot >= tn * tn * float(
+                np.dot(xq[a], xq[a])
+            ) * float(np.dot(xq[b], xq[b])):
+                dup = True
+        assert got[b].kept == (not dup), b
+
+
 def test_ivf_certified_recall_vs_bruteforce(spark, sf_dir):
     """The certified IVF's probed search must be sound (its reported L2
     equals the exact integer L2 — verified per pair against a numpy
