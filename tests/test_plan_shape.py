@@ -912,6 +912,31 @@ def test_common_neighbors_all_joins_broadcast(spark, sf_dir, no_auto_broadcast):
     assert "TakeOrderedAndProject" in p, p
 
 
+def test_ivf_certified_broadcast_codebook_window_limits(spark, sf_dir):
+    """sim_ann_ivf_certified's index build must broadcast the bounded
+    codebook against the per-dim point scan (never repartition the
+    corpus for assignment), bound its argmin/probe/top-k ranks with
+    WindowGroupLimit, and read the shared point/cell caches."""
+    df = _Q["sim_ann_ivf_certified"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "WindowGroupLimit" in p, p
+    assert "InMemoryTableScan" in p, p
+
+
+def test_semdedup_certified_pairs_stay_in_cells(spark, sf_dir):
+    """embed_semdedup_certified's quadratic work must be confined to
+    (cell, sub) equi-joins — no CartesianProduct anywhere — with the
+    shared index caches reused and the norm tables broadcast into the
+    decision join."""
+    df = _Q["embed_semdedup_certified"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "InMemoryTableScan" in p, p
+
+
 def test_modularity_reads_cached_labels_no_cartesian(spark, sf_dir):
     """algo_modularity_score must read the LPA edge list AND the final
     labeling from caches (unpersisted labels would recompute the whole
