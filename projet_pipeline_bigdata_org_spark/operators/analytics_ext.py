@@ -1531,7 +1531,8 @@ def _dp_counts_oracle() -> str:
     SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
            n_rows, noise,
            GREATEST(CAST(0 AS BIGINT), n_rows + noise) AS noisy_count,
-           CAST({DP_EPS_MILLI} AS BIGINT) AS eps_milli
+           CAST({DP_EPS_MILLI} AS BIGINT) AS eps_milli,
+           TRUE AS certification_only
     FROM g
     """
 
@@ -1560,7 +1561,11 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MECHANISM (thresholds, clamp, post-processing), which is exactly
     the part a DP bug silently corrupts. The true n_rows column rides
     along as certification evidence; a production release drops it (and
-    seeds the coin from a secret salt, not the key alone).
+    seeds the coin from a secret salt, not the key alone). Because the
+    deterministic coin provides NO actual privacy, the artifact itself
+    says so: ``certification_only = TRUE`` travels in the schema so a
+    downstream consumer cannot mistake this for a real DP release
+    (ADVICE r12).
 
     Scale shape: one map-side-combined groupBy; the noise is a codegen'd
     CASE chain over the bounded group table. Output |nations x
@@ -1595,6 +1600,7 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "noisy_count"
         ),
         F.lit(DP_EPS_MILLI).cast("long").alias("eps_milli"),
+        F.lit(True).alias("certification_only"),
     )
 
 

@@ -56,17 +56,40 @@ ROTATION_WIDTH = 50
 _ROT_CACHE: tuple[int, frozenset[str]] | None = None
 
 
+def _correctness_artifacts(root) -> list[str]:
+    """The CORRECTNESS_r*.json artifacts the rotation may read: the
+    git-TRACKED set when git is available (ADVICE r12 — the driver
+    writes the newest artifact after the builder's last commit, so an
+    untracked file would make this checkout compute a different window
+    than a fresh clone), falling back to a plain glob for exported
+    trees without .git."""
+    import glob
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", str(root), "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        if out.returncode == 0:
+            return [str(root / f) for f in out.stdout.split()]
+    except (OSError, subprocess.SubprocessError):
+        pass
+    return glob.glob(str(root / "CORRECTNESS_r*.json"))
+
+
 def _last_driver_rows() -> dict[str, int]:
     """Most recent round carrying a driver row per canonical name, from
     the committed CORRECTNESS_r*.json artifacts at the repo root."""
-    import glob
     import json
     import re
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[2]
     last: dict[str, int] = {}
-    for f in glob.glob(str(root / "CORRECTNESS_r*.json")):
+    for f in _correctness_artifacts(root):
         m = re.search(r"r(\d+)", Path(f).name)
         if not m:
             continue

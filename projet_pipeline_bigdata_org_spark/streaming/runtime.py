@@ -292,7 +292,11 @@ def _epoch_fold_batch(sink, batch_df: DataFrame, epoch_id: int) -> None:
             )
             derived = sink._derive(folded).persist()
             try:
-                sink._stat(derived)
+                # optional hook, as documented: a sink without _stat is
+                # valid (ADVICE r12 — previously AttributeError at runtime)
+                stat = getattr(sink, "_stat", None)
+                if stat is not None:
+                    stat(derived)
                 derived.write.mode("overwrite").parquet(
                     f"{sink._derived_dir()}/epoch={epoch_id}"
                 )

@@ -45,16 +45,31 @@ def main() -> None:
 
     t_old = sum(old[q] for q in common)
     t_new = sum(new[q] for q in common)
-    print(
-        f"common queries: {len(common)}  "
-        f"old {t_old:.1f}s -> new {t_new:.1f}s  "
-        f"({(t_new - t_old) / t_old * 100:+.1f}%)"
-    )
+    if t_old == 0:
+        # empty common subset (or all-zero timings): still report the
+        # per-side exclusives below instead of dividing by zero
+        print(f"common queries: {len(common)} — no comparable timings")
+    else:
+        print(
+            f"common queries: {len(common)}  "
+            f"old {t_old:.1f}s -> new {t_new:.1f}s  "
+            f"({(t_new - t_old) / t_old * 100:+.1f}%)"
+        )
     movers = sorted(common, key=lambda q: abs(new[q] - old[q]), reverse=True)
     for q in movers[: args.top]:
+        # 1-run sweeps record phantom 3-5x movers (r10-r12: LPA,
+        # distinct_counts, sketch_heavy_hitters); any query whose ratio
+        # leaves the observed host band is flagged for an N=5 re-time
+        # before it is believed
+        ratio = new[q] / old[q] if old[q] > 0 else float("inf")
+        flag = (
+            "  << suspected transient: re-time N=5 before believing"
+            if (ratio > 1.5 or ratio < 1 / 1.5) and abs(new[q] - old[q]) > 0.5
+            else ""
+        )
         print(
             f"  {q:<40s} {old[q]:7.2f}s -> {new[q]:7.2f}s "
-            f"({new[q] - old[q]:+.2f}s)"
+            f"({new[q] - old[q]:+.2f}s){flag}"
         )
     if only_old:
         print(f"only in {args.old} ({len(only_old)}): {', '.join(only_old)}")
