@@ -227,6 +227,68 @@ INCREMENTAL_NEARDUP_FIXTURE_ROWS: tuple[tuple[int, str, str], ...] = (
     ),
 )
 
+#: the near-dup fixture as oracle SQL (doc_id, text) — shared by the
+#: certified incremental near-dedup oracles and the repeated-passage one
+_NEARDUP_FIXTURE_SQL = " UNION ALL ".join(
+    "SELECT CAST({} AS BIGINT) AS doc_id, '{}' AS text".format(
+        i, t.replace("'", "''")
+    )
+    for i, t, _ in INCREMENTAL_NEARDUP_FIXTURE_ROWS
+)
+
+
+def _incremental_minhash_pairs(
+    spark: SparkSession, sf_dir: str, portable: bool = False
+) -> DataFrame:
+    """The ONE incremental-LSH plan behind both registered forms:
+    ``portable`` swaps the two engine-specific hashes (xxhash64 shingle
+    hash, murmur3 band bucket) for the sha-slice / coin-fold pair the
+    DuckDB oracle rebuilds bit-identically — every other stage (shingle
+    staging, band derivation via the shared ``minhash_band_table``, the
+    batch-vs-history candidate join, the exact-Jaccard verify) is the
+    same code either way, so the certified driver row certifies THIS
+    plan, not a lookalike."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "source").unionByName(
+        spark.createDataFrame(
+            list(INCREMENTAL_NEARDUP_FIXTURE_ROWS),
+            "doc_id long, text string, source string",
+        )
+    )
+    hash_fn = portable_shingle_hashes if portable else shingle_hashes
+    sh = _persist_scoped(
+        "inc_minhash_cert_sh" if portable else "inc_minhash_sh",
+        d.select("doc_id", F.array_distinct(shingles(ws_tokens("text"))).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", "sh", hash_fn(F.col("sh")).alias("hh")),
+    )
+    is_batch = F.col("doc_id") % 10 >= _INCREMENTAL_BATCH_RESIDUE
+    hist_bands = minhash_band_table(sh.filter(~is_batch), portable)
+    batch_bands = minhash_band_table(sh.filter(is_batch), portable)
+    cand = (
+        batch_bands.alias("b")
+        .join(
+            hist_bands.alias("h"),
+            (F.col("b.band") == F.col("h.band"))
+            & (F.col("b.bucket") == F.col("h.bucket")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_id"), F.col("h.doc_id").alias("history_id")
+        )
+        .dropDuplicates(["batch_id", "history_id"])
+    )
+    sh_b = sh.select(F.col("doc_id").alias("batch_id"), F.col("sh").alias("sh_b"))
+    sh_h = sh.select(F.col("doc_id").alias("history_id"), F.col("sh").alias("sh_h"))
+    inter = F.size(F.array_intersect("sh_b", "sh_h"))
+    union = F.size("sh_b") + F.size("sh_h") - inter
+    return (
+        cand.join(sh_b, "batch_id")
+        .join(sh_h, "history_id")
+        .select(
+            "batch_id", "history_id", (inter.cast("double") / union).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
 
 @query(
     "dedup_incremental_minhash",
@@ -263,76 +325,26 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     History/batch split is the same deterministic doc_id residue as the
     exact sibling; INCREMENTAL_NEARDUP_FIXTURE_ROWS keeps the cross-split
     hit path non-vacuous. No DuckDB oracle (xxhash64 band buckets aren't
-    reproducible there — same rationale as dedup_minhash_lsh); invariants:
-    output equals the one-shot LSH result restricted to cross-split pairs,
-    and the crafted fixture pair is flagged (tests/test_llm_ops.py)."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text", "source").unionByName(
-        spark.createDataFrame(
-            list(INCREMENTAL_NEARDUP_FIXTURE_ROWS),
-            "doc_id long, text string, source string",
-        )
-    )
-    sh = _persist_scoped(
-        "inc_minhash_sh",
-        d.select("doc_id", F.array_distinct(shingles(ws_tokens("text"))).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select("doc_id", "sh", shingle_hashes(F.col("sh")).alias("hh")),
-    )
-    is_batch = F.col("doc_id") % 10 >= _INCREMENTAL_BATCH_RESIDUE
-    hist_bands = minhash_band_table(sh.filter(~is_batch))
-    batch_bands = minhash_band_table(sh.filter(is_batch))
-    cand = (
-        batch_bands.alias("b")
-        .join(
-            hist_bands.alias("h"),
-            (F.col("b.band") == F.col("h.band"))
-            & (F.col("b.bucket") == F.col("h.bucket")),
-        )
-        .select(
-            F.col("b.doc_id").alias("batch_id"), F.col("h.doc_id").alias("history_id")
-        )
-        .dropDuplicates(["batch_id", "history_id"])
-    )
-    sh_b = sh.select(F.col("doc_id").alias("batch_id"), F.col("sh").alias("sh_b"))
-    sh_h = sh.select(F.col("doc_id").alias("history_id"), F.col("sh").alias("sh_h"))
-    inter = F.size(F.array_intersect("sh_b", "sh_h"))
-    union = F.size("sh_b") + F.size("sh_h") - inter
-    return (
-        cand.join(sh_b, "batch_id")
-        .join(sh_h, "history_id")
-        .select(
-            "batch_id", "history_id", (inter.cast("double") / union).alias("jaccard")
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    reproducible there — same rationale as dedup_minhash_lsh), but the
+    SAME plan with portable hashes IS oracle-gated as
+    ``dedup_incremental_minhash_certified``; invariants: output equals
+    the one-shot LSH result restricted to cross-split pairs, and the
+    crafted fixture pair is flagged (tests/test_llm_ops.py)."""
+    return _incremental_minhash_pairs(spark, sf_dir)
 
 
-@query(
-    "dedup_incremental_simhash",
-    tags=("llm", "dedup", "documents", "incremental", "no-oracle"),
-)
-def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental SimHash near-dedup: the incoming shard's chunk-pair band
-    keys joined against the historical fingerprint band table — completing
-    the steady-state near-dedup family (exact → MinHash → SimHash; a real
-    crawl pipeline runs whichever fingerprint family it standardized on).
-
-    Scale shape mirrors ``dedup_incremental_minhash``: fingerprints are
-    16 bytes/row, the band table 24; at cluster scale the history band
-    table is a staging table bucketed by (chunk, chunk_val) — zero-shuffle
-    on the history side, each shard shuffles only its delta. The hot-bucket
-    census runs over the CORPUS rows only — the certification fixture rows
-    are excluded so the blacklist is identical to the one-shot query's by
-    construction (a fixture fingerprint landing in a bucket at exactly the
-    cap would otherwise diverge them); at scale the census is a maintained
-    property of the history table that the much smaller shard perturbs
-    negligibly. The batch-vs-history join needs no ``a_id < b_id``
-    ordering — the sides are disjoint by construction.
-
-    No DuckDB oracle (xxhash64 features, same rationale as
-    ``dedup_simhash``); invariants: output equals the one-shot SimHash
-    result restricted to cross-split pairs, and the crafted near-duplicate
-    fixture pair (shared with the MinHash sibling) is flagged."""
+def _incremental_simhash_pairs(
+    spark: SparkSession, sf_dir: str, portable: bool = False
+) -> DataFrame:
+    """The ONE incremental-SimHash plan behind both registered forms:
+    ``portable`` swaps the xxhash64 feature hash for the sha-slice one
+    (``portable_feature_hashes``) — fingerprint kernel, chunk-pair
+    banding, corpus-only hot-bucket census, and the batch-vs-history
+    Hamming join are the same code either way."""
+    scope = "inc_simhash_cert" if portable else "inc_simhash"
+    feat_hash = portable_feature_hashes if portable else (
+        lambda feats: F.transform(feats, lambda t: F.xxhash64(t))
+    )
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "source").unionByName(
         spark.createDataFrame(
             list(INCREMENTAL_NEARDUP_FIXTURE_ROWS),
@@ -340,16 +352,16 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hashed_df = _persist_scoped(
-        "inc_simhash_hashed",
+        f"{scope}_hashed",
         d.select(
             "doc_id",
             F.array_distinct(shingles(ws_tokens("text"))).alias("feats"),
         )
         .filter(F.size("feats") > 0)
-        .select("doc_id", F.transform("feats", lambda t: F.xxhash64(t)).alias("hh")),
+        .select("doc_id", feat_hash(F.col("feats")).alias("hh")),
     )
     fp = _persist_scoped(
-        "inc_simhash_fp",
+        f"{scope}_fp",
         hashed_df.select(
             "doc_id", simhash_fingerprint_np()(F.col("hh")).alias("simhash")
         ),
@@ -358,7 +370,7 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output branch differ (census excludes fixture rows), which defeats
     # Catalyst's ReusedExchange — without the cache the explode+fingerprint
     # subtree executes twice (measured 2.2x on the sweep)
-    all_chunks = _persist_scoped("inc_simhash_chunks", simhash_chunk_table(fp))
+    all_chunks = _persist_scoped(f"{scope}_chunks", simhash_chunk_table(fp))
     # census over CORPUS rows only (fixture ids sit at ≥2e9): the one-shot
     # query's census sees no fixture fingerprints, so the incremental
     # blacklist must not either — a fixture landing in a bucket at exactly
@@ -386,6 +398,37 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["batch_id", "history_id"])
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
     )
+
+
+@query(
+    "dedup_incremental_simhash",
+    tags=("llm", "dedup", "documents", "incremental", "no-oracle"),
+)
+def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SimHash near-dedup: the incoming shard's chunk-pair band
+    keys joined against the historical fingerprint band table — completing
+    the steady-state near-dedup family (exact → MinHash → SimHash; a real
+    crawl pipeline runs whichever fingerprint family it standardized on).
+
+    Scale shape mirrors ``dedup_incremental_minhash``: fingerprints are
+    16 bytes/row, the band table 24; at cluster scale the history band
+    table is a staging table bucketed by (chunk, chunk_val) — zero-shuffle
+    on the history side, each shard shuffles only its delta. The hot-bucket
+    census runs over the CORPUS rows only — the certification fixture rows
+    are excluded so the blacklist is identical to the one-shot query's by
+    construction (a fixture fingerprint landing in a bucket at exactly the
+    cap would otherwise diverge them); at scale the census is a maintained
+    property of the history table that the much smaller shard perturbs
+    negligibly. The batch-vs-history join needs no ``a_id < b_id``
+    ordering — the sides are disjoint by construction.
+
+    No DuckDB oracle (xxhash64 features, same rationale as
+    ``dedup_simhash``), but the SAME plan with the portable feature hash
+    IS oracle-gated as ``dedup_incremental_simhash_certified``;
+    invariants: output equals the one-shot SimHash result restricted to
+    cross-split pairs, and the crafted near-duplicate fixture pair
+    (shared with the MinHash sibling) is flagged."""
+    return _incremental_simhash_pairs(spark, sf_dir)
 
 
 @query(
@@ -781,6 +824,104 @@ def dedup_minhash_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_candidate_jaccard(sh, minhash_band_table(sh, portable=True))
 
 
+def _inc_minhash_certified_oracle() -> str:
+    """DuckDB rebuild of the ENTIRE certified incremental pipeline:
+    (corpus ∪ fixture) -> distinct shingles -> sha-slice hashes -> all 32
+    affine-permutation mins -> per-band coin-fold buckets -> batch-vs-
+    history band collisions -> exact Jaccard on candidates only."""
+    perm_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    )
+    pivots = ", ".join(
+        f"MIN(CASE WHEN r = {k} THEN m END) AS r{k}" for k in range(MINHASH_ROWS)
+    )
+    bucket = sql_band_bucket(tuple(f"r{k}" for k in range(MINHASH_ROWS)))
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL {_NEARDUP_FIXTURE_SQL}
+    ), t AS (
+      SELECT doc_id,
+             LIST_DISTINCT({sql_shingles(SQL_TOK_NULLSAFE)}) AS sh
+      FROM docs
+    ), tf AS (
+      SELECT doc_id, sh FROM t WHERE LEN(sh) > 0
+    ), ex AS (
+      SELECT doc_id, UNNEST(sh) AS s FROM tf
+    ), h AS (
+      SELECT doc_id,
+             (CAST('0x' || SUBSTR(SHA256(s), 1, 8) AS BIGINT) % {_P31}) AS hv
+      FROM ex
+    ), perms AS (
+      SELECT * FROM (VALUES {perm_rows}) p(i, a, b)
+    ), mins AS (
+      SELECT doc_id,
+             p.i // {MINHASH_ROWS} AS band,
+             p.i % {MINHASH_ROWS} AS r,
+             MIN((h.hv * p.a + p.b) % {_P31}) AS m
+      FROM h CROSS JOIN perms p
+      GROUP BY doc_id, p.i // {MINHASH_ROWS}, p.i % {MINHASH_ROWS}
+    ), piv AS (
+      SELECT doc_id, band, {pivots}
+      FROM mins GROUP BY doc_id, band
+    ), buckets AS (
+      SELECT doc_id, band, {bucket} AS bucket FROM piv
+    ), cand AS (
+      SELECT DISTINCT b.doc_id AS batch_id, h.doc_id AS history_id
+      FROM buckets b
+      JOIN buckets h
+        ON b.band = h.band AND b.bucket = h.bucket
+      WHERE b.doc_id % 10 >= {_INCREMENTAL_BATCH_RESIDUE}
+        AND h.doc_id % 10 < {_INCREMENTAL_BATCH_RESIDUE}
+    ), sz AS (
+      SELECT doc_id, LEN(sh) AS n FROM tf
+    ), inter AS (
+      SELECT c.batch_id, c.history_id,
+             LEN(LIST_INTERSECT(tb.sh, th.sh)) AS n_common
+      FROM cand c
+      JOIN tf tb ON tb.doc_id = c.batch_id
+      JOIN tf th ON th.doc_id = c.history_id
+    )
+    SELECT batch_id, history_id,
+           CAST(n_common AS DOUBLE) / (sb.n + sh2.n - n_common) AS jaccard
+    FROM inter
+    JOIN sz sb ON sb.doc_id = batch_id
+    JOIN sz sh2 ON sh2.doc_id = history_id
+    WHERE CAST(n_common AS DOUBLE) / (sb.n + sh2.n - n_common)
+            >= {JACCARD_THRESHOLD}
+    """
+
+
+@query(
+    "dedup_incremental_minhash_certified",
+    oracle=_inc_minhash_certified_oracle(),
+    tags=("llm", "dedup", "documents", "incremental"),
+)
+def dedup_incremental_minhash_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash+LSH admission with CERTIFIED arithmetic — the
+    oracle-gated twin of ``dedup_incremental_minhash`` (VERDICT r12 #1):
+    the steady-state batch-vs-history path — the actual 100 TB hot path —
+    runs the SAME plan builder (``_incremental_minhash_pairs``; shingle
+    staging, ``minhash_band_table`` band keys, candidate join, exact-
+    Jaccard verify are shared code, not copies) with the two engine-
+    specific hashes swapped for the portable pair the r12 one-shot twin
+    introduced: sha-slice shingle hashes (``portable_shingle_hashes``,
+    dedup.py) and hash_coin band-bucket folds (``portable_band_bucket``).
+    The oracle rebuilds every permutation min, every band key, the
+    batch-vs-history candidate set (including the crafted cross-split
+    near-duplicate fixture), and the verify division bit-identically —
+    so the driver row certifies steady-state ADMISSION end-to-end.
+    Production keeps xxhash64/murmur3; a restriction-equality test pins
+    this twin against ``dedup_minhash_certified`` on cross-split pairs
+    (the same invariant the production pair carries).
+
+    Scale shape: identical to production — 24-byte band rows on the
+    candidate join, history sides bucketable to zero-shuffle, verify on
+    candidates only."""
+    return _incremental_minhash_pairs(spark, sf_dir, portable=True)
+
+
+
 @query(
     "dedup_simhash",
     tags=("llm", "dedup", "documents", "no-oracle"),
@@ -890,6 +1031,100 @@ def dedup_simhash_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(
         load(spark, sf_dir, "documents"), portable=True
     ).select("a_id", "b_id", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _inc_simhash_certified_oracle() -> str:
+    """DuckDB rebuild of the ENTIRE certified incremental SimHash
+    pipeline: (corpus ∪ fixture) -> 48-bit sha-slice features -> bit
+    votes -> fingerprints -> chunk-pair bands -> corpus-only hot-bucket
+    census -> batch-vs-history Hamming join."""
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN ((hv >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    band_rows = ", ".join(
+        f"({band}, {i}, {j})" for band, (i, j) in enumerate(_CHUNK_PAIRS)
+    )
+    mask = (1 << _CHUNK_BITS) - 1
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL {_NEARDUP_FIXTURE_SQL}
+    ), t AS (
+      SELECT doc_id,
+             LIST_DISTINCT({sql_shingles(SQL_TOK_NULLSAFE)}) AS sh
+      FROM docs
+    ), tf AS (
+      SELECT doc_id, sh FROM t WHERE LEN(sh) > 0
+    ), ex AS (
+      SELECT doc_id, UNNEST(sh) AS s FROM tf
+    ), h AS (
+      SELECT doc_id,
+             CAST('0x' || SUBSTR(SHA256(s), 1, 12) AS BIGINT) AS hv
+      FROM ex
+    ), v AS (
+      SELECT doc_id,
+             {votes}
+      FROM h GROUP BY doc_id
+    ), fp AS (
+      SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v
+    ), bands AS (
+      SELECT * FROM (VALUES {band_rows}) b(band, ci, cj)
+    ), chunks AS (
+      SELECT f.doc_id, f.simhash, b.band,
+             (((f.simhash >> (b.ci * {_CHUNK_BITS})) & {mask})
+                << {_CHUNK_BITS})
+               + ((f.simhash >> (b.cj * {_CHUNK_BITS})) & {mask}) AS chunk_val
+      FROM fp f CROSS JOIN bands b
+    ), hot AS (
+      SELECT band, chunk_val FROM chunks
+      WHERE doc_id < 2000000000
+      GROUP BY band, chunk_val
+      HAVING COUNT(*) > {SIMHASH_MAX_BUCKET}
+    ), ok AS (
+      SELECT c.doc_id, c.simhash, c.band, c.chunk_val
+      FROM chunks c ANTI JOIN hot t
+        ON c.band = t.band AND c.chunk_val = t.chunk_val
+    )
+    SELECT DISTINCT b.doc_id AS batch_id, h2.doc_id AS history_id,
+           CAST(BIT_COUNT(XOR(b.simhash, h2.simhash)) AS BIGINT) AS hamming
+    FROM ok b
+    JOIN ok h2
+      ON b.band = h2.band AND b.chunk_val = h2.chunk_val
+    WHERE b.doc_id % 10 >= {_INCREMENTAL_BATCH_RESIDUE}
+      AND h2.doc_id % 10 < {_INCREMENTAL_BATCH_RESIDUE}
+      AND BIT_COUNT(XOR(b.simhash, h2.simhash)) <= {SIMHASH_HAMMING_MAX}
+    """
+
+
+@query(
+    "dedup_incremental_simhash_certified",
+    oracle=_inc_simhash_certified_oracle(),
+    tags=("llm", "dedup", "documents", "incremental"),
+)
+def dedup_incremental_simhash_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SimHash admission with CERTIFIED arithmetic — the
+    oracle-gated twin of ``dedup_incremental_simhash`` (VERDICT r12 #1,
+    the fingerprint-family sibling of
+    ``dedup_incremental_minhash_certified``): the SAME plan builder
+    (``_incremental_simhash_pairs``; fingerprint kernel, chunk-pair
+    banding, corpus-only census, batch-vs-history Hamming join are
+    shared code) with the one engine-specific stage — the xxhash64
+    feature hash — swapped for the sha256 12-hex-char slice
+    (``portable_feature_hashes``) the oracle replays verbatim. The
+    oracle re-derives every bit vote, fingerprint, band key, the
+    corpus-only bucket blacklist, and each cross-split Hamming distance,
+    so the driver row certifies steady-state fingerprint ADMISSION
+    end-to-end; a restriction-equality test pins this twin against
+    ``dedup_simhash_certified`` on cross-split pairs."""
+    return _incremental_simhash_pairs(spark, sf_dir, portable=True).select(
+        "batch_id", "history_id", F.col("hamming").cast("long").alias("hamming")
+    )
+
 
 
 def simhash_fingerprint_jvm() -> F.Column:
@@ -1076,12 +1311,7 @@ def simhash_pairs(
 #: essentially impossible, short enough to catch boilerplate runs
 PASSAGE_TOKENS = 15
 
-_PASSAGE_FIXTURE_SQL = " UNION ALL ".join(
-    "SELECT CAST({} AS BIGINT) AS doc_id, '{}' AS text".format(
-        i, t.replace("'", "''")
-    )
-    for i, t, _ in INCREMENTAL_NEARDUP_FIXTURE_ROWS
-)
+_PASSAGE_FIXTURE_SQL = _NEARDUP_FIXTURE_SQL
 
 
 @query(
