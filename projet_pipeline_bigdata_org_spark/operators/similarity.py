@@ -1007,16 +1007,19 @@ CASCADE_SHORTLIST = 16 * TOPK
 IVFC_K = 16
 IVFC_PROBES = 4
 
-#: shared base of the certified-IVF family (fpts -> cents -> cdist ->
-#: assign): consumed by the ANN search oracle AND the certified-SemDeDup
-#: oracle, so both gates certify ONE index construction
-_IVFC_BASE_CTES = f"""fpts AS (
+def _ivfc_base_ctes(cents_where: str = f"vec_id < {IVFC_K}") -> str:
+    """Shared base of the certified-IVF family (fpts -> cents -> cdist ->
+    assign), parameterized by the codebook-seed predicate: the default is
+    consumed by the ANN search oracle AND the certified-SemDeDup oracle
+    (both gates certify ONE index construction); the incremental-SemDeDup
+    oracle seeds from HISTORY vectors only."""
+    return f"""fpts AS (
       SELECT vec_id, i - 1 AS dim,
              CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {PW_XS}, 0) AS BIGINT)
                AS xs
       FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS t(i)
     ), cents AS (
-      SELECT vec_id AS cid, dim, xs AS cs FROM fpts WHERE vec_id < {IVFC_K}
+      SELECT vec_id AS cid, dim, xs AS cs FROM fpts WHERE {cents_where}
     ), cdist AS (
       SELECT p.vec_id, c.cid,
              CAST(SUM((p.xs - c.cs) * (p.xs - c.cs)) AS BIGINT) AS dist
@@ -1031,45 +1034,74 @@ _IVFC_BASE_CTES = f"""fpts AS (
       WHERE rn = 1
     )"""
 
-def _ivfc_points_and_assign(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The ONE Spark-side certified-IVF index build: integer-millionth
-    per-dim points, exact L2 against the data-seeded codebook, argmin
-    cells. Returns (pts, cdist, assign); the ANN search and the
-    certified SemDeDup both read this function, so the two queries
-    cannot index differently (the lpa_labels discipline)."""
-    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
 
-    e = load(spark, sf_dir, "embeddings")
-    pts = _persist_scoped(
-        "ivfc_pts",
-        e.select("vec_id", F.posexplode("embedding").alias("dim", "xv")).select(
-            "vec_id",
-            "dim",
-            F.round(F.col("xv").cast("double") * PW_XS, 0).cast("long").alias("xs"),
-        ),
+_IVFC_BASE_CTES = _ivfc_base_ctes()
+
+
+def ivfc_scaled_points(e: DataFrame) -> DataFrame:
+    """(vec_id, dim, xs): integer-millionth per-dim coordinates — the
+    representation every certified-IVF stage (batch, incremental,
+    streaming) computes distances over."""
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xv")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("xv").cast("double") * PW_XS, 0).cast("long").alias("xs"),
     )
-    cents = pts.filter(F.col("vec_id") < IVFC_K).select(
-        F.col("vec_id").alias("cid"), "dim", F.col("xs").alias("cs")
-    )
-    cdist = _persist_scoped(
-        "ivfc_cdist",
+
+
+def ivfc_cell_distances(pts: DataFrame, cents: DataFrame) -> DataFrame:
+    """Exact integer L2 of every vector against the broadcast codebook —
+    one partial-agg'd aggregation, linear in the corpus."""
+    return (
         pts.join(F.broadcast(cents), "dim")
         .groupBy("vec_id", "cid")
         .agg(
             F.sum((F.col("xs") - F.col("cs")) * (F.col("xs") - F.col("cs")))
             .cast("long")
             .alias("dist")
-        ),
+        )
     )
+
+
+def ivfc_argmin_cells(cdist: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest codebook cell, ties broken on cid — the
+    deterministic assignment rule every certified-IVF consumer shares."""
     arn = F.row_number().over(W.partitionBy("vec_id").orderBy("dist", "cid"))
-    assign = _persist_scoped(
-        "ivfc_assign",
+    return (
         cdist.withColumn("rn", arn)
         .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cell")),
+        .select("vec_id", F.col("cid").alias("cell"))
     )
+
+
+def _ivfc_points_and_assign(
+    spark: SparkSession,
+    sf_dir: str,
+    cents_filter=None,
+    scope: str = "ivfc",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The ONE Spark-side certified-IVF index build: integer-millionth
+    per-dim points, exact L2 against the data-seeded codebook, argmin
+    cells. Returns (pts, cdist, assign); the ANN search, the certified
+    SemDeDup, and the incremental SemDeDup all read this function, so
+    the queries cannot index differently (the lpa_labels discipline).
+    ``cents_filter`` overrides the codebook-seed predicate (default:
+    first IVFC_K vectors by id); ``scope`` keys the derived caches so
+    differently-seeded indexes don't evict each other (the per-dim
+    point table is shared — it is seed-independent)."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    e = load(spark, sf_dir, "embeddings")
+    pts = _persist_scoped("ivfc_pts", ivfc_scaled_points(e))
+    if cents_filter is None:
+        cents_filter = F.col("vec_id") < IVFC_K
+    cents = pts.filter(cents_filter).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("xs").alias("cs")
+    )
+    cdist = _persist_scoped(f"{scope}_cdist", ivfc_cell_distances(pts, cents))
+    assign = _persist_scoped(f"{scope}_assign", ivfc_argmin_cells(cdist))
     return pts, cdist, assign
 
 
@@ -1169,6 +1201,38 @@ SEMC_TAU = (2, 5)
 SEMC_MAX = 256
 
 
+def _semc_pair_dots(
+    prs: DataFrame, pts: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Exact integer dot products for a pair table: per-dim rows joined
+    for the listed pairs only, partial-agg'd — the stage shared by the
+    one-shot certified SemDeDup and the incremental/streaming admission
+    forms (one code path, one certification)."""
+    fa = pts.select(F.col("vec_id").alias(a_col), "dim", F.col("xs").alias("ax"))
+    fb = pts.select(F.col("vec_id").alias(b_col), "dim", F.col("xs").alias("bx"))
+    return (
+        prs.join(fa, a_col)
+        .join(fb, [b_col, "dim"])
+        .groupBy(a_col, b_col)
+        .agg(F.sum(F.col("ax") * F.col("bx")).cast("long").alias("dot"))
+    )
+
+
+def _semc_in_ball(tau: tuple[int, int]) -> F.Column:
+    """cos(a, b) >= tn/td WITHOUT floats: dot > 0 AND
+    td^2*dot^2 >= tn^2*|a|^2*|b|^2, every product through DECIMAL(38,0)
+    over integer-millionth coordinates (columns dot, n2a, n2b)."""
+    tn, td = tau
+    return (F.col("dot") > 0) & (
+        F.lit(td * td).cast("decimal(38,0)")
+        * F.col("dot").cast("decimal(19,0)")
+        * F.col("dot").cast("decimal(19,0)")
+        >= F.lit(tn * tn).cast("decimal(38,0)")
+        * F.col("n2a").cast("decimal(19,0)")
+        * F.col("n2b").cast("decimal(19,0)")
+    )
+
+
 def _semdedup_certified_oracle() -> str:
     tn, td = SEMC_TAU
     return f"""
@@ -1239,7 +1303,6 @@ def embed_semdedup_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     work is confined within (cell, sub) blocks bounded by {SEMC_MAX}
     members (the quadratic cap), and the per-dim dot join touches only
     those pairs. Output is one row per vector."""
-    tn, td = SEMC_TAU
     pts, _cdist, assign = _ivfc_points_and_assign(spark, sf_dir)
     n2 = pts.groupBy("vec_id").agg(
         F.sum(F.col("xs") * F.col("xs")).cast("long").alias("n2")
@@ -1263,30 +1326,13 @@ def embed_semdedup_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
     )
-    fa = pts.select(F.col("vec_id").alias("a_id"), "dim", F.col("xs").alias("ax"))
-    fb = pts.select(F.col("vec_id").alias("b_id"), "dim", F.col("xs").alias("bx"))
-    dots = (
-        prs.join(fa, "a_id")
-        .join(fb, ["b_id", "dim"])
-        .groupBy("a_id", "b_id")
-        .agg(F.sum(F.col("ax") * F.col("bx")).cast("long").alias("dot"))
-    )
+    dots = _semc_pair_dots(prs, pts, "a_id", "b_id")
     na = n2.select(F.col("vec_id").alias("a_id"), F.col("n2").alias("n2a"))
     nb = n2.select(F.col("vec_id").alias("b_id"), F.col("n2").alias("n2b"))
     dups = (
         dots.join(F.broadcast(na), "a_id")
         .join(F.broadcast(nb), "b_id")
-        .filter(
-            (F.col("dot") > 0)
-            & (
-                F.lit(td * td).cast("decimal(38,0)")
-                * F.col("dot").cast("decimal(19,0)")
-                * F.col("dot").cast("decimal(19,0)")
-                >= F.lit(tn * tn).cast("decimal(38,0)")
-                * F.col("n2a").cast("decimal(19,0)")
-                * F.col("n2b").cast("decimal(19,0)")
-            )
-        )
+        .filter(_semc_in_ball(SEMC_TAU))
         .groupBy("b_id")
         .agg(
             F.min("a_id").cast("long").alias("dup_with"),
@@ -1301,6 +1347,145 @@ def embed_semdedup_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_dups"), F.lit(0).cast("long")).alias("n_dups"),
         "dup_with",
         F.col("n_dups").isNull().alias("kept"),
+    )
+
+
+#: history/batch residue split for incremental embedding admission — the
+#: SAME deterministic vec_id % 10 split discipline as the dedup family's
+#: _INCREMENTAL_BATCH_RESIDUE (kept numerically identical so the two
+#: incremental exemplars partition their corpora the same way)
+EMB_BATCH_RESIDUE = 8
+#: codebook-seed bound for the HISTORY-seeded incremental index: the
+#: first IVFC_K history vectors by id are exactly the residue-<8 ids
+#: below K*10/8 (16 of the ids 0..19), so the seed set is a pure
+#: predicate — no global sort/window needed to pick it
+IVFC_INC_SEED_MAX = IVFC_K * 10 // EMB_BATCH_RESIDUE
+
+_IVFC_INC_CENTS_WHERE = (
+    f"vec_id < {IVFC_INC_SEED_MAX} AND vec_id % 10 < {EMB_BATCH_RESIDUE}"
+)
+
+
+def _semdedup_incremental_oracle() -> str:
+    tn, td = SEMC_TAU
+    return f"""
+    WITH {_ivfc_base_ctes(_IVFC_INC_CENTS_WHERE)},
+    n2 AS (
+      SELECT vec_id, CAST(SUM(xs * xs) AS BIGINT) AS n2
+      FROM fpts GROUP BY vec_id
+    ), batch AS (
+      SELECT vec_id, cell FROM assign
+      WHERE vec_id % 10 >= {EMB_BATCH_RESIDUE}
+    ), hist AS (
+      SELECT vec_id, cell FROM assign
+      WHERE vec_id % 10 < {EMB_BATCH_RESIDUE}
+    ), prs AS (
+      SELECT b.vec_id AS b_id, h.vec_id AS h_id
+      FROM batch b JOIN hist h ON h.cell = b.cell
+    ), dots AS (
+      SELECT p.b_id, p.h_id, CAST(SUM(fb.xs * fh.xs) AS BIGINT) AS dot
+      FROM prs p
+      JOIN fpts fb ON fb.vec_id = p.b_id
+      JOIN fpts fh ON fh.vec_id = p.h_id AND fh.dim = fb.dim
+      GROUP BY p.b_id, p.h_id
+    ), dups AS (
+      SELECT d.b_id, CAST(MIN(d.h_id) AS BIGINT) AS dup_with,
+             CAST(COUNT(*) AS BIGINT) AS n_dups_hist
+      FROM dots d
+      JOIN n2 nb ON nb.vec_id = d.b_id
+      JOIN n2 nh ON nh.vec_id = d.h_id
+      WHERE d.dot > 0
+        AND {td * td} * CAST(d.dot AS HUGEINT) * d.dot
+              >= {tn * tn} * CAST(nb.n2 AS HUGEINT) * nh.n2
+      GROUP BY d.b_id
+    )
+    SELECT b.vec_id, CAST(b.cell AS BIGINT) AS cell,
+           CAST(COALESCE(u.n_dups_hist, 0) AS BIGINT) AS n_dups_hist,
+           u.dup_with,
+           (u.b_id IS NULL) AS admitted
+    FROM batch b LEFT JOIN dups u ON u.b_id = b.vec_id
+    """
+
+
+@query(
+    "embed_semdedup_incremental",
+    oracle=_semdedup_incremental_oracle(),
+    tags=("llm", "similarity", "dedup", "embeddings", "incremental"),
+)
+def embed_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (admission-time) SemDeDup — the steady-state row of the
+    dedup matrix's SEMANTIC column (VERDICT r12 #3): an incoming embedded
+    shard checked against a historical IVF index, the embedding-space
+    analogue of ``dedup_incremental_minhash``. A crawl pipeline embeds
+    each day's shard and drops documents semantically covered by the
+    corpus it already holds; this is that operator, oracle-gated.
+
+    Construction (every stage shared code, not copies):
+    - the index is the CERTIFIED IVF build (``_ivfc_points_and_assign``)
+      seeded from HISTORY vectors only (the first {IVFC_K} history ids —
+      a pure predicate, no global sort), exactly how a production index
+      is built from the existing corpus before the shard arrives;
+    - both sides assign to the frozen history codebook by exact integer
+      L2 (argmin, ties on id);
+    - each batch vector compares against the HISTORY members of its
+      assigned cell only (nprobe=1 admission — the sub-linear candidate
+      bound), through the shared ``_semc_pair_dots`` exact-integer dot
+      stage and the ``_semc_in_ball`` rational threshold
+      cos >= {SEMC_TAU[0]}/{SEMC_TAU[1]} — no floats anywhere, so the
+      oracle replays every admit/reject decision bit-identically.
+
+    Output: one row per batch vector — its cell, how many historical
+    neighbors sit inside the epsilon ball, the canonical duplicate
+    partner (min history id), and the admission verdict.
+
+    Scale shape: index assignment is one partial-agg'd aggregation
+    against a broadcast {IVFC_K}-row codebook; pair work is confined to
+    (batch-member x history-members-of-one-cell) — linear in the shard,
+    never quadratic in history; the per-dim dot join touches candidate
+    pairs only. The streaming form (SemDeDupHistorySink) runs the same
+    helpers per epoch with the history point/assignment stores as
+    epoch-partitioned staging tables."""
+    pts, _cdist, assign = _ivfc_points_and_assign(
+        spark,
+        sf_dir,
+        cents_filter=(F.col("vec_id") < IVFC_INC_SEED_MAX)
+        & (F.col("vec_id") % 10 < EMB_BATCH_RESIDUE),
+        scope="ivfci",
+    )
+    n2 = pts.groupBy("vec_id").agg(
+        F.sum(F.col("xs") * F.col("xs")).cast("long").alias("n2")
+    )
+    is_batch = F.col("vec_id") % 10 >= EMB_BATCH_RESIDUE
+    batch = assign.filter(is_batch)
+    hist = assign.filter(~is_batch)
+    prs = (
+        batch.select(F.col("vec_id").alias("b_id"), "cell")
+        .join(hist.select(F.col("vec_id").alias("h_id"), "cell"), "cell")
+        .select("b_id", "h_id")
+    )
+    dots = _semc_pair_dots(prs, pts, "b_id", "h_id")
+    nb = n2.select(F.col("vec_id").alias("b_id"), F.col("n2").alias("n2a"))
+    nh = n2.select(F.col("vec_id").alias("h_id"), F.col("n2").alias("n2b"))
+    dups = (
+        dots.join(F.broadcast(nb), "b_id")
+        .join(F.broadcast(nh), "h_id")
+        .filter(_semc_in_ball(SEMC_TAU))
+        .groupBy("b_id")
+        .agg(
+            F.min("h_id").cast("long").alias("dup_with"),
+            F.count(F.lit(1)).cast("long").alias("n_dups_hist"),
+        )
+    )
+    return batch.join(
+        dups.withColumnRenamed("b_id", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.coalesce(F.col("n_dups_hist"), F.lit(0).cast("long")).alias(
+            "n_dups_hist"
+        ),
+        "dup_with",
+        F.col("n_dups_hist").isNull().alias("admitted"),
     )
 
 

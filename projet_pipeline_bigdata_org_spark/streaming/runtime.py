@@ -931,6 +931,139 @@ class PassageHistoryDedupSink:
 
 
 @dataclass
+class SemDeDupHistorySink:
+    """Streaming SEMANTIC dedup admission vs epoch history — the
+    foreachBatch form of ``operators.similarity.embed_semdedup_incremental``,
+    completing the dedup matrix's semantic row: {exact, minhash, simhash,
+    passage, semantic} x {one-shot, incremental, streaming}. An incoming
+    embedded shard row is rejected when any HISTORICAL vector in its IVF
+    cell sits inside the cosine epsilon ball (cos >= SEMC_TAU), evaluated
+    with the same exact-integer arithmetic as the certified batch twins
+    (``ivfc_scaled_points`` / ``ivfc_cell_distances`` /
+    ``ivfc_argmin_cells`` / ``_semc_pair_dots`` / ``_semc_in_ball`` —
+    shared code, so a streaming admission can never disagree with the
+    oracle-gated batch decision on the same state).
+
+    Per micro-batch (epoch ``e``):
+
+    1. one scaled-points pass turns the shard's embeddings into integer-
+       millionth (vec_id, dim, xs) rows — the representation every
+       certified stage distances over;
+    2. the codebook is derived from the STRICTLY-PRIOR history point
+       store: history ids under ``seed_max`` (a pure predicate — the
+       same history-seeded rule as the batch twin). First epochs with no
+       seed vectors admit everything (no index yet), exactly like an
+       empty history table;
+    3. shard and prior-history points assign to the frozen codebook by
+       exact integer L2 (argmin, ties on id); each shard vector compares
+       only against history members of ITS cell (nprobe=1 admission)
+       through the shared dot/ball stages;
+    4. admitted rows overwrite ``out/epoch=e``; their POINTS overwrite
+       ``history/points/epoch=e`` — idempotent epoch-partition writes, so
+       a replayed epoch rewrites both partitions identically (and the
+       strictly-prior scan means it can never reject its own rows).
+
+    Scale shape: per epoch, codebook derivation reads seed_max ids'
+    points (partition- and predicate-prunable), assignment is one
+    broadcast-agg pass, and pair work is cell-confined. The history
+    ASSIGNMENT is recomputed per epoch here because the codebook can
+    still be growing; a production deployment freezes the codebook once
+    seeded and materializes history assignments as a bucketed staging
+    table (sources/batch.py: write_bucketed_table) refreshed only on
+    codebook change — the decision arithmetic is identical either way."""
+
+    spark: SparkSession
+    out_path: str
+    history_path: str
+    id_col: str = "vec_id"
+    embedding_col: str = "embedding"
+    seed_max: int | None = None  # default: similarity.IVFC_INC_SEED_MAX
+    stats: dict = field(
+        default_factory=lambda: {"batches": 0, "admitted": 0, "rejected": 0}
+    )
+
+    def _points_before(self, epoch_id: int) -> DataFrame:
+        return _epoch_history_scan(
+            self.spark,
+            f"{self.history_path}/points",
+            "vec_id bigint, dim int, xs bigint",
+            epoch_id,
+        )
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from projet_pipeline_bigdata_org_spark.operators.similarity import (
+            IVFC_INC_SEED_MAX,
+            SEMC_TAU,
+            _semc_in_ball,
+            _semc_pair_dots,
+            ivfc_argmin_cells,
+            ivfc_cell_distances,
+            ivfc_scaled_points,
+        )
+
+        seed_max = IVFC_INC_SEED_MAX if self.seed_max is None else self.seed_max
+        self.stats["batches"] += 1
+        if batch_df.isEmpty():  # P9 empty-batch guard
+            return
+        batch_df = batch_df.persist()
+        pts_b = (
+            ivfc_scaled_points(
+                batch_df.select(
+                    F.col(self.id_col).alias("vec_id"),
+                    F.col(self.embedding_col).alias("embedding"),
+                )
+            )
+            # the admission joins, the stats agg, and the history write
+            # all read this cache (sibling-sink discipline)
+            .persist()
+        )
+        try:
+            pts_h = self._points_before(epoch_id)
+            cents = pts_h.filter(F.col("vec_id") < seed_max).select(
+                F.col("vec_id").alias("cid"), "dim", F.col("xs").alias("cs")
+            )
+            assign_b = ivfc_argmin_cells(ivfc_cell_distances(pts_b, cents))
+            assign_h = ivfc_argmin_cells(ivfc_cell_distances(pts_h, cents))
+            prs = (
+                assign_b.select(F.col("vec_id").alias("b_id"), "cell")
+                .join(
+                    assign_h.select(F.col("vec_id").alias("h_id"), "cell"),
+                    "cell",
+                )
+                .select("b_id", "h_id")
+            )
+            pts_all = pts_b.unionByName(pts_h)
+            n2 = pts_all.groupBy("vec_id").agg(
+                F.sum(F.col("xs") * F.col("xs")).cast("long").alias("n2")
+            )
+            nb = n2.select(F.col("vec_id").alias("b_id"), F.col("n2").alias("n2a"))
+            nh = n2.select(F.col("vec_id").alias("h_id"), F.col("n2").alias("n2b"))
+            rejected_ids = (
+                _semc_pair_dots(prs, pts_all, "b_id", "h_id")
+                .join(nb, "b_id")
+                .join(nh, "h_id")
+                .filter(_semc_in_ball(SEMC_TAU))
+                .select(F.col("b_id").alias(self.id_col))
+                .distinct()
+            )
+            _admit_batch(
+                self,
+                batch_df,
+                pts_b.withColumnRenamed("vec_id", "doc_id"),
+                rejected_ids,
+                epoch_id,
+            )
+        finally:
+            pts_b.unpersist()
+            batch_df.unpersist()
+
+    def _write_history(self, adm_pts: DataFrame, epoch_id: int) -> None:
+        adm_pts.withColumnRenamed("doc_id", "vec_id").write.mode(
+            "overwrite"
+        ).parquet(f"{self.history_path}/points/epoch={epoch_id}")
+
+
+@dataclass
 class AnomalyGateSink:
     """Streaming EWMA anomaly gate: each micro-batch's readings are
     tested against the exponentially-smoothed level of their

@@ -765,6 +765,86 @@ def test_minhash_history_sink_matches_batch_incremental_restriction(
     assert sink.stats["rejected"] == len(expected_rejected)
 
 
+def test_semdedup_history_sink_matches_batch_incremental_restriction(
+    spark, sf_dir, tmp_path
+):
+    """Admitted-set equality with the batch form (the semantic row of the
+    dedup matrix, VERDICT r12 #3): feeding the history split as epoch 0
+    and the batch split as epoch 1 through the streaming sink must reject
+    exactly the vec_ids that ``embed_semdedup_incremental`` refuses on
+    the same corpus — the two forms share the scaled-points, codebook-
+    assignment, dot, and epsilon-ball code, so they cannot drift."""
+    from projet_pipeline_bigdata_org_spark import plans
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.similarity import (
+        EMB_BATCH_RESIDUE,
+    )
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        SemDeDupHistorySink,
+    )
+
+    plans.load_all()
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_batch = F.col("vec_id") % 10 >= EMB_BATCH_RESIDUE
+    out, hist = str(tmp_path / "out"), str(tmp_path / "hist")
+    sink = SemDeDupHistorySink(spark, out, hist)
+    sink(e.filter(~is_batch), 0)
+    sink(e.filter(is_batch), 1)
+
+    batch_rows = {
+        r.vec_id: r.admitted
+        for r in plans.get("embed_semdedup_incremental").fn(spark, sf_dir).collect()
+    }
+    expected_rejected = {v for v, adm in batch_rows.items() if not adm}
+    assert expected_rejected  # non-vacuous: corpus has in-ball cross-split pairs
+    admitted_batch = {
+        r.vec_id
+        for r in spark.read.parquet(f"{out}/epoch=1").select("vec_id").collect()
+    }
+    assert admitted_batch == set(batch_rows) - expected_rejected
+    assert sink.stats["rejected"] == len(expected_rejected)
+
+
+def test_semdedup_history_sink_first_epoch_admits_and_replays_identically(
+    spark, sf_dir, tmp_path
+):
+    """Epoch 0 (no prior index) admits everything; worst-order replay of
+    both epochs rewrites every partition identically (strictly-prior
+    state scans + idempotent epoch-partition overwrites)."""
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.similarity import (
+        EMB_BATCH_RESIDUE,
+    )
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        SemDeDupHistorySink,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_batch = F.col("vec_id") % 10 >= EMB_BATCH_RESIDUE
+    out, hist = str(tmp_path / "out"), str(tmp_path / "hist")
+    sink = SemDeDupHistorySink(spark, out, hist)
+    sink(e.filter(~is_batch), 0)
+    assert sink.stats["rejected"] == 0  # no index yet: everything admits
+    sink(e.filter(is_batch), 1)
+
+    def admitted():
+        return sorted(
+            r.vec_id for r in spark.read.parquet(out).select("vec_id").collect()
+        )
+
+    want = admitted()
+    # replay both epochs in the worst order: partitions rewrite identically
+    sink(e.filter(is_batch), 1)
+    sink(e.filter(~is_batch), 0)
+    assert admitted() == want
+    # history points hold exactly the admitted ids
+    hist_ids = {
+        r.vec_id
+        for r in spark.read.parquet(f"{hist}/points").select("vec_id").collect()
+    }
+    assert sorted(hist_ids) == want
+
+
 def test_simhash_history_sink_rejects_near_dups_and_replays_identically(
     spark, tmp_path
 ):
