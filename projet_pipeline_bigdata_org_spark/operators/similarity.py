@@ -1489,6 +1489,172 @@ def embed_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# certified random-hyperplane LSH: the last similarity-family member
+# without an oracle-gated twin (VERDICT r12 #8)
+# ---------------------------------------------------------------------------
+
+#: certified-LSH geometry: fewer/wider tables than production's 16x5 —
+#: 6-bit band keys keep expected bucket population N/64 per table while
+#: the 8-table OR keeps recall for the corpus' ~0.4-0.5 cosine band
+LSHC_TABLES = 8
+LSHC_PLANES = 6
+#: integer hyperplane coefficients live in [-LSHC_COEF_HALF, +LSHC_COEF_HALF]
+LSHC_COEF_MOD = 7
+LSHC_COEF_HALF = 3
+
+
+def _lshc_coef_sql() -> str:
+    """DuckDB twin of the coefficient derivation: the double hash_coin of
+    the flat (tbl, plane, dim) index, reduced to [-3, 3]. The coin chain
+    is the shared engine-portable PRNG (functions/hashing.py); doubling
+    breaks the single coin's linearity in the index."""
+    from projet_pipeline_bigdata_org_spark.functions.hashing import sql_hash_coin
+
+    return f"({sql_hash_coin(sql_hash_coin('(id + 1)'))} % {LSHC_COEF_MOD}) - {LSHC_COEF_HALF}"
+
+
+def _lshc_coefficients(spark: SparkSession) -> DataFrame:
+    """(tbl, plane, dim, c): the full integer hyperplane bank, derived on
+    the Spark side by the identical double-coin chain. TABLES*PLANES*DIM
+    rows (~3k) — always broadcast."""
+    from projet_pipeline_bigdata_org_spark.functions.hashing import hash_coin
+
+    n = LSHC_TABLES * LSHC_PLANES * EMBEDDING_DIM
+    ids = spark.range(n)
+    return ids.select(
+        (F.col("id") / (LSHC_PLANES * EMBEDDING_DIM)).cast("long").alias("tbl"),
+        ((F.col("id") / EMBEDDING_DIM) % LSHC_PLANES).cast("long").alias("plane"),
+        (F.col("id") % EMBEDDING_DIM).cast("int").alias("dim"),
+        (hash_coin(hash_coin(F.col("id") + 1)) % LSHC_COEF_MOD - LSHC_COEF_HALF)
+        .cast("long")
+        .alias("c"),
+    )
+
+
+def _lsh_certified_oracle() -> str:
+    tn, td = SEMC_TAU
+    n = LSHC_TABLES * LSHC_PLANES * EMBEDDING_DIM
+    return f"""
+    WITH fpts AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {PW_XS}, 0) AS BIGINT)
+               AS xs
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS t(i)
+    ), ids AS (
+      SELECT UNNEST(GENERATE_SERIES(0, {n - 1})) AS id
+    ), coef AS (
+      SELECT id // {LSHC_PLANES * EMBEDDING_DIM} AS tbl,
+             (id // {EMBEDDING_DIM}) % {LSHC_PLANES} AS plane,
+             id % {EMBEDDING_DIM} AS dim,
+             CAST({_lshc_coef_sql()} AS BIGINT) AS c
+      FROM ids
+    ), proj AS (
+      SELECT p.vec_id, c.tbl, c.plane,
+             CAST(SUM(p.xs * c.c) AS BIGINT) AS proj
+      FROM fpts p JOIN coef c ON c.dim = p.dim
+      GROUP BY p.vec_id, c.tbl, c.plane
+    ), buck AS (
+      SELECT vec_id, tbl,
+             CAST(SUM(CASE WHEN proj > 0
+                           THEN (CAST(1 AS BIGINT) << plane)
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id, tbl
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM buck a
+      JOIN buck b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                 AND a.vec_id < b.vec_id
+    ), n2 AS (
+      SELECT vec_id, CAST(SUM(xs * xs) AS BIGINT) AS n2
+      FROM fpts GROUP BY vec_id
+    ), dots AS (
+      SELECT p.a_id, p.b_id, CAST(SUM(fa.xs * fb.xs) AS BIGINT) AS dot
+      FROM cand p
+      JOIN fpts fa ON fa.vec_id = p.a_id
+      JOIN fpts fb ON fb.vec_id = p.b_id AND fb.dim = fa.dim
+      GROUP BY p.a_id, p.b_id
+    )
+    SELECT d.a_id, d.b_id, d.dot
+    FROM dots d
+    JOIN n2 na ON na.vec_id = d.a_id
+    JOIN n2 nb ON nb.vec_id = d.b_id
+    WHERE d.dot > 0
+      AND {td * td} * CAST(d.dot AS HUGEINT) * d.dot
+            >= {tn * tn} * CAST(na.n2 AS HUGEINT) * nb.n2
+    """
+
+
+@query(
+    "sim_ann_lsh_certified",
+    oracle=_lsh_certified_oracle(),
+    tags=("llm", "similarity", "embeddings"),
+)
+def sim_ann_lsh_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH with CERTIFIED arithmetic — the oracle-gated
+    twin of ``sim_ann_lsh`` (VERDICT r12 #8), closing the last
+    similarity-family member without one: the hyperplane bank is derived
+    in BOTH engines from the shared double-hash_coin chain (integer
+    coefficients in [-{LSHC_COEF_HALF}, {LSHC_COEF_HALF}] per (table,
+    plane, dim)), projections are exact integer dot products over the
+    integer-millionth coordinates, buckets are sign-bit packs, and the
+    verify is the shared rational epsilon-ball ``_semc_in_ball``
+    (cos >= {SEMC_TAU[0]}/{SEMC_TAU[1]}) over ``_semc_pair_dots`` — so
+    the oracle rebuilds every coefficient, projection sign, bucket key,
+    candidate pair, and verify decision bit-identically. Production
+    ``sim_ann_lsh`` keeps its float plane bank + vectorized matmul UDF
+    (faster; threshold {NEAR_DUP_COSINE}); this row certifies the LSH
+    CONSTRUCTION: hyperplane bucketing, OR-amplified collision, verify-
+    on-candidates-only.
+
+    Scale shape: identical to production — the ~{LSHC_TABLES * LSHC_PLANES * EMBEDDING_DIM}-row
+    coefficient bank broadcasts, the band join carries only (vec_id,
+    tbl, bucket) rows, candidate pairs re-join per-dim points for the
+    exact verify (candidates only, never all-pairs)."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    e = load(spark, sf_dir, "embeddings")
+    pts = _persist_scoped("ivfc_pts", ivfc_scaled_points(e))
+    proj = (
+        pts.join(F.broadcast(_lshc_coefficients(spark)), "dim")
+        .groupBy("vec_id", "tbl", "plane")
+        .agg(F.sum(F.col("xs") * F.col("c")).cast("long").alias("proj"))
+    )
+    bucket = F.sum(
+        F.when(
+            F.col("proj") > 0,
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))"),
+        ).otherwise(F.lit(0).cast("long"))
+    ).cast("long")
+    buck = _persist_scoped(
+        "lshc_bands",
+        proj.groupBy("vec_id", "tbl").agg(bucket.alias("bucket")),
+    )
+    a, b = buck.alias("a"), buck.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    n2 = pts.groupBy("vec_id").agg(
+        F.sum(F.col("xs") * F.col("xs")).cast("long").alias("n2")
+    )
+    na = n2.select(F.col("vec_id").alias("a_id"), F.col("n2").alias("n2a"))
+    nb = n2.select(F.col("vec_id").alias("b_id"), F.col("n2").alias("n2b"))
+    return (
+        _semc_pair_dots(cand, pts, "a_id", "b_id")
+        .join(F.broadcast(na), "a_id")
+        .join(F.broadcast(nb), "b_id")
+        .filter(_semc_in_ball(SEMC_TAU))
+        .select("a_id", "b_id", "dot")
+    )
+
+
 #: reciprocal-rank-fusion constant (Cormack, Clarke & Buettcher 2009 —
 #: k=60 is the published default) and the micro fixed-point scale: each
 #: arm contributes 10^6 div (k + rank), an exact truncating division

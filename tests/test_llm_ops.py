@@ -278,6 +278,47 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
         assert recall >= 0.5, f"ann-lsh recall too low: {recall:.2f}"
 
 
+def test_ann_lsh_certified_sound_and_recall_vs_integer_ball(spark, sf_dir):
+    """The certified LSH twin must be SOUND against an independent numpy
+    rebuild of the exact integer epsilon ball (every emitted pair is a
+    true in-ball pair with the identical integer dot), and its OR-
+    amplified banding must recover a fixed, deterministic fraction of
+    the ball (the planes are coin-derived constants, so recall cannot
+    drift run to run: 26/66 at sf0.001)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from projet_pipeline_bigdata_org_spark.operators.similarity import SEMC_TAU
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.array(t.column("vec_id").to_pylist())
+    emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    xs = np.round(emb * 1_000_000).astype(np.int64)
+    dots = xs @ xs.T
+    n2 = np.diag(dots)
+    tn, td = SEMC_TAU
+    # object dtype: the squared products overflow int64 by design — the
+    # Spark/DuckDB twins route them through DECIMAL(38,0)/HUGEINT
+    ball = (dots > 0) & (
+        (td * td) * dots.astype(object) ** 2
+        >= (tn * tn) * np.multiply.outer(n2.astype(object), n2.astype(object))
+    )
+    want = {}
+    for i, j in zip(*np.where(np.triu(ball, 1))):
+        a, b = int(ids[i]), int(ids[j])
+        want[(min(a, b), max(a, b))] = int(dots[i, j])
+    got = {
+        (r.a_id, r.b_id): r.dot
+        for r in _Q["sim_ann_lsh_certified"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) <= set(want)  # soundness: verify-on-candidates
+    for k, v in got.items():
+        assert v == want[k], k  # identical exact integer dot
+    assert want, "vacuous: corpus has no in-ball pairs"
+    recall = len(got) / len(want)
+    assert recall >= 0.2, f"certified-lsh recall too low: {recall:.2f}"
+
+
 def test_enrichment_udf_fallback_and_chunking(spark):
     from projet_pipeline_bigdata_org_spark.ml.enrich import (
         make_sentiment_udf,
