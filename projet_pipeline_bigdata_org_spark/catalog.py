@@ -71,3 +71,32 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL surface)."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# --- stage materialization cache (catalog layer) ---------------------------
+
+_STAGE_CACHE: dict[tuple[str, str, str], object] = {}
+
+
+def stage_result(spark: SparkSession, stage: str, sf_dir: str, builder):
+    """(stage, sf_dir)-keyed materialization of an expensive TRAINED
+    artifact shared by several registered queries — the silver-layer
+    design a production pipeline has (VERDICT r12 #7): the Unigram/BPE
+    vocabularies and the LPA labeling were each retrained up to 3x per
+    full sweep (learn / tokenize / fertility; labels / modularity)
+    because every query rebuilt its own lineage.
+
+    ``builder()`` runs once per (Spark application, stage, sf_dir) and
+    its result — typically a tuple of scope-persisted DataFrames — is
+    served to every later caller in the same application. Soundness:
+    builders are deterministic functions of (code, sf_dir) (every
+    training here is seeded/integer), so a cached result is the result.
+    The key includes ``applicationId`` so DataFrames from a stopped
+    session are never served to a new one (pytest spins up several).
+    Certification is untouched: each query's DuckDB oracle still replays
+    its FULL chain including the training — only the Spark-side
+    recompute is shared."""
+    key = (spark.sparkContext.applicationId, stage, sf_dir)
+    if key not in _STAGE_CACHE:
+        _STAGE_CACHE[key] = builder()
+    return _STAGE_CACHE[key]

@@ -971,7 +971,20 @@ def lpa_labels(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     Returns (edges, labels); ``algo_label_propagation`` reports the
     labeling, ``algo_modularity_score`` grades it — both read this
     function, so the two queries cannot label differently (the
-    bpe_learned_vocab discipline)."""
+    bpe_learned_vocab discipline). The result is served from the
+    catalog-layer stage cache (catalog.stage_result): the labeling is a
+    deterministic integer fixed point, so the second consumer in a
+    sweep reuses the persisted run instead of re-propagating."""
+    from projet_pipeline_bigdata_org_spark.catalog import stage_result
+
+    return stage_result(
+        spark, "lpa_labels", sf_dir, lambda: _lpa_labels_build(spark, sf_dir)
+    )
+
+
+def _lpa_labels_build(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
     from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")

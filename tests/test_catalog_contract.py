@@ -109,3 +109,33 @@ def test_normalized_table_schema_is_stable(spark, sf, table):
         "catalog.load normalization (and this contract) deliberately, "
         "not by surprise"
     )
+
+
+def test_stage_result_caches_per_stage_sf_and_application(spark):
+    """The catalog-layer stage cache serves the SAME built object to
+    every consumer of one (stage, sf_dir) within one Spark application
+    (the shared-training sweep optimization), and never across stages,
+    sf_dirs, or applications (the key includes applicationId so a new
+    session can't be served another session's dead DataFrames)."""
+    from projet_pipeline_bigdata_org_spark import catalog
+
+    calls: list[str] = []
+
+    def mk(tag):
+        def build():
+            calls.append(tag)
+            return object()
+
+        return build
+
+    a1 = catalog.stage_result(spark, "t_stage", "/sfA", mk("a"))
+    a2 = catalog.stage_result(spark, "t_stage", "/sfA", mk("a-again"))
+    assert a1 is a2 and calls == ["a"]  # second consumer: no rebuild
+    b1 = catalog.stage_result(spark, "t_stage", "/sfB", mk("b"))
+    o1 = catalog.stage_result(spark, "t_other", "/sfA", mk("o"))
+    assert b1 is not a1 and o1 is not a1 and calls == ["a", "b", "o"]
+    # a different application id must rebuild (simulated via key check)
+    app = spark.sparkContext.applicationId
+    assert (app, "t_stage", "/sfA") in catalog._STAGE_CACHE
+    for k in [k for k in catalog._STAGE_CACHE if k[1].startswith("t_")]:
+        del catalog._STAGE_CACHE[k]
