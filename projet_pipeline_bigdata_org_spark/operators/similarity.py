@@ -1655,6 +1655,117 @@ def sim_ann_lsh_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# multi-vector late-interaction retrieval (r13): the ColBERT MaxSim scoring
+# plan (Khattab & Zaharia 2020) — score(q, d) = sum over query sub-vectors
+# of the max dot against any document sub-vector. The testdata carries one
+# vector per id, so sub-vectors are the EMBEDDING_DIM/MAXSIM_SLICES
+# contiguous slices (the MRL-prefix discipline) standing in for per-token
+# vectors; the OPERATOR — the slice/dot/max/sum plan a multi-vector index
+# runs — is the real deliverable, and is exactly what per-token embeddings
+# would execute with slice ids swapped for token positions.
+# ---------------------------------------------------------------------------
+
+MAXSIM_SLICES = 4
+_MAXSIM_W = EMBEDDING_DIM // MAXSIM_SLICES
+
+
+def _maxsim_oracle() -> str:
+    return f"""
+    WITH fpts AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {PW_XS}, 0) AS BIGINT)
+               AS xs
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS t(i)
+    ), sub AS (
+      SELECT vec_id, dim // {_MAXSIM_W} AS s, dim % {_MAXSIM_W} AS r, xs
+      FROM fpts
+    ), dots AS (
+      SELECT p.vec_id AS q_id, d.vec_id AS n_id, p.s AS qs, d.s AS ds,
+             CAST(SUM(p.xs * d.xs) AS BIGINT) AS dot
+      FROM sub p JOIN sub d ON d.r = p.r
+      WHERE p.vec_id < {N_QUERIES} AND d.vec_id >= {N_QUERIES}
+      GROUP BY p.vec_id, d.vec_id, p.s, d.s
+    ), mx AS (
+      SELECT q_id, n_id, qs, MAX(dot) AS mx
+      FROM dots GROUP BY q_id, n_id, qs
+    ), sc AS (
+      SELECT q_id, n_id, CAST(SUM(mx) AS BIGINT) AS maxsim
+      FROM mx GROUP BY q_id, n_id
+    )
+    SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, maxsim
+    FROM (SELECT q_id, n_id, maxsim,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY maxsim DESC, n_id) AS rnk
+          FROM sc) t
+    WHERE rnk <= {TOPK}
+    """
+
+
+@query(
+    "sim_maxsim_multivector",
+    oracle=_maxsim_oracle(),
+    tags=("llm", "similarity", "embeddings"),
+)
+def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (MaxSim — Khattab &
+    Zaharia 2020), oracle-gated: each query's {MAXSIM_SLICES} sub-vectors
+    score max-dot against every corpus document's sub-vectors, the per-
+    query-slice maxima sum into the document score, top-{TOPK} per query.
+    All dots are exact BIGINTs over the shared integer-millionth
+    coordinates (``ivfc_scaled_points`` — the certified-IVF family's
+    point table, reused), so the oracle replays every sub-vector dot,
+    every argmax, and the ranking bit-identically.
+
+    Scale shape: the query side is tiny ({N_QUERIES} x {EMBEDDING_DIM}
+    rows) and BROADCAST into the per-dim dot join (no shuffle of the
+    corpus side beyond its partial-agg); the max and sum stages are
+    partial-agg'd groupBys. This brute-force scoring is the re-rank tier
+    — at 100 TB the candidate set first confines through the shared IVF
+    cells (sim_ann_ivf_certified) or an LSH band join, and MaxSim runs
+    on candidates only, exactly like ColBERT's ANN-then-rerank serving
+    stack."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    e = load(spark, sf_dir, "embeddings")
+    pts = _persist_scoped("ivfc_pts", ivfc_scaled_points(e))
+    sub = pts.select(
+        "vec_id",
+        (F.col("dim") / _MAXSIM_W).cast("long").alias("s"),
+        (F.col("dim") % _MAXSIM_W).alias("r"),
+        "xs",
+    )
+    qp = sub.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("s").alias("qs"),
+        "r",
+        F.col("xs").alias("qx"),
+    )
+    dp = sub.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("s").alias("ds"),
+        "r",
+        F.col("xs").alias("dx"),
+    )
+    dots = (
+        dp.join(F.broadcast(qp), "r")
+        .groupBy("q_id", "n_id", "qs", "ds")
+        .agg(F.sum(F.col("qx") * F.col("dx")).cast("long").alias("dot"))
+    )
+    mx = dots.groupBy("q_id", "n_id", "qs").agg(F.max("dot").alias("mx"))
+    sc = mx.groupBy("q_id", "n_id").agg(
+        F.sum("mx").cast("long").alias("maxsim")
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.col("maxsim").desc(), "n_id")
+    )
+    return (
+        sc.withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= TOPK)
+        .select("q_id", "rnk", "n_id", "maxsim")
+    )
+
+
 #: reciprocal-rank-fusion constant (Cormack, Clarke & Buettcher 2009 —
 #: k=60 is the published default) and the micro fixed-point scale: each
 #: arm contributes 10^6 div (k + rank), an exact truncating division

@@ -2123,3 +2123,96 @@ def bm25_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= BMQ_TOPK)
         .select("q_id", "rnk", "doc_id", "n_terms_hit", "bm25")
     )
+
+
+# ---------------------------------------------------------------------------
+# character-entropy quality signal (r13): Shannon entropy of the cleaned
+# character stream in the engine's fixed-point integer lg — the classic
+# low-entropy gate (repetitive boilerplate / keyboard-mash detection) that
+# quality ladders run next to the Gopher rules, here fully oracle-gated
+# because every lg is the shared milli-scaled integer log2.
+# ---------------------------------------------------------------------------
+
+#: docs whose cleaned character entropy falls below this many milli-bits
+#: are flagged (natural-language text sits near 4000; heavy repetition
+#: collapses toward 0)
+ENTROPY_MIN_MILLI = 2000
+
+
+def _char_entropy_oracle() -> str:
+    from projet_pipeline_bigdata_org_spark.functions.cleaning import SQL_CLEAN
+
+    clean = SQL_CLEAN.format(c="text")
+    return f"""
+    WITH cl AS (
+      SELECT doc_id, {clean} AS clean FROM documents
+    ), f AS (
+      SELECT doc_id, clean FROM cl WHERE LENGTH(clean) > 0
+    ), ch AS (
+      SELECT doc_id, SUBSTR(clean, i, 1) AS ch
+      FROM f, UNNEST(GENERATE_SERIES(1, LENGTH(clean))) AS t(i)
+    ), hist AS (
+      SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ch GROUP BY doc_id, ch
+    ), agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+             CAST(SUM(c * {_lg_duck('c')}) AS BIGINT) AS clg
+      FROM hist GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars, n_distinct_chars,
+           CAST({_lg_duck('n_chars')} - (clg // n_chars) AS BIGINT)
+             AS entropy_milli,
+           ({_lg_duck('n_chars')} - (clg // n_chars)) < {ENTROPY_MIN_MILLI}
+             AS low_entropy
+    FROM agg
+    """
+
+
+@query(
+    "text_char_entropy",
+    oracle=_char_entropy_oracle(),
+    tags=("llm", "text", "quality", "documents"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the cleaned character stream, in
+    FIXED-POINT INTEGER arithmetic — the low-entropy quality gate
+    (repetitive boilerplate, keyboard mash, template spam score near 0
+    bits; natural text near 4) a curation ladder runs next to
+    ``lex_gopher_rules``. H = lg(n) - (sum c_i*lg(c_i)) / n over the
+    per-character counts, with lg the engine's shared milli-scaled
+    integer log2 (``_lg_spark`` / ``_lg_duck`` — the Unigram trainer's
+    likelihood arithmetic) and a truncating integer division — so the
+    oracle replays every histogram count, every lg, and the final
+    division bit-identically. Cleaning is the certified chain
+    (functions/cleaning.py), so the character universe is lowercase
+    alnum + space in both engines.
+
+    Scale shape: pure row-local explode + two partial-agg'd groupBys
+    keyed by doc — no join, no skew (per-doc groups are document-sized);
+    at 100 TB this is one scan with map-side combine."""
+    from projet_pipeline_bigdata_org_spark.functions.cleaning import clean_text
+
+    d = load(spark, sf_dir, "documents")
+    cl = d.select("doc_id", clean_text("text").alias("clean")).filter(
+        F.length("clean") > 0
+    )
+    hist = (
+        cl.select("doc_id", F.explode(F.split("clean", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = hist.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        F.sum(F.expr(f"c * {_lg_spark('c')}")).cast("long").alias("clg"),
+    )
+    entropy = F.expr(f"{_lg_spark('n_chars')} - (clg div n_chars)")
+    return agg.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        entropy.cast("long").alias("entropy_milli"),
+        (entropy < ENTROPY_MIN_MILLI).alias("low_entropy"),
+    )

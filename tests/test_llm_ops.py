@@ -319,6 +319,64 @@ def test_ann_lsh_certified_sound_and_recall_vs_integer_ball(spark, sf_dir):
     assert recall >= 0.2, f"certified-lsh recall too low: {recall:.2f}"
 
 
+def test_maxsim_multivector_matches_numpy(spark, sf_dir):
+    """MaxSim late-interaction scores must equal an independent numpy
+    rebuild: slice the integer-millionth vectors into MAXSIM_SLICES
+    sub-vectors, max-dot each query slice against all document slices,
+    sum, take top-k (desc, ties on id)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from projet_pipeline_bigdata_org_spark.operators.similarity import (
+        MAXSIM_SLICES,
+        N_QUERIES,
+        TOPK,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.array(t.column("vec_id").to_pylist())
+    emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    xs = np.round(emb * 1_000_000).astype(np.int64)
+    w = xs.shape[1] // MAXSIM_SLICES
+    sl = xs.reshape(len(ids), MAXSIM_SLICES, w)
+    qm, dm = ids < N_QUERIES, ids >= N_QUERIES
+    # (q, s, d, t) dot tensor -> max over t -> sum over s
+    dots = np.einsum("qsw,dtw->qsdt", sl[qm], sl[dm])
+    scores = dots.max(axis=3).sum(axis=1)
+    want = {}
+    for qi, q in enumerate(ids[qm]):
+        order = sorted(
+            zip(-scores[qi], ids[dm]),
+        )[:TOPK]
+        want[int(q)] = [(int(n), int(-s)) for s, n in order]
+    got: dict[int, list] = {}
+    rows = sorted(
+        _Q["sim_maxsim_multivector"].fn(spark, sf_dir).collect(),
+        key=lambda r: (r.q_id, r.rnk),
+    )
+    for r in rows:
+        got.setdefault(r.q_id, []).append((r.n_id, r.maxsim))
+    assert got == want
+
+
+def test_char_entropy_bounds_and_known_values(spark, sf_dir):
+    """Entropy invariants: 0 <= H <= lg(n_distinct) (uniform bound) up to
+    the milli-lg interpolation slack, single-char docs score exactly 0,
+    and natural text sits in the plausible 2-6 bit band."""
+    rows = _Q["text_char_entropy"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_chars >= r.n_distinct_chars >= 1
+        # uniform distribution maximizes H; allow the documented ~86
+        # milli-bit interpolation slack per lg
+        assert -200 <= r.entropy_milli <= 1000 * (
+            r.n_distinct_chars
+        ).bit_length() + 200
+        assert r.low_entropy == (r.entropy_milli < 2000)
+    med = sorted(r.entropy_milli for r in rows)[len(rows) // 2]
+    assert 2000 <= med <= 6000, f"median entropy {med} outside natural band"
+
+
 def test_enrichment_udf_fallback_and_chunking(spark):
     from projet_pipeline_bigdata_org_spark.ml.enrich import (
         make_sentiment_udf,
