@@ -2514,6 +2514,111 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_exact_rerank(sl, pts, qsub)
 
 
+def _ivfpq_certified_oracle() -> str:
+    return f"""
+    WITH {_IVFC_BASE_CTES}, {_PQ_CODE_CTES},
+    probes AS (
+      SELECT vec_id AS q_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM cdist WHERE vec_id < {N_QUERIES})
+      WHERE rn <= {IVFC_PROBES}
+    ), candi AS (
+      SELECT p.q_id, s.vec_id AS n_id
+      FROM probes p JOIN assign s ON s.cell = p.cell
+      WHERE s.vec_id <> p.q_id
+    ), qsub AS (
+      SELECT vec_id AS q_id, sub, sdim, xs FROM sub_pts
+      WHERE vec_id < {N_QUERIES}
+    ), lut AS (
+      SELECT q.q_id, q.sub, c.cid,
+             CAST(SUM((q.xs - c.cs) * (q.xs - c.cs)) AS BIGINT) AS qd
+      FROM qsub q JOIN cb c ON q.sub = c.sub AND q.sdim = c.sdim
+      GROUP BY q.q_id, q.sub, c.cid
+    ), adc AS (
+      SELECT cd.q_id, cd.n_id, CAST(SUM(l.qd) AS BIGINT) AS adc
+      FROM candi cd
+      JOIN a ON a.vec_id = cd.n_id
+      JOIN lut l ON l.q_id = cd.q_id AND l.sub = a.sub AND l.cid = a.cid
+      GROUP BY cd.q_id, cd.n_id
+    ), sl AS (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS srn
+        FROM adc)
+      WHERE srn <= {PQ_SHORTLIST}
+    ), rer AS (
+      SELECT s.q_id, s.n_id,
+             CAST(SUM((qp.xs - np.xs) * (qp.xs - np.xs)) AS BIGINT) AS l2
+      FROM sl s
+      JOIN sub_pts np ON np.vec_id = s.n_id
+      JOIN qsub qp ON qp.q_id = s.q_id AND qp.sub = np.sub
+                  AND qp.sdim = np.sdim
+      GROUP BY s.q_id, s.n_id
+    )
+    SELECT q_id, n_id, l2,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY l2, n_id) AS BIGINT) AS rnk
+    FROM rer
+    QUALIFY rnk <= {TOPK}
+    """
+
+
+@query(
+    "sim_ann_ivfpq_certified",
+    oracle=_ivfpq_certified_oracle(),
+    tags=("llm", "similarity", "compression", "embeddings"),
+)
+def sim_ann_ivfpq_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with CERTIFIED arithmetic — the oracle-gated twin of
+    ``sim_ann_ivfpq``, closing the last similarity-family member without
+    one: the FAISS architecture (coarse cells -> code-only ADC scan ->
+    exact re-rank) with BOTH certified ingredients composed — the
+    certified IVF index (``_ivfc_points_and_assign`` + its probe rule,
+    shared with ``sim_ann_ivf_certified``) confines candidates, and the
+    certified PQ codes/lookup tables (``_pq_*`` helpers, shared with
+    ``compress_pq_topk``) score them — so the oracle rebuilds the
+    inverted lists, the probe sets, every 4-bit code, every ADC sum, the
+    shortlist, and the exact re-rank bit-identically. The production
+    ``sim_ann_ivfpq`` keeps its SparkML-KMeans coarse quantizer; its PQ
+    arithmetic was already certified through compress_pq_topk and its
+    cell geometry is now certified here.
+
+    Scale shape: identical to production — per query the ADC scan
+    touches only the {IVFC_PROBES} probed cells' CODE rows (sub-linear
+    AND compressed: 32-bit codes, floats untouched until the
+    shortlist-bounded re-rank); lookup tables broadcast."""
+    _pts_ivf, cdist, assign = _ivfc_points_and_assign(spark, sf_dir)
+    arn = F.row_number().over(W.partitionBy("vec_id").orderBy("dist", "cid"))
+    probes = (
+        cdist.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", arn)
+        .filter(F.col("rn") <= IVFC_PROBES)
+        .select(F.col("vec_id").alias("q_id"), F.col("cid").alias("cell"))
+    )
+    cand = (
+        probes.join(assign.withColumnRenamed("vec_id", "n_id"), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id")
+    )
+    pts = _pq_scaled_points(spark, sf_dir)
+    cb = _pq_codebook(pts)
+    a = _pq_assignments(pts, cb)
+    qsub = _pq_query_block(pts)
+    adc = (
+        cand.join(a.select(F.col("vec_id").alias("n_id"), "sub", "cid"), "n_id")
+        .join(F.broadcast(_pq_query_lut(qsub, cb)), ["q_id", "sub", "cid"])
+        .groupBy("q_id", "n_id")
+        .agg(F.sum("qd").cast("long").alias("adc"))
+    )
+    srn = F.row_number().over(W.partitionBy("q_id").orderBy("adc", "n_id"))
+    sl = adc.withColumn("srn", srn).filter(F.col("srn") <= PQ_SHORTLIST).select(
+        "q_id", "n_id"
+    )
+    return _pq_exact_rerank(sl, pts, qsub)
+
+
 # ---------------------------------------------------------------------------
 # Matryoshka (MRL) truncation cascade — the fourth compression family member
 # ---------------------------------------------------------------------------

@@ -154,6 +154,42 @@ def test_ivf_certified_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.4, f"ivf recall too low: {recall:.2f}"
 
 
+def test_ivfpq_certified_rerank_exact_and_recall(spark, sf_dir):
+    """The certified IVF-PQ twin: reported l2 values equal the exact
+    integer L2 (re-rank soundness, per pair against a numpy replay), and
+    the cells->codes->shortlist cascade recovers a reasonable share of
+    the true top-5 (both approximation tiers stacked, so the bound sits
+    below the single-tier pins)."""
+    import numpy as np
+
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.similarity import (
+        N_QUERIES,
+        PW_XS,
+        TOPK,
+    )
+
+    got = {
+        (r.q_id, r.n_id): r.l2
+        for r in _Q["sim_ann_ivfpq_certified"].fn(spark, sf_dir).collect()
+    }
+    e = {
+        r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * PW_XS)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    ids = sorted(e)
+    hits = 0
+    for q in range(N_QUERIES):
+        d = {n: int(((e[q] - e[n]) ** 2).sum()) for n in ids if n != q}
+        true_top = set(sorted(d, key=lambda n: (d[n], n))[:TOPK])
+        found = {n for (qq, n) in got if qq == q}
+        for n in found:
+            assert got[(q, n)] == d[n], (q, n)
+        hits += len(found & true_top)
+    recall = hits / (N_QUERIES * TOPK)
+    assert recall >= 0.3, f"ivfpq recall too low: {recall:.2f}"
+
+
 def test_unigram_viterbi_matches_bruteforce_dp(spark):
     """The packed-BIGINT Viterbi DP (_uni_viterbi) must choose exactly
     the segmentation a plain-Python lexicographic-(cost, n_pieces, mask)
