@@ -79,6 +79,15 @@ TIERS = {
     "text_unigram_learn": "iterative",
 }
 
+#: TRAINER queries: their cost IS the training, so the catalog-layer stage
+#: cache (catalog.stage_result, r13) is cleared before each of their timed
+#: samples — a cached re-read would report ~0s for an operator whose whole
+#: point is the training cost. Consumer queries (tokenize / fertility /
+#: modularity) keep whatever the sweep has materialized, which is exactly
+#: the production model: the trainer pays once per corpus epoch, consumers
+#: read the silver-layer artifact.
+TRAINERS = {"text_unigram_learn", "text_bpe_learn", "algo_label_propagation"}
+
 
 def _resolve(queries: dict, name: str) -> str:
     """Resolve a headline name across verification-window rotations: the
@@ -137,9 +146,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    from projet_pipeline_bigdata_org_spark import catalog
+
     for name in headline:
         samples = []
         for _ in range(runs):
+            if name.removeprefix("a0_") in TRAINERS:
+                catalog._STAGE_CACHE.clear()
             # clock starts BEFORE the builder call: iterative operators
             # (CC fixpoint loops) execute their rounds eagerly while the
             # DataFrame is built, and timing only the final write would
