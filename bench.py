@@ -61,6 +61,9 @@ HEADLINE = (
     "dedup_minhash_certified",           # certified near-dedup backbone (new r12, VERDICT #1)
     "text_unigram_learn",                # Viterbi-EM tokenizer training (new r12)
     "rank_fusion_rrf",                   # hybrid sparse+dense retrieval fusion (new r12)
+    "dedup_incremental_minhash_certified",  # certified steady-state admission (new r13, VERDICT #1)
+    "embed_semdedup_incremental",        # semantic admission vs history IVF (new r13, VERDICT #3)
+    "sim_maxsim_multivector",            # ColBERT MaxSim late interaction (new r13)
 )
 
 #: tier annotations surfaced in the bench JSON, so the headline total stays
@@ -73,6 +76,7 @@ HEADLINE = (
 TIERS = {
     "dedup_ngram_jaccard": "audit",
     "dedup_minhash_certified": "audit",
+    "dedup_incremental_minhash_certified": "audit",
     "graph_triangle_count": "graph",
     "algo_pagerank": "graph",
     "pair_cogrouped_asof": "api-exemplar",

@@ -100,3 +100,44 @@ def stage_result(spark: SparkSession, stage: str, sf_dir: str, builder):
     if key not in _STAGE_CACHE:
         _STAGE_CACHE[key] = builder()
     return _STAGE_CACHE[key]
+
+
+def stage_tables(
+    spark: SparkSession, stage: str, sf_dir: str, builder
+) -> dict[str, DataFrame]:
+    """Like :func:`stage_result`, but the builder returns a dict of
+    DataFrames that are MATERIALIZED AS PARQUET staging tables (the
+    literal silver layer) and served back as plain scans. Two properties
+    the in-memory form can't give:
+
+    - robustness to ``spark.catalog.clearCache()`` — the bench sweep
+      (and any memory-pressure eviction) drops persisted DataFrames, so
+      an in-memory cached artifact silently degrades to a full lineage
+      recompute; a parquet scan cannot degrade;
+    - downstream plans read column-pruned, predicate-pushable scans
+      instead of dragging the training lineage (checkpoints included)
+      into every consumer plan.
+
+    Trained artifacts here are vocabulary/node-bounded (KBs to a few MB
+    at bench scale), so the one-time write is cheap. Tables land under
+    the application's temp stage dir and die with it."""
+    import hashlib
+
+    def build() -> dict[str, DataFrame]:
+        app = spark.sparkContext.applicationId
+        sfh = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+        base = f"{STAGE_CACHE_ROOT}/{app}/{stage}/{sfh}"
+        out: dict[str, DataFrame] = {}
+        for name, df in builder().items():
+            path = f"{base}/{name}"
+            df.write.mode("overwrite").parquet(path)
+            out[name] = spark.read.parquet(path)
+        return out
+
+    return stage_result(spark, f"tables:{stage}", sf_dir, build)
+
+
+#: where stage_tables materializes; per-application subdirs keep runs apart
+STAGE_CACHE_ROOT = os.environ.get(
+    "SPARK_GRAFT_STAGE_CACHE", "/tmp/spark_graft_stage_cache"
+)

@@ -972,14 +972,19 @@ def lpa_labels(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     labeling, ``algo_modularity_score`` grades it — both read this
     function, so the two queries cannot label differently (the
     bpe_learned_vocab discipline). The result is served from the
-    catalog-layer stage cache (catalog.stage_result): the labeling is a
-    deterministic integer fixed point, so the second consumer in a
-    sweep reuses the persisted run instead of re-propagating."""
-    from projet_pipeline_bigdata_org_spark.catalog import stage_result
+    catalog-layer stage cache as MATERIALIZED parquet staging tables
+    (catalog.stage_tables): the labeling is a deterministic integer
+    fixed point, so the second consumer in a sweep scans the silver
+    layer instead of re-propagating — and a clearCache() cannot degrade
+    the artifact back into a full LPA recompute."""
+    from projet_pipeline_bigdata_org_spark.catalog import stage_tables
 
-    return stage_result(
-        spark, "lpa_labels", sf_dir, lambda: _lpa_labels_build(spark, sf_dir)
-    )
+    def _build():
+        edges, labels = _lpa_labels_build(spark, sf_dir)
+        return {"edges": edges, "labels": labels}
+
+    t = stage_tables(spark, "lpa_labels", sf_dir, _build)
+    return t["edges"], t["labels"]
 
 
 def _lpa_labels_build(

@@ -1184,14 +1184,23 @@ def bpe_learned_vocab(
     ``text_bpe_tokenize`` applies the vocabulary — both read this
     function, so learner and tokenizer cannot train different
     vocabularies (the cm_buckets shared-definition discipline). Served
-    from the catalog-layer stage cache (catalog.stage_result): the
-    merge sequence is deterministic, so tokenize/fertility reuse the
-    learner's materialized rounds (VERDICT r12 #7)."""
-    from projet_pipeline_bigdata_org_spark.catalog import stage_result
+    from the catalog-layer stage cache as MATERIALIZED parquet staging
+    tables (catalog.stage_tables): the merge sequence is deterministic,
+    so tokenize/fertility scan the learner's silver-layer rounds
+    (VERDICT r12 #7) and clearCache() cannot degrade them back into a
+    retrain."""
+    from projet_pipeline_bigdata_org_spark.catalog import stage_tables
 
-    return stage_result(
-        spark, "bpe_learned_vocab", sf_dir, lambda: _bpe_vocab_build(spark, sf_dir)
-    )
+    def _build():
+        vocab, summaries = _bpe_vocab_build(spark, sf_dir)
+        out = {"vocab": vocab}
+        for i, s in enumerate(summaries):
+            out[f"summary_{i}"] = s
+        return out
+
+    t = stage_tables(spark, "bpe_learned_vocab", sf_dir, _build)
+    n = len([k for k in t if k.startswith("summary_")])
+    return t["vocab"], [t[f"summary_{i}"] for i in range(n)]
 
 
 def _bpe_vocab_build(
@@ -1434,14 +1443,30 @@ def unigram_learned(
     where iters = [(1, fin1, cost1-vocab), (2, fin2, cost2-vocab)];
     both registered queries read this function, so learner and tokenizer
     cannot train different vocabularies (the bpe_learned_vocab
-    discipline). Served from the catalog-layer stage cache
-    (catalog.stage_result): training is integer-deterministic, so the
-    tokenize and fertility queries reuse the learner's materialized run
-    instead of re-running hard-EM (VERDICT r12 #7 — was 3x per sweep)."""
-    from projet_pipeline_bigdata_org_spark.catalog import stage_result
+    discipline). Served from the catalog-layer stage cache as
+    MATERIALIZED parquet staging tables (catalog.stage_tables): training
+    is integer-deterministic, so the tokenize and fertility queries scan
+    the learner's silver-layer run instead of re-running hard-EM
+    (VERDICT r12 #7 — was 3x per sweep), and a clearCache() cannot
+    degrade the artifact back into a retrain."""
+    from projet_pipeline_bigdata_org_spark.catalog import stage_tables
 
-    return stage_result(
-        spark, "unigram_learned", sf_dir, lambda: _unigram_learned_build(spark, sf_dir)
+    def _build():
+        words, fin2, iters = _unigram_learned_build(spark, sf_dir)
+        (_, fin1, vocab1), (_, _, vocab2) = iters
+        return {
+            "words": words,
+            "fin1": fin1,
+            "fin2": fin2,
+            "vocab1": vocab1,
+            "vocab2": vocab2,
+        }
+
+    t = stage_tables(spark, "unigram_learned", sf_dir, _build)
+    return (
+        t["words"],
+        t["fin2"],
+        [(1, t["fin1"], t["vocab1"]), (2, t["fin2"], t["vocab2"])],
     )
 
 

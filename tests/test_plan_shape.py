@@ -712,12 +712,22 @@ def test_hard_negatives_broadcasts_query_block_not_corpus(spark, sf_dir):
 def test_label_propagation_argmax_is_aggregate_not_window(spark, sf_dir):
     """Each LPA round's deterministic argmax must plan as a partial-agg'd
     max_by aggregation — no Window operator (a rank-window argmax re-sorts
-    every round; measured 11% slower and degree-scaling at 100 TB)."""
-    df = _Q["algo_label_propagation"].fn(spark, sf_dir)
-    p = plan_of(df)
+    every round; measured 11% slower and degree-scaling at 100 TB).
+    Since r13 the registered query serves the MATERIALIZED staging table
+    (catalog.stage_tables), so the round plan is asserted on the BUILDER
+    — the code the training actually executes — and the registered query
+    is asserted to be a plain staging-table scan."""
+    from projet_pipeline_bigdata_org_spark.operators.grouped import (
+        _lpa_labels_build,
+    )
+
+    _edges, labels = _lpa_labels_build(spark, sf_dir)
+    p = plan_of(labels)
     assert "Window" not in p, p
     assert "max_by" in p or "maxby" in p.lower(), p
     assert "partial_max_by" in p or "partial" in p.lower(), p
+    served = plan_of(_Q["algo_label_propagation"].fn(spark, sf_dir))
+    assert "FileScan parquet" in served and "lpa_labels" in served, served
 
 
 def test_binary_sign_topk_broadcasts_query_signatures_not_corpus(spark, sf_dir):
@@ -939,15 +949,18 @@ def test_semdedup_certified_pairs_stay_in_cells(spark, sf_dir):
 
 def test_modularity_reads_cached_labels_no_cartesian(spark, sf_dir):
     """algo_modularity_score must read the LPA edge list AND the final
-    labeling from caches (unpersisted labels would recompute the whole
-    LPA_ITERS-round subtree once per reference — both intra-join
-    endpoints plus the degree rollup), and the only nested-loop join is
-    the broadcast of the 1-row edge total."""
+    labeling from the MATERIALIZED staging tables (r13: parquet scans —
+    unmaterialized labels would recompute the whole LPA_ITERS-round
+    subtree once per reference: both intra-join endpoints plus the
+    degree rollup), and the only nested-loop join is the broadcast of
+    the 1-row edge total."""
     df = _Q["algo_modularity_score"].fn(spark, sf_dir)
     p = plan_of(df)
     assert "CartesianProduct" not in p, p
-    # edges cache + labels cache each read multiple times
-    assert p.count("InMemoryTableScan") >= 4, p
+    # edges staging table + labels staging table, each read multiple
+    # times as plain column-pruned scans — no LPA operator in the plan
+    assert p.count("lpa_labels") >= 4, p
+    assert "max_by" not in p, p  # the training never re-executes here
     assert p.count("BroadcastNestedLoopJoin") <= 1, p
 
 
