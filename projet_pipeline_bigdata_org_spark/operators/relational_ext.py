@@ -668,6 +668,67 @@ def sql_surface_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_surface_q17",
+    oracle="""
+    WITH pstat AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_small,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pstat ON pstat.l_partkey = lineitem.l_partkey
+    WHERE p_size = 5
+      AND 5 * CAST(l_quantity AS DECIMAL(12,2)) * cnt < sq
+    GROUP BY p_brand
+    """,
+    tags=("relational", "sql", "join", "subquery", "part"),
+)
+def sql_surface_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the classic
+    CORRELATED scalar aggregate — ``l_quantity < 0.2 * (SELECT
+    AVG(l_quantity) ... WHERE l_partkey = p_partkey)`` — written as the
+    correlated subquery on the Spark side so Catalyst's decorrelation
+    (RewriteCorrelatedScalarSubquery → per-key aggregate + join) is what
+    executes, not a hand-rewrite. Exactness: the float threshold
+    ``qty < 0.2 * avg`` is algebraically lifted to the integer-safe
+    ``5 * qty * cnt < sum`` (both sides exact DECIMALs — no float
+    boundary can flip a row between engines); the oracle materializes
+    the same per-partkey statistics as a CTE.
+
+    Scale shape: the correlated aggregate becomes one partial-agg'd
+    per-partkey stat table joined back on partkey (both sides shuffle on
+    the same key, no re-scan per row); the ``p_size`` filter pushes
+    to the part scan and AQE broadcasts the filtered dimension."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    li.createOrReplaceTempView("lineitem")
+    p.createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_small,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / 7.0 AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_size = 5
+          AND 5 * CAST(l_quantity AS DECIMAL(12,2))
+                * (SELECT COUNT(*) FROM lineitem l2
+                   WHERE l2.l_partkey = part.p_partkey)
+              < (SELECT SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                 FROM lineitem l3 WHERE l3.l_partkey = part.p_partkey)
+        GROUP BY p_brand
+        """
+    )
+
+
+@query(
     "sql_parameterized",
     oracle="""
     SELECT o_orderpriority,
