@@ -739,6 +739,157 @@ def text_extract_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_domain_rollup(d)
 
 
+# Crafted rows for dedup_url_canonical: each exercises a different
+# canonicalization rule, and several collapse to the SAME canonical form
+# only when every rule fires (ids below -10 so they cannot collide with
+# URL_FIXTURE_ROWS).
+CANON_URL_FIXTURE_ROWS: tuple[tuple[int, str], ...] = (
+    # default-port strip + www strip + trailing slash + tracking-param
+    # drop + surviving-param keep: -> https://example.com/Shop?id=42
+    (-11, "a https://Example.COM:443/Shop/?utm_source=x&utm_campaign=y&id=42 b"),
+    # the SAME canonical via a different surface form (www + fbclid +
+    # param already last): cross-document canonical duplicate
+    (-12, "b https://www.Example.com/Shop/?fbclid=zzz&id=42"),
+    # intra-document duplicate: port form + tracking-only query form of
+    # one canonical -> http://example.com/a (x2 in one doc)
+    (-13, "c http://example.com:80/a/ and http://example.com/a?utm_medium=m"),
+    # parameter ORDER canonicalization: both -> ...?x=2&y=1
+    (-14, "d https://example.com/a?x=2&y=1 vs https://example.com/a?y=1&x=2"),
+)
+
+_CANON_URL_FIXTURE_SQL = " UNION ALL ".join(
+    "SELECT CAST({} AS BIGINT) AS doc_id, '{}' AS text".format(i, t.replace("'", "''"))
+    for i, t in CANON_URL_FIXTURE_ROWS
+)
+
+#: query parameters a canonicalizer drops: pure click-tracking markers
+#: whose presence never changes the fetched resource
+_TRACKING_PARAM_RE = r"^(utm_[a-z0-9]+|fbclid|gclid|sid|session|ref)="
+
+
+@query(
+    "dedup_url_canonical",
+    oracle=rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL {_CANON_URL_FIXTURE_SQL}
+    ), u AS (
+      SELECT doc_id,
+             UNNEST(REGEXP_EXTRACT_ALL(text, 'https?://[^\s]+')) AS url
+      FROM corpus
+    ), parts AS (
+      SELECT doc_id,
+             LOWER(REGEXP_EXTRACT(url, '^(https?)://', 1)) AS scheme,
+             LOWER(REGEXP_EXTRACT(url, '^https?://([^/\s?#]+)', 1)) AS hostport,
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(REGEXP_REPLACE(url, '^https?://[^/\s?#]+', ''),
+                              '[?#].*$', ''),
+               '/+$', '') AS path,
+             REGEXP_EXTRACT(url, '\?([^#\s]*)', 1) AS query
+      FROM u
+    ), norm AS (
+      SELECT doc_id, scheme,
+             REGEXP_REPLACE(
+               CASE WHEN scheme = 'http'
+                    THEN REGEXP_REPLACE(hostport, ':80$', '')
+                    ELSE REGEXP_REPLACE(hostport, ':443$', '') END,
+               '^www\.', '') AS host,
+             path,
+             ARRAY_TO_STRING(
+               LIST_SORT(LIST_FILTER(STR_SPLIT(query, '&'),
+                 p -> p <> '' AND NOT REGEXP_MATCHES(p, '{_TRACKING_PARAM_RE}'))),
+               '&') AS cq
+      FROM parts
+    ), canon AS (
+      SELECT doc_id,
+             scheme || '://' || host || path ||
+               CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS canonical_url
+      FROM norm
+    )
+    SELECT canonical_url,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    """,
+    tags=("llm", "dedup", "url", "documents"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL deduplication — the crawl stage that runs BEFORE any
+    content dedup (a frontier dedups by canonical URL so the same page is
+    never fetched twice): scheme+host case-fold, default-port strip
+    (:80 for http / :443 for https only), leading-``www.`` fold,
+    trailing-slash normalization, fragment drop, tracking-parameter drop
+    (utm_*/fbclid/gclid/sid/session/ref — markers that never change the
+    fetched resource), and QUERY-PARAMETER ORDER canonicalization (sort
+    surviving params) — then one groupBy on the canonical form with
+    occurrence/document counts and the min-id keeper. Every rule is a
+    codegen'd string/array expression with an exact DuckDB twin
+    (higher-order LIST_FILTER/LIST_SORT — no UDF), so the oracle replays
+    the entire canonicalizer; the crafted fixture makes each rule
+    individually load-bearing (a dropped rule splits a canonical group
+    and flips the hash).
+
+    Scale shape: row-local extraction + normalization, one
+    map-side-combined groupBy on the canonical string — a crawl
+    frontier's dedup is exactly this shuffle, bucketable by canonical at
+    100 TB."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            list(CANON_URL_FIXTURE_ROWS), "doc_id long, text string"
+        )
+    )
+    u = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit(r"https?://[^\s]+"), 0)
+        ).alias("url"),
+    )
+    scheme = F.lower(F.regexp_extract("url", r"^(https?)://", 1))
+    hostport = F.lower(F.regexp_extract("url", r"^https?://([^/\s?#]+)", 1))
+    host = F.regexp_replace(
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", "")).otherwise(
+            F.regexp_replace(hostport, r":443$", "")
+        ),
+        r"^www\.",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("url", r"^https?://[^/\s?#]+", ""), r"[?#].*$", ""
+        ),
+        r"/+$",
+        "",
+    )
+    query_s = F.regexp_extract("url", r"\?([^#\s]*)", 1)
+    cq = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query_s, "&"),
+                lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(cq != "", F.concat(F.lit("?"), cq)).otherwise(F.lit("")),
+    )
+    return (
+        u.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # BM25 relevance ranking ([GAP→add] SURVEY §2.12 — retrieval scoring for
 # curation/dedup triage; the reference has keyword membership only, P8)

@@ -413,6 +413,29 @@ def test_char_entropy_bounds_and_known_values(spark, sf_dir):
     assert 2000 <= med <= 6000, f"median entropy {med} outside natural band"
 
 
+def test_url_canonicalizer_every_rule_load_bearing(spark, sf_dir):
+    """Each canonicalization rule must fire: the fixture's two Shop
+    surface forms (port + www + trailing slash + tracking params + param
+    position) collapse CROSS-document; the two /a forms (port+slash vs
+    tracking-only query) collapse INTRA-document; the two param orders
+    collapse to the sorted form. A dropped rule splits a group."""
+    rows = {
+        r.canonical_url: r
+        for r in _Q["dedup_url_canonical"].fn(spark, sf_dir).collect()
+    }
+    shop = rows["https://example.com/Shop?id=42"]
+    assert (shop.n_occurrences, shop.n_docs, shop.keeper_doc_id) == (2, 2, -12)
+    a = rows["http://example.com/a"]
+    assert (a.n_occurrences, a.n_docs, a.keeper_doc_id) == (2, 1, -13)
+    xy = rows["https://example.com/a?x=2&y=1"]
+    assert (xy.n_occurrences, xy.n_docs, xy.keeper_doc_id) == (2, 1, -14)
+    # no un-canonicalized surface form leaks through
+    assert not any(
+        "utm_" in k or "fbclid" in k or "www." in k or ":80" in k or ":443" in k
+        for k in rows
+    )
+
+
 def test_enrichment_udf_fallback_and_chunking(spark):
     from projet_pipeline_bigdata_org_spark.ml.enrich import (
         make_sentiment_udf,
