@@ -767,12 +767,13 @@ _CANON_URL_FIXTURE_SQL = " UNION ALL ".join(
 _TRACKING_PARAM_RE = r"^(utm_[a-z0-9]+|fbclid|gclid|sid|session|ref)="
 
 
-@query(
-    "dedup_url_canonical",
-    oracle=rf"""
-    WITH corpus AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL {_CANON_URL_FIXTURE_SQL}
+def sql_canonical_urls(corpus_sql: str) -> str:
+    """DuckDB CTE chain (u -> parts -> norm -> canon) producing
+    (doc_id, canonical_url) from a corpus CTE body — the oracle twin of
+    :func:`canonical_urls`, shared by the one-shot and incremental URL
+    dedup oracles so the canonicalizer cannot drift between them."""
+    return rf"""corpus AS (
+      {corpus_sql}
     ), u AS (
       SELECT doc_id,
              UNNEST(REGEXP_EXTRACT_ALL(text, 'https?://[^\s]+')) AS url
@@ -805,41 +806,14 @@ _TRACKING_PARAM_RE = r"^(utm_[a-z0-9]+|fbclid|gclid|sid|session|ref)="
              scheme || '://' || host || path ||
                CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS canonical_url
       FROM norm
-    )
-    SELECT canonical_url,
-           COUNT(*) AS n_occurrences,
-           COUNT(DISTINCT doc_id) AS n_docs,
-           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
-    FROM canon
-    GROUP BY canonical_url
-    """,
-    tags=("llm", "dedup", "url", "documents"),
-)
-def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-URL deduplication — the crawl stage that runs BEFORE any
-    content dedup (a frontier dedups by canonical URL so the same page is
-    never fetched twice): scheme+host case-fold, default-port strip
-    (:80 for http / :443 for https only), leading-``www.`` fold,
-    trailing-slash normalization, fragment drop, tracking-parameter drop
-    (utm_*/fbclid/gclid/sid/session/ref — markers that never change the
-    fetched resource), and QUERY-PARAMETER ORDER canonicalization (sort
-    surviving params) — then one groupBy on the canonical form with
-    occurrence/document counts and the min-id keeper. Every rule is a
-    codegen'd string/array expression with an exact DuckDB twin
-    (higher-order LIST_FILTER/LIST_SORT — no UDF), so the oracle replays
-    the entire canonicalizer; the crafted fixture makes each rule
-    individually load-bearing (a dropped rule splits a canonical group
-    and flips the hash).
+    )"""
 
-    Scale shape: row-local extraction + normalization, one
-    map-side-combined groupBy on the canonical string — a crawl
-    frontier's dedup is exactly this shuffle, bucketable by canonical at
-    100 TB."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
-        spark.createDataFrame(
-            list(CANON_URL_FIXTURE_ROWS), "doc_id long, text string"
-        )
-    )
+
+def canonical_urls(d: DataFrame) -> DataFrame:
+    """(doc_id, canonical_url) for every URL occurrence in a
+    (doc_id, text) frame — the ONE Spark-side canonicalizer (rules
+    documented on ``dedup_url_canonical``), shared by the one-shot and
+    incremental URL dedup queries."""
     u = d.select(
         "doc_id",
         F.explode(
@@ -879,13 +853,138 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
         F.when(cq != "", F.concat(F.lit("?"), cq)).otherwise(F.lit("")),
     )
+    return u.select("doc_id", canonical.alias("canonical_url"))
+
+
+@query(
+    "dedup_url_canonical",
+    oracle=rf"""
+    WITH {sql_canonical_urls(
+        f"SELECT doc_id, text FROM documents UNION ALL {_CANON_URL_FIXTURE_SQL}"
+    )}
+    SELECT canonical_url,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    """,
+    tags=("llm", "dedup", "url", "documents"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL deduplication — the crawl stage that runs BEFORE any
+    content dedup (a frontier dedups by canonical URL so the same page is
+    never fetched twice): scheme+host case-fold, default-port strip
+    (:80 for http / :443 for https only), leading-``www.`` fold,
+    trailing-slash normalization, fragment drop, tracking-parameter drop
+    (utm_*/fbclid/gclid/sid/session/ref — markers that never change the
+    fetched resource), and QUERY-PARAMETER ORDER canonicalization (sort
+    surviving params) — then one groupBy on the canonical form with
+    occurrence/document counts and the min-id keeper. Every rule is a
+    codegen'd string/array expression with an exact DuckDB twin
+    (higher-order LIST_FILTER/LIST_SORT — no UDF), so the oracle replays
+    the entire canonicalizer; the crafted fixture makes each rule
+    individually load-bearing (a dropped rule splits a canonical group
+    and flips the hash).
+
+    Scale shape: row-local extraction + normalization, one
+    map-side-combined groupBy on the canonical string — a crawl
+    frontier's dedup is exactly this shuffle, bucketable by canonical at
+    100 TB."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            list(CANON_URL_FIXTURE_ROWS), "doc_id long, text string"
+        )
+    )
     return (
-        u.select("doc_id", canonical.alias("canonical_url"))
+        canonical_urls(d)
         .groupBy("canonical_url")
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),
             F.countDistinct("doc_id").alias("n_docs"),
             F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+    )
+
+
+# Cross-split fixture for the INCREMENTAL URL frontier: ids at 3·10^9
+# (above every other fixture family); residues place the base URL's
+# document in history and two batch documents — one whose differently-
+# surfaced URL canonicalizes to the SAME form (caught), one novel.
+INC_URL_FIXTURE_ROWS: tuple[tuple[int, str], ...] = (
+    (3_000_000_000, "h https://Example.org/Page/?utm_source=a&k=1"),
+    (3_000_000_008, "b https://www.example.org:443/Page?k=1&gclid=g"),
+    (3_000_000_018, "n http://example.org/other"),
+)
+
+_INC_URL_FIXTURE_SQL = " UNION ALL ".join(
+    "SELECT CAST({} AS BIGINT) AS doc_id, '{}' AS text".format(i, t.replace("'", "''"))
+    for i, t in INC_URL_FIXTURE_ROWS
+)
+
+
+@query(
+    "dedup_incremental_url",
+    oracle=rf"""
+    WITH {sql_canonical_urls(
+        "SELECT doc_id, text FROM documents UNION ALL " + _INC_URL_FIXTURE_SQL
+    )},
+    history AS (
+      SELECT DISTINCT canonical_url FROM canon
+      WHERE doc_id % 10 < 8 OR doc_id < 0
+    ), batch AS (
+      SELECT doc_id, canonical_url FROM canon
+      WHERE doc_id % 10 >= 8 AND doc_id >= 0
+    )
+    SELECT b.canonical_url,
+           COUNT(*) AS n_batch_occurrences,
+           COUNT(DISTINCT b.doc_id) AS n_batch_docs,
+           (h.canonical_url IS NOT NULL) AS in_history
+    FROM batch b LEFT JOIN history h ON b.canonical_url = h.canonical_url
+    GROUP BY b.canonical_url, (h.canonical_url IS NOT NULL)
+    """,
+    tags=("llm", "dedup", "url", "documents", "incremental"),
+)
+def dedup_incremental_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental canonical-URL dedup — the crawl FRONTIER's admission
+    check (completing the URL row of the dedup matrix next to exact/
+    MinHash/SimHash/passage/semantic): the incoming shard's canonical
+    URLs joined against the historical frontier's canonical set, so a
+    page already fetched under any surface form (tracking params, www,
+    default port, param order, trailing slash) is never fetched again.
+    Canonicalization is the SHARED ``canonical_urls`` /
+    ``sql_canonical_urls`` pair — one-shot and incremental forms cannot
+    drift. Split is the standard doc_id residue (negative fixture ids
+    residue negative → history, matching both engines' dividend-sign
+    ``%``); INC_URL_FIXTURE_ROWS keeps the caught path non-vacuous with
+    a cross-split pair whose surface forms differ in every rule.
+
+    Scale shape: only canonical strings join; at 100 TB the frontier is
+    a bucketed-by-canonical staging table (zero-shuffle history side,
+    the HistoryDedupSink discipline — which already provides the
+    streaming form of exactly this check when fed ``canonical_url`` as
+    its content column)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        spark.createDataFrame(list(INC_URL_FIXTURE_ROWS), "doc_id long, text string")
+    )
+    canon = canonical_urls(d)
+    is_hist = (F.col("doc_id") % 10 < 8) | (F.col("doc_id") < 0)
+    history = (
+        canon.filter(is_hist)
+        .select("canonical_url")
+        .distinct()
+        .withColumn("in_hist", F.lit(1))
+    )
+    batch = canon.filter(~is_hist)
+    return (
+        batch.join(history, "canonical_url", "left")
+        .groupBy("canonical_url", F.col("in_hist").isNotNull().alias("in_history"))
+        .agg(
+            F.count(F.lit(1)).alias("n_batch_occurrences"),
+            F.countDistinct("doc_id").alias("n_batch_docs"),
+        )
+        .select(
+            "canonical_url", "n_batch_occurrences", "n_batch_docs", "in_history"
         )
     )
 

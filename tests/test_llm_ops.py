@@ -436,6 +436,21 @@ def test_url_canonicalizer_every_rule_load_bearing(spark, sf_dir):
     )
 
 
+def test_incremental_url_frontier_catches_cross_split_surface_forms(spark, sf_dir):
+    """The incremental URL check must flag the batch document whose URL
+    canonicalizes to a history form through EVERY rule at once (www +
+    default port + tracking param), admit the novel URL, and agree with
+    the one-shot canonicalizer by construction (shared canonical_urls)."""
+    rows = {
+        r.canonical_url: r
+        for r in _Q["dedup_incremental_url"].fn(spark, sf_dir).collect()
+    }
+    caught = rows["https://example.org/Page?k=1"]
+    assert caught.in_history and caught.n_batch_docs == 1
+    novel = rows["http://example.org/other"]
+    assert not novel.in_history and novel.n_batch_docs == 1
+
+
 def test_enrichment_udf_fallback_and_chunking(spark):
     from projet_pipeline_bigdata_org_spark.ml.enrich import (
         make_sentiment_udf,
