@@ -765,6 +765,56 @@ def test_minhash_history_sink_matches_batch_incremental_restriction(
     assert sink.stats["rejected"] == len(expected_rejected)
 
 
+def test_url_frontier_via_history_sink_matches_batch_incremental(
+    spark, sf_dir, tmp_path
+):
+    """The documented streaming URL frontier: HistoryDedupSink fed
+    canonical_url as its content column must reject exactly the batch
+    URLs dedup_incremental_url marks in_history (per-URL granularity:
+    one row per distinct (doc_id, canonical_url) occurrence feeds the
+    sink; the sink's min-id keeper collapses within-batch dups the same
+    way the batch query counts them)."""
+    from projet_pipeline_bigdata_org_spark import plans
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.textops import (
+        INC_URL_FIXTURE_ROWS,
+        canonical_urls,
+    )
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        HistoryDedupSink,
+    )
+
+    plans.load_all()
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        spark.createDataFrame(list(INC_URL_FIXTURE_ROWS), "doc_id long, text string")
+    )
+    canon = canonical_urls(d).withColumn(
+        "row_id",
+        F.monotonically_increasing_id(),
+    )
+    is_hist = (F.col("doc_id") % 10 < 8) | (F.col("doc_id") < 0)
+    out, hist = str(tmp_path / "out"), str(tmp_path / "hist")
+    sink = HistoryDedupSink(
+        spark, out, hist, content_col="canonical_url", id_col="row_id",
+        bloom_prefilter=False,
+    )
+    sink(canon.filter(is_hist), 0)
+    sink(canon.filter(~is_hist), 1)
+
+    batch_rows = {
+        r.canonical_url: r.in_history
+        for r in plans.get("dedup_incremental_url").fn(spark, sf_dir).collect()
+    }
+    admitted_urls = {
+        r.canonical_url
+        for r in spark.read.parquet(f"{out}/epoch=1").collect()
+    }
+    # every URL the batch query calls novel is admitted; every caught one
+    # is absent (the sink dedups against the strictly-prior frontier)
+    for url, in_history in batch_rows.items():
+        assert (url in admitted_urls) == (not in_history), url
+
+
 def test_semdedup_history_sink_matches_batch_incremental_restriction(
     spark, sf_dir, tmp_path
 ):
