@@ -1084,3 +1084,173 @@ def audit_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("margin").cast("long").alias("min_margin"),
         F.max("margin").cast("long").alias("max_margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curation funnel attrition report (r13): the per-stage removal ledger a
+# data team actually reviews before a training run — which stage dropped
+# how many documents, in fixed precedence, with the running survivor count.
+# ---------------------------------------------------------------------------
+
+#: funnel stages in precedence order: a document is attributed to the
+#: FIRST stage that would remove it (standard pipeline-ledger semantics)
+FUNNEL_STAGES: tuple[tuple[int, str], ...] = (
+    (0, "input"),
+    (1, "exact_dup"),
+    (2, "normalized_dup"),
+    (3, "near_dup"),
+    (4, "gopher_fail"),
+    (5, "low_entropy"),
+)
+
+
+def _funnel_oracle() -> str:
+    from projet_pipeline_bigdata_org_spark.functions.cleaning import SQL_CLEAN
+    from projet_pipeline_bigdata_org_spark.plans.registry import get as _get
+
+    mh = _get("dedup_minhash_certified").oracle
+    gop = _get("lex_gopher_rules").oracle
+    ent = _get("text_char_entropy").oracle
+    clean = SQL_CLEAN.format(c="text")
+    stage_rows = ", ".join(f"({i}, '{s}')" for i, s in FUNNEL_STAGES)
+    return f"""
+    WITH mh AS ({mh}), gop AS ({gop}), ent AS ({ent}),
+    ex AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY SHA256(text)) AS k1,
+             MIN(doc_id) OVER (PARTITION BY SHA256({clean})) AS k2
+      FROM documents
+    ), flags AS (
+      SELECT e.doc_id,
+             (e.doc_id <> e.k1) AS f_exact,
+             (e.doc_id <> e.k2) AS f_norm,
+             (e.doc_id IN (SELECT b_id FROM mh)) AS f_near,
+             NOT g.keep AS f_gopher,
+             COALESCE(en.low_entropy, TRUE) AS f_entropy
+      FROM ex e
+      JOIN gop g ON g.doc_id = e.doc_id
+      LEFT JOIN ent en ON en.doc_id = e.doc_id
+    ), staged AS (
+      SELECT CASE WHEN f_exact THEN 1 WHEN f_norm THEN 2
+                  WHEN f_near THEN 3 WHEN f_gopher THEN 4
+                  WHEN f_entropy THEN 5 ELSE 0 END AS stage_ord
+      FROM flags
+    ), cnt AS (
+      SELECT stage_ord, CAST(COUNT(*) AS BIGINT) AS n
+      FROM staged GROUP BY stage_ord
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total FROM flags
+    ), stages AS (
+      SELECT * FROM (VALUES {stage_rows}) s(stage_ord, stage)
+    ), j AS (
+      SELECT s.stage_ord, s.stage,
+             CASE WHEN s.stage_ord = 0 THEN 0
+                  ELSE COALESCE(c.n, 0) END AS n_removed
+      FROM stages s LEFT JOIN cnt c ON c.stage_ord = s.stage_ord
+    )
+    SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           CAST(total - SUM(n_removed) OVER (ORDER BY stage_ord
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_remaining
+    FROM j CROSS JOIN tot
+    """
+
+
+@query(
+    "curate_funnel_report",
+    oracle=_funnel_oracle(),
+    tags=("llm", "curation", "dedup", "quality", "documents"),
+)
+def curate_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation FUNNEL attrition ledger — per pipeline stage, how many
+    documents it removes and how many survive, in fixed precedence
+    (exact dup → normalized dup → certified near-dup → Gopher fail →
+    low entropy); the report a data team signs off before a training
+    run. CERTIFIED COMPOSITION (the audit_calibration_bins discipline):
+    the Spark side runs the REGISTERED operators themselves
+    (``dedup_minhash_certified``, ``text_gopher_rules``,
+    ``text_char_entropy``) and the oracle composes those operators' own
+    certified oracle SQL as CTEs — the ledger cannot drift from the
+    stages it reports on. Near-dup removal uses keep-lowest semantics
+    (a doc drops iff it is the higher id of any certified verified
+    pair); documents whose cleaned text is empty carry no entropy row
+    and are attributed to the low-entropy stage (junk by definition).
+
+    Scale shape: the exact/normalized stages are two sha-keyed window
+    mins (one shuffle each); the near/gopher/entropy inputs are the
+    operators' own plans; everything folds to a 6-row ledger with a
+    6-row running-sum window."""
+    from projet_pipeline_bigdata_org_spark.functions.cleaning import clean_text
+    from projet_pipeline_bigdata_org_spark.operators.dedup import (
+        dedup_minhash_certified,
+    )
+    from projet_pipeline_bigdata_org_spark.operators.textops import (
+        text_char_entropy,
+        text_gopher_rules,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    w1 = W.partitionBy(F.sha2(F.col("text"), 256))
+    w2 = W.partitionBy(F.sha2(clean_text("text"), 256))
+    ex = d.select(
+        "doc_id",
+        (F.col("doc_id") != F.min("doc_id").over(w1)).alias("f_exact"),
+        (F.col("doc_id") != F.min("doc_id").over(w2)).alias("f_norm"),
+    )
+    near = (
+        dedup_minhash_certified(spark, sf_dir)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+        .withColumn("f_near", F.lit(True))
+    )
+    gop = text_gopher_rules(spark, sf_dir).select(
+        "doc_id", (~F.col("keep")).alias("f_gopher")
+    )
+    ent = text_char_entropy(spark, sf_dir).select(
+        "doc_id", F.col("low_entropy").alias("f_entropy")
+    )
+    flags = (
+        ex.join(near, "doc_id", "left")
+        .join(gop, "doc_id")
+        .join(ent, "doc_id", "left")
+        .select(
+            "doc_id",
+            "f_exact",
+            "f_norm",
+            F.coalesce("f_near", F.lit(False)).alias("f_near"),
+            "f_gopher",
+            F.coalesce("f_entropy", F.lit(True)).alias("f_entropy"),
+        )
+    )
+    stage_ord = (
+        F.when(F.col("f_exact"), 1)
+        .when(F.col("f_norm"), 2)
+        .when(F.col("f_near"), 3)
+        .when(F.col("f_gopher"), 4)
+        .when(F.col("f_entropy"), 5)
+        .otherwise(0)
+    )
+    cnt = flags.select(stage_ord.alias("stage_ord")).groupBy("stage_ord").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = flags.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    stages = spark.createDataFrame(
+        list(FUNNEL_STAGES), "stage_ord long, stage string"
+    )
+    j = stages.join(cnt, "stage_ord", "left").select(
+        "stage_ord",
+        "stage",
+        F.when(F.col("stage_ord") == 0, F.lit(0).cast("long"))
+        .otherwise(F.coalesce("n", F.lit(0).cast("long")))
+        .alias("n_removed"),
+    )
+    wcum = W.orderBy("stage_ord").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return j.crossJoin(F.broadcast(total)).select(
+        "stage_ord",
+        "stage",
+        "n_removed",
+        (F.col("total") - F.sum("n_removed").over(wcum))
+        .cast("long")
+        .alias("n_remaining"),
+    )

@@ -451,6 +451,37 @@ def test_incremental_url_frontier_catches_cross_split_surface_forms(spark, sf_di
     assert not novel.in_history and novel.n_batch_docs == 1
 
 
+def test_funnel_report_ledger_invariants(spark, sf_dir):
+    """The funnel ledger must account for every document exactly once:
+    row 0 carries the corpus size, removals are first-match-attributed
+    (sum of removals + final survivors = corpus), remaining is monotone
+    nonincreasing, and the near-dup stage agrees with the certified
+    MinHash pair set restricted to docs not already dropped upstream."""
+    rows = sorted(
+        _Q["curate_funnel_report"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.stage_ord,
+    )
+    assert [r.stage for r in rows] == [
+        "input", "exact_dup", "normalized_dup", "near_dup",
+        "gopher_fail", "low_entropy",
+    ]
+    from projet_pipeline_bigdata_org_spark.catalog import load
+
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert rows[0].n_removed == 0 and rows[0].n_remaining == n_docs
+    total_removed = sum(r.n_removed for r in rows)
+    assert total_removed + rows[-1].n_remaining == n_docs
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_remaining == prev.n_remaining - cur.n_removed
+    # near-dup attribution: higher ids of certified pairs, minus any doc
+    # an earlier (exact/normalized) stage already claimed — on this
+    # duplicate-free corpus that is exactly the b_id set
+    near_b = {
+        r.b_id for r in _Q["dedup_minhash_certified"].fn(spark, sf_dir).collect()
+    }
+    assert rows[3].n_removed <= len(near_b)
+
+
 def test_enrichment_udf_fallback_and_chunking(spark):
     from projet_pipeline_bigdata_org_spark.ml.enrich import (
         make_sentiment_udf,
