@@ -473,6 +473,56 @@ def test_incremental_dedup_joins_slim_hash_keys_only(spark, sf_dir):
         assert "text" not in ex, f"text column shuffles: {ex}\n{p}"
 
 
+def test_incremental_minhash_certified_same_shuffle_shape(spark, sf_dir):
+    """The r13 certified incremental twin must keep the production plan's
+    scale shape: band-key-only exchanges (the shingle array never crosses
+    a band-join shuffle), the one persisted shingle stage, and no
+    cartesian/nested-loop join — the sha certification cost may not
+    change the shuffle contract."""
+    df = _Q["dedup_incremental_minhash_certified"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "InMemoryTableScan" in p, p
+    band_exchanges = [
+        ex
+        for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+        if "band" in ex or "bucket" in ex
+    ]
+    assert band_exchanges, f"no band-key exchanges found (plan form changed?):\n{p}"
+    for ex in band_exchanges:
+        assert "sh" not in ex.split(", ") and "text" not in ex, ex
+
+
+def test_maxsim_broadcasts_query_side_no_cartesian(spark, sf_dir):
+    """sim_maxsim_multivector's per-dim dot join must BROADCAST the tiny
+    query sub-vector block (the corpus side never repartitions for it)
+    and contain no cartesian product; the max/sum stages are partial-
+    agg'd (two-phase) aggregations."""
+    df = _Q["sim_maxsim_multivector"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastExchange" in p and "BroadcastHashJoin" in p, p
+    assert "partial_max" in p or "partial" in p.lower(), p
+
+
+def test_lsh_certified_broadcast_bank_and_candidate_verify(spark, sf_dir):
+    """sim_ann_lsh_certified: the coefficient bank rides a broadcast into
+    the projection join (the corpus per-dim table never repartitions for
+    it), the band self-join is an equi-join (no cartesian), and the
+    verify stage joins candidates only (dots computed after the
+    dropDuplicates'd candidate set, never all-pairs)."""
+    df = _Q["sim_ann_lsh_certified"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastExchange" in p, p
+    bucket_exchanges = [
+        ex
+        for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+        if "bucket" in ex
+    ]
+    assert bucket_exchanges, f"no bucket-key exchange (plan form changed?):\n{p}"
+
+
 def test_incremental_minhash_band_join_is_slim_and_staged(spark, sf_dir):
     """dedup_incremental_minhash's candidate join must be an equi-join on
     (band, bucket) — no cartesian/nested-loop anywhere — and both LSH sides
