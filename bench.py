@@ -90,7 +90,12 @@ TIERS = {
 #: modularity) keep whatever the sweep has materialized, which is exactly
 #: the production model: the trainer pays once per corpus epoch, consumers
 #: read the silver-layer artifact.
-TRAINERS = {"text_unigram_learn", "text_bpe_learn", "algo_label_propagation"}
+TRAINERS = {
+    "text_unigram_learn",
+    "text_bpe_learn",
+    "text_bpe_bytes_learn",
+    "algo_label_propagation",
+}
 
 
 def _resolve(queries: dict, name: str) -> str:

@@ -1197,15 +1197,65 @@ BPE_ROUNDS = 3
 BPE_EOW = "</w>"
 
 
+def _bpe_round_ctes(rounds: int, p: str = "") -> list[str]:
+    """The per-round s/pc/best/cand/keep/v/m CTE chain of a DuckDB BPE
+    twin, reading its seed vocabulary from ``{p}v0``: the identical
+    relational steps (positional explode, weighted pair count,
+    lexicographic argmax, run-parity leftmost-non-overlap selection,
+    ordered re-aggregation) replayed in SQL for EVERY round — the
+    arrange_hilbert_layout discipline of re-deriving each round rather
+    than trusting the engine. The prefix ``p`` namespaces the CTEs so the
+    char-level and byte-level trainers share THIS one merge definition
+    (the cm_buckets shared-definition discipline applied to the oracles:
+    one argmax/merge semantics, two alphabets)."""
+    parts = []
+    for r in range(1, rounds + 1):
+        parts.append(f"""{p}s{r} AS (
+      SELECT word, freq, i - 1 AS pos, l[i] AS sym, l[i + 1] AS nxt
+      FROM (SELECT word, freq, STRING_SPLIT(seq, ' ') AS l FROM {p}v{r - 1}),
+           UNNEST(GENERATE_SERIES(1, LEN(l))) AS u(i)
+    ), {p}pc{r} AS (
+      SELECT sym AS ls, nxt AS rs, SUM(freq) AS c
+      FROM {p}s{r} WHERE nxt IS NOT NULL GROUP BY sym, nxt
+    ), {p}best{r} AS (
+      SELECT ls AS bl, rs AS br, c AS bc FROM {p}pc{r}
+      ORDER BY c DESC, ls, rs LIMIT 1
+    ), {p}cand{r} AS (
+      SELECT s.word, s.pos FROM {p}s{r} s, {p}best{r} b
+      WHERE s.sym = b.bl AND s.nxt = b.br
+    ), {p}keep{r} AS (
+      SELECT word, pos FROM (
+        SELECT word, pos,
+               ROW_NUMBER() OVER (PARTITION BY word, run ORDER BY pos) AS rk
+        FROM (SELECT word, pos,
+                     pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos)
+                       AS run
+              FROM {p}cand{r})
+      ) WHERE rk % 2 = 1
+    ), {p}v{r} AS (
+      SELECT s.word, s.freq,
+             STRING_AGG(CASE WHEN k.pos IS NOT NULL THEN s.sym || s.nxt
+                             ELSE s.sym END, ' ' ORDER BY s.pos) AS seq
+      FROM {p}s{r} s
+      LEFT JOIN {p}keep{r} k  ON s.word = k.word  AND s.pos = k.pos
+      LEFT JOIN {p}keep{r} k2 ON s.word = k2.word AND s.pos = k2.pos + 1
+      WHERE k2.pos IS NULL
+      GROUP BY s.word, s.freq
+    ), {p}m{r} AS (
+      SELECT CAST({r} AS BIGINT) AS round, bl AS left_sym, br AS right_sym,
+             CAST(bc AS BIGINT) AS pair_freq,
+             (SELECT CAST(SUM(LEN(STRING_SPLIT(seq, ' '))) AS BIGINT)
+              FROM {p}v{r}) AS vocab_symbols_after
+      FROM {p}best{r}
+    )""")
+    return parts
+
+
 def _bpe_sql_ctes() -> list[str]:
-    """Shared CTE chain of the DuckDB BPE twin (w0 → v0 → per-round
-    s/pc/best/cand/keep/v/m): the identical relational steps (positional
-    explode, weighted pair count, lexicographic argmax, run-parity
-    leftmost-non-overlap selection, ordered re-aggregation) replayed in
-    SQL — the arrange_hilbert_layout discipline of re-deriving every
-    round rather than trusting the engine. Consumed by the learner's
-    merge-table oracle AND the tokenizer's document-rollup oracle, so the
-    two gates certify ONE vocabulary definition."""
+    """Shared CTE chain of the DuckDB char-BPE twin (w0 → v0 → per-round
+    s/pc/best/cand/keep/v/m via :func:`_bpe_round_ctes`). Consumed by the
+    learner's merge-table oracle AND the tokenizer's document-rollup
+    oracle, so the two gates certify ONE vocabulary definition."""
     from projet_pipeline_bigdata_org_spark.operators.textops import SQL_WS_TOKENS
 
     parts = [
@@ -1220,46 +1270,7 @@ def _bpe_sql_ctes() -> list[str]:
       FROM w0
     )"""
     ]
-    for r in range(1, BPE_ROUNDS + 1):
-        parts.append(f"""s{r} AS (
-      SELECT word, freq, i - 1 AS pos, l[i] AS sym, l[i + 1] AS nxt
-      FROM (SELECT word, freq, STRING_SPLIT(seq, ' ') AS l FROM v{r - 1}),
-           UNNEST(GENERATE_SERIES(1, LEN(l))) AS u(i)
-    ), pc{r} AS (
-      SELECT sym AS ls, nxt AS rs, SUM(freq) AS c
-      FROM s{r} WHERE nxt IS NOT NULL GROUP BY sym, nxt
-    ), best{r} AS (
-      SELECT ls AS bl, rs AS br, c AS bc FROM pc{r}
-      ORDER BY c DESC, ls, rs LIMIT 1
-    ), cand{r} AS (
-      SELECT s.word, s.pos FROM s{r} s, best{r} b
-      WHERE s.sym = b.bl AND s.nxt = b.br
-    ), keep{r} AS (
-      SELECT word, pos FROM (
-        SELECT word, pos,
-               ROW_NUMBER() OVER (PARTITION BY word, run ORDER BY pos) AS rk
-        FROM (SELECT word, pos,
-                     pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos)
-                       AS run
-              FROM cand{r})
-      ) WHERE rk % 2 = 1
-    ), v{r} AS (
-      SELECT s.word, s.freq,
-             STRING_AGG(CASE WHEN k.pos IS NOT NULL THEN s.sym || s.nxt
-                             ELSE s.sym END, ' ' ORDER BY s.pos) AS seq
-      FROM s{r} s
-      LEFT JOIN keep{r} k  ON s.word = k.word  AND s.pos = k.pos
-      LEFT JOIN keep{r} k2 ON s.word = k2.word AND s.pos = k2.pos + 1
-      WHERE k2.pos IS NULL
-      GROUP BY s.word, s.freq
-    ), m{r} AS (
-      SELECT CAST({r} AS BIGINT) AS round, bl AS left_sym, br AS right_sym,
-             CAST(bc AS BIGINT) AS pair_freq,
-             (SELECT CAST(SUM(LEN(STRING_SPLIT(seq, ' '))) AS BIGINT)
-              FROM v{r}) AS vocab_symbols_after
-      FROM best{r}
-    )""")
-    return parts
+    return parts + _bpe_round_ctes(BPE_ROUNDS)
 
 
 def _bpe_sql() -> str:
@@ -1531,6 +1542,268 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_char_tokens",
             "n_bpe_tokens",
             F.expr("CAST(n_bpe_tokens * 1000 div n_char_tokens AS BIGINT)").alias(
+                "compression_milli"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BYTE-level BPE (GPT-2/Llama-style): the 256-symbol base alphabet is the
+# word's UTF-8 BYTES, so there is no out-of-vocabulary path and merges may
+# cross codepoint boundaries (Radford et al. 2019 §2.2 "Input
+# Representation"; Sennrich merges unchanged). Bytes travel as fixed-width
+# UPPERCASE HEX PAIRS — hex(encode(word)) then a '..' regexp split is
+# bit-identical in Spark and DuckDB (verified: both emit uppercase), and a
+# merge is plain string concat, so 'C3'+'A9' IS the merged symbol C3A9 (é).
+# Token-budget accounting differs materially from char-BPE on non-ASCII
+# text (select_token_budget / pack_sequences key off token counts), which
+# is why real pipelines publish byte-level counts.
+# ---------------------------------------------------------------------------
+
+#: byte-level trainer word cap (BYTES, not chars) — bounds every merge
+#: table to words x <=BBPE_MAX_WORD_BYTES symbols, identically via Spark
+#: octet_length and DuckDB STRLEN (both count UTF-8 bytes)
+BBPE_MAX_WORD_BYTES = 16
+
+#: UTF-8 rider docs (negative ids cannot collide with corpus ids): the
+#: corpus text is ASCII by generation, so these pin the multi-byte path —
+#: 2-byte Latin accents (é C3A9, ß C39F, ü C3BC) and 3-byte CJK — at any
+#: SF; repeated words give the multi-byte pairs real frequency mass so the
+#: byte accounting (n_byte_tokens > character count) is non-vacuous
+BBPE_FIXTURE_ROWS: tuple[tuple[int, str], ...] = (
+    (-201, "café déjà café naïve café déjà"),
+    (-202, "日本語 データ 日本語 モデル 日本語"),
+    (-203, "größe straße größe füße größe"),
+)
+
+_BBPE_FIXTURE_SQL = " UNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text"
+    for i, t in BBPE_FIXTURE_ROWS
+)
+
+
+def _bbpe_seed_ctes() -> list[str]:
+    """bdocs → bw0 → bv0: the byte-level seed vocabulary (words as
+    space-joined hex-pair sequences), feeding the SAME per-round merge
+    CTEs as the char trainer (:func:`_bpe_round_ctes`, prefix ``b``)."""
+    return [
+        f"""bdocs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL {_BBPE_FIXTURE_SQL}
+    ), bw0 AS (
+      SELECT tok AS word, COUNT(*) AS freq
+      FROM (SELECT UNNEST({SQL_WS_TOKENS.format(c="COALESCE(text, '')")})
+              AS tok FROM bdocs)
+      WHERE STRLEN(tok) <= {BBPE_MAX_WORD_BYTES}
+      GROUP BY tok
+    ), bv0 AS (
+      SELECT word, freq,
+             ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(HEX(ENCODE(word)), '..'), ' ')
+               AS seq
+      FROM bw0
+    )"""
+    ]
+
+
+def _bbpe_sql_ctes() -> list[str]:
+    return _bbpe_seed_ctes() + _bpe_round_ctes(BPE_ROUNDS, p="b")
+
+
+def _bbpe_sql() -> str:
+    union = " UNION ALL ".join(
+        f"SELECT * FROM bm{r}" for r in range(1, BPE_ROUNDS + 1)
+    )
+    return "WITH " + ", ".join(_bbpe_sql_ctes()) + " " + union
+
+
+def _bbpe_tokenize_sql() -> str:
+    """Document-level byte-token rollup against the round-BPE_ROUNDS
+    byte vocabulary of the shared CTE chain."""
+    parts = _bbpe_sql_ctes() + [
+        f"""bvt AS (
+      SELECT word, LEN(STRING_SPLIT(seq, ' ')) AS n_sym FROM bv{BPE_ROUNDS}
+    ), bdw AS (
+      SELECT doc_id, tok AS word, COUNT(*) AS n_occ
+      FROM (SELECT doc_id,
+                   UNNEST({SQL_WS_TOKENS.format(c="COALESCE(text, '')")}) AS tok
+            FROM bdocs)
+      WHERE STRLEN(tok) <= {BBPE_MAX_WORD_BYTES}
+      GROUP BY doc_id, tok
+    )"""
+    ]
+    return (
+        "WITH " + ", ".join(parts) + """
+    SELECT bdw.doc_id,
+           CAST(SUM(bdw.n_occ) AS BIGINT) AS n_words,
+           CAST(SUM(bdw.n_occ * STRLEN(bdw.word)) AS BIGINT) AS n_byte_tokens,
+           CAST(SUM(bdw.n_occ * bvt.n_sym) AS BIGINT) AS n_bbpe_tokens,
+           CAST(SUM(bdw.n_occ * bvt.n_sym) * 1000
+                // SUM(bdw.n_occ * STRLEN(bdw.word)) AS BIGINT)
+             AS compression_milli
+    FROM bdw JOIN bvt USING (word)
+    GROUP BY bdw.doc_id
+    """
+    )
+
+
+def _bbpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                list(BBPE_FIXTURE_ROWS), "doc_id long, text string"
+            )
+        )
+    )
+
+
+def bbpe_learned_vocab(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The ONE Spark-side byte-BPE training pipeline (stage-cached parquet
+    staging tables, same silver-layer contract as :func:`bpe_learned_vocab`):
+    byte-bounded word count → hex-pair byte sequences → BPE_ROUNDS
+    scope-persisted merge rounds through the SAME :func:`bpe_merge_round`
+    kernel as the char trainer — one merge semantics, two alphabets.
+    ``text_bpe_bytes_learn`` reports the per-round summaries,
+    ``text_bpe_bytes_tokenize`` and the fertility row apply the
+    vocabulary, so learner and appliers cannot train different
+    vocabularies."""
+    from projet_pipeline_bigdata_org_spark.catalog import stage_tables
+
+    def _build():
+        vocab, summaries = _bbpe_vocab_build(spark, sf_dir)
+        out = {"vocab": vocab}
+        for i, s in enumerate(summaries):
+            out[f"summary_{i}"] = s
+        return out
+
+    t = stage_tables(spark, "bbpe_learned_vocab", sf_dir, _build)
+    n = len([k for k in t if k.startswith("summary_")])
+    return t["vocab"], [t[f"summary_{i}"] for i in range(n)]
+
+
+def _bbpe_vocab_build(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    d = _bbpe_docs(spark, sf_dir)
+    words = (
+        d.select(
+            F.explode(ws_tokens(F.coalesce(F.col("text"), F.lit("")))).alias(
+                "word"
+            )
+        )
+        .filter(F.octet_length("word") <= BBPE_MAX_WORD_BYTES)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    vocab = _persist_scoped(
+        "bbpe_v0",
+        words.select(
+            "word",
+            "freq",
+            F.regexp_extract_all(
+                F.hex(F.encode(F.col("word"), "UTF-8")), F.lit(".."), 0
+            ).alias("syms"),
+        ),
+    )
+    summaries = []
+    for r in range(1, BPE_ROUNDS + 1):
+        vocab, summary = bpe_merge_round(vocab, r)
+        vocab = _persist_scoped(f"bbpe_v{r}", vocab)
+        summaries.append(summary)
+    return vocab, summaries
+
+
+@query(
+    "text_bpe_bytes_learn",
+    oracle=_bbpe_sql(),
+    tags=("llm", "text", "documents"),
+)
+def text_bpe_bytes_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-level BPE vocabulary learning — the GPT-2/Llama tokenizer
+    base (Radford et al. 2019 §2.2): Sennrich merges over each word's
+    UTF-8 BYTE sequence instead of its characters, so the base alphabet
+    is 256 symbols, every string is representable (no out-of-vocabulary
+    path, no unknown token), and merges may cross codepoint boundaries
+    (the first fixture merges are free to rebuild é from C3+A9). Bytes
+    travel as uppercase hex pairs — engine-portable, and merge = string
+    concat. Per round the oracle replays the weighted pair count, the
+    (count DESC, lexicographic) argmax, the run-parity greedy merge, AND
+    the rewritten vocabulary size (``vocab_symbols_after`` certifies
+    each merge removed exactly one symbol per kept occurrence) through
+    the SAME round CTEs as the char trainer (:func:`_bpe_round_ctes`).
+    BBPE_FIXTURE_ROWS rider docs keep the multi-byte path non-vacuous on
+    the ASCII-by-generation corpus.
+
+    Scale shape: identical to ``text_bpe_learn`` — one map-side-combined
+    corpus word count, then every table is vocabulary-bounded (words x
+    <=BBPE_MAX_WORD_BYTES symbols); the 1-row argmax rides TakeOrdered +
+    broadcast; rounds are scope-persisted parquet stage tables."""
+    _vocab, summaries = bbpe_learned_vocab(spark, sf_dir)
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionAll(s)
+    return out
+
+
+@query(
+    "text_bpe_bytes_tokenize",
+    oracle=_bbpe_tokenize_sql(),
+    tags=("llm", "text", "documents"),
+)
+def text_bpe_bytes_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BYTE-level BPE vocabulary — the token-budget
+    accounting real pipelines run (byte-level counts differ materially
+    from char counts on non-ASCII text, and budget/packing operators key
+    off token counts): per document, the counted word occurrences, the
+    pre-merge BYTE count (UTF-8 bytes, not characters — the fixture docs
+    certify the difference), the post-merge byte-BPE token count, and
+    the milli-scaled compression ratio. Learner/applier pair mirrors
+    ``text_bpe_learn`` → ``text_bpe_tokenize``.
+
+    Scale shape: ONE corpus pass grouped to (doc, word) map-side, then a
+    broadcast join against the <=vocab-size symbol-count table; documents
+    never shuffle against each other. Words longer than
+    BBPE_MAX_WORD_BYTES bytes are outside the trained vocabulary and
+    excluded from the accounting (identically in both engines); docs
+    with no qualifying word drop out (inner join, both engines)."""
+    vocab, _summaries = bbpe_learned_vocab(spark, sf_dir)
+    vt = vocab.select("word", F.size("syms").alias("n_sym"))
+    d = _bbpe_docs(spark, sf_dir)
+    dw = (
+        d.select(
+            "doc_id",
+            F.explode(ws_tokens(F.coalesce(F.col("text"), F.lit("")))).alias(
+                "word"
+            ),
+        )
+        .filter(F.octet_length("word") <= BBPE_MAX_WORD_BYTES)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    )
+    return (
+        dw.join(F.broadcast(vt), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(F.col("n_occ") * F.octet_length("word"))
+            .cast("long")
+            .alias("n_byte_tokens"),
+            F.sum(F.col("n_occ") * F.col("n_sym"))
+            .cast("long")
+            .alias("n_bbpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_byte_tokens",
+            "n_bbpe_tokens",
+            F.expr("CAST(n_bbpe_tokens * 1000 div n_byte_tokens AS BIGINT)").alias(
                 "compression_milli"
             ),
         )
@@ -2030,21 +2303,29 @@ def _tokenizer_compare_sql() -> str:
         + ",\n    ".join(_bpe_sql_ctes())
         + ",\n    "
         + ",\n    ".join(_uni_sql_ctes())
+        + ",\n    "
+        + ",\n    ".join(_bbpe_sql_ctes())
         + f""",
     b AS (
       SELECT word, freq, LEN(STRING_SPLIT(seq, ' ')) AS n_bpe
       FROM v{BPE_ROUNDS} WHERE LENGTH(word) <= {UNI_MAX_WORD}
+    ),
+    bb AS (
+      SELECT word, LEN(STRING_SPLIT(seq, ' ')) AS n_bbpe FROM bv{BPE_ROUNDS}
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(b.freq) AS BIGINT) AS total_freq,
            CAST(SUM(b.freq * LENGTH(b.word)) AS BIGINT) AS char_tokens,
            CAST(SUM(b.freq * b.n_bpe) AS BIGINT) AS bpe_tokens,
            CAST(SUM(b.freq * f.n) AS BIGINT) AS uni_tokens,
+           CAST(SUM(b.freq * bb.n_bbpe) AS BIGINT) AS bbpe_tokens,
            CAST(SUM(b.freq * b.n_bpe) * 1000
                 // SUM(b.freq * LENGTH(b.word)) AS BIGINT) AS bpe_milli,
            CAST(SUM(b.freq * f.n) * 1000
-                // SUM(b.freq * LENGTH(b.word)) AS BIGINT) AS uni_milli
-    FROM b JOIN ufin2 f USING (word)"""
+                // SUM(b.freq * LENGTH(b.word)) AS BIGINT) AS uni_milli,
+           CAST(SUM(b.freq * bb.n_bbpe) * 1000
+                // SUM(b.freq * LENGTH(b.word)) AS BIGINT) AS bbpe_milli
+    FROM b JOIN ufin2 f USING (word) JOIN bb USING (word)"""
     )
 
 
@@ -2054,31 +2335,40 @@ def _tokenizer_compare_sql() -> str:
     tags=("llm", "text", "documents"),
 )
 def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fertility comparison of the two TRAINED tokenizer families — the
+    """Fertility comparison of the three TRAINED tokenizer families — the
     decision table a pipeline publishes before picking its tokenizer:
-    the round-BPE_ROUNDS BPE vocabulary vs the pass-2 Unigram-LM
-    segmentation, joined per word over the shared length-capped [a-z]+
-    vocabulary, rolled to ONE corpus row of freq-weighted token counts
-    and milli-scaled tokens-per-character ratios. BPE counts include its
-    end-of-word marker (that IS a token BPE emits; documented, identical
-    in the oracle). The oracle replays BOTH trainings through the same
-    CTE chains as their own gates (_bpe_sql_ctes + _uni_sql_ctes), so
-    the comparison is certified against the exact vocabularies the
-    learner queries certify — a drift in either trainer breaks this row
-    too.
+    the round-BPE_ROUNDS char-BPE vocabulary vs the pass-2 Unigram-LM
+    segmentation vs the round-BPE_ROUNDS BYTE-level BPE vocabulary
+    (r14's third column — the GPT-2/Llama family, whose counts diverge
+    from char counts on non-ASCII text), joined per word over the shared
+    length-capped [a-z]+ vocabulary, rolled to ONE corpus row of
+    freq-weighted token counts and milli-scaled tokens-per-character
+    ratios. Char-BPE counts include its end-of-word marker (that IS a
+    token it emits; documented, identical in the oracle); byte-BPE has
+    no marker (GPT-2 style). The oracle replays ALL THREE trainings
+    through the same CTE chains as their own gates (_bpe_sql_ctes +
+    _uni_sql_ctes + _bbpe_sql_ctes), so the comparison is certified
+    against the exact vocabularies the learner queries certify — a
+    drift in any trainer breaks this row too. ([a-z]+ words <=
+    UNI_MAX_WORD chars are <= UNI_MAX_WORD bytes <= BBPE_MAX_WORD_BYTES,
+    so every compared word exists in the byte vocabulary — the three-way
+    inner join drops nothing.)
 
-    Scale shape: both trainings are vocabulary-bounded after their one
+    Scale shape: all trainings are vocabulary-bounded after their one
     corpus word count (shared scan at the catalog layer); the compare
-    join and rollup run on the <=|words| joined table."""
+    joins and rollup run on the <=|words| joined table."""
     bvocab, _summaries = bpe_learned_vocab(spark, sf_dir)
     _w, fin2, _iters = unigram_learned(spark, sf_dir)
+    bbvocab, _bsummaries = bbpe_learned_vocab(spark, sf_dir)
     b = (
         bvocab.select("word", "freq", F.size("syms").cast("long").alias("n_bpe"))
         .filter(F.length("word") <= UNI_MAX_WORD)
     )
     u = fin2.select("word", F.col("n").alias("n_uni"))
+    bb = bbvocab.select("word", F.size("syms").cast("long").alias("n_bbpe"))
     return (
         b.join(u, "word")
+        .join(bb, "word")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
             F.sum("freq").cast("long").alias("total_freq"),
@@ -2087,6 +2377,9 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("char_tokens"),
             F.sum(F.col("freq") * F.col("n_bpe")).cast("long").alias("bpe_tokens"),
             F.sum(F.col("freq") * F.col("n_uni")).cast("long").alias("uni_tokens"),
+            F.sum(F.col("freq") * F.col("n_bbpe"))
+            .cast("long")
+            .alias("bbpe_tokens"),
         )
         .select(
             "n_words",
@@ -2094,11 +2387,15 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "char_tokens",
             "bpe_tokens",
             "uni_tokens",
+            "bbpe_tokens",
             F.expr("CAST(bpe_tokens * 1000 div char_tokens AS BIGINT)").alias(
                 "bpe_milli"
             ),
             F.expr("CAST(uni_tokens * 1000 div char_tokens AS BIGINT)").alias(
                 "uni_milli"
+            ),
+            F.expr("CAST(bbpe_tokens * 1000 div char_tokens AS BIGINT)").alias(
+                "bbpe_milli"
             ),
         )
     )

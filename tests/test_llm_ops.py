@@ -3451,6 +3451,151 @@ def test_bpe_tokenize_rollup_matches_reference_vocab(spark):
         assert got[i].compression_milli == want_bpe * 1000 // want_char
 
 
+def _bbpe_reference(word_freqs, rounds):
+    """First-principles BYTE-level BPE (Radford et al. 2019 §2.2): the
+    seed alphabet is each word's UTF-8 bytes as uppercase hex pairs, no
+    end-of-word marker; merges are the same greedy leftmost
+    non-overlapping argmax-by-(count DESC, lexicographic) as char BPE."""
+
+    def hexpairs(w):
+        h = w.encode("utf-8").hex().upper()
+        return [h[i : i + 2] for i in range(0, len(h), 2)]
+
+    vocab = {w: hexpairs(w) for w in word_freqs}
+    out = []
+    for rnd in range(1, rounds + 1):
+        counts = {}
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_freqs[w]
+        best = min(counts, key=lambda p: (-counts[p], p))
+        for w, syms in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    merged.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            vocab[w] = merged
+        out.append(
+            (rnd, best[0], best[1], counts[best],
+             sum(len(s) for s in vocab.values()))
+        )
+    return out, vocab
+
+
+def _bbpe_mock_word_freqs(corpus_word_freqs):
+    """The trainer unions BBPE_FIXTURE_ROWS into any corpus, so the
+    reference counts must include the fixture words (byte-bounded)."""
+    from projet_pipeline_bigdata_org_spark.operators import textops
+
+    freqs = dict(corpus_word_freqs)
+    for _i, text in textops.BBPE_FIXTURE_ROWS:
+        for w in text.split(" "):
+            if w and len(w.encode("utf-8")) <= textops.BBPE_MAX_WORD_BYTES:
+                freqs[w] = freqs.get(w, 0) + 1
+    return freqs
+
+
+def test_bbpe_learner_matches_reference_on_multibyte_corpus(spark):
+    """text_bpe_bytes_learn vs the plain-Python byte-level BPE on a
+    corpus where the round-1 argmax is a MULTI-BYTE pair (C3,A9 — the
+    two bytes of é), proving merges operate below the codepoint level;
+    the overlap run case rides along ('éé' = C3 A9 C3 A9 under best
+    (A9,C3) would overlap — run-parity must pick leftmost-non-overlap).
+    Words longer than BBPE_MAX_WORD_BYTES bytes must be excluded from
+    training in both engines."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import textops
+
+    corpus_freqs = {
+        "ééé": 30,          # C3 A9 x3 — forces (C3,A9) as round-1 argmax
+        "née": 12,          # 6E C3 A9 C3 A9
+        "aaaa": 6,
+        "over-sixteen-bytes-word": 5,  # 23 bytes -> excluded
+    }
+    text_tokens = [w for w, n in corpus_freqs.items() for _ in range(n)]
+    sdf = spark.createDataFrame(
+        [(0, " ".join(text_tokens))], "doc_id long, text string"
+    )
+    trained = {
+        w: f for w, f in corpus_freqs.items()
+        if len(w.encode("utf-8")) <= textops.BBPE_MAX_WORD_BYTES
+    }
+    with mock.patch.object(textops, "load", lambda _s, _d, _t: sdf):
+        got = sorted(
+            textops.text_bpe_bytes_learn(spark, "ignored_bbpe_learn").collect(),
+            key=lambda r: r.round,
+        )
+    want, _vocab = _bbpe_reference(
+        _bbpe_mock_word_freqs(trained), len(got)
+    )
+    assert [
+        (r.round, r.left_sym, r.right_sym, r.pair_freq, r.vocab_symbols_after)
+        for r in got
+    ] == want
+    # the multi-byte path is actually live: round 1 merges é's two bytes
+    assert (got[0].left_sym, got[0].right_sym) == ("C3", "A9")
+    # symbols stay fixed-width-hex strings (even length, hex alphabet)
+    for r in got:
+        for s in (r.left_sym, r.right_sym):
+            assert len(s) % 2 == 0 and set(s) <= set("0123456789ABCDEF")
+
+
+def test_bbpe_tokenize_counts_utf8_bytes_not_chars(spark):
+    """text_bpe_bytes_tokenize's pre-merge count is UTF-8 BYTES: a doc of
+    repeated 'éé' (2 chars, 4 bytes) must report n_byte_tokens = 4/word,
+    and every doc's post-merge count must equal tokenizing with the
+    plain-Python reference's final vocabulary; >16-byte words are outside
+    the vocabulary and excluded from the accounting."""
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import textops
+
+    doc_words = {
+        0: ["éé"] * 8 + ["aaaa"] * 3,
+        1: ["née"] * 5 + ["over-sixteen-bytes-word"] * 2,  # long word excluded
+    }
+    corpus_freqs = {}
+    for ws in doc_words.values():
+        for w in ws:
+            corpus_freqs[w] = corpus_freqs.get(w, 0) + 1
+    trained = {
+        w: f for w, f in corpus_freqs.items()
+        if len(w.encode("utf-8")) <= textops.BBPE_MAX_WORD_BYTES
+    }
+    sdf = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in doc_words.items()],
+        "doc_id long, text string",
+    )
+    with mock.patch.object(textops, "load", lambda _s, _d, _t: sdf):
+        got = {
+            r.doc_id: r
+            for r in textops.text_bpe_bytes_tokenize(
+                spark, "ignored_bbpe_tok"
+            ).collect()
+        }
+    _want, vocab = _bbpe_reference(
+        _bbpe_mock_word_freqs(trained), textops.BPE_ROUNDS
+    )
+    for i, ws in doc_words.items():
+        counted = [
+            w for w in ws
+            if len(w.encode("utf-8")) <= textops.BBPE_MAX_WORD_BYTES
+        ]
+        want_bytes = sum(len(w.encode("utf-8")) for w in counted)
+        want_bbpe = sum(len(vocab[w]) for w in counted)
+        assert got[i].n_words == len(counted), i
+        assert got[i].n_byte_tokens == want_bytes, i
+        assert got[i].n_bbpe_tokens == want_bbpe, i
+        assert got[i].compression_milli == want_bbpe * 1000 // want_bytes, i
+    # byte-vs-char divergence is live: doc 0's 'éé' words count 4 bytes each
+    assert got[0].n_byte_tokens == 8 * 4 + 3 * 4
+
+
 def test_mmr_matches_python_greedy_and_diversifies(spark):
     """embed_mmr_topk on a crafted embedding set must equal a pure-Python
     greedy MMR reference row-for-row (same left-fold dot, same division
