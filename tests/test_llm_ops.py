@@ -482,6 +482,48 @@ def test_funnel_report_ledger_invariants(spark, sf_dir):
     assert rows[3].n_removed <= len(near_b)
 
 
+def test_funnel_ladder_ledger_invariants(spark, sf_dir):
+    """The FULL-ladder ledger must account for every document exactly
+    once across its nine removal stages: row 0 carries the corpus size,
+    removals are first-match-attributed (sum of removals + final
+    survivors = corpus), remaining is monotone nonincreasing, the stage
+    list is the registered precedence order, and the survivor set agrees
+    with the per-document staged frame the export manifest consumes
+    (shared funnel_ladder_staged)."""
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.curation import (
+        FUNNEL_LADDER_STAGES,
+        funnel_ladder_staged,
+    )
+
+    rows = sorted(
+        _Q["curate_funnel_ladder"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.stage_ord,
+    )
+    assert [(r.stage_ord, r.stage) for r in rows] == list(FUNNEL_LADDER_STAGES)
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert rows[0].n_removed == 0 and rows[0].n_remaining == n_docs
+    assert sum(r.n_removed for r in rows) + rows[-1].n_remaining == n_docs
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_remaining == prev.n_remaining - cur.n_removed
+        assert cur.n_remaining <= prev.n_remaining
+    # the ledger's survivor count IS the staged frame's stage-0 count —
+    # the export manifest and the ledger cannot disagree
+    staged = funnel_ladder_staged(spark, sf_dir)
+    assert rows[-1].n_remaining == staged.filter(F.col("stage_ord") == 0).count()
+    # per-doc attribution is exactly-once by construction: one stage each
+    assert staged.count() == n_docs
+    # the ladder extends the r13 5-stage report, not replaces it: the
+    # shared prefix stages (exact/normalized/near-dup) agree
+    report = {
+        r.stage: r.n_removed
+        for r in _Q["curate_funnel_report"].fn(spark, sf_dir).collect()
+    }
+    ladder = {r.stage: r.n_removed for r in rows}
+    for s in ("exact_dup", "normalized_dup", "near_dup"):
+        assert ladder[s] == report[s], s
+
+
 def test_enrichment_udf_fallback_and_chunking(spark):
     from projet_pipeline_bigdata_org_spark.ml.enrich import (
         make_sentiment_udf,

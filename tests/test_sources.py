@@ -512,6 +512,79 @@ def test_training_shard_export_replays_the_curriculum(spark, sf_dir, tmp_path):
     assert seq == sorted(seq)
 
 
+def test_funnel_export_manifest_matches_files_and_reexports_identically(
+    spark, sf_dir, tmp_path
+):
+    """The lake→loader boundary end-to-end: exporting the full-ladder
+    funnel survivors through write_training_shards must (a) lay out
+    exactly the shards the registered curate_export_manifest describes —
+    per-shard doc counts, token mass, and the first/last doc keys in the
+    loader's (stage, rank_in_shard) replay order — and (b) be
+    DETERMINISTIC: a crashed-and-rerun export rewrites every shard file
+    byte-identically (the contract that makes overwrite-retry safe)."""
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from projet_pipeline_bigdata_org_spark import plans
+    from projet_pipeline_bigdata_org_spark.operators.curation import (
+        funnel_survivor_curriculum,
+    )
+    from projet_pipeline_bigdata_org_spark.sources.batch import (
+        write_training_shards,
+    )
+
+    plans.load_all()
+    ordered = funnel_survivor_curriculum(spark, sf_dir)
+    out = str(tmp_path / "shards")
+    write_training_shards(ordered, out, max_records_per_file=200)
+
+    manifest = {
+        r.shard: r
+        for r in plans.get("curate_export_manifest").fn(spark, sf_dir).collect()
+    }
+    assert manifest  # the relative-ladder survivor set is non-empty
+
+    def shard_files(base):
+        return {
+            int(d.rsplit("=", 1)[1]): sorted(glob.glob(d + "/*.parquet"))
+            for d in glob.glob(base + "/shard=*")
+        }
+
+    files = shard_files(out)
+    assert set(files) == set(manifest)  # every manifest shard materialized
+    for shard, m in manifest.items():
+        rows = []
+        for f in files[shard]:
+            t = pq.read_table(f, columns=["doc_id", "n_tokens", "stage",
+                                          "rank_in_shard"])
+            rows.extend(zip(*[t.column(c).to_pylist() for c in
+                              ("doc_id", "n_tokens", "stage", "rank_in_shard")]))
+        assert len(rows) == m.n_docs, shard
+        assert sum(r[1] for r in rows) == m.token_mass, shard
+        # files in name order replay (stage, rank) — manifest keys match
+        assert [r[0] for r in rows] == [
+            r[0] for r in sorted(rows, key=lambda r: (r[2], r[3]))
+        ], shard
+        assert rows[0][0] == m.first_doc_id and rows[-1][0] == m.last_doc_id
+
+    # byte-identical re-export: same survivor frame, fresh write
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(
+        funnel_survivor_curriculum(spark, sf_dir), out2,
+        max_records_per_file=200,
+    )
+    files2 = shard_files(out2)
+
+    def digests(fs):
+        return [hashlib.sha256(open(f, "rb").read()).hexdigest() for f in fs]
+
+    assert set(files2) == set(files)
+    for shard in files:
+        assert digests(files[shard]) == digests(files2[shard]), shard
+
+
 def test_xml_round_trip_with_schema_and_malformed_row(spark, tmp_path):
     """Built-in XML source (Spark 4): a schema-enforced round trip
     preserves values and types; a malformed row NULLs out PERMISSIVE-ly
