@@ -1976,15 +1976,8 @@ def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lines = d.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.split(F.col("text"), "\n"),
-                    lambda x: F.lower(F.trim(x)),
-                )
-            )
-        ).alias("line"),
-    ).filter(F.col("line") != "")
+        F.explode(boilerplate_norm_lines(F.col("text"))).alias("line"),
+    )
     return (
         lines.groupBy("line")
         .agg(
@@ -1992,4 +1985,164 @@ def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("keeper_doc_id"),
         )
         .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+    )
+
+
+def boilerplate_norm_lines(c: F.Column) -> F.Column:
+    """A document's DISTINCT normalized (lower, trimmed) non-empty
+    newline-delimited lines — THE line-dedup kernel, shared by the
+    one-shot audit (``dedup_boilerplate_lines``), the incremental check
+    (``dedup_incremental_boilerplate``), and the streaming
+    ``BoilerplateHistoryDedupSink`` (the canonical_urls one-kernel
+    discipline: three granule consumers, one line definition). NULL text
+    yields an empty array in both engines (the filter drops the single
+    '' a NULL would coalesce to)."""
+    return F.filter(
+        F.array_distinct(
+            F.transform(
+                F.split(F.coalesce(c, F.lit("")), "\n"),
+                lambda x: F.lower(F.trim(x)),
+            )
+        ),
+        lambda x: x != "",
+    )
+
+
+#: DuckDB twin of :func:`boilerplate_norm_lines`
+SQL_NORM_LINES = (
+    "LIST_DISTINCT(LIST_FILTER(LIST_TRANSFORM("
+    "STRING_SPLIT(COALESCE({c}, ''), CHR(10)), x -> LOWER(TRIM(x))),"
+    " x -> x <> ''))"
+)
+
+#: multi-line rider docs STRADDLING the incremental residue split (ids
+#: chosen by doc_id % 10: residue < _INCREMENTAL_BATCH_RESIDUE = history):
+#: a history doc whose footer line enters the dictionary, a batch doc
+#: re-carrying that footer in different CASE and padding (must flag only
+#: through the normalization), and a batch doc of novel lines (must not)
+INCREMENTAL_BOILERPLATE_FIXTURE_ROWS: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (92_000_001, ("history body one", "Copyright Footer Line", "history body two")),
+    (92_000_008, ("batch body alpha", "  copyright footer line ", "batch body beta")),
+    (92_000_009, ("batch unique gamma", "batch unique delta")),
+)
+
+_INC_BOILERPLATE_FIXTURE_SQL = " UNION ALL ".join(
+    "SELECT CAST({i} AS BIGINT) AS doc_id, {t} AS text".format(
+        i=i, t=" || CHR(10) || ".join("'" + ln + "'" for ln in lines)
+    )
+    for i, lines in INCREMENTAL_BOILERPLATE_FIXTURE_ROWS
+)
+
+
+def _boilerplate_inc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (i, "\n".join(lines))
+                    for i, lines in INCREMENTAL_BOILERPLATE_FIXTURE_ROWS
+                ],
+                "doc_id long, text string",
+            )
+        )
+    )
+
+
+@query(
+    "dedup_incremental_boilerplate",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL {_INC_BOILERPLATE_FIXTURE_SQL}
+    ), t AS (
+      SELECT doc_id, {SQL_NORM_LINES.format(c='text')} AS ls FROM docs
+    ), hist AS (
+      SELECT DISTINCT UNNEST(ls) AS line FROM t
+      WHERE doc_id % 10 < {_INCREMENTAL_BATCH_RESIDUE}
+    ), b AS (
+      SELECT doc_id, ls FROM t
+      WHERE doc_id % 10 >= {_INCREMENTAL_BATCH_RESIDUE}
+    ), hits AS (
+      SELECT bb.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT doc_id, UNNEST(ls) AS line FROM b) bb
+      JOIN hist USING (line)
+      GROUP BY bb.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(LEN(b.ls) AS BIGINT) AS n_lines,
+           COALESCE(h.n, 0) AS n_hist_repeated,
+           COALESCE(h.n, 0) >= 1 AS flagged
+    FROM b LEFT JOIN hits h ON h.doc_id = b.doc_id
+    """,
+    tags=("llm", "dedup", "documents", "incremental"),
+)
+def dedup_incremental_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LINE-level dedup — the steady-state form of the
+    ``dedup_boilerplate_lines`` audit, completing the boilerplate row of
+    the dedup matrix (VERDICT r13 #4): an incoming shard's normalized
+    lines checked against the historical corpus's distinct-line
+    dictionary, exactly as ``dedup_incremental_passages`` is of the
+    passage audit. A batch document is ``flagged`` when ANY of its
+    distinct normalized lines already exists in history (navigation
+    chrome / cookie banners / footers re-entering the pool — CCNet's
+    granularity at admission time); per-doc hit counts ride so a
+    scheduler can grade severity. All three consumers share ONE line
+    kernel (:func:`boilerplate_norm_lines`), so the audit, the
+    admission check, and the streaming sink cannot normalize
+    differently.
+
+    History/batch split is the sibling queries' deterministic doc_id
+    residue; INCREMENTAL_BOILERPLATE_FIXTURE_ROWS straddles it (footer
+    in history, case/padding-variant footer in the batch — flags only
+    through the normalization; a novel-lines batch doc must not), so
+    both branches are non-vacuous at any SF.
+
+    Scale shape: mirrors the passage form exactly — the production join
+    carries the 16-byte :func:`passage_hash_pair` of the line, never
+    strings (the DuckDB twin reads strings; the hash-pair/string
+    equivalence is pinned at the passage level); ONE split+normalize
+    pass builds the persisted (doc_id, h1, h2) line table feeding the
+    history dictionary, the membership join, AND the per-doc sizes; the
+    history side reduces to its distinct line-pair dictionary — at
+    100 TB a staging table bucketed by (h1, h2), zero-shuffle on the
+    history side while each daily shard shuffles only its delta.
+    Zero-line batch docs (empty/NULL text) still report (0, false) via
+    the window-free id scan."""
+    docs = _boilerplate_inc_docs(spark, sf_dir)
+    is_batch = F.col("doc_id") % 10 >= _INCREMENTAL_BATCH_RESIDUE
+    ln = _persist_scoped(
+        "incline_ln",
+        docs.select(
+            "doc_id",
+            F.explode(boilerplate_norm_lines(F.col("text"))).alias("line"),
+        ).select("doc_id", *passage_hash_pair(F.col("line"))),
+    )
+    hist = (
+        ln.filter(~is_batch)
+        .select("h1", "h2")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        ln.filter(is_batch)
+        .join(hist, ["h1", "h2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count("hit").alias("n"),
+        )
+    )
+    n = F.coalesce(F.col("n"), F.lit(0).cast("long"))
+    return (
+        docs.filter(is_batch)
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+            n.alias("n_hist_repeated"),
+            (n >= 1).alias("flagged"),
+        )
     )

@@ -931,6 +931,90 @@ class PassageHistoryDedupSink:
 
 
 @dataclass
+class BoilerplateHistoryDedupSink:
+    """Streaming LINE-level dedup admission vs epoch history — the
+    foreachBatch form of ``operators.dedup.dedup_incremental_boilerplate``,
+    completing the dedup matrix's boilerplate row: {exact, minhash,
+    simhash, passage, semantic, URL, boilerplate} x {one-shot,
+    incremental, streaming}. A shard row is rejected when ANY of its
+    distinct normalized (lower, trimmed, non-empty) newline-delimited
+    lines already exists in the historical line dictionary from epochs
+    *strictly before e* — navigation chrome / cookie banners / footers
+    re-entering the pool, CCNet's granularity at ingest time. The line
+    kernel is the SHARED :func:`~...operators.dedup.boilerplate_norm_lines`
+    (one definition across audit, batch admission, and this sink), the
+    keys the shared 16-byte ``passage_hash_pair``, and the admission
+    tail the shared ``_admit_batch`` — a fifth feature family is its
+    kernel and nothing else.
+
+    Per micro-batch (epoch ``e``): one split+normalize+hash pass builds
+    the shard's distinct (doc_id, h1, h2) line pairs; any hit against
+    the strictly-prior dictionary rejects the document; admitted rows
+    overwrite ``out/epoch=e`` and admitted documents' distinct line
+    pairs overwrite ``history/lines/epoch=e`` — idempotent
+    epoch-partition writes, so a replayed epoch rewrites both
+    partitions identically and rejected rows never enter history.
+    Empty/NULL-text rows have zero lines, are admitted, and contribute
+    no history — the batch query reports them (0, false) the same way.
+    Scale shape: both join sides carry 16-byte pairs; at 100 TB the
+    history store is a staging table bucketed by (h1, h2), zero-shuffle
+    on the history side; the strict-epoch filter is partition pruning."""
+
+    spark: SparkSession
+    out_path: str
+    history_path: str
+    content_col: str = "text"
+    id_col: str = "doc_id"
+    stats: dict = field(
+        default_factory=lambda: {"batches": 0, "admitted": 0, "rejected": 0}
+    )
+
+    def _lines_before(self, epoch_id: int) -> DataFrame:
+        return _epoch_history_scan(
+            self.spark,
+            f"{self.history_path}/lines",
+            "h1 long, h2 long",
+            epoch_id,
+        ).distinct()
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from projet_pipeline_bigdata_org_spark.operators.dedup import (
+            boilerplate_norm_lines,
+            passage_hash_pair,
+        )
+
+        self.stats["batches"] += 1
+        if batch_df.isEmpty():  # P9 empty-batch guard
+            return
+        batch_df = batch_df.persist()
+        ln = (
+            batch_df.select(
+                F.col(self.id_col).alias("doc_id"),
+                F.explode(
+                    boilerplate_norm_lines(F.col(self.content_col))
+                ).alias("line"),
+            )
+            .select("doc_id", *passage_hash_pair(F.col("line")))
+            .persist()
+        )
+        try:
+            rejected_ids = (
+                ln.join(self._lines_before(epoch_id), ["h1", "h2"])
+                .select(F.col("doc_id").alias(self.id_col))
+                .distinct()
+            )
+            _admit_batch(self, batch_df, ln, rejected_ids, epoch_id)
+        finally:
+            ln.unpersist()
+            batch_df.unpersist()
+
+    def _write_history(self, adm_ln: DataFrame, epoch_id: int) -> None:
+        adm_ln.select("h1", "h2").distinct().write.mode("overwrite").parquet(
+            f"{self.history_path}/lines/epoch={epoch_id}"
+        )
+
+
+@dataclass
 class SemDeDupHistorySink:
     """Streaming SEMANTIC dedup admission vs epoch history — the
     foreachBatch form of ``operators.similarity.embed_semdedup_incremental``,

@@ -1194,6 +1194,90 @@ def test_passage_history_sink_restart_zero_repeat_admissions(spark, tmp_path):
     assert sink2.stats["rejected"] == 1
 
 
+def test_boilerplate_history_sink_rejects_shared_footer_and_replays(
+    spark, tmp_path
+):
+    """Streaming line-level admission (the boilerplate x streaming cell,
+    completing the dedup matrix's boilerplate row): a shard document
+    re-carrying ANY normalized line from a strictly-earlier epoch is
+    rejected at ingest — including through case/padding variants (the
+    shared normalization kernel) — a novel document is admitted,
+    worst-order replay rewrites out/lines partitions identically, and
+    rejected/empty docs never enter history."""
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        BoilerplateHistoryDedupSink,
+    )
+
+    base = (1, "unique body alpha\nAll Rights Reserved\nunique body beta")
+    rep = (2, "totally new body\n  all rights reserved ")  # variant footer
+    novel = (3, "fresh line one\nfresh line two")
+    empty = (4, "")
+    out, hist = str(tmp_path / "out"), str(tmp_path / "hist")
+    sink = BoilerplateHistoryDedupSink(spark, out, hist)
+
+    def mk(rows):
+        return spark.createDataFrame(list(rows), "doc_id long, text string")
+
+    sink(mk([base]), 0)
+    sink(mk([rep, novel, empty]), 1)
+    assert sink.stats == {"batches": 2, "admitted": 3, "rejected": 1}
+
+    def admitted():
+        return {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+
+    assert admitted() == {1, 3, 4}
+    # worst-order replay: the strict epoch < e bound keeps both rewrites
+    # identical (epoch 0 cannot reject itself against its own lines)
+    sink(mk([rep, novel, empty]), 1)
+    sink(mk([base]), 0)
+    assert admitted() == {1, 3, 4}
+    hw = spark.read.parquet(f"{hist}/lines")
+    assert hw.count() == hw.distinct().count()  # per-epoch stores distinct
+    # epoch 1 stored only novel's 2 lines (rejected + empty stored none)
+    assert spark.read.parquet(f"{hist}/lines/epoch=1").count() == 2
+
+
+def test_boilerplate_history_sink_matches_batch_incremental_restriction(
+    spark, sf_dir, tmp_path
+):
+    """Admitted-set equality with the batch form: history split as epoch
+    0, batch split as epoch 1 — the sink must reject exactly the doc_ids
+    ``dedup_incremental_boilerplate`` flags on the same corpus + fixture
+    (shared line/hash kernels, so the two forms cannot drift)."""
+    from projet_pipeline_bigdata_org_spark import plans
+    from projet_pipeline_bigdata_org_spark.operators.dedup import (
+        _INCREMENTAL_BATCH_RESIDUE,
+        _boilerplate_inc_docs,
+    )
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        BoilerplateHistoryDedupSink,
+    )
+
+    plans.load_all()
+    d = _boilerplate_inc_docs(spark, sf_dir)
+    is_batch = F.col("doc_id") % 10 >= _INCREMENTAL_BATCH_RESIDUE
+    out, hist = str(tmp_path / "out"), str(tmp_path / "hist")
+    sink = BoilerplateHistoryDedupSink(spark, out, hist)
+    sink(d.filter(~is_batch), 0)
+    sink(d.filter(is_batch), 1)
+
+    expected_flagged = {
+        r.doc_id
+        for r in plans.get("dedup_incremental_boilerplate")
+        .fn(spark, sf_dir)
+        .filter(F.col("flagged"))
+        .collect()
+    }
+    assert expected_flagged  # fixture guarantees the hit path
+    batch_ids = {r.doc_id for r in d.filter(is_batch).select("doc_id").collect()}
+    admitted_batch = {
+        r.doc_id
+        for r in spark.read.parquet(f"{out}/epoch=1").select("doc_id").collect()
+    }
+    assert admitted_batch == batch_ids - expected_flagged
+    assert sink.stats["rejected"] == len(expected_flagged)
+
+
 def test_history_dedup_sink_bloom_prefilter_mode_equality(spark, tmp_path):
     """The Bloom admission prefilter must not change ANY sink decision:
     the same 3-epoch input (within-batch dup, cross-batch dup, novel-only
