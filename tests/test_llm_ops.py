@@ -482,6 +482,47 @@ def test_funnel_report_ledger_invariants(spark, sf_dir):
     assert rows[3].n_removed <= len(near_b)
 
 
+def test_agg_approximate_within_published_error_envelopes(spark, sf_dir):
+    """agg_approximate is the registry's one oracle-less name by nature
+    (engine-specific sketches); this replaces 'no oracle' with
+    MACHINE-CHECKED tolerance evidence (VERDICT r13 #6), the same
+    discipline the certified HLL-register and histogram-quantile gates
+    pin for their sketches: per group, approx_count_distinct must sit
+    within 3x its configured relative standard deviation (default rsd =
+    0.05 -> ±15%) of the exact distinct count, and percentile_approx
+    (accuracy=1000, rank error <= n/1000) must return a value whose
+    exact rank band covers the median — bounded by the exact percentiles
+    at 0.5 ± 5/1000 (5x the published rank tolerance). Runs at whatever
+    SF the suite targets (sf0.001 locally, sf0.01 at driver scale,
+    sf0.1 via SPARK_GRAFT_TEST_SF)."""
+    from projet_pipeline_bigdata_org_spark.catalog import load
+
+    got = {r.l_returnflag: r for r in _Q["agg_approximate"].fn(spark, sf_dir).collect()}
+    li = load(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_distinct"),
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.495, 0.505))"
+            ).alias("median_band"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact) and got
+    for flag, g in got.items():
+        e = exact[flag]
+        assert g.n == e.n, flag  # the exact column rides untouched
+        rel_err = abs(g.approx_parts - e.exact_distinct) / e.exact_distinct
+        assert rel_err <= 3 * 0.05, (flag, g.approx_parts, e.exact_distinct)
+        lo, hi = e.median_band
+        assert lo <= g.approx_median_price <= hi, (
+            flag, g.approx_median_price, lo, hi,
+        )
+
+
 def test_funnel_ladder_ledger_invariants(spark, sf_dir):
     """The FULL-ladder ledger must account for every document exactly
     once across its nine removal stages: row 0 carries the corpus size,
