@@ -1575,6 +1575,94 @@ def funnel_survivor_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mixture_shift_oracle() -> str:
+    return f"""
+    WITH {_ladder_staged_ctes()},
+    tok AS (
+      SELECT doc_id, source,
+             CAST(LEN({SQL_TOK_NULLSAFE}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT t.source,
+           COUNT(*) AS n_input_docs,
+           CAST(SUM(CASE WHEN s.stage_ord = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_surviving_docs,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS input_tokens,
+           CAST(SUM(CASE WHEN s.stage_ord = 0 THEN t.n_tokens ELSE 0 END)
+                AS BIGINT) AS surviving_tokens,
+           CAST(SUM(CASE WHEN s.stage_ord = 0 THEN 1 ELSE 0 END) * 1000
+                // COUNT(*) AS BIGINT) AS doc_retention_milli,
+           CAST(CASE WHEN SUM(t.n_tokens) > 0
+                     THEN SUM(CASE WHEN s.stage_ord = 0 THEN t.n_tokens
+                              ELSE 0 END) * 1000 // SUM(t.n_tokens)
+                     ELSE 0 END AS BIGINT) AS token_retention_milli
+    FROM tok t JOIN lstaged s ON s.doc_id = t.doc_id
+    GROUP BY t.source
+    """
+
+
+@query(
+    "curate_mixture_shift",
+    oracle=_mixture_shift_oracle(),
+    tags=("llm", "curation", "quality", "documents"),
+)
+def curate_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXTURE-SHIFT report of the full-ladder funnel — per source, how
+    the curation ladder changed the training mix: input vs surviving
+    document counts and token mass, with milli-scaled retention rates
+    (truncating div, identical both engines). This is the sign-off table
+    next to the attrition ledger: the ledger says WHAT each stage
+    removed, this says WHO paid — a source whose token retention
+    collapses signals a filter eating one slice of the mix (the
+    imbalance `mix_temperature_sources` would then re-correct).
+    CERTIFIED COMPOSITION: survivor membership is the funnel ladder's
+    own shared staged frame (:func:`funnel_ladder_staged` /
+    ``_ladder_staged_ctes``) — ledger, manifest, and mixture report
+    certify ONE survivor definition.
+
+    Scale shape: the flags plans are the operators' own; the report
+    adds one doc_id equi-join against a single-projection token scan
+    and a |sources|-row conditional-agg rollup — no new corpus pass, no
+    window."""
+    staged = funnel_ladder_staged(spark, sf_dir)
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(ws_tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    surv = F.when(F.col("stage_ord") == 0, 1).otherwise(0)
+    return (
+        tok.join(staged, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_input_docs"),
+            F.sum(surv).cast("long").alias("n_surviving_docs"),
+            F.sum("n_tokens").cast("long").alias("input_tokens"),
+            F.sum(
+                F.when(F.col("stage_ord") == 0, F.col("n_tokens")).otherwise(0)
+            )
+            .cast("long")
+            .alias("surviving_tokens"),
+        )
+        .select(
+            "source",
+            "n_input_docs",
+            "n_surviving_docs",
+            "input_tokens",
+            "surviving_tokens",
+            F.expr(
+                "CAST(n_surviving_docs * 1000 div n_input_docs AS BIGINT)"
+            ).alias("doc_retention_milli"),
+            F.expr(
+                "CAST(CASE WHEN input_tokens > 0 THEN surviving_tokens * 1000"
+                " div input_tokens ELSE 0 END AS BIGINT)"
+            ).alias("token_retention_milli"),
+        )
+    )
+
+
 def _export_manifest_oracle() -> str:
     return f"""
     WITH {_ladder_staged_ctes()},

@@ -2402,6 +2402,116 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# fixed-stride token chunking (r14): the RAG / embedding-prep primitive —
+# split every document into overlapping fixed-token windows, the unit an
+# embedding model actually encodes. Boundaries are pure integer arithmetic
+# and the chunk content is certified by a sha of the exact token slice.
+# ---------------------------------------------------------------------------
+
+#: tokens per chunk window
+CHUNK_TOKENS = 64
+#: stride between chunk starts (CHUNK_TOKENS - CHUNK_STRIDE tokens overlap)
+CHUNK_STRIDE = 48
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_TOK_NULLSAFE} AS toks FROM documents
+    ), n AS (
+      SELECT doc_id, toks, CAST(LEN(toks) AS BIGINT) AS n_tokens,
+             1 + (GREATEST(CAST(LEN(toks) AS BIGINT) - {CHUNK_TOKENS}, 0)
+                  + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} AS n_chunks
+      FROM t WHERE LEN(toks) > 0
+    ), c AS (
+      SELECT doc_id, n_tokens, u.i AS chunk_id,
+             u.i * {CHUNK_STRIDE} AS tok_start,
+             LEAST({CHUNK_TOKENS}, n_tokens - u.i * {CHUNK_STRIDE}) AS tok_len,
+             toks
+      FROM n, UNNEST(GENERATE_SERIES(0, n_chunks - 1)) u(i)
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(tok_start AS BIGINT) AS tok_start,
+           CAST(tok_len AS BIGINT) AS tok_len,
+           SHA256(ARRAY_TO_STRING(
+             toks[tok_start + 1 : tok_start + tok_len], ' ')) AS chunk_sha
+    FROM c
+    """,
+    tags=("llm", "text", "documents"),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride token CHUNKING — the retrieval/embedding-prep
+    primitive every RAG and embedding pipeline runs before encoding:
+    each document splits into CHUNK_TOKENS-token windows advancing by
+    CHUNK_STRIDE (16 tokens of overlap so no sentence is orphaned at a
+    boundary), the last window truncated at the document end. Chunk
+    count is exact integer arithmetic — 1 + ceil(max(n - C, 0) / S) via
+    the nonnegative (x + S - 1) DIV S form both engines truncate
+    identically — and ``chunk_sha`` certifies the CONTENT of every
+    window (sha256 of the exact token slice), so the gate pins the
+    boundaries, not just the counts. Empty/NULL-text documents have no
+    chunks and drop out (same WHERE in both engines).
+
+    Scale shape: SHUFFLE-FREE — tokenize, chunk-count, explode, slice,
+    and hash are one codegen'd projection per row; output is
+    chunk-bounded (~n_tokens/S rows per doc). At 100 TB this is the
+    scan→explode stage feeding the embedding UDF; downstream chunk
+    dedup rides ``chunk_sha`` exactly like passage dedup rides its
+    hash pair."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens(F.coalesce(F.col("text"), F.lit("")))
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    n = t.select(
+        "doc_id",
+        "toks",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (
+            F.lit(1)
+            + F.expr(
+                f"(GREATEST(CAST(size(toks) AS BIGINT) - {CHUNK_TOKENS}, 0)"
+                f" + {CHUNK_STRIDE} - 1) DIV {CHUNK_STRIDE}"
+            )
+        ).alias("n_chunks"),
+    )
+    c = n.select(
+        "doc_id",
+        "n_tokens",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("chunk_id") * CHUNK_STRIDE).cast("long").alias("tok_start"),
+        F.least(
+            F.lit(CHUNK_TOKENS),
+            F.col("n_tokens") - F.col("chunk_id") * CHUNK_STRIDE,
+        )
+        .cast("long")
+        .alias("tok_len"),
+        "toks",
+    )
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        "tok_start",
+        "tok_len",
+        F.sha2(
+            F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    (F.col("tok_start") + 1).cast("int"),
+                    F.col("tok_len").cast("int"),
+                ),
+                " ",
+            ),
+            256,
+        ).alias("chunk_sha"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # delta-encoded posting lists — inverted-index compression accounting
 # ---------------------------------------------------------------------------
 

@@ -482,6 +482,47 @@ def test_funnel_report_ledger_invariants(spark, sf_dir):
     assert rows[3].n_removed <= len(near_b)
 
 
+def test_chunk_windows_boundaries_match_reference(spark):
+    """text_chunk_windows vs plain-Python chunking on every boundary
+    shape: empty (no chunks), shorter than one window, exactly one
+    window, one token over (second chunk appears), exactly on a stride
+    multiple, and a long doc; every chunk's sha must hash the exact
+    token slice (content certification, not just counts)."""
+    import hashlib
+    from unittest import mock
+
+    from projet_pipeline_bigdata_org_spark.operators import textops
+
+    C, S = textops.CHUNK_TOKENS, textops.CHUNK_STRIDE
+    lengths = {0: 0, 1: 1, 2: C - 1, 3: C, 4: C + 1, 5: C + S, 6: C + S + 1, 7: 200}
+    docs = [(i, " ".join(f"t{i}x{j}" for j in range(n))) for i, n in lengths.items()]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    with mock.patch.object(textops, "load", lambda _s, _d, _t: sdf):
+        got = {}
+        for r in textops.text_chunk_windows(spark, "ignored_chunks").collect():
+            got.setdefault(r.doc_id, {})[r.chunk_id] = r
+
+    for i, n in lengths.items():
+        toks = [f"t{i}x{j}" for j in range(n)]
+        if n == 0:
+            assert i not in got
+            continue
+        want_chunks = 1 + max(0, -(-(n - C) // S)) if n > C else 1
+        assert set(got[i]) == set(range(want_chunks)), (i, n)
+        for cid in range(want_chunks):
+            r = got[i][cid]
+            start = cid * S
+            want_len = min(C, n - start)
+            assert (r.tok_start, r.tok_len) == (start, want_len), (i, cid)
+            want_sha = hashlib.sha256(
+                " ".join(toks[start : start + want_len]).encode()
+            ).hexdigest()
+            assert r.chunk_sha == want_sha, (i, cid)
+        # overlap contract: consecutive chunks share C - S tokens
+        if want_chunks > 1:
+            assert got[i][1].tok_start - got[i][0].tok_start == S
+
+
 def test_agg_approximate_within_published_error_envelopes(spark, sf_dir):
     """agg_approximate is the registry's one oracle-less name by nature
     (engine-specific sketches); this replaces 'no oracle' with
