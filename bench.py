@@ -64,6 +64,9 @@ HEADLINE = (
     "dedup_incremental_minhash_certified",  # certified steady-state admission (new r13, VERDICT #1)
     "embed_semdedup_incremental",        # semantic admission vs history IVF (new r13, VERDICT #3)
     "sim_maxsim_multivector",            # ColBERT MaxSim late interaction (new r13)
+    "text_bpe_bytes_learn",              # byte-level BPE training (new r14, VERDICT #2)
+    "curate_funnel_ladder",              # full-ladder certified funnel (new r14, VERDICT #3)
+    "text_chunk_windows",                # RAG chunking scan shape (new r14)
 )
 
 #: tier annotations surfaced in the bench JSON, so the headline total stays
@@ -81,6 +84,8 @@ TIERS = {
     "algo_pagerank": "graph",
     "pair_cogrouped_asof": "api-exemplar",
     "text_unigram_learn": "iterative",
+    "text_bpe_bytes_learn": "iterative",
+    "curate_funnel_ladder": "audit",
 }
 
 #: TRAINER queries: their cost IS the training, so the catalog-layer stage

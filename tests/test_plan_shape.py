@@ -1151,3 +1151,69 @@ def test_cusum_windows_over_bounded_daily_table(spark, sf_dir):
     assert first_window != -1
     assert "HashAggregate" in p[first_window:], p
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_chunk_windows_is_shuffle_free_projection(spark, sf_dir):
+    """Chunking is a pure map stage at any corpus size: one pruned
+    2-column parquet scan, the explode, zero exchanges — it rides the
+    scan partitioning, which is what lets the 100 TB embedding-prep pass
+    scale linearly with input splits."""
+    df = _Q["text_chunk_windows"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "Exchange" not in p, p
+    fp = formatted_plan(df)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in fp, fp
+
+
+def test_incremental_boilerplate_joins_slim_hash_pairs_only(spark, sf_dir):
+    """The line-membership join must carry ONLY the 16-byte (h1, h2)
+    hash pair — the normalized line string must be projected away before
+    any exchange (strings in the shuffle would multiply the admission
+    join's network bytes by the line length)."""
+    df = _Q["dedup_incremental_boilerplate"].fn(spark, sf_dir)
+    p = plan_of(df)
+    joins = re.findall(r"SortMergeJoin [^\n]*|ShuffledHashJoin [^\n]*", p)
+    assert joins, p
+    for j in joins:
+        assert "line#" not in j, j
+    # the membership join keys on both hash halves
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[h1#\d+L, h2#\d+L\]", p), p
+
+
+def test_bbpe_learn_argmax_rides_takeordered(spark, sf_dir):
+    """Each byte-BPE round's 1-row argmax must plan as TakeOrdered (a
+    per-partition top-1 + driver merge of CANDIDATES, not a global sort
+    of the pair-count table) — same shape as the char trainer. Pinned on
+    the TRAINING plan itself (_bbpe_vocab_build): the registered query
+    serves the stage-table parquet, so the training shape is only
+    visible pre-materialization."""
+    from projet_pipeline_bigdata_org_spark.operators.textops import (
+        _bbpe_vocab_build,
+    )
+
+    _vocab, summaries = _bbpe_vocab_build(spark, sf_dir)
+    p = plan_of(summaries[0])
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_export_manifest_windows_per_shard_not_single_partition(spark, sf_dir):
+    """The manifest's first/last-key windows must be partitioned by the
+    shard key — a global unpartitioned window over the survivor corpus
+    would serialize the export accounting at scale."""
+    df = _Q["curate_export_manifest"].fn(spark, sf_dir)
+    p = plan_of(df)
+    windows = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
+    assert windows, p
+    # no window anywhere in the composition is unpartitioned (global),
+    # and the manifest's own first/last-key windows partition by shard
+    assert all(w.strip() for w in windows), windows
+    assert sum("shard" in w for w in windows) >= 2, windows
+
+
+def test_funnel_ladder_no_unbroadcast_cartesian(spark, sf_dir):
+    """The ladder composes nine operator plans plus two 1-row totals;
+    every nested-loop site must be a broadcast of a 1-row/bounded side —
+    no CartesianProduct may appear at any composition depth."""
+    df = _Q["curate_funnel_ladder"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p, p
