@@ -2146,3 +2146,151 @@ def dedup_incremental_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame
             (n >= 1).alias("flagged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal duplicated-span extraction (r14): the SPAN-MERGE step of Lee et
+# al. 2022's ExactSubstr. ``dedup_repeated_passages`` audits FIXED
+# 15-token windows; this operator coalesces every run of overlapping /
+# adjacent duplicated windows into ONE maximal variable-length span per
+# document — the actual unit ExactSubstr excises, and the unit a removal
+# budget is accounted in.
+# ---------------------------------------------------------------------------
+
+#: duplicated-span seed width in tokens. Lee et al. use 50 BPE tokens on
+#: web text; the synthetic corpus averages ~55 whitespace tokens per doc,
+#: so 10 keeps the audit non-vacuous at every SF while staying selective
+#: (a natural 10-token collision needs an identical 10-word run).
+SPAN_SEED_TOKENS = 10
+
+
+@query(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL {_PASSAGE_FIXTURE_SQL}
+    ), tt AS (
+      SELECT doc_id, toks FROM (
+        SELECT doc_id, {SQL_TOK_NULLSAFE} AS toks FROM docs) t
+      WHERE LEN(toks) >= {SPAN_SEED_TOKENS}
+    ), w AS (
+      SELECT doc_id, CAST(gs.i - 1 AS BIGINT) AS pos, s.sh[gs.i] AS gram
+      FROM (SELECT doc_id, {sql_shingles('toks', SPAN_SEED_TOKENS)} AS sh
+            FROM tt) s,
+           UNNEST(GENERATE_SERIES(1, LEN(s.sh))) gs(i)
+    ), c AS (
+      SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram) AS cnt FROM w
+    ), b AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos)
+                  > {SPAN_SEED_TOKENS} THEN 1 ELSE 0 END AS brk
+      FROM c WHERE cnt > 1
+    ), i AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS island
+      FROM b
+    ), s AS (
+      SELECT doc_id, island,
+             MIN(pos) AS span_start,
+             MAX(pos) + {SPAN_SEED_TOKENS} AS span_end,
+             COUNT(*) AS n_grams
+      FROM i GROUP BY doc_id, island
+    )
+    SELECT s.doc_id,
+           CAST(span_start AS BIGINT) AS span_start,
+           CAST(span_end - span_start AS BIGINT) AS span_len,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           SHA256(ARRAY_TO_STRING(
+             tt.toks[span_start + 1 : span_end], ' ')) AS span_sha
+    FROM s JOIN tt ON tt.doc_id = s.doc_id
+    """,
+    tags=("llm", "dedup", "documents"),
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL duplicated-span extraction — the span-merge step of
+    ExactSubstr (Lee et al. 2022): every SPAN_SEED_TOKENS-token window
+    occurring MORE THAN ONCE corpus-wide (cross-document OR a repeat
+    inside one document — both are memorization mass) seeds an interval
+    [pos, pos+K); per document, overlapping and exactly-adjacent seed
+    intervals coalesce into one maximal span (classic gaps-and-islands:
+    a new island starts where the gap between consecutive duplicated
+    starts exceeds K). Output is one row per maximal span with its
+    token extent and a sha256 of the EXACT token slice, so the gate
+    certifies the merged boundaries, not just the seed hits — a run of
+    boilerplate longer than one window reports as ONE span whose length
+    measures the real removable mass. The fixed-window sibling
+    ``dedup_repeated_passages`` audits window SPREAD (how many docs);
+    this audits span GEOMETRY (where, how long) — the two tables a
+    removal budget joins.
+
+    Certification unions INCREMENTAL_NEARDUP_FIXTURE_ROWS: the base doc
+    and its one-token rewrite share every window not touching the
+    rewritten token, which merges into two maximal spans straddling it
+    — non-empty BY CONSTRUCTION at any SF.
+
+    Scale shape, in shuffle order: (1) ONE tokenize+shingle pass,
+    positions keyed by the 16-byte :func:`passage_hash_pair` (the gram
+    string is projected away before any exchange — same contract as
+    ``dedup_passage_prune``; string/hash audit equivalence is pinned by
+    test_duplicate_spans_matches_bruteforce); a window COUNT over the
+    hash pair marks duplicated seeds in a single exchange — groupBy +
+    join-back would shuffle the position stream twice for no map-side
+    reduction (positions are mostly unique grams). (2) The island
+    window and the (doc_id, island) aggregate and the final token-slice
+    join all cluster by doc_id, so Catalyst reuses ONE doc_id exchange
+    for all three (pinned in test_plan_shape). Duplicated seeds are the
+    tiny tail of the corpus, so everything after exchange (1) is
+    span-bounded, not corpus-bounded."""
+    from pyspark.sql import Window
+
+    K = SPAN_SEED_TOKENS
+    docs = _passage_docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", ws_tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks")
+    ).filter(F.size("toks") >= K)
+    g = toks.select(
+        "doc_id",
+        F.posexplode(shingles(F.col("toks"), K)).alias("pos", "gram"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"),
+             *passage_hash_pair(F.col("gram")))
+    dup = (
+        g.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("h1", "h2")))
+        .filter(F.col("cnt") > 1)
+        .select("doc_id", "pos")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    brk = dup.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w_doc) > K, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    isl = brk.withColumn(
+        "island", F.sum("brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + K).alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+    )
+    return spans.join(toks, "doc_id").select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        (F.col("span_end") - F.col("span_start")).cast("long").alias("span_len"),
+        "n_grams",
+        F.sha2(
+            F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    (F.col("span_start") + 1).cast("int"),
+                    (F.col("span_end") - F.col("span_start")).cast("int"),
+                ),
+                " ",
+            ),
+            256,
+        ).alias("span_sha"),
+    )

@@ -4586,3 +4586,58 @@ def test_match_recognize_finds_vshape_and_reports_overlaps(spark):
         ("dubya", iso(0)): (3000, 2000, 2000),
         ("dubya", iso(4)): (3000, 2000, 2000),
     }
+
+
+def test_duplicate_spans_matches_bruteforce(spark, sf_dir):
+    """Independent third check of dedup_duplicate_spans (next to the
+    DuckDB twin): a pure-Python replay — count every K-token window
+    corpus-wide over documents ∪ the near-dup fixture, merge duplicated
+    starts into maximal islands (gap > K breaks), hash the exact token
+    slice — must reproduce the operator's span set EXACTLY. Also pins
+    the string-keyed semantics of the hash-pair production shuffle (a
+    16-byte pair collision would surface here as a phantom span)."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from projet_pipeline_bigdata_org_spark.operators.dedup import (
+        INCREMENTAL_NEARDUP_FIXTURE_ROWS,
+        SPAN_SEED_TOKENS as K,
+    )
+
+    docs = {
+        r.doc_id: (r.text or "")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for i, t, _ in INCREMENTAL_NEARDUP_FIXTURE_ROWS:
+        docs[i] = t
+    toks = {i: [w for w in t.split(" ") if w] for i, t in docs.items()}
+    counts = Counter(
+        tuple(ts[p : p + K])
+        for ts in toks.values()
+        for p in range(len(ts) - K + 1)
+    )
+    starts = defaultdict(list)
+    for i, ts in toks.items():
+        for p in range(len(ts) - K + 1):
+            if counts[tuple(ts[p : p + K])] > 1:
+                starts[i].append(p)
+    expected = set()
+    for i, ps in starts.items():
+        run = [ps[0]]
+        for p in ps[1:] + [None]:
+            if p is not None and p - run[-1] <= K:
+                run.append(p)
+                continue
+            s, e = run[0], run[-1] + K
+            sha = hashlib.sha256(" ".join(toks[i][s:e]).encode()).hexdigest()
+            expected.add((i, s, e - s, len(run), sha))
+            if p is not None:
+                run = [p]
+    got = {
+        (r.doc_id, r.span_start, r.span_len, r.n_grams, r.span_sha)
+        for r in _Q["dedup_duplicate_spans"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must make the audit non-vacuous"

@@ -1217,3 +1217,21 @@ def test_funnel_ladder_no_unbroadcast_cartesian(spark, sf_dir):
     df = _Q["curate_funnel_ladder"].fn(spark, sf_dir)
     p = plan_of(df)
     assert "CartesianProduct" not in p, p
+
+
+def test_duplicate_spans_single_dup_exchange_then_doc_id_reuse(spark, sf_dir):
+    """The duplicated-seed census is ONE window exchange over the
+    16-byte hash pair (no gram strings in any exchange — groupBy +
+    join-back would shuffle the position stream twice), and the island
+    window, the (doc_id, island) aggregate, and the token-slice join
+    must all reuse ONE doc_id exchange."""
+    df = _Q["dedup_duplicate_spans"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "gram#" not in "".join(re.findall(r"Exchange [^\n]*", p)), p
+    # exactly one hash-pair exchange + doc_id-cluster exchanges; the
+    # doc_id-side plan must not re-exchange between window/agg/join
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", p)
+    assert sum(e.startswith("h1#") for e in exchanges) == 1, exchanges
+    # 3 exchanges total: hash pair census + one doc_id exchange shared by
+    # island window → span aggregate → join left, + the toks join side
+    assert len(exchanges) == 3, exchanges
