@@ -2294,3 +2294,174 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             256,
         ).alias("span_sha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (r14): the PPJoin family's candidate
+# generator (Chaudhuri et al. 2006 SSJoin; Xiao et al. 2008 PPJoin).
+# ``dedup_ngram_jaccard`` finds ALL >=0.12 pairs through a DF-capped full
+# inverted index — complete only up to the cap. In the high-similarity
+# band a real near-dup pass targets, prefix filtering is EXACT with no
+# cap: order every doc's shingles by global rarity; two sets with
+# Jaccard >= t MUST share a token inside their first
+# n - ceil(t*n) + 1 rarest tokens, so the candidate join only posts the
+# (tiny, rare-token) prefixes and exact verification runs on candidates
+# only.
+# ---------------------------------------------------------------------------
+
+#: prefix-join Jaccard threshold as an exact integer ratio (0.7): high
+#: enough that prefixes are short (|prefix| ~ 0.3*n + 1) and the theorem
+#: has teeth; all comparisons stay integer (no float threshold edges)
+PREFIX_T_NUM = 7
+PREFIX_T_DEN = 10
+
+
+@query(
+    "dedup_jaccard_prefix",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL {_NEARDUP_FIXTURE_SQL}
+    ), t AS (
+      SELECT doc_id,
+             LIST_DISTINCT({sql_shingles(SQL_TOK_NULLSAFE, 3)}) AS sh
+      FROM docs
+    ), sz AS (
+      SELECT doc_id, CAST(LEN(sh) AS BIGINT) AS n FROM t WHERE LEN(sh) >= 1
+    ), ex AS (
+      SELECT doc_id, UNNEST(sh) AS s FROM t WHERE LEN(sh) >= 1
+    ), r AS (
+      SELECT doc_id, s,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, s) AS rk
+      FROM (SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM ex) d
+    ), pref AS (
+      SELECT r.doc_id, r.s, sz.n
+      FROM r JOIN sz ON sz.doc_id = r.doc_id
+      WHERE r.rk <= sz.n
+          - (({PREFIX_T_NUM} * sz.n + {PREFIX_T_DEN} - 1) // {PREFIX_T_DEN})
+          + 1
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.n AS na, b.n AS nb
+      FROM pref a JOIN pref b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+      WHERE LEAST(a.n, b.n) * {PREFIX_T_DEN}
+            >= {PREFIX_T_NUM} * GREATEST(a.n, b.n)
+    ), inter AS (
+      SELECT c.a_id, c.b_id, MIN(c.na) AS na, MIN(c.nb) AS nb,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN ex ea ON ea.doc_id = c.a_id
+      JOIN ex eb ON eb.doc_id = c.b_id AND eb.s = ea.s
+      GROUP BY c.a_id, c.b_id
+    )
+    SELECT a_id, b_id, n_common,
+           CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
+    FROM inter
+    WHERE {PREFIX_T_DEN} * n_common
+          >= {PREFIX_T_NUM} * (na + nb - n_common)
+    """,
+    tags=("llm", "dedup", "documents"),
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT high-threshold Jaccard pair join via PREFIX FILTERING (the
+    SSJoin/PPJoin candidate scheme): all pairs with 3-shingle Jaccard
+    >= 7/10, with NO document-frequency cap and no banding loss.
+    Shingles order globally by (df, shingle); a doc of n distinct
+    shingles posts only its n - ceil(t*n) + 1 RAREST ones (the prefix
+    principle: two sets with overlap >= t cannot both miss the other's
+    prefix), the candidate equi-join adds the size-compatibility filter
+    t*max(|A|,|B|) <= min(|A|,|B|), and exact intersection counting runs
+    on surviving candidates only. Thresholding is pure integer
+    arithmetic (10*c >= 7*(na+nb-c)) so no float edge can differ between
+    engines. Contrast with ``dedup_ngram_jaccard``: that op serves the
+    low-threshold band through a DF-capped full index (complete up to
+    the cap); this one is provably complete at its threshold because
+    prefix tokens are by construction the RAREST — hot boilerplate
+    shingles never enter the join, which is what removes the need for a
+    cap. ``test_jaccard_prefix_complete_vs_bruteforce`` pins exact
+    soundness + completeness against an independent Python replay.
+
+    Certification unions INCREMENTAL_NEARDUP_FIXTURE_ROWS — the base /
+    one-token-rewrite pair shares all but ~3 of ~40 shingles (Jaccard
+    ~0.85), so the result is non-empty by construction at any SF.
+
+    Scale shape: df census = one window exchange on the shingle key;
+    per-doc rarity rank = one doc_id exchange; the candidate join posts
+    ONLY prefix tokens, whose postings are rarity-bounded (a token in
+    anyone's prefix is by definition low-df), so bucket sizes stay small
+    WITHOUT the MAX_SHINGLE_DF cap the full-index sibling needs; the
+    verify join is candidate-bounded, not corpus-bounded. At 100 TB the
+    df census is reusable across thresholds and the prefix table is
+    ~30% of the posting mass at t=0.7."""
+    from pyspark.sql import Window
+
+    docs = _passage_docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id",
+        F.array_distinct(
+            shingles(ws_tokens(F.coalesce(F.col("text"), F.lit(""))), 3)
+        ).alias("sh"),
+    ).filter(F.size("sh") >= 1)
+    ex = t.select(
+        "doc_id",
+        F.size("sh").cast("long").alias("n"),
+        F.explode("sh").alias("s"),
+    )
+    r = ex.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    ).withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
+    )
+    pref = r.filter(
+        F.col("rk")
+        <= F.col("n")
+        - F.expr(
+            f"({PREFIX_T_NUM} * n + {PREFIX_T_DEN} - 1) DIV {PREFIX_T_DEN}"
+        )
+        + 1
+    ).select("doc_id", "n", "s")
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n")) * PREFIX_T_DEN
+                >= F.greatest(F.col("a.n"), F.col("b.n")) * PREFIX_T_NUM
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()
+    )
+    ea = ex.select(F.col("doc_id").alias("a_id"), "s")
+    eb = ex.select(F.col("doc_id").alias("b_id"), "s")
+    inter = (
+        cand.join(ea, "a_id")
+        .join(eb, ["b_id", "s"])
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+        )
+    )
+    return inter.filter(
+        F.lit(PREFIX_T_DEN) * F.col("n_common")
+        >= F.lit(PREFIX_T_NUM) * (F.col("na") + F.col("nb") - F.col("n_common"))
+    ).select(
+        "a_id",
+        "b_id",
+        "n_common",
+        (
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common"))
+        ).alias("jaccard"),
+    )

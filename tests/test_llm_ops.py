@@ -4641,3 +4641,57 @@ def test_duplicate_spans_matches_bruteforce(spark, sf_dir):
     }
     assert got == expected
     assert expected, "fixture must make the audit non-vacuous"
+
+
+def test_jaccard_prefix_complete_vs_bruteforce(spark, sf_dir):
+    """The prefix-filter theorem in practice: dedup_jaccard_prefix must
+    be EXACTLY the set of pairs with distinct-3-shingle Jaccard >= 7/10
+    over documents ∪ the near-dup fixture — sound (no phantom pairs)
+    AND complete (prefix candidate generation loses nothing), per an
+    independent pure-Python inverted-index replay with no prefixes and
+    no caps."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from projet_pipeline_bigdata_org_spark.operators.dedup import (
+        INCREMENTAL_NEARDUP_FIXTURE_ROWS,
+        PREFIX_T_DEN,
+        PREFIX_T_NUM,
+    )
+
+    docs = {
+        r.doc_id: (r.text or "")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for i, t, _ in INCREMENTAL_NEARDUP_FIXTURE_ROWS:
+        docs[i] = t
+    sets = {}
+    for i, t in docs.items():
+        toks = [w for w in t.split(" ") if w]
+        sh = {" ".join(toks[p : p + 3]) for p in range(len(toks) - 2)}
+        if sh:
+            sets[i] = sh
+    post = defaultdict(list)
+    for i, sh in sets.items():
+        for s in sh:
+            post[s].append(i)
+    common = defaultdict(int)
+    for ids in post.values():
+        ids.sort()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                common[(ids[x], ids[y])] += 1
+    thr = Fraction(PREFIX_T_NUM, PREFIX_T_DEN)
+    expected = {
+        (a, b, c)
+        for (a, b), c in common.items()
+        if Fraction(c, len(sets[a]) + len(sets[b]) - c) >= thr
+    }
+    got = {
+        (r.a_id, r.b_id, r.n_common)
+        for r in _Q["dedup_jaccard_prefix"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must make the join non-vacuous"

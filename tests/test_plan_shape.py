@@ -1235,3 +1235,17 @@ def test_duplicate_spans_single_dup_exchange_then_doc_id_reuse(spark, sf_dir):
     # 3 exchanges total: hash pair census + one doc_id exchange shared by
     # island window → span aggregate → join left, + the toks join side
     assert len(exchanges) == 3, exchanges
+
+
+def test_jaccard_prefix_candidate_join_on_prefix_filtered_sides(spark, sf_dir):
+    """Both sides of the candidate self-join must be PREFIX-filtered
+    (the rk <= n - ceil(t*n) + 1 predicate below the join) — joining
+    full postings would reintroduce the hot-shingle quadratic bucket
+    the prefix scheme exists to avoid — and no join anywhere may
+    degrade to a cartesian/nested-loop."""
+    df = _Q["dedup_jaccard_prefix"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    # the rank filter appears on two separate inputs (self-join sides)
+    assert len(re.findall(r"rk#\d+(?: as bigint\))? <= ", p)) >= 2, p
