@@ -759,3 +759,175 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"cutoff": "1996-01-01", "cap": 150000.0},
     )
+
+
+@query(
+    "sql_surface_q21",
+    oracle="""
+    SELECT s_name, CAST(numwait AS BIGINT) AS numwait FROM (
+      SELECT s_name, COUNT(*) AS numwait
+      FROM supplier, lineitem l1, orders, nation
+      WHERE s_suppkey = l1.l_suppkey
+        AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        AND s_nationkey = n_nationkey
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 100) t
+    """,
+    tags=("relational", "sql", "join", "subquery", "supplier"),
+)
+def sql_surface_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    hardest decorrelation in the suite — ONE correlated EXISTS (another
+    supplier participated in the same order) and ONE correlated NOT
+    EXISTS whose inner predicate references a column of a DIFFERENT
+    outer table (``l3.l_shipdate > o_orderdate``) — written as the
+    textbook nested form on the Spark side so Catalyst's
+    RewritePredicateSubquery (EXISTS → LeftSemi, NOT EXISTS → LeftAnti,
+    both with the extra non-equi condition folded into the join) is
+    what executes. Adaptation to this schema: lineitem carries no
+    receiptdate/commitdate, so "kept waiting" is l_shipdate more than
+    60 days after o_orderdate — the same late-supplier-is-sole-offender
+    semantics on the columns available. Top-100 is deterministic
+    (s_name is unique, so (numwait DESC, s_name) is a total order).
+
+    Scale shape: both subqueries become orderkey-keyed semi/anti joins
+    against the same lineitem scan — three shuffles on l_orderkey that
+    AQE coalesces, never a per-row re-scan; nation broadcasts."""
+    for t in ("supplier", "lineitem", "orders", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT s_name, CAST(numwait AS BIGINT) AS numwait FROM (
+          SELECT s_name, COUNT(*) AS numwait
+          FROM supplier, lineitem l1, orders, nation
+          WHERE s_suppkey = l1.l_suppkey
+            AND o_orderkey = l1.l_orderkey
+            AND o_orderstatus = 'F'
+            AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAYS
+            AND EXISTS (SELECT 1 FROM lineitem l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey <> l1.l_suppkey
+                              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+            AND s_nationkey = n_nationkey
+          GROUP BY s_name
+          ORDER BY numwait DESC, s_name
+          LIMIT 100) t
+        """
+    )
+
+
+@query(
+    "sql_surface_q22",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+             SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+    FROM customer, pos
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > total
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    """,
+    tags=("relational", "sql", "subquery", "customer"),
+)
+def sql_surface_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): an UNCORRELATED
+    scalar aggregate subquery (the corpus-wide positive average
+    balance) gating the outer scan, plus a correlated NOT EXISTS
+    anti-join against orders — written as the textbook form on the
+    Spark side so Catalyst plans the scalar as a 1-row broadcast and
+    the NOT EXISTS as a LeftAnti on o_custkey. Adaptations to this
+    schema: no c_phone, so the country-code grouping becomes
+    c_mktsegment; every customer has SOME order in the synthetic data,
+    so "never ordered" becomes "no order since 2000-01-01" (the
+    filter pushes into the orders scan before the anti join).
+    Exactness: ``c_acctbal > AVG(...)`` is lifted to the integer-safe
+    cross-multiplied ``bal * cnt > total`` over exact DECIMALs, so no
+    float average can flip a boundary row between engines.
+
+    Scale shape: the scalar pair (cnt, total) partial-aggregates to
+    one row and broadcasts; the anti join shuffles on custkey with the
+    date filter pushed below it; no subquery re-executes per row."""
+    for t in ("customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS totacctbal
+        FROM customer
+        WHERE CAST(c_acctbal AS DECIMAL(18,2))
+                * (SELECT COUNT(*) FROM customer c2 WHERE c2.c_acctbal > 0)
+              > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                 FROM customer c3 WHERE c3.c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "sql_surface_q13",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey
+       AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    """,
+    tags=("relational", "sql", "join", "customer"),
+)
+def sql_surface_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): the
+    LEFT OUTER join with the filter in the JOIN CONDITION (not WHERE —
+    filtering in WHERE would silently drop zero-order customers and
+    change the NULL row's meaning), COUNT over a nullable join output
+    so never-matched customers land in the c_count=0 bucket, then a
+    second aggregation over the first's result — the classic
+    histogram-of-group-sizes double groupBy. Adaptation: orders has no
+    comment column, so the "not like special requests" predicate
+    becomes o_orderpriority <> '4-NOT SPECIFIED'.
+
+    Scale shape: join and first groupBy share the custkey clustering
+    (one exchange each side, the aggregate reuses the join's
+    partitioning); the second groupBy shuffles only the ~thousands of
+    distinct counts. COUNT(o_orderkey) (not COUNT(*)) is what makes
+    the outer-join NULLs count as zero identically in both engines."""
+    for t in ("customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+          SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey
+           AND o_orderpriority <> '4-NOT SPECIFIED'
+          GROUP BY c_custkey) c_orders
+        GROUP BY c_count
+        """
+    )

@@ -1249,3 +1249,29 @@ def test_jaccard_prefix_candidate_join_on_prefix_filtered_sides(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p, p
     # the rank filter appears on two separate inputs (self-join sides)
     assert len(re.findall(r"rk#\d+(?: as bigint\))? <= ", p)) >= 2, p
+
+
+def test_q21_decorrelates_to_semi_and_anti_joins(spark, sf_dir, no_auto_broadcast):
+    """Q21's EXISTS / NOT EXISTS must decorrelate to LeftSemi / LeftAnti
+    joins on l_orderkey (with the cross-outer-table lateness predicate
+    folded into the anti join's condition) — never a per-row subquery
+    re-scan or a cartesian — and with auto-broadcast off (the 100 TB
+    posture) they plan as key-shuffled joins."""
+    df = _Q["sql_surface_q21"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "LeftSemi" in p and "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
+    anti = p[p.find("LeftAnti") - 200 : p.find("LeftAnti") + 200]
+    assert "l_shipdate" in anti, anti
+
+
+def test_q22_scalar_broadcasts_and_anti_join_filter_pushed(spark, sf_dir):
+    """Q22's uncorrelated scalar pair plans as 1-row aggregates (no
+    re-execution per row) and the NOT EXISTS becomes a LeftAnti whose
+    orders side is pre-filtered by the pushed date predicate."""
+    df = _Q["sql_surface_q22"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
+    fp = formatted_plan(df)
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", fp), fp
