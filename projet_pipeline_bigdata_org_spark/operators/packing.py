@@ -244,3 +244,73 @@ def pack_bin_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing diagnostics: per sequence, how many documents start in it and
     the token mass they carry (boundary-straddle load profile)."""
     return pack_bin_fill_at(spark, sf_dir, N_SHARDS)
+
+
+#: length-bucket granularity: pad-to-multiple-of-16 (the tensor-core /
+#: block-sparse alignment trainers actually pad to)
+BUCKET_STEP = 16
+
+
+@query(
+    "pack_length_buckets",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(LEN({_TOK_SQL}) AS BIGINT) AS n_tokens FROM documents
+    ), b AS (
+      SELECT n_tokens,
+             ((n_tokens + {BUCKET_STEP} - 1) // {BUCKET_STEP})
+               * {BUCKET_STEP} AS bucket_cap
+      FROM t WHERE n_tokens >= 1
+    )
+    SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS token_mass,
+           CAST(COUNT(*) * bucket_cap AS BIGINT) AS padded_mass,
+           CAST((COUNT(*) * bucket_cap - SUM(n_tokens)) * 1000
+                // (COUNT(*) * bucket_cap) AS BIGINT) AS waste_milli
+    FROM b GROUP BY bucket_cap
+    """,
+    tags=("llm", "packing", "documents"),
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit — the THIRD packing discipline
+    next to concat-and-split and next-fit: when documents must stay
+    whole AND unconcatenated (SFT, reward-model pairs, encoder
+    batches), trainers batch by length bucket and pad each doc to its
+    bucket cap. Per bucket (caps at BUCKET_STEP-token alignment —
+    pad-to-multiple-of-16 is what tensor cores want): document count,
+    real token mass, padded mass, and the padding waste in exact
+    integer milli-units. The table answers the capacity question
+    directly — SUM(padded_mass) vs SUM(token_mass) is the cluster-hours
+    price of not packing, and a fat high-waste bucket is the signal to
+    split its range. Zero-token docs carry no batch slot and drop.
+
+    Scale shape: shuffle-free until a ~dozen-row groupBy on the bucket
+    key (partial map-side agg reduces each scan split to its bucket
+    counts); the tokenize is the same single pass every packing
+    sibling makes."""
+    t = load(spark, sf_dir, "documents").select(
+        F.size(ws_tokens("text")).cast("long").alias("n_tokens")
+    )
+    b = t.filter(F.col("n_tokens") >= 1).select(
+        "n_tokens",
+        F.expr(
+            f"((n_tokens + {BUCKET_STEP} - 1) DIV {BUCKET_STEP})"
+            f" * {BUCKET_STEP}"
+        ).alias("bucket_cap"),
+    )
+    g = b.groupBy("bucket_cap").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("token_mass"),
+    )
+    padded = F.col("n_docs") * F.col("bucket_cap")
+    return g.select(
+        F.col("bucket_cap").cast("long").alias("bucket_cap"),
+        "n_docs",
+        "token_mass",
+        padded.cast("long").alias("padded_mass"),
+        F.expr(
+            "(n_docs * bucket_cap - token_mass) * 1000"
+            " DIV (n_docs * bucket_cap)"
+        ).alias("waste_milli"),
+    )

@@ -1196,8 +1196,15 @@ BPE_ROUNDS = 3
 #: marker can never collide with a learned symbol
 BPE_EOW = "</w>"
 
+#: WordPiece likelihood-score quantization: scores rank as the exact
+#: integer (pair_count * SCALE) // (left_count * right_count), so both
+#: engines compute the identical BIGINT and no float boundary can flip an
+#: argmax. Counts are corpus-bounded (< 2^31 even at 100 TB after the
+#: word-census combine), so the product stays far inside int64.
+WP_SCORE_SCALE = 10**12
 
-def _bpe_round_ctes(rounds: int, p: str = "") -> list[str]:
+
+def _bpe_round_ctes(rounds: int, p: str = "", wordpiece: bool = False) -> list[str]:
     """The per-round s/pc/best/cand/keep/v/m CTE chain of a DuckDB BPE
     twin, reading its seed vocabulary from ``{p}v0``: the identical
     relational steps (positional explode, weighted pair count,
@@ -1207,23 +1214,50 @@ def _bpe_round_ctes(rounds: int, p: str = "") -> list[str]:
     than trusting the engine. The prefix ``p`` namespaces the CTEs so the
     char-level and byte-level trainers share THIS one merge definition
     (the cm_buckets shared-definition discipline applied to the oracles:
-    one argmax/merge semantics, two alphabets)."""
+    one argmax/merge semantics, two alphabets).
+
+    ``wordpiece=True`` switches ONLY the two points where the WordPiece
+    trainer differs from BPE (Schuster & Nakajima 2012; the BERT
+    trainer): the argmax ranks by the likelihood score
+    count(pair)/(count(left)*count(right)) — quantized to the exact
+    integer (c * WP_SCORE_SCALE) // (lc * rc) so no float boundary can
+    flip the argmax between engines — and a merge concatenates with the
+    right symbol's '##' continuation prefix stripped. The run-parity
+    merge application is character-for-character the BPE one."""
     parts = []
+    # a WordPiece merge strips the right symbol's '##' continuation prefix
+    # (every merge-able right symbol is word-interior, hence '##'-prefixed)
+    merged = "s.sym || SUBSTR(s.nxt, 3)" if wordpiece else "s.sym || s.nxt"
+    score_col = "CAST(score_q AS BIGINT) AS score_q," if wordpiece else ""
     for r in range(1, rounds + 1):
-        parts.append(f"""{p}s{r} AS (
+        if wordpiece:
+            best = f"""{p}sc{r} AS MATERIALIZED (
+      SELECT sym, SUM(freq) AS c FROM {p}s{r} GROUP BY sym
+    ), {p}best{r} AS MATERIALIZED (
+      SELECT ls AS bl, rs AS br, c AS bc,
+             (c * {WP_SCORE_SCALE}) // (lc * rc) AS score_q
+      FROM (SELECT pc.ls, pc.rs, pc.c, l.c AS lc, r2.c AS rc
+            FROM {p}pc{r} pc
+            JOIN {p}sc{r} l ON l.sym = pc.ls
+            JOIN {p}sc{r} r2 ON r2.sym = pc.rs)
+      ORDER BY score_q DESC, ls, rs LIMIT 1
+    )"""
+        else:
+            best = f"""{p}best{r} AS MATERIALIZED (
+      SELECT ls AS bl, rs AS br, c AS bc FROM {p}pc{r}
+      ORDER BY c DESC, ls, rs LIMIT 1
+    )"""
+        parts.append(f"""{p}s{r} AS MATERIALIZED (
       SELECT word, freq, i - 1 AS pos, l[i] AS sym, l[i + 1] AS nxt
       FROM (SELECT word, freq, STRING_SPLIT(seq, ' ') AS l FROM {p}v{r - 1}),
            UNNEST(GENERATE_SERIES(1, LEN(l))) AS u(i)
-    ), {p}pc{r} AS (
+    ), {p}pc{r} AS MATERIALIZED (
       SELECT sym AS ls, nxt AS rs, SUM(freq) AS c
       FROM {p}s{r} WHERE nxt IS NOT NULL GROUP BY sym, nxt
-    ), {p}best{r} AS (
-      SELECT ls AS bl, rs AS br, c AS bc FROM {p}pc{r}
-      ORDER BY c DESC, ls, rs LIMIT 1
-    ), {p}cand{r} AS (
+    ), {best}, {p}cand{r} AS MATERIALIZED (
       SELECT s.word, s.pos FROM {p}s{r} s, {p}best{r} b
       WHERE s.sym = b.bl AND s.nxt = b.br
-    ), {p}keep{r} AS (
+    ), {p}keep{r} AS MATERIALIZED (
       SELECT word, pos FROM (
         SELECT word, pos,
                ROW_NUMBER() OVER (PARTITION BY word, run ORDER BY pos) AS rk
@@ -1232,9 +1266,9 @@ def _bpe_round_ctes(rounds: int, p: str = "") -> list[str]:
                        AS run
               FROM {p}cand{r})
       ) WHERE rk % 2 = 1
-    ), {p}v{r} AS (
+    ), {p}v{r} AS MATERIALIZED (
       SELECT s.word, s.freq,
-             STRING_AGG(CASE WHEN k.pos IS NOT NULL THEN s.sym || s.nxt
+             STRING_AGG(CASE WHEN k.pos IS NOT NULL THEN {merged}
                              ELSE s.sym END, ' ' ORDER BY s.pos) AS seq
       FROM {p}s{r} s
       LEFT JOIN {p}keep{r} k  ON s.word = k.word  AND s.pos = k.pos
@@ -1243,7 +1277,7 @@ def _bpe_round_ctes(rounds: int, p: str = "") -> list[str]:
       GROUP BY s.word, s.freq
     ), {p}m{r} AS (
       SELECT CAST({r} AS BIGINT) AS round, bl AS left_sym, br AS right_sym,
-             CAST(bc AS BIGINT) AS pair_freq,
+             CAST(bc AS BIGINT) AS pair_freq, {score_col}
              (SELECT CAST(SUM(LEN(STRING_SPLIT(seq, ' '))) AS BIGINT)
               FROM {p}v{r}) AS vocab_symbols_after
       FROM {p}best{r}
@@ -1259,12 +1293,12 @@ def _bpe_sql_ctes() -> list[str]:
     from projet_pipeline_bigdata_org_spark.operators.textops import SQL_WS_TOKENS
 
     parts = [
-        f"""w0 AS (
+        f"""w0 AS MATERIALIZED (
       SELECT tok AS word, COUNT(*) AS freq
       FROM (SELECT UNNEST({SQL_WS_TOKENS.format(c='text')}) AS tok FROM documents)
       WHERE REGEXP_MATCHES(tok, '^[a-z]+$')
       GROUP BY tok
-    ), v0 AS (
+    ), v0 AS MATERIALIZED (
       SELECT word, freq,
              ARRAY_TO_STRING(STRING_SPLIT(word, '') || ['{BPE_EOW}'], ' ') AS seq
       FROM w0
@@ -1286,9 +1320,9 @@ def _bpe_tokenize_sql() -> str:
     from projet_pipeline_bigdata_org_spark.operators.textops import SQL_WS_TOKENS
 
     parts = _bpe_sql_ctes() + [
-        f"""vt AS (
+        f"""vt AS MATERIALIZED (
       SELECT word, LEN(STRING_SPLIT(seq, ' ')) AS n_sym FROM v{BPE_ROUNDS}
-    ), dw AS (
+    ), dw AS MATERIALIZED (
       SELECT doc_id, tok AS word, COUNT(*) AS n_occ
       FROM (SELECT doc_id, UNNEST({SQL_WS_TOKENS.format(c='text')}) AS tok
             FROM documents)
@@ -1312,7 +1346,9 @@ def _bpe_tokenize_sql() -> str:
     )
 
 
-def bpe_merge_round(vocab: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
+def bpe_merge_round(
+    vocab: DataFrame, rnd: int, wordpiece: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """One BPE merge round over the weighted symbol-sequence vocabulary
     (word, freq, syms: array<string>). Returns (rebuilt vocabulary, 1-row
     round summary). Pairing is window-free: ``posexplode`` plus an O(1)
@@ -1322,7 +1358,13 @@ def bpe_merge_round(vocab: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
     non-overlapping merging is EXACTLY "keep odd ranks within runs of
     consecutive candidate positions" (a merge consumes pos and pos+1, so
     only adjacent candidates conflict; non-adjacent candidates fall in
-    different runs and all survive)."""
+    different runs and all survive).
+
+    ``wordpiece=True`` switches the same two points as the SQL twin
+    (:func:`_bpe_round_ctes`): argmax by the quantized likelihood score
+    (pair / left*right, WP_SCORE_SCALE integer form) instead of raw
+    pair count, and '##'-stripped merge concatenation. Everything else
+    — pairing, run-parity selection, rebuild — is the SAME code."""
     from pyspark.sql import Window as W
 
     ex = (
@@ -1337,13 +1379,37 @@ def bpe_merge_round(vocab: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
         .groupBy(F.col("sym").alias("ls"), F.col("nxt").alias("rs"))
         .agg(F.sum("freq").cast("long").alias("c"))
     )
-    best = (
-        pc.orderBy(F.desc("c"), "ls", "rs")
-        .limit(1)
-        .select(
-            F.col("ls").alias("bl"), F.col("rs").alias("br"), F.col("c").alias("bc")
+    if wordpiece:
+        sc = ex.groupBy("sym").agg(F.sum("freq").cast("long").alias("symc"))
+        scored = (
+            pc.join(
+                F.broadcast(sc.select(F.col("sym").alias("ls"), F.col("symc").alias("lc"))),
+                "ls",
+            )
+            .join(
+                F.broadcast(sc.select(F.col("sym").alias("rs"), F.col("symc").alias("rc"))),
+                "rs",
+            )
+            .withColumn("score_q", F.expr(f"(c * {WP_SCORE_SCALE}) div (lc * rc)"))
         )
-    )
+        best = (
+            scored.orderBy(F.desc("score_q"), "ls", "rs")
+            .limit(1)
+            .select(
+                F.col("ls").alias("bl"),
+                F.col("rs").alias("br"),
+                F.col("c").alias("bc"),
+                "score_q",
+            )
+        )
+    else:
+        best = (
+            pc.orderBy(F.desc("c"), "ls", "rs")
+            .limit(1)
+            .select(
+                F.col("ls").alias("bl"), F.col("rs").alias("br"), F.col("c").alias("bc")
+            )
+        )
     cand = (
         ex.join(
             F.broadcast(best),
@@ -1370,6 +1436,11 @@ def bpe_merge_round(vocab: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
     )
     k1 = keep.select(F.col("word").alias("kw"), F.col("pos").alias("kpos"))
     k2 = keep.select(F.col("word").alias("dw"), (F.col("pos") + 1).alias("dpos"))
+    merged = (
+        F.concat(F.col("sym"), F.expr("substring(nxt, 3)"))
+        if wordpiece
+        else F.concat(F.col("sym"), F.col("nxt"))
+    )
     reb = (
         ex.join(k1, (F.col("word") == F.col("kw")) & (F.col("pos") == F.col("kpos")), "left")
         .join(k2, (F.col("word") == F.col("dw")) & (F.col("pos") == F.col("dpos")), "left")
@@ -1378,7 +1449,7 @@ def bpe_merge_round(vocab: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
             "word",
             "freq",
             "pos",
-            F.when(F.col("kpos").isNotNull(), F.concat(F.col("sym"), F.col("nxt")))
+            F.when(F.col("kpos").isNotNull(), merged)
             .otherwise(F.col("sym"))
             .alias("out"),
         )
@@ -1391,15 +1462,15 @@ def bpe_merge_round(vocab: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
     after = rebuilt.agg(
         F.sum(F.size("syms")).cast("long").alias("vocab_symbols_after")
     )
-    summary = (
-        best.select(
-            F.lit(rnd).cast("long").alias("round"),
-            F.col("bl").alias("left_sym"),
-            F.col("br").alias("right_sym"),
-            F.col("bc").alias("pair_freq"),
-        )
-        .join(F.broadcast(after), how="cross")
-    )
+    head = [
+        F.lit(rnd).cast("long").alias("round"),
+        F.col("bl").alias("left_sym"),
+        F.col("br").alias("right_sym"),
+        F.col("bc").alias("pair_freq"),
+    ]
+    if wordpiece:
+        head.append(F.col("score_q").cast("long").alias("score_q"))
+    summary = best.select(*head).join(F.broadcast(after), how="cross")
     return rebuilt, summary
 
 
@@ -1591,13 +1662,13 @@ def _bbpe_seed_ctes() -> list[str]:
         f"""bdocs AS (
       SELECT doc_id, text FROM documents
       UNION ALL {_BBPE_FIXTURE_SQL}
-    ), bw0 AS (
+    ), bw0 AS MATERIALIZED (
       SELECT tok AS word, COUNT(*) AS freq
       FROM (SELECT UNNEST({SQL_WS_TOKENS.format(c="COALESCE(text, '')")})
               AS tok FROM bdocs)
       WHERE STRLEN(tok) <= {BBPE_MAX_WORD_BYTES}
       GROUP BY tok
-    ), bv0 AS (
+    ), bv0 AS MATERIALIZED (
       SELECT word, freq,
              ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(HEX(ENCODE(word)), '..'), ' ')
                AS seq
@@ -1621,9 +1692,9 @@ def _bbpe_tokenize_sql() -> str:
     """Document-level byte-token rollup against the round-BPE_ROUNDS
     byte vocabulary of the shared CTE chain."""
     parts = _bbpe_sql_ctes() + [
-        f"""bvt AS (
+        f"""bvt AS MATERIALIZED (
       SELECT word, LEN(STRING_SPLIT(seq, ' ')) AS n_sym FROM bv{BPE_ROUNDS}
-    ), bdw AS (
+    ), bdw AS MATERIALIZED (
       SELECT doc_id, tok AS word, COUNT(*) AS n_occ
       FROM (SELECT doc_id,
                    UNNEST({SQL_WS_TOKENS.format(c="COALESCE(text, '')")}) AS tok
@@ -2164,7 +2235,7 @@ def _uni_tokenize_sql() -> str:
         "WITH "
         + ",\n    ".join(_uni_sql_ctes())
         + f""",
-    udw AS (
+    udw AS MATERIALIZED (
       SELECT doc_id, tok AS word, CAST(COUNT(*) AS BIGINT) AS n_occ
       FROM (SELECT doc_id, UNNEST({SQL_WS_TOKENS.format(c='text')}) AS tok
             FROM documents)
@@ -2897,4 +2968,336 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_chars",
         entropy.cast("long").alias("entropy_milli"),
         (entropy < ENTROPY_MIN_MILLI).alias("low_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece (Schuster & Nakajima 2012; the BERT tokenizer family) — the
+# fourth tokenizer family next to char-BPE, byte-BPE and Unigram-LM, and
+# the two places it differs are exactly the two knobs the shared merge
+# kernel exposes: training argmaxes the LIKELIHOOD score
+# count(pair)/(count(left))*count(right)) instead of raw pair count, and
+# application is NOT merge replay — it is greedy LONGEST-MATCH-FIRST
+# against the final piece set, with '##' continuation prefixes on
+# word-interior pieces. Both engines run the same quantized-integer score
+# and the same unrolled max-match DP, so the gates certify the real
+# WordPiece semantics end to end.
+# ---------------------------------------------------------------------------
+
+WP_ROUNDS = 3
+#: word cap (chars) — bounds the max-match DP unroll depth: every level
+#: consumes >= 1 char (all single chars sit in the seed piece set, so no
+#: UNK path exists), hence WP_MAX_WORD_CHARS levels finish every word
+WP_MAX_WORD_CHARS = 12
+
+
+def _wp_seed_ctes() -> list[str]:
+    """wpw0 → wpv0 (word census + '##'-prefixed char seed), feeding the
+    SAME per-round merge CTEs as the BPE trainers
+    (:func:`_bpe_round_ctes`, prefix ``wp``, wordpiece mode)."""
+    parts = [
+        f"""wpw0 AS MATERIALIZED (
+      SELECT tok AS word, COUNT(*) AS freq
+      FROM (SELECT UNNEST({SQL_WS_TOKENS.format(c='text')}) AS tok FROM documents)
+      WHERE REGEXP_MATCHES(tok, '^[a-z]+$')
+        AND LENGTH(tok) <= {WP_MAX_WORD_CHARS}
+      GROUP BY tok
+    ), wpv0 AS MATERIALIZED (
+      SELECT word, freq,
+             ARRAY_TO_STRING(
+               [word[1:1]] ||
+               LIST_TRANSFORM(STRING_SPLIT(word, '')[2:], x -> '##' || x),
+               ' ') AS seq
+      FROM wpw0
+    )"""
+    ]
+    return parts + _bpe_round_ctes(WP_ROUNDS, p="wp", wordpiece=True)
+
+
+def _wp_sql() -> str:
+    union = " UNION ALL ".join(
+        f"SELECT * FROM wpm{r}" for r in range(1, WP_ROUNDS + 1)
+    )
+    return "WITH " + ", ".join(_wp_seed_ctes()) + " " + union
+
+
+def _wp_dp_ctes() -> list[str]:
+    """The greedy longest-match-first DP, unrolled: the final piece set
+    (seed chars ∪ the WP_ROUNDS merged pieces), then WP_MAX_WORD_CHARS
+    levels each advancing every unfinished word by its LONGEST matching
+    piece at the current offset."""
+    merged_union = " UNION ALL ".join(
+        f"SELECT bl || SUBSTR(br, 3) AS piece FROM wpbest{r}"
+        for r in range(1, WP_ROUNDS + 1)
+    )
+    parts = [
+        f"""wpvx AS MATERIALIZED (
+      SELECT piece, is_cont, body, LENGTH(body) AS blen FROM (
+        SELECT DISTINCT piece,
+               piece LIKE '##%' AS is_cont,
+               CASE WHEN piece LIKE '##%' THEN SUBSTR(piece, 3)
+                    ELSE piece END AS body
+        FROM (SELECT UNNEST(STRING_SPLIT(seq, ' ')) AS piece FROM wpv0
+              UNION ALL {merged_union}))
+    ), wpl0 AS MATERIALIZED (
+      SELECT word, 0 AS off, 0 AS ntok FROM wpw0
+    )"""
+    ]
+    for i in range(1, WP_MAX_WORD_CHARS + 1):
+        parts.append(f"""wpa{i} AS MATERIALIZED (
+      SELECT s.word, s.off, s.ntok, MAX(v.blen) AS adv
+      FROM wpl{i - 1} s JOIN wpvx v
+        ON SUBSTR(s.word, s.off + 1, v.blen) = v.body
+       AND v.is_cont = (s.off > 0)
+      WHERE s.off < LENGTH(s.word)
+      GROUP BY s.word, s.off, s.ntok
+    ), wpl{i} AS MATERIALIZED (
+      SELECT word, off, ntok FROM wpl{i - 1} WHERE off >= LENGTH(word)
+      UNION ALL
+      SELECT word, off + adv, ntok + 1 FROM wpa{i}
+    )""")
+    return parts
+
+
+def _wp_tokenize_sql() -> str:
+    parts = _wp_seed_ctes() + _wp_dp_ctes() + [
+        f"""wptok AS MATERIALIZED (
+      SELECT word, CAST(ntok AS BIGINT) AS n_wp
+      FROM wpl{WP_MAX_WORD_CHARS}
+    ), wpdw AS MATERIALIZED (
+      SELECT doc_id, tok AS word, COUNT(*) AS n_occ
+      FROM (SELECT doc_id, UNNEST({SQL_WS_TOKENS.format(c='text')}) AS tok
+            FROM documents)
+      WHERE REGEXP_MATCHES(tok, '^[a-z]+$')
+        AND LENGTH(tok) <= {WP_MAX_WORD_CHARS}
+      GROUP BY doc_id, tok
+    )"""
+    ]
+    return (
+        "WITH " + ", ".join(parts) + """
+    SELECT wpdw.doc_id,
+           CAST(SUM(wpdw.n_occ) AS BIGINT) AS n_words,
+           CAST(SUM(wpdw.n_occ * LENGTH(wpdw.word)) AS BIGINT)
+             AS n_char_tokens,
+           CAST(SUM(wpdw.n_occ * wptok.n_wp) AS BIGINT) AS n_wp_tokens,
+           CAST(SUM(wpdw.n_occ * wptok.n_wp) * 1000
+                // SUM(wpdw.n_occ) AS BIGINT) AS fertility_milli
+    FROM wpdw JOIN wptok USING (word)
+    GROUP BY wpdw.doc_id
+    """
+    )
+
+
+def wordpiece_learned(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame], DataFrame]:
+    """The ONE Spark-side WordPiece training pipeline, stage-table
+    cached like its BPE/Unigram siblings: capped word census →
+    '##'-prefixed char seed → WP_ROUNDS merge rounds through the SHARED
+    :func:`bpe_merge_round` kernel in wordpiece mode → the final piece
+    set → the greedy longest-match DP over distinct words. Returns
+    (final piece table (piece, is_cont, body, blen), per-round
+    summaries, per-word token counts (word, n_wp))."""
+    from projet_pipeline_bigdata_org_spark.catalog import stage_tables
+
+    def _build():
+        pieces, summaries, wptok = _wp_build(spark, sf_dir)
+        out = {"pieces": pieces, "wptok": wptok}
+        for i, s in enumerate(summaries):
+            out[f"summary_{i}"] = s
+        return out
+
+    t = stage_tables(spark, "wordpiece_learned", sf_dir, _build)
+    n = len([k for k in t if k.startswith("summary_")])
+    return t["pieces"], [t[f"summary_{i}"] for i in range(n)], t["wptok"]
+
+
+def _wp_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(ws_tokens("text")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .filter(F.length("word") <= WP_MAX_WORD_CHARS)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def _wp_build(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame], DataFrame]:
+    sc_ctx = spark.sparkContext
+
+    # Round vocabularies and DP levels are CHECKPOINTED eagerly, not
+    # persisted: a WordPiece round launches FOUR broadcast jobs (the two
+    # symbol-census sides, the argmax, the rebuild audit) whose subtrees
+    # each re-plan the full prior-round lineage — persist caches runtime
+    # blocks but not the analyzer/planner tree, and the measured cost
+    # grew 4.6s → 6.2s → 32s per round before truncation (and the DP
+    # doubles the tree per level — the _uni_viterbi discipline).
+    def _checkpoint(df: DataFrame) -> DataFrame:
+        if sc_ctx.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    words = _checkpoint(_wp_words(spark, sf_dir))
+    seed_syms = F.expr(
+        "concat(array(substring(word, 1, 1)),"
+        " transform(slice(split(word, ''), 2, greatest(length(word) - 1, 0)),"
+        " x -> concat('##', x)))"
+    )
+    vocab = _checkpoint(words.select("word", "freq", seed_syms.alias("syms")))
+    seed_pieces = vocab.select(F.explode("syms").alias("piece")).distinct()
+    summaries = []
+    merged_pieces = None
+    for r in range(1, WP_ROUNDS + 1):
+        vocab, summary = bpe_merge_round(vocab, r, wordpiece=True)
+        vocab = _checkpoint(vocab)
+        summary = _checkpoint(summary)
+        summaries.append(summary)
+        m = summary.select(
+            F.concat(
+                F.col("left_sym"), F.expr("substring(right_sym, 3)")
+            ).alias("piece")
+        )
+        merged_pieces = m if merged_pieces is None else merged_pieces.unionAll(m)
+    pieces = (
+        seed_pieces.unionByName(merged_pieces)
+        .distinct()
+        .select(
+            "piece",
+            F.col("piece").startswith("##").alias("is_cont"),
+            F.when(
+                F.col("piece").startswith("##"), F.expr("substring(piece, 3)")
+            )
+            .otherwise(F.col("piece"))
+            .alias("body"),
+        )
+        .withColumn("blen", F.length("body").cast("long"))
+    )
+    # greedy longest-match DP over DISTINCT words: every level advances
+    # each unfinished word by its longest matching piece at the offset.
+    # Depth is bounded by the corpus' actual longest word — levels past
+    # it are provably no-ops (every row is already done); the SQL twin
+    # keeps the static WP_MAX_WORD_CHARS unroll, whose extra empty
+    # levels cost DuckDB nothing.
+    pieces = _checkpoint(pieces)
+    row = words.agg(F.max(F.length("word"))).first()
+    depth = min(WP_MAX_WORD_CHARS, int(row[0] or 0))
+    state = words.select(
+        "word", F.lit(0).cast("long").alias("off"), F.lit(0).cast("long").alias("ntok")
+    )
+    for _lvl in range(1, depth + 1):
+        done = state.filter(F.col("off") >= F.length("word"))
+        adv = (
+            state.filter(F.col("off") < F.length("word"))
+            .join(
+                F.broadcast(pieces),
+                F.expr(
+                    "substring(word, off + 1, blen) = body"
+                    " AND ((off > 0) = is_cont)"
+                ),
+            )
+            .groupBy("word", "off", "ntok")
+            .agg(F.max("blen").alias("adv"))
+        )
+        state = _checkpoint(
+            done.unionByName(
+                adv.select(
+                    "word",
+                    (F.col("off") + F.col("adv")).cast("long").alias("off"),
+                    (F.col("ntok") + 1).cast("long").alias("ntok"),
+                )
+            )
+        )
+    wptok = state.select("word", F.col("ntok").alias("n_wp"))
+    return pieces, summaries, wptok
+
+
+@query(
+    "text_wordpiece_learn",
+    oracle=_wp_sql(),
+    tags=("llm", "text", "documents"),
+)
+def text_wordpiece_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece vocabulary training (Schuster & Nakajima 2012 — the
+    BERT tokenizer trainer): WP_ROUNDS merge rounds over the weighted
+    word census where each round's argmax ranks pairs by the LIKELIHOOD
+    score count(pair)/(count(left)*count(right)) — the merge that most
+    increases unigram-LM corpus likelihood — rather than raw pair count.
+    The score is the exact integer (c * WP_SCORE_SCALE) // (lc * rc)
+    in BOTH engines, so the argmax is bit-deterministic with no float
+    boundary; ties break lexicographically. Merges strip the right
+    piece's '##' continuation prefix ('u'+'##n' → 'un'; '##a'+'##b' →
+    '##ab'). The per-round summary certifies the chosen pair, its
+    count, the quantized score, and ``vocab_symbols_after`` (each merge
+    must remove exactly one symbol per kept occurrence — the same
+    rewrite audit as the BPE trainers, because it IS the same rewrite
+    code: :func:`bpe_merge_round` with the two wordpiece knobs).
+
+    Scale shape: identical to ``text_bpe_learn`` — one corpus word
+    count, then vocabulary-bounded tables; the symbol census adds one
+    vocabulary-bounded groupBy per round and the argmax stays a 1-row
+    TakeOrdered + broadcast."""
+    _pieces, summaries, _wptok = wordpiece_learned(spark, sf_dir)
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionAll(s)
+    return out
+
+
+@query(
+    "text_wordpiece_tokenize",
+    oracle=_wp_tokenize_sql(),
+    tags=("llm", "text", "documents"),
+)
+def text_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained WordPiece vocabulary by greedy LONGEST-MATCH-
+    FIRST (the actual BERT runtime algorithm — NOT merge replay, which
+    is BPE's application rule; MaxMatch and merge replay genuinely
+    differ on adversarial vocabularies): per word, repeatedly take the
+    longest piece in the final vocabulary matching at the current
+    offset — word-initial offsets match only unprefixed pieces,
+    interior offsets only '##' pieces — and advance. The piece set is
+    the seed alphabet ∪ the WP_ROUNDS merged pieces, so every single
+    char is present and no UNK path exists; the DP therefore terminates
+    in <= WP_MAX_WORD_CHARS levels (each consumes >= 1 char), which is
+    exactly how deep both engines unroll it. Per document: word count,
+    char count, WordPiece token count, and tokens-per-word fertility in
+    exact milli-units — THE number a tokenizer bake-off reads.
+
+    Scale shape: the DP runs over DISTINCT words (vocabulary-bounded,
+    never the corpus) with the piece table broadcast at every level;
+    the corpus-sized work is one (doc, word) map-side-combined count
+    joined broadcast against the per-word result — documents never
+    shuffle. Training artifacts serve from parquet stage tables like
+    every tokenizer sibling."""
+    _pieces, _summaries, wptok = wordpiece_learned(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    dw = (
+        d.select("doc_id", F.explode(ws_tokens("text")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .filter(F.length("word") <= WP_MAX_WORD_CHARS)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    )
+    return (
+        dw.join(F.broadcast(wptok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(F.col("n_occ") * F.length("word"))
+            .cast("long")
+            .alias("n_char_tokens"),
+            F.sum(F.col("n_occ") * F.col("n_wp")).cast("long").alias("n_wp_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_char_tokens",
+            "n_wp_tokens",
+            F.expr("CAST(n_wp_tokens * 1000 div n_words AS BIGINT)").alias(
+                "fertility_milli"
+            ),
+        )
     )

@@ -4695,3 +4695,108 @@ def test_jaccard_prefix_complete_vs_bruteforce(spark, sf_dir):
     }
     assert got == expected
     assert expected, "fixture must make the join non-vacuous"
+
+
+def test_wordpiece_training_and_maxmatch_match_python_replay(spark, sf_dir):
+    """Independent third check of the WordPiece pair: replay the whole
+    trainer (likelihood-score argmax with the exact quantized-integer
+    ranking, '##'-stripped merges, run-parity application) AND the
+    greedy longest-match-first tokenizer in pure Python, and require
+    the registered queries to reproduce both exactly."""
+    from collections import Counter
+
+    from projet_pipeline_bigdata_org_spark.operators.textops import (
+        WP_MAX_WORD_CHARS,
+        WP_ROUNDS,
+        WP_SCORE_SCALE,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    )
+    words = Counter()
+    for r in rows:
+        for w in (r.text or "").split(" "):
+            if w and w.isascii() and w.isalpha() and w.islower() and len(w) <= WP_MAX_WORD_CHARS:
+                words[w] += 1
+    vocab = {
+        w: [w[0]] + ["##" + c for c in w[1:]] for w in words
+    }
+    expected_rounds = []
+    pieces = {s for syms in vocab.values() for s in syms}
+    for rnd in range(1, WP_ROUNDS + 1):
+        pc, sc = Counter(), Counter()
+        for w, syms in vocab.items():
+            f = words[w]
+            for s in syms:
+                sc[s] += f
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        best = min(
+            pc,
+            key=lambda k: (
+                -(pc[k] * WP_SCORE_SCALE // (sc[k[0]] * sc[k[1]])),
+                k[0],
+                k[1],
+            ),
+        )
+        bl, br = best
+        merged = bl + br[2:]
+        pieces.add(merged)
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == bl and syms[i + 1] == br:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+        after = sum(len(s) for s in vocab.values())
+        score_q = pc[best] * WP_SCORE_SCALE // (sc[bl] * sc[br])
+        expected_rounds.append((rnd, bl, br, pc[best], score_q, after))
+    got_rounds = sorted(
+        (r.round, r.left_sym, r.right_sym, r.pair_freq, r.score_q, r.vocab_symbols_after)
+        for r in _Q["text_wordpiece_learn"].fn(spark, sf_dir).collect()
+    )
+    assert got_rounds == sorted(expected_rounds)
+    # greedy longest-match-first over the final piece set
+    def maxmatch(w: str) -> int:
+        i, n = 0, 0
+        while i < len(w):
+            for ln in range(len(w) - i, 0, -1):
+                cand = w[i : i + ln] if i == 0 else "##" + w[i : i + ln]
+                if cand in pieces:
+                    i += ln
+                    n += 1
+                    break
+            else:
+                raise AssertionError("unreachable: single chars are in V")
+        return n
+    wp = {w: maxmatch(w) for w in words}
+    expected_docs = {}
+    for did, text in (
+        (r.doc_id, r.text or "")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ):
+        ws = [
+            w
+            for w in text.split(" ")
+            if w and w.isascii() and w.isalpha() and w.islower() and len(w) <= WP_MAX_WORD_CHARS
+        ]
+        if not ws:
+            continue
+        nw = len(ws)
+        nc = sum(len(w) for w in ws)
+        nt = sum(wp[w] for w in ws)
+        expected_docs[did] = (nw, nc, nt, nt * 1000 // nw)
+    got_docs = {
+        r.doc_id: (r.n_words, r.n_char_tokens, r.n_wp_tokens, r.fertility_milli)
+        for r in _Q["text_wordpiece_tokenize"].fn(spark, sf_dir).collect()
+    }
+    assert got_docs == expected_docs

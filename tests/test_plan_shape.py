@@ -1275,3 +1275,18 @@ def test_q22_scalar_broadcasts_and_anti_join_filter_pushed(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     fp = formatted_plan(df)
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", fp), fp
+
+
+def test_wordpiece_tokenize_broadcasts_wptok_no_corpus_selfjoin(spark, sf_dir):
+    """The WordPiece applier's corpus-sized work is ONE (doc, word)
+    map-side-combined count joined BROADCAST against the per-word DP
+    result (a parquet stage-table scan after training) — documents must
+    never shuffle against each other and no nested-loop join may appear
+    in the registered query's plan."""
+    df = _Q["text_wordpiece_tokenize"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    # partial agg below the (doc_id, word) exchange
+    first_exchange = p.find("Exchange")
+    assert "HashAggregate" in p[:first_exchange] or p.count("HashAggregate") >= 2, p
