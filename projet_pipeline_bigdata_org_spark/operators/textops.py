@@ -2368,6 +2368,338 @@ def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# WordPiece (Schuster & Nakajima 2012; the BERT tokenizer family) — the
+# fourth tokenizer family next to char-BPE, byte-BPE and Unigram-LM, and
+# the two places it differs are exactly the two knobs the shared merge
+# kernel exposes: training argmaxes the LIKELIHOOD score
+# count(pair)/(count(left))*count(right)) instead of raw pair count, and
+# application is NOT merge replay — it is greedy LONGEST-MATCH-FIRST
+# against the final piece set, with '##' continuation prefixes on
+# word-interior pieces. Both engines run the same quantized-integer score
+# and the same unrolled max-match DP, so the gates certify the real
+# WordPiece semantics end to end.
+# ---------------------------------------------------------------------------
+
+WP_ROUNDS = 3
+#: word cap (chars) — bounds the max-match DP unroll depth: every level
+#: consumes >= 1 char (all single chars sit in the seed piece set, so no
+#: UNK path exists), hence WP_MAX_WORD_CHARS levels finish every word
+WP_MAX_WORD_CHARS = 12
+
+
+def _wp_seed_ctes() -> list[str]:
+    """wpw0 → wpv0 (word census + '##'-prefixed char seed), feeding the
+    SAME per-round merge CTEs as the BPE trainers
+    (:func:`_bpe_round_ctes`, prefix ``wp``, wordpiece mode)."""
+    parts = [
+        f"""wpw0 AS MATERIALIZED (
+      SELECT tok AS word, COUNT(*) AS freq
+      FROM (SELECT UNNEST({SQL_WS_TOKENS.format(c='text')}) AS tok FROM documents)
+      WHERE REGEXP_MATCHES(tok, '^[a-z]+$')
+        AND LENGTH(tok) <= {WP_MAX_WORD_CHARS}
+      GROUP BY tok
+    ), wpv0 AS MATERIALIZED (
+      SELECT word, freq,
+             ARRAY_TO_STRING(
+               [word[1:1]] ||
+               LIST_TRANSFORM(STRING_SPLIT(word, '')[2:], x -> '##' || x),
+               ' ') AS seq
+      FROM wpw0
+    )"""
+    ]
+    return parts + _bpe_round_ctes(WP_ROUNDS, p="wp", wordpiece=True)
+
+
+def _wp_sql() -> str:
+    union = " UNION ALL ".join(
+        f"SELECT * FROM wpm{r}" for r in range(1, WP_ROUNDS + 1)
+    )
+    return "WITH " + ", ".join(_wp_seed_ctes()) + " " + union
+
+
+def _wp_dp_ctes() -> list[str]:
+    """The greedy longest-match-first DP, unrolled: the final piece set
+    (seed chars ∪ the WP_ROUNDS merged pieces), then WP_MAX_WORD_CHARS
+    levels each advancing every unfinished word by its LONGEST matching
+    piece at the current offset."""
+    merged_union = " UNION ALL ".join(
+        f"SELECT bl || SUBSTR(br, 3) AS piece FROM wpbest{r}"
+        for r in range(1, WP_ROUNDS + 1)
+    )
+    parts = [
+        f"""wpvx AS MATERIALIZED (
+      SELECT piece, is_cont, body, LENGTH(body) AS blen FROM (
+        SELECT DISTINCT piece,
+               piece LIKE '##%' AS is_cont,
+               CASE WHEN piece LIKE '##%' THEN SUBSTR(piece, 3)
+                    ELSE piece END AS body
+        FROM (SELECT UNNEST(STRING_SPLIT(seq, ' ')) AS piece FROM wpv0
+              UNION ALL {merged_union}))
+    ), wpl0 AS MATERIALIZED (
+      SELECT word, 0 AS off, 0 AS ntok FROM wpw0
+    )"""
+    ]
+    for i in range(1, WP_MAX_WORD_CHARS + 1):
+        parts.append(f"""wpa{i} AS MATERIALIZED (
+      SELECT s.word, s.off, s.ntok, MAX(v.blen) AS adv
+      FROM wpl{i - 1} s JOIN wpvx v
+        ON SUBSTR(s.word, s.off + 1, v.blen) = v.body
+       AND v.is_cont = (s.off > 0)
+      WHERE s.off < LENGTH(s.word)
+      GROUP BY s.word, s.off, s.ntok
+    ), wpl{i} AS MATERIALIZED (
+      SELECT word, off, ntok FROM wpl{i - 1} WHERE off >= LENGTH(word)
+      UNION ALL
+      SELECT word, off + adv, ntok + 1 FROM wpa{i}
+    )""")
+    return parts
+
+
+def _wp_tokenize_sql() -> str:
+    parts = _wp_seed_ctes() + _wp_dp_ctes() + [
+        f"""wptok AS MATERIALIZED (
+      SELECT word, CAST(ntok AS BIGINT) AS n_wp
+      FROM wpl{WP_MAX_WORD_CHARS}
+    ), wpdw AS MATERIALIZED (
+      SELECT doc_id, tok AS word, COUNT(*) AS n_occ
+      FROM (SELECT doc_id, UNNEST({SQL_WS_TOKENS.format(c='text')}) AS tok
+            FROM documents)
+      WHERE REGEXP_MATCHES(tok, '^[a-z]+$')
+        AND LENGTH(tok) <= {WP_MAX_WORD_CHARS}
+      GROUP BY doc_id, tok
+    )"""
+    ]
+    return (
+        "WITH " + ", ".join(parts) + """
+    SELECT wpdw.doc_id,
+           CAST(SUM(wpdw.n_occ) AS BIGINT) AS n_words,
+           CAST(SUM(wpdw.n_occ * LENGTH(wpdw.word)) AS BIGINT)
+             AS n_char_tokens,
+           CAST(SUM(wpdw.n_occ * wptok.n_wp) AS BIGINT) AS n_wp_tokens,
+           CAST(SUM(wpdw.n_occ * wptok.n_wp) * 1000
+                // SUM(wpdw.n_occ) AS BIGINT) AS fertility_milli
+    FROM wpdw JOIN wptok USING (word)
+    GROUP BY wpdw.doc_id
+    """
+    )
+
+
+def wordpiece_learned(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame], DataFrame]:
+    """The ONE Spark-side WordPiece training pipeline, stage-table
+    cached like its BPE/Unigram siblings: capped word census →
+    '##'-prefixed char seed → WP_ROUNDS merge rounds through the SHARED
+    :func:`bpe_merge_round` kernel in wordpiece mode → the final piece
+    set → the greedy longest-match DP over distinct words. Returns
+    (final piece table (piece, is_cont, body, blen), per-round
+    summaries, per-word token counts (word, n_wp))."""
+    from projet_pipeline_bigdata_org_spark.catalog import stage_tables
+
+    def _build():
+        pieces, summaries, wptok = _wp_build(spark, sf_dir)
+        out = {"pieces": pieces, "wptok": wptok}
+        for i, s in enumerate(summaries):
+            out[f"summary_{i}"] = s
+        return out
+
+    t = stage_tables(spark, "wordpiece_learned", sf_dir, _build)
+    n = len([k for k in t if k.startswith("summary_")])
+    return t["pieces"], [t[f"summary_{i}"] for i in range(n)], t["wptok"]
+
+
+def _wp_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(ws_tokens("text")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .filter(F.length("word") <= WP_MAX_WORD_CHARS)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def _wp_build(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame], DataFrame]:
+    sc_ctx = spark.sparkContext
+
+    # Round vocabularies and DP levels are CHECKPOINTED eagerly, not
+    # persisted: a WordPiece round launches FOUR broadcast jobs (the two
+    # symbol-census sides, the argmax, the rebuild audit) whose subtrees
+    # each re-plan the full prior-round lineage — persist caches runtime
+    # blocks but not the analyzer/planner tree, and the measured cost
+    # grew 4.6s → 6.2s → 32s per round before truncation (and the DP
+    # doubles the tree per level — the _uni_viterbi discipline).
+    def _checkpoint(df: DataFrame) -> DataFrame:
+        if sc_ctx.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    words = _checkpoint(_wp_words(spark, sf_dir))
+    seed_syms = F.expr(
+        "concat(array(substring(word, 1, 1)),"
+        " transform(slice(split(word, ''), 2, greatest(length(word) - 1, 0)),"
+        " x -> concat('##', x)))"
+    )
+    vocab = _checkpoint(words.select("word", "freq", seed_syms.alias("syms")))
+    seed_pieces = vocab.select(F.explode("syms").alias("piece")).distinct()
+    summaries = []
+    merged_pieces = None
+    for r in range(1, WP_ROUNDS + 1):
+        vocab, summary = bpe_merge_round(vocab, r, wordpiece=True)
+        vocab = _checkpoint(vocab)
+        summary = _checkpoint(summary)
+        summaries.append(summary)
+        m = summary.select(
+            F.concat(
+                F.col("left_sym"), F.expr("substring(right_sym, 3)")
+            ).alias("piece")
+        )
+        merged_pieces = m if merged_pieces is None else merged_pieces.unionAll(m)
+    pieces = (
+        seed_pieces.unionByName(merged_pieces)
+        .distinct()
+        .select(
+            "piece",
+            F.col("piece").startswith("##").alias("is_cont"),
+            F.when(
+                F.col("piece").startswith("##"), F.expr("substring(piece, 3)")
+            )
+            .otherwise(F.col("piece"))
+            .alias("body"),
+        )
+        .withColumn("blen", F.length("body").cast("long"))
+    )
+    # greedy longest-match DP over DISTINCT words: every level advances
+    # each unfinished word by its longest matching piece at the offset.
+    # Depth is bounded by the corpus' actual longest word — levels past
+    # it are provably no-ops (every row is already done); the SQL twin
+    # keeps the static WP_MAX_WORD_CHARS unroll, whose extra empty
+    # levels cost DuckDB nothing.
+    pieces = _checkpoint(pieces)
+    row = words.agg(F.max(F.length("word"))).first()
+    depth = min(WP_MAX_WORD_CHARS, int(row[0] or 0))
+    state = words.select(
+        "word", F.lit(0).cast("long").alias("off"), F.lit(0).cast("long").alias("ntok")
+    )
+    for _lvl in range(1, depth + 1):
+        done = state.filter(F.col("off") >= F.length("word"))
+        adv = (
+            state.filter(F.col("off") < F.length("word"))
+            .join(
+                F.broadcast(pieces),
+                F.expr(
+                    "substring(word, off + 1, blen) = body"
+                    " AND ((off > 0) = is_cont)"
+                ),
+            )
+            .groupBy("word", "off", "ntok")
+            .agg(F.max("blen").alias("adv"))
+        )
+        state = _checkpoint(
+            done.unionByName(
+                adv.select(
+                    "word",
+                    (F.col("off") + F.col("adv")).cast("long").alias("off"),
+                    (F.col("ntok") + 1).cast("long").alias("ntok"),
+                )
+            )
+        )
+    wptok = state.select("word", F.col("ntok").alias("n_wp"))
+    return pieces, summaries, wptok
+
+
+@query(
+    "text_wordpiece_learn",
+    oracle=_wp_sql(),
+    tags=("llm", "text", "documents"),
+)
+def text_wordpiece_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece vocabulary training (Schuster & Nakajima 2012 — the
+    BERT tokenizer trainer): WP_ROUNDS merge rounds over the weighted
+    word census where each round's argmax ranks pairs by the LIKELIHOOD
+    score count(pair)/(count(left)*count(right)) — the merge that most
+    increases unigram-LM corpus likelihood — rather than raw pair count.
+    The score is the exact integer (c * WP_SCORE_SCALE) // (lc * rc)
+    in BOTH engines, so the argmax is bit-deterministic with no float
+    boundary; ties break lexicographically. Merges strip the right
+    piece's '##' continuation prefix ('u'+'##n' → 'un'; '##a'+'##b' →
+    '##ab'). The per-round summary certifies the chosen pair, its
+    count, the quantized score, and ``vocab_symbols_after`` (each merge
+    must remove exactly one symbol per kept occurrence — the same
+    rewrite audit as the BPE trainers, because it IS the same rewrite
+    code: :func:`bpe_merge_round` with the two wordpiece knobs).
+
+    Scale shape: identical to ``text_bpe_learn`` — one corpus word
+    count, then vocabulary-bounded tables; the symbol census adds one
+    vocabulary-bounded groupBy per round and the argmax stays a 1-row
+    TakeOrdered + broadcast."""
+    _pieces, summaries, _wptok = wordpiece_learned(spark, sf_dir)
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionAll(s)
+    return out
+
+
+@query(
+    "text_wordpiece_tokenize",
+    oracle=_wp_tokenize_sql(),
+    tags=("llm", "text", "documents"),
+)
+def text_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained WordPiece vocabulary by greedy LONGEST-MATCH-
+    FIRST (the actual BERT runtime algorithm — NOT merge replay, which
+    is BPE's application rule; MaxMatch and merge replay genuinely
+    differ on adversarial vocabularies): per word, repeatedly take the
+    longest piece in the final vocabulary matching at the current
+    offset — word-initial offsets match only unprefixed pieces,
+    interior offsets only '##' pieces — and advance. The piece set is
+    the seed alphabet ∪ the WP_ROUNDS merged pieces, so every single
+    char is present and no UNK path exists; the DP therefore terminates
+    in <= WP_MAX_WORD_CHARS levels (each consumes >= 1 char), which is
+    exactly how deep both engines unroll it. Per document: word count,
+    char count, WordPiece token count, and tokens-per-word fertility in
+    exact milli-units — THE number a tokenizer bake-off reads.
+
+    Scale shape: the DP runs over DISTINCT words (vocabulary-bounded,
+    never the corpus) with the piece table broadcast at every level;
+    the corpus-sized work is one (doc, word) map-side-combined count
+    joined broadcast against the per-word result — documents never
+    shuffle. Training artifacts serve from parquet stage tables like
+    every tokenizer sibling."""
+    _pieces, _summaries, wptok = wordpiece_learned(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    dw = (
+        d.select("doc_id", F.explode(ws_tokens("text")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .filter(F.length("word") <= WP_MAX_WORD_CHARS)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    )
+    return (
+        dw.join(F.broadcast(wptok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(F.col("n_occ") * F.length("word"))
+            .cast("long")
+            .alias("n_char_tokens"),
+            F.sum(F.col("n_occ") * F.col("n_wp")).cast("long").alias("n_wp_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_char_tokens",
+            "n_wp_tokens",
+            F.expr("CAST(n_wp_tokens * 1000 div n_words AS BIGINT)").alias(
+                "fertility_milli"
+            ),
+        )
+    )
+
+
 def _tokenizer_compare_sql() -> str:
     return (
         "WITH "
@@ -2376,7 +2708,13 @@ def _tokenizer_compare_sql() -> str:
         + ",\n    ".join(_uni_sql_ctes())
         + ",\n    "
         + ",\n    ".join(_bbpe_sql_ctes())
+        + ",\n    "
+        + ",\n    ".join(_wp_seed_ctes() + _wp_dp_ctes())
         + f""",
+    wptok AS MATERIALIZED (
+      SELECT word, CAST(ntok AS BIGINT) AS n_wp
+      FROM wpl{WP_MAX_WORD_CHARS}
+    ),
     b AS (
       SELECT word, freq, LEN(STRING_SPLIT(seq, ' ')) AS n_bpe
       FROM v{BPE_ROUNDS} WHERE LENGTH(word) <= {UNI_MAX_WORD}
@@ -2390,13 +2728,17 @@ def _tokenizer_compare_sql() -> str:
            CAST(SUM(b.freq * b.n_bpe) AS BIGINT) AS bpe_tokens,
            CAST(SUM(b.freq * f.n) AS BIGINT) AS uni_tokens,
            CAST(SUM(b.freq * bb.n_bbpe) AS BIGINT) AS bbpe_tokens,
+           CAST(SUM(b.freq * wp.n_wp) AS BIGINT) AS wp_tokens,
            CAST(SUM(b.freq * b.n_bpe) * 1000
                 // SUM(b.freq * LENGTH(b.word)) AS BIGINT) AS bpe_milli,
            CAST(SUM(b.freq * f.n) * 1000
                 // SUM(b.freq * LENGTH(b.word)) AS BIGINT) AS uni_milli,
            CAST(SUM(b.freq * bb.n_bbpe) * 1000
-                // SUM(b.freq * LENGTH(b.word)) AS BIGINT) AS bbpe_milli
-    FROM b JOIN ufin2 f USING (word) JOIN bb USING (word)"""
+                // SUM(b.freq * LENGTH(b.word)) AS BIGINT) AS bbpe_milli,
+           CAST(SUM(b.freq * wp.n_wp) * 1000
+                // SUM(b.freq * LENGTH(b.word)) AS BIGINT) AS wp_milli
+    FROM b JOIN ufin2 f USING (word) JOIN bb USING (word)
+    JOIN wptok wp USING (word)"""
     )
 
 
@@ -2406,10 +2748,12 @@ def _tokenizer_compare_sql() -> str:
     tags=("llm", "text", "documents"),
 )
 def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fertility comparison of the three TRAINED tokenizer families — the
+    """Fertility comparison of the FOUR trained tokenizer families — the
     decision table a pipeline publishes before picking its tokenizer:
     the round-BPE_ROUNDS char-BPE vocabulary vs the pass-2 Unigram-LM
-    segmentation vs the round-BPE_ROUNDS BYTE-level BPE vocabulary
+    segmentation vs the round-BPE_ROUNDS BYTE-level BPE vocabulary vs
+    the WordPiece greedy longest-match counts (the fourth column — the
+    BERT family; all four real-world tokenizer lineages in one row)
     (r14's third column — the GPT-2/Llama family, whose counts diverge
     from char counts on non-ASCII text), joined per word over the shared
     length-capped [a-z]+ vocabulary, rolled to ONE corpus row of
@@ -2431,6 +2775,7 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     bvocab, _summaries = bpe_learned_vocab(spark, sf_dir)
     _w, fin2, _iters = unigram_learned(spark, sf_dir)
     bbvocab, _bsummaries = bbpe_learned_vocab(spark, sf_dir)
+    _pieces, _wsum, wptok = wordpiece_learned(spark, sf_dir)
     b = (
         bvocab.select("word", "freq", F.size("syms").cast("long").alias("n_bpe"))
         .filter(F.length("word") <= UNI_MAX_WORD)
@@ -2440,6 +2785,7 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         b.join(u, "word")
         .join(bb, "word")
+        .join(wptok, "word")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
             F.sum("freq").cast("long").alias("total_freq"),
@@ -2451,6 +2797,7 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("freq") * F.col("n_bbpe"))
             .cast("long")
             .alias("bbpe_tokens"),
+            F.sum(F.col("freq") * F.col("n_wp")).cast("long").alias("wp_tokens"),
         )
         .select(
             "n_words",
@@ -2459,6 +2806,7 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bpe_tokens",
             "uni_tokens",
             "bbpe_tokens",
+            "wp_tokens",
             F.expr("CAST(bpe_tokens * 1000 div char_tokens AS BIGINT)").alias(
                 "bpe_milli"
             ),
@@ -2467,6 +2815,9 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.expr("CAST(bbpe_tokens * 1000 div char_tokens AS BIGINT)").alias(
                 "bbpe_milli"
+            ),
+            F.expr("CAST(wp_tokens * 1000 div char_tokens AS BIGINT)").alias(
+                "wp_milli"
             ),
         )
     )
@@ -2968,336 +3319,4 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_chars",
         entropy.cast("long").alias("entropy_milli"),
         (entropy < ENTROPY_MIN_MILLI).alias("low_entropy"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# WordPiece (Schuster & Nakajima 2012; the BERT tokenizer family) — the
-# fourth tokenizer family next to char-BPE, byte-BPE and Unigram-LM, and
-# the two places it differs are exactly the two knobs the shared merge
-# kernel exposes: training argmaxes the LIKELIHOOD score
-# count(pair)/(count(left))*count(right)) instead of raw pair count, and
-# application is NOT merge replay — it is greedy LONGEST-MATCH-FIRST
-# against the final piece set, with '##' continuation prefixes on
-# word-interior pieces. Both engines run the same quantized-integer score
-# and the same unrolled max-match DP, so the gates certify the real
-# WordPiece semantics end to end.
-# ---------------------------------------------------------------------------
-
-WP_ROUNDS = 3
-#: word cap (chars) — bounds the max-match DP unroll depth: every level
-#: consumes >= 1 char (all single chars sit in the seed piece set, so no
-#: UNK path exists), hence WP_MAX_WORD_CHARS levels finish every word
-WP_MAX_WORD_CHARS = 12
-
-
-def _wp_seed_ctes() -> list[str]:
-    """wpw0 → wpv0 (word census + '##'-prefixed char seed), feeding the
-    SAME per-round merge CTEs as the BPE trainers
-    (:func:`_bpe_round_ctes`, prefix ``wp``, wordpiece mode)."""
-    parts = [
-        f"""wpw0 AS MATERIALIZED (
-      SELECT tok AS word, COUNT(*) AS freq
-      FROM (SELECT UNNEST({SQL_WS_TOKENS.format(c='text')}) AS tok FROM documents)
-      WHERE REGEXP_MATCHES(tok, '^[a-z]+$')
-        AND LENGTH(tok) <= {WP_MAX_WORD_CHARS}
-      GROUP BY tok
-    ), wpv0 AS MATERIALIZED (
-      SELECT word, freq,
-             ARRAY_TO_STRING(
-               [word[1:1]] ||
-               LIST_TRANSFORM(STRING_SPLIT(word, '')[2:], x -> '##' || x),
-               ' ') AS seq
-      FROM wpw0
-    )"""
-    ]
-    return parts + _bpe_round_ctes(WP_ROUNDS, p="wp", wordpiece=True)
-
-
-def _wp_sql() -> str:
-    union = " UNION ALL ".join(
-        f"SELECT * FROM wpm{r}" for r in range(1, WP_ROUNDS + 1)
-    )
-    return "WITH " + ", ".join(_wp_seed_ctes()) + " " + union
-
-
-def _wp_dp_ctes() -> list[str]:
-    """The greedy longest-match-first DP, unrolled: the final piece set
-    (seed chars ∪ the WP_ROUNDS merged pieces), then WP_MAX_WORD_CHARS
-    levels each advancing every unfinished word by its LONGEST matching
-    piece at the current offset."""
-    merged_union = " UNION ALL ".join(
-        f"SELECT bl || SUBSTR(br, 3) AS piece FROM wpbest{r}"
-        for r in range(1, WP_ROUNDS + 1)
-    )
-    parts = [
-        f"""wpvx AS MATERIALIZED (
-      SELECT piece, is_cont, body, LENGTH(body) AS blen FROM (
-        SELECT DISTINCT piece,
-               piece LIKE '##%' AS is_cont,
-               CASE WHEN piece LIKE '##%' THEN SUBSTR(piece, 3)
-                    ELSE piece END AS body
-        FROM (SELECT UNNEST(STRING_SPLIT(seq, ' ')) AS piece FROM wpv0
-              UNION ALL {merged_union}))
-    ), wpl0 AS MATERIALIZED (
-      SELECT word, 0 AS off, 0 AS ntok FROM wpw0
-    )"""
-    ]
-    for i in range(1, WP_MAX_WORD_CHARS + 1):
-        parts.append(f"""wpa{i} AS MATERIALIZED (
-      SELECT s.word, s.off, s.ntok, MAX(v.blen) AS adv
-      FROM wpl{i - 1} s JOIN wpvx v
-        ON SUBSTR(s.word, s.off + 1, v.blen) = v.body
-       AND v.is_cont = (s.off > 0)
-      WHERE s.off < LENGTH(s.word)
-      GROUP BY s.word, s.off, s.ntok
-    ), wpl{i} AS MATERIALIZED (
-      SELECT word, off, ntok FROM wpl{i - 1} WHERE off >= LENGTH(word)
-      UNION ALL
-      SELECT word, off + adv, ntok + 1 FROM wpa{i}
-    )""")
-    return parts
-
-
-def _wp_tokenize_sql() -> str:
-    parts = _wp_seed_ctes() + _wp_dp_ctes() + [
-        f"""wptok AS MATERIALIZED (
-      SELECT word, CAST(ntok AS BIGINT) AS n_wp
-      FROM wpl{WP_MAX_WORD_CHARS}
-    ), wpdw AS MATERIALIZED (
-      SELECT doc_id, tok AS word, COUNT(*) AS n_occ
-      FROM (SELECT doc_id, UNNEST({SQL_WS_TOKENS.format(c='text')}) AS tok
-            FROM documents)
-      WHERE REGEXP_MATCHES(tok, '^[a-z]+$')
-        AND LENGTH(tok) <= {WP_MAX_WORD_CHARS}
-      GROUP BY doc_id, tok
-    )"""
-    ]
-    return (
-        "WITH " + ", ".join(parts) + """
-    SELECT wpdw.doc_id,
-           CAST(SUM(wpdw.n_occ) AS BIGINT) AS n_words,
-           CAST(SUM(wpdw.n_occ * LENGTH(wpdw.word)) AS BIGINT)
-             AS n_char_tokens,
-           CAST(SUM(wpdw.n_occ * wptok.n_wp) AS BIGINT) AS n_wp_tokens,
-           CAST(SUM(wpdw.n_occ * wptok.n_wp) * 1000
-                // SUM(wpdw.n_occ) AS BIGINT) AS fertility_milli
-    FROM wpdw JOIN wptok USING (word)
-    GROUP BY wpdw.doc_id
-    """
-    )
-
-
-def wordpiece_learned(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, list[DataFrame], DataFrame]:
-    """The ONE Spark-side WordPiece training pipeline, stage-table
-    cached like its BPE/Unigram siblings: capped word census →
-    '##'-prefixed char seed → WP_ROUNDS merge rounds through the SHARED
-    :func:`bpe_merge_round` kernel in wordpiece mode → the final piece
-    set → the greedy longest-match DP over distinct words. Returns
-    (final piece table (piece, is_cont, body, blen), per-round
-    summaries, per-word token counts (word, n_wp))."""
-    from projet_pipeline_bigdata_org_spark.catalog import stage_tables
-
-    def _build():
-        pieces, summaries, wptok = _wp_build(spark, sf_dir)
-        out = {"pieces": pieces, "wptok": wptok}
-        for i, s in enumerate(summaries):
-            out[f"summary_{i}"] = s
-        return out
-
-    t = stage_tables(spark, "wordpiece_learned", sf_dir, _build)
-    n = len([k for k in t if k.startswith("summary_")])
-    return t["pieces"], [t[f"summary_{i}"] for i in range(n)], t["wptok"]
-
-
-def _wp_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    return (
-        d.select(F.explode(ws_tokens("text")).alias("word"))
-        .filter(F.col("word").rlike("^[a-z]+$"))
-        .filter(F.length("word") <= WP_MAX_WORD_CHARS)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-    )
-
-
-def _wp_build(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, list[DataFrame], DataFrame]:
-    sc_ctx = spark.sparkContext
-
-    # Round vocabularies and DP levels are CHECKPOINTED eagerly, not
-    # persisted: a WordPiece round launches FOUR broadcast jobs (the two
-    # symbol-census sides, the argmax, the rebuild audit) whose subtrees
-    # each re-plan the full prior-round lineage — persist caches runtime
-    # blocks but not the analyzer/planner tree, and the measured cost
-    # grew 4.6s → 6.2s → 32s per round before truncation (and the DP
-    # doubles the tree per level — the _uni_viterbi discipline).
-    def _checkpoint(df: DataFrame) -> DataFrame:
-        if sc_ctx.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
-
-    words = _checkpoint(_wp_words(spark, sf_dir))
-    seed_syms = F.expr(
-        "concat(array(substring(word, 1, 1)),"
-        " transform(slice(split(word, ''), 2, greatest(length(word) - 1, 0)),"
-        " x -> concat('##', x)))"
-    )
-    vocab = _checkpoint(words.select("word", "freq", seed_syms.alias("syms")))
-    seed_pieces = vocab.select(F.explode("syms").alias("piece")).distinct()
-    summaries = []
-    merged_pieces = None
-    for r in range(1, WP_ROUNDS + 1):
-        vocab, summary = bpe_merge_round(vocab, r, wordpiece=True)
-        vocab = _checkpoint(vocab)
-        summary = _checkpoint(summary)
-        summaries.append(summary)
-        m = summary.select(
-            F.concat(
-                F.col("left_sym"), F.expr("substring(right_sym, 3)")
-            ).alias("piece")
-        )
-        merged_pieces = m if merged_pieces is None else merged_pieces.unionAll(m)
-    pieces = (
-        seed_pieces.unionByName(merged_pieces)
-        .distinct()
-        .select(
-            "piece",
-            F.col("piece").startswith("##").alias("is_cont"),
-            F.when(
-                F.col("piece").startswith("##"), F.expr("substring(piece, 3)")
-            )
-            .otherwise(F.col("piece"))
-            .alias("body"),
-        )
-        .withColumn("blen", F.length("body").cast("long"))
-    )
-    # greedy longest-match DP over DISTINCT words: every level advances
-    # each unfinished word by its longest matching piece at the offset.
-    # Depth is bounded by the corpus' actual longest word — levels past
-    # it are provably no-ops (every row is already done); the SQL twin
-    # keeps the static WP_MAX_WORD_CHARS unroll, whose extra empty
-    # levels cost DuckDB nothing.
-    pieces = _checkpoint(pieces)
-    row = words.agg(F.max(F.length("word"))).first()
-    depth = min(WP_MAX_WORD_CHARS, int(row[0] or 0))
-    state = words.select(
-        "word", F.lit(0).cast("long").alias("off"), F.lit(0).cast("long").alias("ntok")
-    )
-    for _lvl in range(1, depth + 1):
-        done = state.filter(F.col("off") >= F.length("word"))
-        adv = (
-            state.filter(F.col("off") < F.length("word"))
-            .join(
-                F.broadcast(pieces),
-                F.expr(
-                    "substring(word, off + 1, blen) = body"
-                    " AND ((off > 0) = is_cont)"
-                ),
-            )
-            .groupBy("word", "off", "ntok")
-            .agg(F.max("blen").alias("adv"))
-        )
-        state = _checkpoint(
-            done.unionByName(
-                adv.select(
-                    "word",
-                    (F.col("off") + F.col("adv")).cast("long").alias("off"),
-                    (F.col("ntok") + 1).cast("long").alias("ntok"),
-                )
-            )
-        )
-    wptok = state.select("word", F.col("ntok").alias("n_wp"))
-    return pieces, summaries, wptok
-
-
-@query(
-    "text_wordpiece_learn",
-    oracle=_wp_sql(),
-    tags=("llm", "text", "documents"),
-)
-def text_wordpiece_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WordPiece vocabulary training (Schuster & Nakajima 2012 — the
-    BERT tokenizer trainer): WP_ROUNDS merge rounds over the weighted
-    word census where each round's argmax ranks pairs by the LIKELIHOOD
-    score count(pair)/(count(left)*count(right)) — the merge that most
-    increases unigram-LM corpus likelihood — rather than raw pair count.
-    The score is the exact integer (c * WP_SCORE_SCALE) // (lc * rc)
-    in BOTH engines, so the argmax is bit-deterministic with no float
-    boundary; ties break lexicographically. Merges strip the right
-    piece's '##' continuation prefix ('u'+'##n' → 'un'; '##a'+'##b' →
-    '##ab'). The per-round summary certifies the chosen pair, its
-    count, the quantized score, and ``vocab_symbols_after`` (each merge
-    must remove exactly one symbol per kept occurrence — the same
-    rewrite audit as the BPE trainers, because it IS the same rewrite
-    code: :func:`bpe_merge_round` with the two wordpiece knobs).
-
-    Scale shape: identical to ``text_bpe_learn`` — one corpus word
-    count, then vocabulary-bounded tables; the symbol census adds one
-    vocabulary-bounded groupBy per round and the argmax stays a 1-row
-    TakeOrdered + broadcast."""
-    _pieces, summaries, _wptok = wordpiece_learned(spark, sf_dir)
-    out = summaries[0]
-    for s in summaries[1:]:
-        out = out.unionAll(s)
-    return out
-
-
-@query(
-    "text_wordpiece_tokenize",
-    oracle=_wp_tokenize_sql(),
-    tags=("llm", "text", "documents"),
-)
-def text_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Apply the trained WordPiece vocabulary by greedy LONGEST-MATCH-
-    FIRST (the actual BERT runtime algorithm — NOT merge replay, which
-    is BPE's application rule; MaxMatch and merge replay genuinely
-    differ on adversarial vocabularies): per word, repeatedly take the
-    longest piece in the final vocabulary matching at the current
-    offset — word-initial offsets match only unprefixed pieces,
-    interior offsets only '##' pieces — and advance. The piece set is
-    the seed alphabet ∪ the WP_ROUNDS merged pieces, so every single
-    char is present and no UNK path exists; the DP therefore terminates
-    in <= WP_MAX_WORD_CHARS levels (each consumes >= 1 char), which is
-    exactly how deep both engines unroll it. Per document: word count,
-    char count, WordPiece token count, and tokens-per-word fertility in
-    exact milli-units — THE number a tokenizer bake-off reads.
-
-    Scale shape: the DP runs over DISTINCT words (vocabulary-bounded,
-    never the corpus) with the piece table broadcast at every level;
-    the corpus-sized work is one (doc, word) map-side-combined count
-    joined broadcast against the per-word result — documents never
-    shuffle. Training artifacts serve from parquet stage tables like
-    every tokenizer sibling."""
-    _pieces, _summaries, wptok = wordpiece_learned(spark, sf_dir)
-    d = load(spark, sf_dir, "documents")
-    dw = (
-        d.select("doc_id", F.explode(ws_tokens("text")).alias("word"))
-        .filter(F.col("word").rlike("^[a-z]+$"))
-        .filter(F.length("word") <= WP_MAX_WORD_CHARS)
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
-    )
-    return (
-        dw.join(F.broadcast(wptok), "word")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("n_occ").cast("long").alias("n_words"),
-            F.sum(F.col("n_occ") * F.length("word"))
-            .cast("long")
-            .alias("n_char_tokens"),
-            F.sum(F.col("n_occ") * F.col("n_wp")).cast("long").alias("n_wp_tokens"),
-        )
-        .select(
-            "doc_id",
-            "n_words",
-            "n_char_tokens",
-            "n_wp_tokens",
-            F.expr("CAST(n_wp_tokens * 1000 div n_words AS BIGINT)").alias(
-                "fertility_milli"
-            ),
-        )
     )
