@@ -67,6 +67,8 @@ HEADLINE = (
     "text_bpe_bytes_learn",              # byte-level BPE training (new r14, VERDICT #2)
     "curate_funnel_ladder",              # full-ladder certified funnel (new r14, VERDICT #3)
     "text_chunk_windows",                # RAG chunking scan shape (new r14)
+    "dedup_duplicate_spans",             # ExactSubstr span merge (new r14-late)
+    "dedup_jaccard_prefix",              # prefix-filtered exact Jaccard join (new r14-late)
 )
 
 #: tier annotations surfaced in the bench JSON, so the headline total stays
@@ -86,6 +88,7 @@ TIERS = {
     "text_unigram_learn": "iterative",
     "text_bpe_bytes_learn": "iterative",
     "curate_funnel_ladder": "audit",
+    "dedup_duplicate_spans": "audit",
 }
 
 #: TRAINER queries: their cost IS the training, so the catalog-layer stage
@@ -99,6 +102,7 @@ TRAINERS = {
     "text_unigram_learn",
     "text_bpe_learn",
     "text_bpe_bytes_learn",
+    "text_wordpiece_learn",
     "algo_label_propagation",
 }
 
