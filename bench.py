@@ -104,6 +104,10 @@ TRAINERS = {
     "text_bpe_bytes_learn",
     "text_wordpiece_learn",
     "algo_label_propagation",
+    # the funnel ladder stages its (doc_id, stage_ord) table for its
+    # consumers (mixture shift, export manifest); its own cost IS the
+    # nine-stage composition, so time it cold like the trainers
+    "curate_funnel_ladder",
 }
 
 
