@@ -1770,3 +1770,106 @@ def curate_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("last_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle WITHOUT a sort (r14): a Feistel-network
+# pseudorandom PERMUTATION of the doc-id domain — how a 100 TB training
+# loader shuffles each epoch. Sorting by rand() is a corpus-wide sort per
+# epoch AND non-reproducible across task retries; a keyed bijection is a
+# per-row projection: position = feistel_k(doc_id, epoch), shard =
+# position's top bits. Every arithmetic step is the engine-portable
+# integer coin, so both engines compute the identical permutation.
+# ---------------------------------------------------------------------------
+
+#: Feistel domain: 2^32 ids as two 16-bit halves (corpus ids are far
+#: below this; rows outside [0, 2^32) are excluded by the guard — on this
+#: data a no-op, documented so the bijection claim has a precise domain)
+FEISTEL_HALF = 65536
+FEISTEL_ROUNDS = 4
+#: epochs scheduled per run (each epoch key is an independent permutation)
+PERM_EPOCHS = 2
+#: top-4 perm bits address 16 loader shards
+PERM_SHARD_DIV = (FEISTEL_HALF * FEISTEL_HALF) // 16
+
+
+def _feistel_sql() -> str:
+    """The unrolled Feistel CTE chain (DuckDB twin)."""
+    parts = [
+        f"""fe0 AS (
+      SELECT u.e AS epoch, doc_id,
+             doc_id // {FEISTEL_HALF} AS l, doc_id % {FEISTEL_HALF} AS r
+      FROM documents, UNNEST(GENERATE_SERIES(0, {PERM_EPOCHS - 1})) u(e)
+      WHERE doc_id >= 0 AND doc_id < {FEISTEL_HALF * FEISTEL_HALF}
+    )"""
+    ]
+    for i in range(FEISTEL_ROUNDS):
+        key = f"(((epoch * {FEISTEL_ROUNDS}) + {i}) * {FEISTEL_HALF} + r)"
+        parts.append(f"""fe{i + 1} AS (
+      SELECT epoch, doc_id, r AS l,
+             (l + {sql_hash_coin(key)} % {FEISTEL_HALF}) % {FEISTEL_HALF} AS r
+      FROM fe{i}
+    )""")
+    return ", ".join(parts)
+
+
+@query(
+    "curate_epoch_permutation",
+    oracle=f"""
+    WITH {_feistel_sql()}
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           doc_id,
+           CAST(l * {FEISTEL_HALF} + r AS BIGINT) AS perm_pos,
+           CAST((l * {FEISTEL_HALF} + r) // {PERM_SHARD_DIV} AS BIGINT)
+             AS shard
+    FROM fe{FEISTEL_ROUNDS}
+    """,
+    tags=("llm", "curation", "packing", "documents"),
+)
+def curate_epoch_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch DETERMINISTIC SHUFFLE as a keyed bijection — the
+    loader-side primitive a 100 TB pipeline uses instead of ORDER BY
+    rand(): a {FEISTEL_ROUNDS}-round balanced Feistel network over the
+    2^32 doc-id domain (two 16-bit halves; round function = the
+    engine-portable :func:`hash_coin` keyed by (epoch, round, half),
+    mixing by modular addition — invertible, hence a true permutation:
+    distinct doc_ids ALWAYS get distinct positions, which
+    ``test_epoch_permutation_bijective_and_replays`` pins per epoch).
+    Each epoch key yields an independent full-domain permutation, so
+    every training epoch visits documents in a different reproducible
+    order with zero state; ``shard`` is the position's top 4 bits — the
+    16 loader shards read disjoint position ranges.
+
+    Scale shape: SHUFFLE-FREE — one projection per (doc, epoch) row, no
+    sort, no window, no exchange (plan-pinned); at 100 TB this is the
+    difference between an O(N log N) corpus sort per epoch and a map
+    stage. Sorting by the permuted position is deliberately NOT part of
+    the operator: the loader consumes shards by position-range scans,
+    so no global order ever needs materializing."""
+    d = load(spark, sf_dir, "documents")
+    e = (
+        d.select("doc_id")
+        .filter(
+            (F.col("doc_id") >= 0)
+            & (F.col("doc_id") < FEISTEL_HALF * FEISTEL_HALF)
+        )
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(PERM_EPOCHS - 1))).alias(
+                "epoch"
+            ),
+        )
+    )
+    # DIV for the exact truncating quotient (cast-of-divide rounds)
+    left = F.expr(f"doc_id DIV {FEISTEL_HALF}")
+    right = F.col("doc_id") % FEISTEL_HALF
+    for i in range(FEISTEL_ROUNDS):
+        key = (F.col("epoch") * FEISTEL_ROUNDS + F.lit(i)) * FEISTEL_HALF + right
+        left, right = right, (left + hash_coin(key) % FEISTEL_HALF) % FEISTEL_HALF
+    perm = left * FEISTEL_HALF + right
+    return e.select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "doc_id",
+        perm.cast("long").alias("perm_pos"),
+        (perm / PERM_SHARD_DIV).cast("long").alias("shard"),
+    )

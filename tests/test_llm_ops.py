@@ -4800,3 +4800,56 @@ def test_wordpiece_training_and_maxmatch_match_python_replay(spark, sf_dir):
         for r in _Q["text_wordpiece_tokenize"].fn(spark, sf_dir).collect()
     }
     assert got_docs == expected_docs
+
+
+def test_epoch_permutation_bijective_and_replays(spark, sf_dir):
+    """The Feistel epoch shuffle must be (a) a true bijection per epoch
+    (distinct doc_ids -> distinct positions — the property ORDER BY
+    rand() cannot give deterministically), (b) exactly reproduced by an
+    independent pure-Python replay of the network, (c) a DIFFERENT
+    order per epoch, and (d) invertible (decrypting the position with
+    the reversed round schedule recovers the doc_id)."""
+    from projet_pipeline_bigdata_org_spark.functions.hashing import (
+        KNUTH,
+        PRIME32,
+    )
+    from projet_pipeline_bigdata_org_spark.operators.curation import (
+        FEISTEL_HALF as H,
+        FEISTEL_ROUNDS,
+        PERM_EPOCHS,
+        PERM_SHARD_DIV,
+    )
+
+    def coin(key: int) -> int:
+        return (key % PRIME32) * KNUTH % PRIME32
+
+    def f(epoch: int, rnd: int, r: int) -> int:
+        return coin((epoch * FEISTEL_ROUNDS + rnd) * H + r) % H
+
+    def perm(epoch: int, doc: int) -> int:
+        l, r = doc // H, doc % H
+        for i in range(FEISTEL_ROUNDS):
+            l, r = r, (l + f(epoch, i, r)) % H
+        return l * H + r
+
+    def unperm(epoch: int, pos: int) -> int:
+        l, r = pos // H, pos % H
+        for i in reversed(range(FEISTEL_ROUNDS)):
+            l, r = (r - f(epoch, i, l)) % H, l
+        return l * H + r
+
+    rows = _Q["curate_epoch_permutation"].fn(spark, sf_dir).collect()
+    by_epoch = {}
+    for row in rows:
+        assert row.perm_pos == perm(row.epoch, row.doc_id)
+        assert row.shard == row.perm_pos // PERM_SHARD_DIV
+        assert unperm(row.epoch, row.perm_pos) == row.doc_id
+        by_epoch.setdefault(row.epoch, {})[row.doc_id] = row.perm_pos
+    assert set(by_epoch) == set(range(PERM_EPOCHS))
+    docs = sorted(by_epoch[0])
+    for e, m in by_epoch.items():
+        assert len(set(m.values())) == len(m), f"epoch {e}: not injective"
+    # different epochs visit the corpus in different orders
+    order0 = sorted(docs, key=by_epoch[0].get)
+    order1 = sorted(docs, key=by_epoch[1].get)
+    assert order0 != order1

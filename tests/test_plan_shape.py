@@ -1290,3 +1290,15 @@ def test_wordpiece_tokenize_broadcasts_wptok_no_corpus_selfjoin(spark, sf_dir):
     # partial agg below the (doc_id, word) exchange
     first_exchange = p.find("Exchange")
     assert "HashAggregate" in p[:first_exchange] or p.count("HashAggregate") >= 2, p
+
+
+def test_epoch_permutation_is_shuffle_free(spark, sf_dir):
+    """The epoch shuffle must plan as a pure projection — zero
+    exchanges, no sort, no window: the whole point over ORDER BY
+    rand() is that an epoch order costs a map stage, not a corpus
+    sort."""
+    df = _Q["curate_epoch_permutation"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "Exchange" not in p, p
+    assert "Sort" not in p, p
+    assert "Window" not in p, p
