@@ -3069,3 +3069,96 @@ def compress_int4_groupwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(codes.cast("array<string>"), ",").alias("codes_csv"),
         err.alias("mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (r14): Achlioptas 2001's
+# database-friendly ±1 projection — the dimensionality-reduction front of
+# an ANN serving stack (project 64-dim embeddings to JL_K dims before
+# indexing; distances are preserved within (1±eps) w.h.p.). The sign
+# matrix is never materialized: sign(i, j) derives from the engine-
+# portable integer coin, and the projection is exact fixed-point, so the
+# certified gate pins every output coordinate bit-for-bit.
+# ---------------------------------------------------------------------------
+
+#: output dimensionality: 16 = a perfect square, so the 1/sqrt(k) JL
+#: normalization is the EXACT double division by 4·PW_XS — no sqrt
+#: rounding can differ between engines
+JL_K = 16
+
+
+def _jl_sign_sql(i: str, j: str) -> str:
+    """±1 from the coin's parity over the (input-dim, output-dim) key —
+    the SQL twin of the Spark lambda (same key layout, same coin)."""
+    from projet_pipeline_bigdata_org_spark.functions.hashing import sql_hash_coin
+
+    return (
+        f"(CASE WHEN {sql_hash_coin(f'(({i}) * {JL_K} + ({j}))')} % 2 = 0 "
+        f"THEN 1 ELSE -1 END)"
+    )
+
+
+@query(
+    "embed_jl_project",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(u.j AS BIGINT) AS out_dim,
+           CAST(LIST_SUM(LIST_TRANSFORM(
+             RANGE(1, LEN(embedding) + 1),
+             i -> {_jl_sign_sql('i - 1', 'u.j')}
+                  * CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {PW_XS}, 0)
+                         AS BIGINT))) AS BIGINT) AS proj_scaled,
+           CAST(LIST_SUM(LIST_TRANSFORM(
+             RANGE(1, LEN(embedding) + 1),
+             i -> {_jl_sign_sql('i - 1', 'u.j')}
+                  * CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {PW_XS}, 0)
+                         AS BIGINT))) AS DOUBLE) / {4 * PW_XS} AS proj
+    FROM embeddings, UNNEST(GENERATE_SERIES(0, {JL_K - 1})) u(j)
+    """,
+    tags=("llm", "embedding", "embeddings"),
+)
+def embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection (Achlioptas 2001, the
+    database-friendly JL variant): each embedding maps to JL_K
+    coordinates proj_j = (1/sqrt(JL_K)) * Σ_i sign(i,j)·x_i, the
+    dimensionality-reduction pass an ANN stack runs before indexing
+    (pairwise distances preserved within (1±eps) w.h.p. for
+    k = O(log n / eps²)). The sign matrix never materializes — sign(i,j)
+    is the parity of the portable integer coin over the (input-dim,
+    output-dim) key, identical in both engines — and arithmetic is the
+    power-iteration fixed-point discipline: embeddings quantize to
+    integer millionths, each coordinate is an exact BIGINT signed sum
+    (order-independent), and the one double op is the final division by
+    4·PW_XS (JL_K = 16 is a perfect square, so 1/sqrt(k) is exact).
+
+    Scale shape: SHUFFLE-FREE — quantize, the k signed sums (a
+    higher-order aggregate over the array, no explode of the corpus),
+    and the k-way posexplode are one codegen'd projection per row
+    (plan-pinned); output is n×k rows feeding the index builder.
+    At 100 TB this pass is scan-bound, exactly as it should be."""
+    e = load(spark, sf_dir, "embeddings")
+    from projet_pipeline_bigdata_org_spark.functions.hashing import hash_coin
+
+    def proj_j(j: int):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.size("embedding") - 1),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(hash_coin(i * JL_K + F.lit(j)) % 2 == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            * F.round(
+                F.element_at("embedding", (i + 1).cast("int")).cast("double")
+                * PW_XS,
+                0,
+            ).cast("long"),
+        )
+
+    arr = F.array(*[proj_j(j) for j in range(JL_K)])
+    return e.select(
+        "vec_id", F.posexplode(arr).alias("out_dim", "proj_scaled")
+    ).select(
+        "vec_id",
+        F.col("out_dim").cast("long").alias("out_dim"),
+        "proj_scaled",
+        (F.col("proj_scaled").cast("double") / (4 * PW_XS)).alias("proj"),
+    )

@@ -1302,3 +1302,13 @@ def test_epoch_permutation_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in p, p
     assert "Sort" not in p, p
     assert "Window" not in p, p
+
+
+def test_jl_projection_is_shuffle_free(spark, sf_dir):
+    """The JL pass must plan as one projection per row — no exchange,
+    no corpus explode-to-triples (the k signed sums are higher-order
+    aggregates over the array column): at 100 TB this stage is
+    scan-bound by design."""
+    df = _Q["embed_jl_project"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "Exchange" not in p, p
