@@ -1,6 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+compact JSON line as the FINAL stdout line:
+  {"metric": ..., "value": N, "unit": "sec", "sf": ..., "queries": {<the
+  12 r1-comparable medians>}, "full": "BENCH_full_latest.json"}
+The full payload (every timed query + tiers + spread) is written to
+BENCH_full_latest.json next to this script — the driver's stdout capture
+keeps only the last ~2000 chars, so the final line must stay small.
 
 Each query is forced end-to-end with the noop sink (full execution, no
 driver collect / display cost). After a per-plan codegen warm-up, each
@@ -90,6 +95,29 @@ TIERS = {
     "curate_funnel_ladder": "audit",
     "dedup_duplicate_spans": "audit",
 }
+
+#: The 12 queries comparable to the round-1 baseline (BENCH_r01.json),
+#: under their current names (r2 renames: window_topk_orders_per_customer
+#: -> agg_window_topk, stream_* -> event_window_*, pipe_sink_projection ->
+#: etl_sink_projection, text_quality_score -> lex_quality_score,
+#: sim_cosine_topk -> embed_cosine_topk). The driver captures only the
+#: LAST ~2000 chars of stdout, so the final printed line must stay
+#: compact: it carries just these medians; the full payload (all queries
+#: + tiers + spread) goes to BENCH_full_latest.json next to this script.
+R1_COMPARABLE = (
+    "join_multiway_revenue_by_nation",
+    "agg_pricing_summary",
+    "agg_window_topk",
+    "join_broadcast_part_revenue",
+    "event_window_tumbling",
+    "event_window_session",
+    "etl_sink_projection",
+    "lex_quality_score",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "embed_cosine_topk",
+    "func_json_pack",
+)
 
 #: TRAINER queries: their cost IS the training, so the catalog-layer stage
 #: cache (catalog.stage_result, r13) is cleared before each of their timed
@@ -208,7 +236,26 @@ def main() -> None:
     }
     if runs > 1:
         out["spread"] = spread
-    print(json.dumps(out))
+    # Full payload to a file (the driver's stdout capture keeps only the
+    # last ~2000 chars — BENCH_r12/r13/r14.json all came back parsed:null
+    # once the single JSON line outgrew that); the FINAL stdout line is a
+    # compact summary that always fits: headline total + the 12
+    # r1-comparable medians, canonical names (a0_ rotation prefix
+    # stripped).
+    full_path = Path(_REPO) / "BENCH_full_latest.json"
+    full_path.write_text(json.dumps(out) + "\n")
+    canon = {n.removeprefix("a0_"): t for n, t in timings.items()}
+    compact = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": out["sf"],
+        "runs": runs,
+        "n_queries": len(timings),
+        "queries": {n: canon[n] for n in R1_COMPARABLE if n in canon},
+        "full": full_path.name,
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -1867,9 +1867,15 @@ def curate_epoch_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
         key = (F.col("epoch") * FEISTEL_ROUNDS + F.lit(i)) * FEISTEL_HALF + right
         left, right = right, (left + hash_coin(key) % FEISTEL_HALF) % FEISTEL_HALF
     perm = left * FEISTEL_HALF + right
-    return e.select(
+    out = e.select(
         F.col("epoch").cast("long").alias("epoch"),
         "doc_id",
         perm.cast("long").alias("perm_pos"),
-        (perm / PERM_SHARD_DIV).cast("long").alias("shard"),
     )
+    # integer DIV (matching the oracle's //), not cast-of-divide: the
+    # double path is provably exact for the current 2^32 domain but
+    # silently breaks if the domain outgrows 2^53 — keep the one
+    # truncating-quotient discipline used for the Feistel halves above
+    # (Catalyst collapses the two projections; the plan stays
+    # zero-exchange, pinned in test_plan_shape)
+    return out.withColumn("shard", F.expr(f"perm_pos DIV {PERM_SHARD_DIV}"))

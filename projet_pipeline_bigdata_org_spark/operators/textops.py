@@ -1199,8 +1199,11 @@ BPE_EOW = "</w>"
 #: WordPiece likelihood-score quantization: scores rank as the exact
 #: integer (pair_count * SCALE) // (left_count * right_count), so both
 #: engines compute the identical BIGINT and no float boundary can flip an
-#: argmax. Counts are corpus-bounded (< 2^31 even at 100 TB after the
-#: word-census combine), so the product stays far inside int64.
+#: argmax. The products are computed in DECIMAL(38,0) on the Spark side
+#: (BIGINT would wrap once pair_count exceeds int64max/SCALE ~ 9.2e6 —
+#: easily reached at corpus scale) and in HUGEINT on the DuckDB side
+#: (SUM() of integers); the QUOTIENT is <= SCALE (pair_count <= each
+#: symbol count), so the stored score always fits BIGINT.
 WP_SCORE_SCALE = 10**12
 
 
@@ -1390,7 +1393,18 @@ def bpe_merge_round(
                 F.broadcast(sc.select(F.col("sym").alias("rs"), F.col("symc").alias("rc"))),
                 "rs",
             )
-            .withColumn("score_q", F.expr(f"(c * {WP_SCORE_SCALE}) div (lc * rc)"))
+            # DECIMAL(38,0) keeps c*SCALE exact up to c ~ 1e26 (BIGINT
+            # would wrap past c ~ 9.2e6 = int64max/SCALE); DuckDB's SUM()
+            # is HUGEINT so its product is exact natively — both engines
+            # compute the identical quotient, which itself is <= SCALE
+            # (c <= lc and c <= rc) and so always fits the BIGINT result
+            .withColumn(
+                "score_q",
+                F.expr(
+                    f"(CAST(c AS DECIMAL(38,0)) * {WP_SCORE_SCALE})"
+                    f" div (CAST(lc AS DECIMAL(38,0)) * rc)"
+                ),
+            )
         )
         best = (
             scored.orderBy(F.desc("score_q"), "ls", "rs")

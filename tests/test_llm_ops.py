@@ -4883,7 +4883,11 @@ def test_jl_projection_replays_in_numpy_and_preserves_distances(spark, sf_dir):
     )
     expected = {}
     for vid, v in vecs.items():
-        q = np.round(v * PW_XS).astype(np.int64)
+        # half-AWAY-from-zero, matching Spark/DuckDB ROUND semantics —
+        # np.round is banker's half-to-even and would disagree with a
+        # correct operator on any coordinate landing exactly on x.5
+        s = v * PW_XS
+        q = (np.floor(np.abs(s) + 0.5) * np.sign(s)).astype(np.int64)
         expected[vid] = q @ sign  # exact integer signed sums
     got = {}
     for r in _Q["embed_jl_project"].fn(spark, sf_dir).collect():
