@@ -307,3 +307,200 @@ def ml_virality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "topic_label",
         virality_bucket(F.col("prediction"), hot=6.5, up=5.5).alias("viralite"),
     )
+
+
+# ---------------------------------------------------------------------------
+# certified linear virality twin (VERDICT r14 #3)
+# ---------------------------------------------------------------------------
+
+#: feature / label clamps: keep every raw sufficient-statistic sum below
+#: 2^53 (exactly representable as DOUBLE) through ~1.3e8 documents, so the
+#: DECIMAL->DOUBLE / HUGEINT->DOUBLE casts are EXACT at every test SF and
+#: the downstream coefficient arithmetic is the identical IEEE tree in
+#: both engines (beyond that the sums stay exact in DECIMAL(38,0)/HUGEINT
+#: and the single cast is correctly rounded)
+VIR_X1_CAP = 1024
+VIR_Y_CAP = 65536
+#: prediction buckets: the reference's two-threshold three-bucket shape
+#: (engine.py:126-129 — >5 HOT / >2 Up / else Low on its Reddit-score
+#: scale), with values adapted to this label's n_chars domain so all
+#: three buckets are non-vacuous at every test SF (n_chars quartiles
+#: ~176/295/418)
+VIR_HOT = 400.0
+VIR_UP = 220.0
+
+_VIR_PRED_SQL = "(k.b0 + k.b1 * CAST(fx.x1 AS DOUBLE)) + k.b2 * CAST(fx.x2 AS DOUBLE)"
+
+_VIR_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, lang, {SQL_CLEAN.format(c='text')} AS clean,
+         LEAST(n_chars, {VIR_Y_CAP}) AS y
+  FROM documents
+), f AS (
+  SELECT doc_id, lang, CAST(y AS BIGINT) AS y,
+         CAST(LEAST(LEN({SQL_TOKENIZE.format(c='clean')}), {VIR_X1_CAP}) AS BIGINT) AS x1
+  FROM p WHERE LENGTH(clean) > 0
+), lc AS (
+  SELECT lang, COUNT(*) AS c FROM f GROUP BY lang
+), lr AS (
+  SELECT lang, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, lang) - 1 AS BIGINT) AS x2
+  FROM lc
+), fx AS (
+  SELECT f.doc_id, f.lang, f.x1, lr.x2, f.y FROM f JOIN lr USING (lang)
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+         CAST(CAST(SUM(x1) AS HUGEINT) AS DOUBLE) AS dx1,
+         CAST(CAST(SUM(x2) AS HUGEINT) AS DOUBLE) AS dx2,
+         CAST(CAST(SUM(y)  AS HUGEINT) AS DOUBLE) AS dy,
+         CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS d11,
+         CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS d12,
+         CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS d22,
+         CAST(SUM(CAST(x1 AS HUGEINT) * y)  AS DOUBLE) AS d1y,
+         CAST(SUM(CAST(x2 AS HUGEINT) * y)  AS DOUBLE) AS d2y
+  FROM fx
+), a AS (
+  SELECT nd, dx1, dx2, dy,
+         (nd * d11 - dx1 * dx1) + nd * nd AS a11,
+         (nd * d22 - dx2 * dx2) + nd * nd AS a22,
+         nd * d12 - dx1 * dx2 AS a12,
+         nd * d1y - dx1 * dy AS s1y,
+         nd * d2y - dx2 * dy AS s2y
+  FROM s
+), k AS (
+  SELECT nd, dx1, dx2, dy, a11, a22, a12, s1y, s2y,
+         (s1y * a22 - s2y * a12) / (a11 * a22 - a12 * a12) AS b1,
+         (s2y * a11 - s1y * a12) / (a11 * a22 - a12 * a12) AS b2,
+         ((dy - (s1y * a22 - s2y * a12) / (a11 * a22 - a12 * a12) * dx1)
+          - (s2y * a11 - s1y * a12) / (a11 * a22 - a12 * a12) * dx2) / nd AS b0
+  FROM a
+)
+SELECT fx.doc_id, fx.lang,
+       fx.x1 AS n_tokens, fx.x2 AS lang_rank,
+       {_VIR_PRED_SQL} AS score_raw,
+       CASE WHEN {_VIR_PRED_SQL} > {VIR_HOT} THEN 'HOT'
+            WHEN {_VIR_PRED_SQL} > {VIR_UP} THEN 'Up'
+            ELSE 'Low' END AS viralite
+FROM fx, k
+"""
+
+
+def _virality_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, x1, x2, y): the certified linear model's feature
+    frame — x1 = clamped token count of the SAME cleaning chain the
+    SparkML pipeline consumes (clean_text + tokenize; the
+    ml_pipeline_features-certified prefix), x2 = the language's
+    StringIndexer index replayed exactly (row_number over count DESC,
+    lang ASC — frequencyDesc with the alphabetic tie-break), y = clamped
+    n_chars (the raw argument of the RF label ln(n_chars))."""
+    from pyspark.sql import Window
+
+    from projet_pipeline_bigdata_org_spark.functions.cleaning import tokenize
+
+    f = (
+        docs.select(
+            "doc_id",
+            "lang",
+            clean_text("text").alias("clean"),
+            F.least(F.col("n_chars"), F.lit(VIR_Y_CAP)).cast("long").alias("y"),
+        )
+        .filter(F.length("clean") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "y",
+            F.least(F.size(tokenize("clean")), F.lit(VIR_X1_CAP))
+            .cast("long")
+            .alias("x1"),
+        )
+    )
+    lc = f.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    lr = lc.select(
+        "lang",
+        (F.row_number().over(Window.orderBy(F.desc("c"), "lang")) - 1)
+        .cast("long")
+        .alias("x2"),
+    )
+    return f.join(F.broadcast(lr), "lang")
+
+
+@query(
+    "ml_virality_linear_certified",
+    oracle=_VIR_ORACLE,
+    tags=("ml", "documents"),
+)
+def ml_virality_linear_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified closed-form twin of ``ml_virality_pipeline`` (reference
+    M9, spark/model_training.py:240-252 + the engine.py:126-129 bucket
+    shape): a 2-feature ridge regression fit by the EXACT normal
+    equations — the ``agg_ols_trend`` discipline generalized to the
+    multivariate case — over the same feature lineage the SparkML
+    pipeline consumes (cleaned-text token count + the StringIndexer
+    language index) predicting the raw argument of its label
+    (n_chars; the pipeline regresses ln(n_chars)).
+
+    Exactness: every sufficient statistic (n, Σx, Σy, Σxx, Σxy)
+    accumulates through DECIMAL(38,0) on the Spark side / HUGEINT in the
+    oracle — exact at any corpus size — and the clamps (VIR_X1_CAP,
+    VIR_Y_CAP) keep each raw sum below 2^53 through ~1.3e8 documents, so
+    the one cast to DOUBLE is exact and every downstream step (ridge
+    system (S + n²·I)b = S_y solved in closed 2×2 form, per-document
+    projection b0 + b1·x1 + b2·x2, threshold buckets) is the IDENTICAL
+    correctly-rounded IEEE expression tree in both engines — no float
+    boundary can flip a value or a bucket.
+
+    Scale shape: one map-side-combined stats aggregate (1 row) + a
+    |langs|-row frequency rank, both broadcast back over the feature
+    scan — shuffle bounded by |langs|; the scoring pass is a
+    zero-exchange projection per partition. The seeded iterative RF
+    stays rows-only with invariants (tests/test_ml.py); THIS is the
+    hash-gated member of the family, and
+    tests/test_ml.py::test_virality_linear_tracks_rf pins its ordering
+    against the RF's on the fixture corpus."""
+    fx = _virality_features(load(spark, sf_dir, "documents"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    x1d, x2d, yd = dec("x1"), dec("x2"), dec("y")
+    s = fx.agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(x1d).cast("decimal(38,0)").cast("double").alias("dx1"),
+        F.sum(x2d).cast("decimal(38,0)").cast("double").alias("dx2"),
+        F.sum(yd).cast("decimal(38,0)").cast("double").alias("dy"),
+        F.sum(x1d * x1d).cast("decimal(38,0)").cast("double").alias("d11"),
+        F.sum(x1d * x2d).cast("decimal(38,0)").cast("double").alias("d12"),
+        F.sum(x2d * x2d).cast("decimal(38,0)").cast("double").alias("d22"),
+        F.sum(x1d * yd).cast("decimal(38,0)").cast("double").alias("d1y"),
+        F.sum(x2d * yd).cast("decimal(38,0)").cast("double").alias("d2y"),
+    )
+    nd, dx1, dx2, dy = F.col("nd"), F.col("dx1"), F.col("dx2"), F.col("dy")
+    a = s.select(
+        nd, dx1, dx2, dy,
+        ((nd * F.col("d11") - dx1 * dx1) + nd * nd).alias("a11"),
+        ((nd * F.col("d22") - dx2 * dx2) + nd * nd).alias("a22"),
+        (nd * F.col("d12") - dx1 * dx2).alias("a12"),
+        (nd * F.col("d1y") - dx1 * dy).alias("s1y"),
+        (nd * F.col("d2y") - dx2 * dy).alias("s2y"),
+    )
+    a11, a22, a12 = F.col("a11"), F.col("a22"), F.col("a12")
+    s1y, s2y = F.col("s1y"), F.col("s2y")
+    det = a11 * a22 - a12 * a12
+    b1e = (s1y * a22 - s2y * a12) / det
+    b2e = (s2y * a11 - s1y * a12) / det
+    k = a.select(
+        b1e.alias("b1"),
+        b2e.alias("b2"),
+        (((dy - b1e * dx1) - b2e * dx2) / nd).alias("b0"),
+    )
+    pred = (
+        F.col("b0")
+        + F.col("b1") * F.col("x1").cast("double")
+    ) + F.col("b2") * F.col("x2").cast("double")
+    return fx.crossJoin(F.broadcast(k)).select(
+        "doc_id",
+        "lang",
+        F.col("x1").alias("n_tokens"),
+        F.col("x2").alias("lang_rank"),
+        pred.alias("score_raw"),
+        F.when(pred > VIR_HOT, "HOT")
+        .when(pred > VIR_UP, "Up")
+        .otherwise("Low")
+        .alias("viralite"),
+    )

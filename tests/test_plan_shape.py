@@ -1312,3 +1312,18 @@ def test_jl_projection_is_shuffle_free(spark, sf_dir):
     df = _Q["embed_jl_project"].fn(spark, sf_dir)
     p = plan_of(df)
     assert "Exchange" not in p, p
+
+
+def test_virality_linear_broadcasts_and_bounded_shuffle(
+    spark, sf_dir, no_auto_broadcast
+):
+    """ml_virality_linear_certified: the lang-rank table and the 1-row
+    coefficient frame ride EXPLICIT broadcast hints (no corpus-keyed
+    shuffle join anywhere), and the only exchanges are the two bounded
+    aggregations (|langs| rows, 1 stats row) — the scoring pass itself
+    is a per-partition projection."""
+    df = _Q["ml_virality_linear_certified"].fn(spark, sf_dir)
+    p = formatted_plan(df)
+    assert p.count("BroadcastHashJoin") >= 1, p
+    assert "BroadcastNestedLoopJoin" in p, p  # 1-row coefficient frame
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
