@@ -1105,7 +1105,10 @@ def _ivfc_points_and_assign(
     return pts, cdist, assign
 
 
-_IVFC_CTES = f"""{_IVFC_BASE_CTES}, probes AS (
+#: the probe/candidate/re-rank chain of a certified-IVF SEARCH — seed-
+#: independent, so the one-shot oracle and the incremental-maintenance
+#: oracle share it verbatim (one search semantics, two index lineages)
+_IVFC_SEARCH_SQL = f""", probes AS (
       SELECT vec_id AS q_id, cid AS cell FROM (
         SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1124,6 +1127,8 @@ _IVFC_CTES = f"""{_IVFC_BASE_CTES}, probes AS (
       JOIN fpts np ON np.vec_id = c.n_id AND np.dim = qp.dim
       GROUP BY c.q_id, c.n_id, c.cell
     )"""
+
+_IVFC_CTES = _IVFC_BASE_CTES + _IVFC_SEARCH_SQL
 
 
 @query(
@@ -1486,6 +1491,134 @@ def embed_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "dup_with",
         F.col("n_dups_hist").isNull().alias("admitted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental ANN index maintenance (VERDICT r14 #4): assign-only shard
+# admission into a frozen history-seeded codebook, postings union, probe
+# path unchanged
+# ---------------------------------------------------------------------------
+
+_ANN_INC_ORACLE = f"""
+    WITH {{base}}{{search}}
+    SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, cell, l2s,
+           (n_id % 10 >= {EMB_BATCH_RESIDUE}) AS from_batch
+    FROM (SELECT q_id, n_id, cell, l2s,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY l2s, n_id) AS rnk
+          FROM rerank) t
+    WHERE rnk <= {TOPK}
+    """.format(
+    base=_ivfc_base_ctes(_IVFC_INC_CENTS_WHERE), search=_IVFC_SEARCH_SQL
+)
+
+
+def ann_incremental_postings(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(pts, cents, postings): the maintained incremental index — the
+    history split's pre-existing assignment table UNIONED with the
+    incoming shard's assign-only admission against the FROZEN
+    history-seeded codebook. Shared by the batch query, the one-shot
+    equality test, and the streaming ``AnnPostingsSink``'s mode-equality
+    test (one maintenance semantics, every consumer)."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    e = load(spark, sf_dir, "embeddings")
+    pts = _persist_scoped("ivfc_pts", ivfc_scaled_points(e))
+    is_batch = F.col("vec_id") % 10 >= EMB_BATCH_RESIDUE
+    cents = pts.filter(
+        (F.col("vec_id") < IVFC_INC_SEED_MAX) & ~is_batch
+    ).select(F.col("vec_id").alias("cid"), "dim", F.col("xs").alias("cs"))
+    # the pre-existing history index (built once, before the shard lands)
+    hist_assign = _persist_scoped(
+        "annic_hist_assign",
+        ivfc_argmin_cells(ivfc_cell_distances(pts.filter(~is_batch), cents)),
+    )
+    # assign-only maintenance: the shard against the FROZEN codebook
+    batch_assign = ivfc_argmin_cells(
+        ivfc_cell_distances(pts.filter(is_batch), cents)
+    )
+    # postings union — the maintained index
+    assign = _persist_scoped(
+        "annic_assign", hist_assign.unionByName(batch_assign)
+    )
+    return pts, cents, assign
+
+
+@query(
+    "sim_ann_ivf_incremental",
+    oracle=_ANN_INC_ORACLE,
+    tags=("llm", "similarity", "embeddings", "incremental"),
+)
+def sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index MAINTENANCE — the retrieval family's
+    steady-state member (VERDICT r14 #4), mirroring
+    ``embed_semdedup_incremental``'s history-seeded pattern: the corpus
+    a pipeline already holds (vec_id % 10 < {EMB_BATCH_RESIDUE}) carries
+    a certified-IVF index whose codebook was seeded from history ids
+    only; an incoming embedded shard (the % 10 >= {EMB_BATCH_RESIDUE}
+    residue) is admitted by ASSIGNING into that frozen codebook — no
+    re-train, no re-index of history — the postings lists are the UNION
+    of the existing index and the shard's assignments, and the probe
+    path (top-{IVFC_PROBES} cells, exact integer re-rank, top-{TOPK})
+    is byte-identical to ``sim_ann_ivf_certified``'s (the two oracles
+    share ``_IVFC_SEARCH_SQL`` verbatim). ``from_batch`` marks results
+    served from the newly-admitted shard — searchable the moment its
+    assignment lands, which is the whole point of incremental
+    maintenance.
+
+    Every stage is shared code with the one-shot build
+    (``ivfc_scaled_points`` / ``ivfc_cell_distances`` /
+    ``ivfc_argmin_cells``), so the maintained index provably equals the
+    one-shot index over the full corpus under the same codebook
+    (tests/test_llm_ops.py::test_ann_ivf_incremental_equals_one_shot),
+    and the streaming form (``AnnPostingsSink``) appends the same
+    postings per epoch.
+
+    Scale shape: shard admission is ONE partial-agg'd aggregation of the
+    shard's per-dim rows against the broadcast {IVFC_K}-row codebook —
+    linear in the shard, zero touch of history points; the history
+    assignment is a materialized artifact (scoped persist here; a
+    production deployment keeps it as a cell-bucketed postings table and
+    only ever APPENDS shard assignments); search cost is unchanged
+    (probed cells only)."""
+    pts, cents, assign = ann_incremental_postings(spark, sf_dir)
+    qdist = ivfc_cell_distances(pts.filter(F.col("vec_id") < N_QUERIES), cents)
+    arn = F.row_number().over(W.partitionBy("vec_id").orderBy("dist", "cid"))
+    probes = (
+        qdist.withColumn("rn", arn)
+        .filter(F.col("rn") <= IVFC_PROBES)
+        .select(F.col("vec_id").alias("q_id"), F.col("cid").alias("cell"))
+    )
+    cand = probes.join(assign.withColumnRenamed("vec_id", "n_id"), "cell").filter(
+        F.col("n_id") != F.col("q_id")
+    )
+    qp = pts.select(F.col("vec_id").alias("q_id"), "dim", F.col("xs").alias("qx"))
+    np_ = pts.select(F.col("vec_id").alias("n_id"), "dim", F.col("xs").alias("nx"))
+    rerank = (
+        cand.join(qp, "q_id")
+        .join(np_, ["n_id", "dim"])
+        .groupBy("q_id", "n_id", "cell")
+        .agg(
+            F.sum((F.col("qx") - F.col("nx")) * (F.col("qx") - F.col("nx")))
+            .cast("long")
+            .alias("l2s")
+        )
+    )
+    rnk = F.row_number().over(W.partitionBy("q_id").orderBy("l2s", "n_id"))
+    return (
+        rerank.withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= TOPK)
+        .select(
+            "q_id",
+            "rnk",
+            "n_id",
+            "cell",
+            "l2s",
+            (F.col("n_id") % 10 >= EMB_BATCH_RESIDUE).alias("from_batch"),
+        )
     )
 
 

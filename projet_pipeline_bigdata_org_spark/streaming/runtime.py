@@ -1148,6 +1148,84 @@ class SemDeDupHistorySink:
 
 
 @dataclass
+class AnnPostingsSink:
+    """Streaming ANN index maintenance — the foreachBatch form of
+    ``operators.similarity.sim_ann_ivf_incremental`` (VERDICT r14 #4),
+    on the shared ``_epoch_fold_batch`` harness: each micro-batch of
+    embedded rows becomes integer-millionth points (the state DELTA —
+    points ADD across epochs, STORE_FOLDED=False), and the derived
+    table per epoch is the POSTINGS SNAPSHOT of the index as of that
+    epoch: every point seen so far assigned to the codebook under the
+    batch twin's exact history-seed predicate (ids < seed_max AND
+    residue-history — a pure predicate over the folded points, so a
+    replayed or out-of-order epoch can never grow the codebook with
+    shard ids). All arithmetic is the certified shared code
+    (``ivfc_scaled_points`` / ``ivfc_cell_distances`` /
+    ``ivfc_argmin_cells``), so the streamed postings cannot drift from
+    the batch index
+    (tests/test_streaming.py::test_ann_postings_sink_matches_batch).
+
+    Scale note: the snapshot recomputes prior points' assignments per
+    epoch (the SemDeDupHistorySink caveat, same reason); a production
+    deployment freezes the codebook once fully seeded and APPENDS only
+    the epoch's assignments to a cell-bucketed postings table — the
+    assignment arithmetic is identical either way."""
+
+    spark: SparkSession
+    out_path: str
+    state_path: str
+    id_col: str = "vec_id"
+    embedding_col: str = "embedding"
+    seed_max: int | None = None  # default: similarity.IVFC_INC_SEED_MAX
+    stats: dict = field(default_factory=lambda: {"batches": 0, "postings": 0})
+
+    STATE_SCHEMA = "vec_id bigint, dim int, xs bigint"
+    STORE_FOLDED = False
+
+    def _state_dir(self) -> str:
+        return self.state_path
+
+    def _derived_dir(self) -> str:
+        return self.out_path
+
+    def _partial(self, batch_df: DataFrame) -> DataFrame:
+        from projet_pipeline_bigdata_org_spark.operators.similarity import (
+            ivfc_scaled_points,
+        )
+
+        return ivfc_scaled_points(
+            batch_df.select(
+                F.col(self.id_col).alias("vec_id"),
+                F.col(self.embedding_col).alias("embedding"),
+            )
+        )
+
+    def _merge(self, unioned: DataFrame) -> DataFrame:
+        return unioned  # per-dim points simply accumulate across epochs
+
+    def _derive(self, folded: DataFrame) -> DataFrame:
+        from projet_pipeline_bigdata_org_spark.operators.similarity import (
+            EMB_BATCH_RESIDUE,
+            IVFC_INC_SEED_MAX,
+            ivfc_argmin_cells,
+            ivfc_cell_distances,
+        )
+
+        seed_max = IVFC_INC_SEED_MAX if self.seed_max is None else self.seed_max
+        cents = folded.filter(
+            (F.col("vec_id") < seed_max)
+            & (F.col("vec_id") % 10 < EMB_BATCH_RESIDUE)
+        ).select(F.col("vec_id").alias("cid"), "dim", F.col("xs").alias("cs"))
+        return ivfc_argmin_cells(ivfc_cell_distances(folded, cents))
+
+    def _stat(self, derived: DataFrame) -> None:
+        self.stats["postings"] = derived.count()
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        _epoch_fold_batch(self, batch_df, epoch_id)
+
+
+@dataclass
 class AnomalyGateSink:
     """Streaming EWMA anomaly gate: each micro-batch's readings are
     tested against the exponentially-smoothed level of their

@@ -4915,3 +4915,37 @@ def test_jl_projection_replays_in_numpy_and_preserves_distances(spark, sf_dir):
     # (measured ~0.38 here); the positive band pins the direction, the
     # bit-level replay above is the actual correctness gate
     assert corr > 0.2, f"JL distance correlation too low: {corr:.2f}"
+
+
+def test_ann_ivf_incremental_equals_one_shot(spark, sf_dir):
+    """Index-maintenance equality (VERDICT r14 #4): the maintained index
+    (history assignment + assign-only shard admission into the frozen
+    codebook, postings union) must equal the ONE-SHOT index built over
+    the full corpus under the same history-seeded codebook — both
+    restricted to the shard (the maintained rows) and over the whole
+    postings table. Assignment is per-vector against a frozen codebook,
+    so incremental == one-shot is the invariant that makes assign-only
+    maintenance sound; a drift here means the incremental path indexes
+    differently than a rebuild would."""
+    from projet_pipeline_bigdata_org_spark.operators.similarity import (
+        EMB_BATCH_RESIDUE,
+        IVFC_INC_SEED_MAX,
+        _ivfc_points_and_assign,
+        ann_incremental_postings,
+    )
+
+    _pts, _cents, postings = ann_incremental_postings(spark, sf_dir)
+    inc = {(r.vec_id, r.cell) for r in postings.collect()}
+
+    _p, _c, one_shot = _ivfc_points_and_assign(
+        spark,
+        sf_dir,
+        cents_filter=(F.col("vec_id") < IVFC_INC_SEED_MAX)
+        & (F.col("vec_id") % 10 < EMB_BATCH_RESIDUE),
+        scope="annic_oneshot",
+    )
+    full = {(r.vec_id, r.cell) for r in one_shot.collect()}
+    assert inc == full  # whole postings table identical
+    shard_inc = {(v, c) for v, c in inc if v % 10 >= EMB_BATCH_RESIDUE}
+    shard_full = {(v, c) for v, c in full if v % 10 >= EMB_BATCH_RESIDUE}
+    assert shard_inc and shard_inc == shard_full  # the maintained rows

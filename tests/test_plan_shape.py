@@ -1327,3 +1327,18 @@ def test_virality_linear_broadcasts_and_bounded_shuffle(
     assert p.count("BroadcastHashJoin") >= 1, p
     assert "BroadcastNestedLoopJoin" in p, p  # 1-row coefficient frame
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+
+
+def test_ann_ivf_incremental_broadcast_codebook_cached_postings(
+    spark, sf_dir
+):
+    """sim_ann_ivf_incremental: the frozen codebook broadcasts into both
+    assignment passes (never a corpus repartition for assignment), the
+    ranks are WindowGroupLimit-bounded, the maintained postings/point
+    caches are read, and no CartesianProduct appears anywhere."""
+    df = _Q["sim_ann_ivf_incremental"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "WindowGroupLimit" in p, p
+    assert "InMemoryTableScan" in p, p

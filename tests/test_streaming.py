@@ -1869,3 +1869,56 @@ def test_seasonal_sink_matches_batch_gate_for_shuffled_splits(spark, tmp_path):
         for r in spark.read.parquet(f"{store}/flags/epoch=3").collect()
     }
     assert got2 == want
+
+
+def test_ann_postings_sink_matches_batch_and_replays_identically(
+    spark, sf_dir, tmp_path
+):
+    """The streamed postings snapshot equals the batch maintained index
+    (history epoch 0 + shard epoch 1 == ann_incremental_postings'
+    union), shard postings appear only from epoch 1, and worst-order
+    replay rewrites every partition identically (strictly-prior state
+    scans + idempotent epoch-partition overwrites — the
+    _epoch_fold_batch contract)."""
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.similarity import (
+        EMB_BATCH_RESIDUE,
+        ann_incremental_postings,
+    )
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        AnnPostingsSink,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_batch = F.col("vec_id") % 10 >= EMB_BATCH_RESIDUE
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    sink = AnnPostingsSink(spark, out, state)
+    sink(e.filter(~is_batch), 0)
+    epoch0 = {
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(f"{out}/epoch=0").collect()
+    }
+    assert epoch0 and all(v % 10 < EMB_BATCH_RESIDUE for v, _ in epoch0)
+    sink(e.filter(is_batch), 1)
+
+    _pts, _cents, postings = ann_incremental_postings(spark, sf_dir)
+    want = {(r.vec_id, r.cell) for r in postings.collect()}
+    got = {
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(f"{out}/epoch=1").collect()
+    }
+    assert got == want  # streamed snapshot == batch maintained index
+    assert any(v % 10 >= EMB_BATCH_RESIDUE for v, _ in got)  # shard indexed
+    assert sink.stats["postings"] == len(want)
+
+    # worst-order replay: both epochs rewrite identically
+    sink(e.filter(is_batch), 1)
+    sink(e.filter(~is_batch), 0)
+    assert {
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(f"{out}/epoch=1").collect()
+    } == want
+    assert {
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(f"{out}/epoch=0").collect()
+    } == epoch0
