@@ -1520,13 +1520,25 @@ def curate_funnel_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     remove the bulk before the classifier/LM stages score the remainder
     (here all stages run for the full report — attribution needs every
     flag)."""
-    staged = funnel_ladder_staged(spark, sf_dir)
+    return _ledger_from_staged(
+        spark, funnel_ladder_staged(spark, sf_dir), FUNNEL_LADDER_STAGES
+    )
+
+
+def _ledger_from_staged(
+    spark: SparkSession,
+    staged: DataFrame,
+    stage_rows: tuple[tuple[int, str], ...],
+) -> DataFrame:
+    """(doc_id, stage_ord) → attrition ledger (stage_ord, stage,
+    n_removed, n_remaining) — the fold shared by the 9-stage ladder and
+    its C4-extended form (one ledger arithmetic, every ladder)."""
     cnt = staged.groupBy("stage_ord").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
     total = staged.agg(F.count(F.lit(1)).cast("long").alias("total"))
     stages = spark.createDataFrame(
-        list(FUNNEL_LADDER_STAGES), "stage_ord long, stage string"
+        list(stage_rows), "stage_ord long, stage string"
     )
     j = stages.join(cnt, "stage_ord", "left").select(
         "stage_ord",
@@ -1544,6 +1556,110 @@ def curate_funnel_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_remaining"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-extended ladder (r15, VERDICT r14 #5): the 9-stage certified ladder
+# with the C4 rule stage inserted where real pipelines run it — BEFORE the
+# Gopher statistics. The 9-stage ``curate_funnel_ladder`` stays registered
+# as certified in r14 (the funnel_report precedent: extensions are new
+# names, certified semantics never mutate under an existing one).
+# ---------------------------------------------------------------------------
+
+FUNNEL_LADDER_C4_STAGES: tuple[tuple[int, str], ...] = (
+    (0, "input"),
+    (1, "exact_dup"),
+    (2, "normalized_dup"),
+    (3, "near_dup"),
+    (4, "decontaminated"),
+    (5, "c4_fail"),
+    (6, "gopher_fail"),
+    (7, "classifier_fail"),
+    (8, "dsir_reject"),
+    (9, "ppl_tail"),
+    (10, "low_entropy"),
+)
+
+
+def _funnel_ladder_c4_oracle() -> str:
+    from projet_pipeline_bigdata_org_spark.plans.registry import get as _get
+
+    c4 = _get("lex_c4_rules").oracle
+    stage_rows = ", ".join(f"({i}, '{s}')" for i, s in FUNNEL_LADDER_C4_STAGES)
+    return f"""
+    WITH {_ladder_staged_ctes()},
+    c4q AS ({c4}),
+    l10 AS (
+      SELECT l.doc_id,
+             CASE WHEN l.stage_ord BETWEEN 1 AND 4 THEN l.stage_ord
+                  WHEN NOT c.keep THEN 5
+                  WHEN l.stage_ord = 0 THEN 0
+                  ELSE l.stage_ord + 1 END AS stage_ord
+      FROM lstaged l JOIN c4q c ON c.doc_id = l.doc_id
+    ), cnt AS (
+      SELECT stage_ord, CAST(COUNT(*) AS BIGINT) AS n
+      FROM l10 GROUP BY stage_ord
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total FROM l10
+    ), stages AS (
+      SELECT * FROM (VALUES {stage_rows}) s(stage_ord, stage)
+    ), j AS (
+      SELECT s.stage_ord, s.stage,
+             CASE WHEN s.stage_ord = 0 THEN 0
+                  ELSE COALESCE(c.n, 0) END AS n_removed
+      FROM stages s LEFT JOIN cnt c ON c.stage_ord = s.stage_ord
+    )
+    SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           CAST(total - SUM(n_removed) OVER (ORDER BY stage_ord
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_remaining
+    FROM j CROSS JOIN tot
+    """
+
+
+@query(
+    "curate_funnel_ladder_c4",
+    oracle=_funnel_ladder_c4_oracle(),
+    tags=("llm", "curation", "dedup", "quality", "documents"),
+)
+def curate_funnel_ladder_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full certified ladder EXTENDED with the C4 rule stage
+    (``lex_c4_rules``) inserted at rank 5 — after the dedup family and
+    eval hygiene, BEFORE the Gopher statistics, the position C4 and
+    FineWeb run their rule pass (cheap zero-shuffle line arithmetic
+    drops policy pages before any statistics are computed). First-match
+    attribution stays exactly-once: a document's 9-stage attribution in
+    ranks 1-4 is untouched; any other document failing C4 attributes to
+    rank 5; remaining attributions shift one rank — exactly the CASE a
+    10-way precedence chain would produce, derived from the STAGED
+    9-stage silver table + one C4 scan instead of re-running all ten
+    plans (the oracle composes the same: the 9-stage ``lstaged`` CTEs
+    joined with lex_c4_rules' own certified SQL). The C4 fixture riders
+    drop out at the join, so the ledger covers exactly the corpus; on
+    this punctuation-free synthetic corpus the stage's n_removed is 0
+    (every real doc is a single >=3-word line — the rule variety lives
+    in the operator's own fixture-backed gate), which certifies the
+    composition and attribution shift, not the rule arithmetic twice.
+
+    Scale shape: one read of the staged (doc_id, stage_ord) table + one
+    zero-shuffle C4 projection + a doc_id join folding to an 11-row
+    ledger."""
+    from projet_pipeline_bigdata_org_spark.operators.textops import text_c4_rules
+
+    staged = funnel_ladder_staged(spark, sf_dir)
+    c4 = text_c4_rules(spark, sf_dir).select("doc_id", "keep")
+    ord9 = F.col("stage_ord")
+    staged10 = staged.join(c4, "doc_id").select(
+        "doc_id",
+        F.when(ord9.between(1, 4), ord9)
+        .when(~F.col("keep"), F.lit(5))
+        .when(ord9 == 0, F.lit(0))
+        .otherwise(ord9 + 1)
+        .cast("long")
+        .alias("stage_ord"),
+    )
+    return _ledger_from_staged(spark, staged10, FUNNEL_LADDER_C4_STAGES)
 
 
 # ---------------------------------------------------------------------------

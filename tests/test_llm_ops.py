@@ -4949,3 +4949,84 @@ def test_ann_ivf_incremental_equals_one_shot(spark, sf_dir):
     shard_inc = {(v, c) for v, c in inc if v % 10 >= EMB_BATCH_RESIDUE}
     shard_full = {(v, c) for v, c in full if v % 10 >= EMB_BATCH_RESIDUE}
     assert shard_inc and shard_inc == shard_full  # the maintained rows
+
+
+def test_c4_rules_fixture_replay(spark, sf_dir):
+    """Independent pure-Python replay of every C4 rule on the fixture
+    riders (the docs that exercise each rule both ways — the synthetic
+    corpus is single-line and punctuation-free) plus spot real-corpus
+    invariants (single line, >=3 words => keep)."""
+    import re as _re
+
+    from projet_pipeline_bigdata_org_spark.operators.textops import (
+        C4_FIXTURE_ROWS,
+        C4_MIN_LINE_WORDS,
+        C4_MIN_SENTENCES,
+        text_c4_rules,
+    )
+
+    got = {r.doc_id: r for r in text_c4_rules(spark, sf_dir).collect()}
+    for doc_id, text in C4_FIXTURE_ROWS:
+        lines = [x.strip() for x in text.split("\n") if x.strip()]
+        kept = [
+            l
+            for l in lines
+            if len(l.split()) >= C4_MIN_LINE_WORDS
+            and not _re.search(r"\bjavascript\b", l.lower())
+        ]
+        punct = [l for l in lines if l[-1] in '.!?"']
+        n_sent = sum(text.count(c) for c in ".!?")
+        r = got[doc_id]
+        assert r.n_lines == len(lines)
+        assert r.n_kept_lines == len(kept)
+        assert r.n_punct_lines == len(punct)
+        assert r.n_sentences == n_sent
+        assert r.has_lorem == ("lorem ipsum" in text.lower())
+        assert r.has_brace == ("{" in text)
+        assert r.ok_sentences == (n_sent >= C4_MIN_SENTENCES)
+        assert r.ok_terminal_punct == (len(punct) == len(lines) > 0)
+        assert r.keep == (
+            not r.has_lorem and not r.has_brace and len(kept) >= 1
+        )
+    # the six riders cover every rule in both directions
+    assert {r.keep for d, r in got.items() if d >= 93_000_000} == {True, False}
+    assert any(r.has_lorem for r in got.values())
+    assert any(r.has_brace for r in got.values())
+    assert any(
+        r.n_kept_lines == 0 for d, r in got.items() if d >= 93_000_000
+    )
+    assert any(
+        0 < r.n_kept_lines < r.n_lines for d, r in got.items()
+    )  # a javascript line dropped, page kept
+
+
+def test_funnel_ladder_c4_attribution_shift(spark, sf_dir):
+    """The C4-extended ladder is EXACTLY the 9-stage ladder with one
+    stage spliced in at rank 5: ranks 1-4 carry identical removals,
+    ranks 6-10 carry the 9-stage ladder's ranks 5-9 minus whatever C4
+    claimed first, totals are preserved (exactly-once attribution), and
+    the final survivor count can only shrink."""
+    from projet_pipeline_bigdata_org_spark import plans
+
+    plans.load_all()
+    l9 = {
+        r.stage_ord: r
+        for r in plans.get("curate_funnel_ladder").fn(spark, sf_dir).collect()
+    }
+    l10 = {
+        r.stage_ord: r
+        for r in plans.get("curate_funnel_ladder_c4").fn(spark, sf_dir).collect()
+    }
+    assert len(l9) == 10 and len(l10) == 11
+    assert l9[0].n_remaining == l10[0].n_remaining  # same corpus in
+    for i in range(1, 5):
+        assert l10[i].n_removed == l9[i].n_removed
+    total9 = sum(r.n_removed for r in l9.values())
+    total10 = sum(r.n_removed for r in l10.values())
+    assert total10 >= total9  # C4 can only add removals
+    assert total10 - total9 == l10[5].n_removed - sum(
+        l9[i].n_removed - l10[i + 1].n_removed for i in range(5, 10)
+    )
+    for i in range(5, 10):  # each shifted stage lost at most to C4
+        assert l10[i + 1].n_removed <= l9[i].n_removed
+    assert l10[10].n_remaining <= l9[9].n_remaining

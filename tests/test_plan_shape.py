@@ -1342,3 +1342,14 @@ def test_ann_ivf_incremental_broadcast_codebook_cached_postings(
     assert "BroadcastHashJoin" in p, p
     assert "WindowGroupLimit" in p, p
     assert "InMemoryTableScan" in p, p
+
+
+def test_c4_rules_zero_exchange_projection(spark, sf_dir):
+    """lex_c4_rules is a pure row-local projection (higher-order line
+    arithmetic, no explode) — zero Exchange, no join, no aggregate: the
+    cheapest stage shape, which is why real pipelines run it first."""
+    df = _Q["lex_c4_rules"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+    assert "Aggregate" not in p.replace("PartialAggregate", ""), p
