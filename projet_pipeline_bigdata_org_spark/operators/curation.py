@@ -1909,13 +1909,15 @@ PERM_EPOCHS = 2
 PERM_SHARD_DIV = (FEISTEL_HALF * FEISTEL_HALF) // 16
 
 
-def _feistel_sql() -> str:
-    """The unrolled Feistel CTE chain (DuckDB twin)."""
+def _feistel_sql(src: str = "documents") -> str:
+    """The unrolled Feistel CTE chain (DuckDB twin), parameterized by the
+    doc_id-bearing source relation so the epoch-plan composition reuses
+    the identical round arithmetic over its kept-docs CTE."""
     parts = [
         f"""fe0 AS (
       SELECT u.e AS epoch, doc_id,
              doc_id // {FEISTEL_HALF} AS l, doc_id % {FEISTEL_HALF} AS r
-      FROM documents, UNNEST(GENERATE_SERIES(0, {PERM_EPOCHS - 1})) u(e)
+      FROM {src}, UNNEST(GENERATE_SERIES(0, {PERM_EPOCHS - 1})) u(e)
       WHERE doc_id >= 0 AND doc_id < {FEISTEL_HALF * FEISTEL_HALF}
     )"""
     ]
@@ -1927,6 +1929,21 @@ def _feistel_sql() -> str:
       FROM fe{i}
     )""")
     return ", ".join(parts)
+
+
+def feistel_position() -> F.Column:
+    """The {FEISTEL_ROUNDS}-round Feistel permutation position over
+    (epoch, doc_id) columns — the ONE Spark-side round arithmetic,
+    shared by ``curate_epoch_permutation`` and the epoch-plan
+    composition (``curate_epoch_plan``), mirroring :func:`_feistel_sql`
+    round for round. DIV for the exact truncating quotient
+    (cast-of-divide rounds)."""
+    left = F.expr(f"doc_id DIV {FEISTEL_HALF}")
+    right = F.col("doc_id") % FEISTEL_HALF
+    for i in range(FEISTEL_ROUNDS):
+        key = (F.col("epoch") * FEISTEL_ROUNDS + F.lit(i)) * FEISTEL_HALF + right
+        left, right = right, (left + hash_coin(key) % FEISTEL_HALF) % FEISTEL_HALF
+    return left * FEISTEL_HALF + right
 
 
 @query(
@@ -1976,13 +1993,7 @@ def curate_epoch_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # DIV for the exact truncating quotient (cast-of-divide rounds)
-    left = F.expr(f"doc_id DIV {FEISTEL_HALF}")
-    right = F.col("doc_id") % FEISTEL_HALF
-    for i in range(FEISTEL_ROUNDS):
-        key = (F.col("epoch") * FEISTEL_ROUNDS + F.lit(i)) * FEISTEL_HALF + right
-        left, right = right, (left + hash_coin(key) % FEISTEL_HALF) % FEISTEL_HALF
-    perm = left * FEISTEL_HALF + right
+    perm = feistel_position()
     out = e.select(
         F.col("epoch").cast("long").alias("epoch"),
         "doc_id",
@@ -1995,3 +2006,177 @@ def curate_epoch_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (Catalyst collapses the two projections; the plan stays
     # zero-exchange, pinned in test_plan_shape)
     return out.withColumn("shard", F.expr(f"perm_pos DIV {PERM_SHARD_DIV}"))
+
+
+# ---------------------------------------------------------------------------
+# epoch-plan composition (r15, VERDICT r14 #7): the last loader-boundary
+# mile — repetition schedule × temperature mixture × epoch permutation
+# composed into the per-epoch (epoch, shard, doc_id, position) manifest a
+# trainer actually consumes
+# ---------------------------------------------------------------------------
+
+#: rider sources unioned into the plan's corpus (BOTH engines): srcfix
+#: (3 tiny docs) forces a real n_min so the temperature thresholds bite
+#: (the synthetic corpus' sources are exactly balanced — every threshold
+#: would be PRIME32 and the mixture filter could certify only its keep
+#: branch), and srcbig (one {EPOCH_PLAN_BIG_TOKENS}-token doc) owes
+#: fewer epochs than PERM_EPOCHS at every SF, so the epoch < n_ep cut is
+#: exercised everywhere. Ids sit inside the Feistel domain, far above
+#: corpus ids.
+EPOCH_PLAN_BIG_TOKENS = 12_000
+EPOCH_PLAN_FIXTURE_ROWS: tuple[tuple[int, str, str], ...] = (
+    (93_100_001, "srcfix", "tiny plan fixture alpha"),
+    (93_100_002, "srcfix", "tiny plan fixture beta"),
+    (93_100_003, "srcfix", "tiny plan fixture gamma"),
+    (93_100_010, "srcbig", "tok " * EPOCH_PLAN_BIG_TOKENS),
+)
+
+_EPOCH_PLAN_FIXTURE_SQL = " UNION ALL ".join(
+    (
+        "SELECT CAST({i} AS BIGINT) AS doc_id, '{s}' AS source, "
+        + (
+            f"REPEAT('tok ', {EPOCH_PLAN_BIG_TOKENS})"
+            if s == "srcbig"
+            else "'{t}'"
+        )
+        + " AS text"
+    ).format(i=i, s=s, t=t)
+    for i, s, t in EPOCH_PLAN_FIXTURE_ROWS
+)
+
+
+def _epoch_plan_oracle() -> str:
+    return f"""
+    WITH pdocs AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL {_EPOCH_PLAN_FIXTURE_SQL}
+    ), pn AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(LEN({_TOK_SQL})) AS BIGINT) AS n_tokens
+      FROM pdocs GROUP BY source
+    ), pm AS (
+      SELECT MIN(n_docs) AS n_min FROM pn
+    ), psch AS (
+      SELECT source,
+             CAST(FLOOR(({PRIME32} * SQRT(n_min)) / SQRT(n_docs)) AS BIGINT)
+               AS threshold,
+             LEAST(CAST((tt + n_tokens - 1) // n_tokens AS BIGINT),
+                   {PERM_EPOCHS}) AS n_ep
+      FROM (SELECT *, CAST({EPOCH_BUDGET} AS BIGINT)
+                        // (SELECT COUNT(*) FROM pn) AS tt
+            FROM pn CROSS JOIN pm)
+    ), kept AS (
+      SELECT d.doc_id, d.source, s.n_ep
+      FROM pdocs d JOIN psch s USING (source)
+      WHERE {sql_hash_coin("d.doc_id")} < s.threshold
+    ), {_feistel_sql(src="kept")}
+    SELECT CAST(f.epoch AS BIGINT) AS epoch,
+           CAST((f.l * {FEISTEL_HALF} + f.r) // {PERM_SHARD_DIV} AS BIGINT)
+             AS shard,
+           f.doc_id, k.source,
+           CAST(f.l * {FEISTEL_HALF} + f.r AS BIGINT) AS position
+    FROM fe{FEISTEL_ROUNDS} f
+    JOIN kept k ON k.doc_id = f.doc_id
+    WHERE f.epoch < k.n_ep
+    """
+
+
+@query(
+    "curate_epoch_plan",
+    oracle=_epoch_plan_oracle(),
+    tags=("llm", "curation", "mixing", "packing", "documents"),
+)
+def curate_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-epoch training data-order MANIFEST (epoch, shard, doc_id,
+    source, position) — the composition of the three certified loader
+    primitives into the one artifact a trainer consumes (VERDICT r14
+    #7): ``curate_epoch_schedule``'s repetition counts say how many
+    epochs each source owes (ceil(target/available), capped here at
+    PERM_EPOCHS — the epochs this run materializes),
+    ``mix_temperature_sources``' thresholds say which documents are in
+    the mixture (hash-coin < FLOOR(PRIME·sqrt(n_min/n_source)) — the
+    T=2 flattening), and ``curate_epoch_permutation``'s Feistel
+    bijection assigns every surviving (epoch, doc) its reproducible
+    position and loader shard. The oracle composes the components' own
+    CTE logic (the funnel-ladder discipline) over the SAME fixture-
+    augmented corpus; the Spark side shares :func:`feistel_position`
+    and :func:`hash_coin` with the registered components, so the plan
+    cannot drift from the primitives it composes. Re-deriving any
+    epoch's shard yields the identical order
+    (tests/test_llm_ops.py::test_epoch_plan_replay_and_composition).
+
+    Fixture riders (``EPOCH_PLAN_FIXTURE_ROWS``) make every decision
+    non-vacuous at every SF: srcfix forces an n_min below the balanced
+    synthetic sources (thresholds really drop documents), srcbig owes
+    only one epoch (the epoch < n_ep cut really fires).
+
+    Scale shape: two |sources|-row rollup/broadcast stages + one
+    zero-shuffle Feistel projection per kept (doc, epoch) row — no
+    sort, no corpus-keyed join (the source join broadcasts |sources|
+    rows); the trainer range-scans (epoch, shard) slices, so no global
+    order is ever materialized."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    fixture = spark.createDataFrame(
+        [(i, s, t) for i, s, t in EPOCH_PLAN_FIXTURE_ROWS],
+        "doc_id long, source string, text string",
+    )
+    pdocs = d.unionByName(fixture)
+    pn = pdocs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(ws_tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    n_min = F.min("n_docs").over(W.partitionBy())
+    nsrc = pn.agg(F.count(F.lit(1)).alias("n_sources"))
+    thr = F.floor((F.lit(PRIME32) * F.sqrt(n_min)) / F.sqrt("n_docs")).cast(
+        "long"
+    )
+    epochs = F.expr("(tt + n_tokens - 1) DIV n_tokens")
+    psch = (
+        pn.crossJoin(F.broadcast(nsrc))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            thr.alias("threshold"),
+            F.expr(f"CAST({EPOCH_BUDGET} AS BIGINT) DIV n_sources").alias("tt"),
+        )
+        .select(
+            "source",
+            "threshold",
+            F.least(epochs.cast("long"), F.lit(PERM_EPOCHS)).alias("n_ep"),
+        )
+    )
+    kept = (
+        pdocs.select("doc_id", "source")
+        .join(F.broadcast(psch), "source")
+        .filter(hash_coin("doc_id") < F.col("threshold"))
+    )
+    e = (
+        kept.filter(
+            (F.col("doc_id") >= 0)
+            & (F.col("doc_id") < FEISTEL_HALF * FEISTEL_HALF)
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_ep",
+            F.explode(F.sequence(F.lit(0), F.lit(PERM_EPOCHS - 1))).alias(
+                "epoch"
+            ),
+        )
+        .filter(F.col("epoch") < F.col("n_ep"))
+    )
+    perm = feistel_position()
+    out = e.select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "doc_id",
+        "source",
+        perm.cast("long").alias("position"),
+    )
+    return out.select(
+        "epoch",
+        F.expr(f"position DIV {PERM_SHARD_DIV}").alias("shard"),
+        "doc_id",
+        "source",
+        "position",
+    )

@@ -1353,3 +1353,16 @@ def test_c4_rules_zero_exchange_projection(spark, sf_dir):
     assert "Exchange" not in p, p
     assert "Join" not in p, p
     assert "Aggregate" not in p.replace("PartialAggregate", ""), p
+
+
+def test_epoch_plan_broadcast_schedule_no_sort(spark, sf_dir, no_auto_broadcast):
+    """curate_epoch_plan: the |sources|-row schedule table rides an
+    EXPLICIT broadcast into the corpus join, the Feistel projection adds
+    no Sort/Window, and the only exchanges are the bounded source
+    rollups — never a corpus-keyed shuffle join or a global sort."""
+    df = _Q["curate_epoch_plan"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Sort " not in p.replace("SortAggregate", ""), p
