@@ -74,6 +74,10 @@ HEADLINE = (
     "text_chunk_windows",                # RAG chunking scan shape (new r14)
     "dedup_duplicate_spans",             # ExactSubstr span merge (new r14-late)
     "dedup_jaccard_prefix",              # prefix-filtered exact Jaccard join (new r14-late)
+    "ml_virality_linear_certified",      # certified closed-form ML twin (new r15, VERDICT #3)
+    "sim_ann_ivf_incremental",           # assign-only ANN index maintenance (new r15, VERDICT #4)
+    "lex_c4_rules",                      # C4 line/page policy pass (new r15, VERDICT #5)
+    "curate_epoch_plan",                 # per-epoch training manifest (new r15, VERDICT #7)
 )
 
 #: tier annotations surfaced in the bench JSON, so the headline total stays
