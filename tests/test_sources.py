@@ -348,7 +348,7 @@ def test_decode_binary_media_registered_pipeline_end_to_end(spark):
     )
 
     plans.load_all()
-    fn = plans.all_queries()["decode_binary_media"]
+    fn = plans.get("decode_binary_media").fn
     got = {tuple(r) for r in fn(spark, "ignored").collect()}
     assert got == set(_MM_FIXTURE_ORACLE_ROWS)
     # decoy exists on disk but never reaches the scan

@@ -750,7 +750,7 @@ def test_minhash_history_sink_matches_batch_incremental_restriction(
 
     expected_rejected = {
         r.batch_id
-        for r in plans.all_queries()["dedup_incremental_minhash"](spark, sf_dir)
+        for r in plans.get("dedup_incremental_minhash").fn(spark, sf_dir)
         .select("batch_id")
         .distinct()
         .collect()
@@ -973,7 +973,7 @@ def test_simhash_history_sink_matches_batch_incremental_restriction(
 
     expected_rejected = {
         r.batch_id
-        for r in plans.all_queries()["dedup_incremental_simhash"](spark, sf_dir)
+        for r in plans.get("dedup_incremental_simhash").fn(spark, sf_dir)
         .select("batch_id")
         .distinct()
         .collect()
@@ -1012,7 +1012,7 @@ def test_quality_gate_sink_matches_batch_classifier_and_replays(spark, sf_dir, t
 
     expected_keep = {
         r.doc_id
-        for r in plans.all_queries()["curate_quality_classifier"](spark, sf_dir)
+        for r in plans.get("curate_quality_classifier").fn(spark, sf_dir)
         .filter(F.col("keep"))
         .collect()
     } | {-1, -2}
@@ -1134,7 +1134,7 @@ def test_passage_history_sink_matches_batch_incremental_restriction(
 
     expected_flagged = {
         r.doc_id
-        for r in plans.all_queries()["dedup_incremental_passages"](spark, sf_dir)
+        for r in plans.get("dedup_incremental_passages").fn(spark, sf_dir)
         .filter(F.col("flagged"))
         .collect()
     }
