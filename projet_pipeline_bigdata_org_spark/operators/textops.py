@@ -684,6 +684,308 @@ def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Gopher repetition rules (Rae et al. 2021 §A1.1, the REPETITION half —
+# the quality half is lex_gopher_rules): thresholded duplicate-line and
+# n-gram repetition filters
+# ---------------------------------------------------------------------------
+
+#: removal thresholds in exact per-mille (Gopher §A1.1: duplicate line
+#: fraction 0.30, duplicate line CHARACTER fraction 0.20, top 2/3/4-gram
+#: character fraction 0.20/0.18/0.16). The duplicate-n-gram coverage rule
+#: (the paper runs it at n=5..10, thresholds 0.15..0.10) is exercised at
+#: n=2 with 0.20 here: this corpus' 10-99-token documents NEVER repeat a
+#: 5-gram (probed: coverage 0 at every SF), so the paper's n would
+#: certify only the pass branch — the coverage arithmetic is
+#: n-independent
+GOPREP_DUP_LINE_PM = 300
+GOPREP_DUP_LINE_CHAR_PM = 200
+GOPREP_TOP_GRAM_PM = {2: 200, 3: 180, 4: 160}
+GOPREP_DUP_COV_N = 2
+GOPREP_DUP_COV_PM = 200
+
+#: multi-line riders for the LINE rules (the corpus is single-line, so
+#: those two rules would otherwise certify only their pass branch): one
+#: page dominated by a repeated footer line (fails both line rules), one
+#: clean multi-line page (passes both)
+GOPREP_FIXTURE_ROWS: tuple[tuple[int, str], ...] = (
+    (93_200_001,
+     "the repeated footer line marker\n"
+     "one real content line here\n"
+     "the repeated footer line marker\n"
+     "the repeated footer line marker"),
+    (93_200_002,
+     "first distinct content line\n"
+     "second distinct content line\n"
+     "third distinct content line"),
+    # a looping generation: the 4-gram "alpha beta gamma delta" repeats 3x,
+    # so the top-4-gram rule (and everything below it) fails at EVERY SF —
+    # the real corpus trips top4 at sf0.001/0.1 but not sf0.01
+    (93_200_003,
+     "alpha beta gamma delta alpha beta gamma delta alpha beta gamma delta"),
+)
+
+_GOPREP_FIXTURE_SQL = " UNION ALL ".join(
+    "SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text".format(
+        i=i, t=t.replace("'", "''").replace("\n", "' || CHR(10) || '")
+    )
+    for i, t in GOPREP_FIXTURE_ROWS
+)
+
+
+def _sql_grams(n: int) -> str:
+    """List of space-joined n-grams of ``toks`` (DuckDB)."""
+    return (
+        f"LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(toks) - {n - 1}, 0)),"
+        f" i -> ARRAY_TO_STRING(toks[i : i + {n - 1}], ' '))"
+    )
+
+
+def _sql_top_mass(n: int) -> str:
+    """Char mass of the most frequent REPEATED n-gram (ties: lexicographic
+    min), 0 when nothing repeats. gram char length = LENGTH(gram) - (n-1)
+    separators (tokens are space-joined)."""
+    g = f"g{n}"
+    return f"""CASE WHEN LEN({g}) > 0 AND {g}cmax >= 2
+             THEN {g}cmax * (LENGTH(LIST_MIN(LIST_FILTER({g}, x ->
+                    LEN(LIST_FILTER({g}, y -> y = x)) = {g}cmax))) - {n - 1})
+             ELSE 0 END"""
+
+
+_GOPREP_ORACLE = f"""
+    WITH src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL {_GOPREP_FIXTURE_SQL}
+    ), t AS (
+      SELECT doc_id,
+             {SQL_WS_TOKENS.format(c='text')} AS toks,
+             LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(COALESCE(text, ''),
+                 CHR(10)), x -> TRIM(x)), x -> x <> '') AS lines
+      FROM src
+    ), g AS (
+      SELECT doc_id, toks, lines,
+             {_sql_grams(2)} AS g2, {_sql_grams(3)} AS g3,
+             {_sql_grams(4)} AS g4
+      FROM t
+    ), c AS (
+      SELECT doc_id, toks, lines, g2, g3, g4,
+             LIST_TRANSFORM(g2, x -> LEN(LIST_FILTER(g2, y -> y = x)))
+               AS c2,
+             COALESCE(LIST_MAX(LIST_TRANSFORM(g2, x ->
+               LEN(LIST_FILTER(g2, y -> y = x)))), 0) AS g2cmax,
+             COALESCE(LIST_MAX(LIST_TRANSFORM(g3, x ->
+               LEN(LIST_FILTER(g3, y -> y = x)))), 0) AS g3cmax,
+             COALESCE(LIST_MAX(LIST_TRANSFORM(g4, x ->
+               LEN(LIST_FILTER(g4, y -> y = x)))), 0) AS g4cmax
+      FROM g
+    ), m AS (
+      SELECT doc_id,
+             CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))), 0)
+               AS BIGINT) AS total_chars,
+             CAST(LEN(lines) AS BIGINT) AS n_lines,
+             CAST(LEN(LIST_DISTINCT(lines)) AS BIGINT) AS n_distinct_lines,
+             CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(lines, x -> LENGTH(x))), 0)
+               AS BIGINT) AS line_chars,
+             CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(LIST_DISTINCT(lines),
+               x -> LENGTH(x))), 0) AS BIGINT) AS distinct_line_chars,
+             CAST({_sql_top_mass(2)} AS BIGINT) AS top2_mass,
+             CAST({_sql_top_mass(3)} AS BIGINT) AS top3_mass,
+             CAST({_sql_top_mass(4)} AS BIGINT) AS top4_mass,
+             CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(
+               GENERATE_SERIES(0, LEN(toks) - 1), p -> CASE WHEN
+                 (p <= LEN(toks) - 2 AND c2[p + 1] >= 2)
+                 OR (p >= 1 AND c2[p] >= 2)
+               THEN LENGTH(toks[p + 1]) ELSE 0 END)), 0) AS BIGINT)
+               AS dup2_cov_chars
+      FROM c
+    )
+    SELECT doc_id, total_chars, n_lines, n_distinct_lines,
+           top2_mass, top3_mass, top4_mass, dup2_cov_chars,
+           CASE WHEN n_lines > 0 THEN CAST(1000 * (n_lines
+             - n_distinct_lines) // n_lines AS BIGINT) END AS dup_line_pm,
+           CASE WHEN line_chars > 0 THEN CAST(1000 * (line_chars
+             - distinct_line_chars) // line_chars AS BIGINT) END
+             AS dup_line_char_pm,
+           1000 * (n_lines - n_distinct_lines)
+             <= {GOPREP_DUP_LINE_PM} * n_lines AS ok_dup_lines,
+           1000 * (line_chars - distinct_line_chars)
+             <= {GOPREP_DUP_LINE_CHAR_PM} * line_chars AS ok_dup_line_chars,
+           1000 * top2_mass <= {GOPREP_TOP_GRAM_PM[2]} * total_chars
+             AS ok_top2,
+           1000 * top3_mass <= {GOPREP_TOP_GRAM_PM[3]} * total_chars
+             AS ok_top3,
+           1000 * top4_mass <= {GOPREP_TOP_GRAM_PM[4]} * total_chars
+             AS ok_top4,
+           1000 * dup2_cov_chars <= {GOPREP_DUP_COV_PM} * total_chars
+             AS ok_dup_cov,
+           1000 * (n_lines - n_distinct_lines) <= {GOPREP_DUP_LINE_PM} * n_lines
+             AND 1000 * (line_chars - distinct_line_chars)
+                   <= {GOPREP_DUP_LINE_CHAR_PM} * line_chars
+             AND 1000 * top2_mass <= {GOPREP_TOP_GRAM_PM[2]} * total_chars
+             AND 1000 * top3_mass <= {GOPREP_TOP_GRAM_PM[3]} * total_chars
+             AND 1000 * top4_mass <= {GOPREP_TOP_GRAM_PM[4]} * total_chars
+             AND 1000 * dup2_cov_chars <= {GOPREP_DUP_COV_PM} * total_chars
+             AS keep
+    FROM m
+    """
+
+
+@query(
+    "lex_gopher_repetition",
+    oracle=_GOPREP_ORACLE,
+    tags=("llm", "text", "quality", "documents"),
+)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher REPETITION rules (Rae et al. 2021 §A1.1's second half —
+    ``lex_gopher_rules`` covers the quality half): thresholded
+    duplicate-line fraction, duplicate-line CHARACTER fraction, top
+    2/3/4-gram character fraction (counted only when the top gram
+    actually repeats — an unrepeated gram is length bias, not
+    repetition), and duplicated-n-gram character coverage (each token
+    position counted once however many duplicated grams cover it).
+    Every comparison is an exact integer cross-multiplication in
+    per-mille; the per-mille report columns are DIV-truncated integers.
+
+    Fixture riders (``GOPREP_FIXTURE_ROWS``, both engines) exercise the
+    two LINE rules both ways — the corpus is single-line; the n-gram
+    rules split the REAL corpus at every SF (probed: top-2-gram p99
+    ~220‰ against the 200‰ threshold, dup-2-gram coverage p90 ~230‰).
+
+    Scale shape: ENTIRELY array-local higher-order arithmetic — zero
+    shuffle, zero explode, one codegen'd projection (plan-pinned), the
+    same cost class as lex_c4_rules. The within-array counting is
+    O(k²) per document (k = token count, <= 99 here); for long-document
+    corpora the explode + groupBy(doc_id, gram) formulation of
+    ``text_repetition_stats`` bounds that instead — the thresholds and
+    flags are representation-independent."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    fixture = spark.createDataFrame(
+        list(GOPREP_FIXTURE_ROWS), "doc_id long, text string"
+    )
+    src = d.unionByName(fixture)
+    toks = ws_tokens("text")
+    lines = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col("text"), F.lit("")), "\n"),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )
+
+    def grams(n: int) -> F.Column:
+        return F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(F.col("toks")) - (n - 1), F.lit(0))
+            ),
+            lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
+        )
+
+    t = src.select("doc_id", toks.alias("toks"), lines.alias("lines"))
+    g = t.select(
+        "doc_id", "toks", "lines",
+        grams(2).alias("g2"), grams(3).alias("g3"), grams(4).alias("g4"),
+    )
+
+    def counts(col: str) -> F.Column:
+        return F.transform(
+            F.col(col),
+            lambda x: F.size(F.filter(F.col(col), lambda y: y == x)),
+        )
+
+    def cmax(col: str) -> F.Column:
+        return F.coalesce(F.array_max(counts(col)), F.lit(0))
+
+    c = g.select(
+        "doc_id", "toks", "lines", "g2", "g3", "g4",
+        counts("g2").alias("c2"),
+        cmax("g2").alias("g2cmax"),
+        cmax("g3").alias("g3cmax"),
+        cmax("g4").alias("g4cmax"),
+    )
+
+    def chars(col: F.Column) -> F.Column:
+        return F.coalesce(
+            F.aggregate(
+                F.transform(col, lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, b: a + b,
+            ),
+            F.lit(0).cast("long"),
+        )
+
+    def top_mass(n: int) -> F.Column:
+        gc, cm = F.col(f"g{n}"), F.col(f"g{n}cmax")
+        top = F.array_min(
+            F.filter(
+                gc,
+                lambda x: F.size(F.filter(gc, lambda y: y == x)) == cm,
+            )
+        )
+        return (
+            F.when(
+                (F.size(gc) > 0) & (cm >= 2),
+                cm.cast("long") * (F.length(top).cast("long") - (n - 1)),
+            )
+            .otherwise(F.lit(0).cast("long"))
+        )
+
+    ntoks = F.size(F.col("toks"))
+    covered = F.coalesce(
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), ntoks - 1),
+                lambda p: F.when(
+                    ((p <= ntoks - 2) & (F.get(F.col("c2"), p) >= 2))
+                    | ((p >= 1) & (F.get(F.col("c2"), p - 1) >= 2)),
+                    F.length(F.get(F.col("toks"), p)).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ),
+        F.lit(0).cast("long"),
+    )
+    m = c.select(
+        "doc_id",
+        chars(F.col("toks")).alias("total_chars"),
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size(F.array_distinct("lines")).cast("long").alias("n_distinct_lines"),
+        chars(F.col("lines")).alias("line_chars"),
+        chars(F.array_distinct("lines")).alias("distinct_line_chars"),
+        top_mass(2).alias("top2_mass"),
+        top_mass(3).alias("top3_mass"),
+        top_mass(4).alias("top4_mass"),
+        covered.alias("dup2_cov_chars"),
+    )
+    dl = 1000 * (F.col("n_lines") - F.col("n_distinct_lines"))
+    dlc = 1000 * (F.col("line_chars") - F.col("distinct_line_chars"))
+    ok_dl = dl <= GOPREP_DUP_LINE_PM * F.col("n_lines")
+    ok_dlc = dlc <= GOPREP_DUP_LINE_CHAR_PM * F.col("line_chars")
+    ok_t2 = 1000 * F.col("top2_mass") <= GOPREP_TOP_GRAM_PM[2] * F.col("total_chars")
+    ok_t3 = 1000 * F.col("top3_mass") <= GOPREP_TOP_GRAM_PM[3] * F.col("total_chars")
+    ok_t4 = 1000 * F.col("top4_mass") <= GOPREP_TOP_GRAM_PM[4] * F.col("total_chars")
+    ok_cov = 1000 * F.col("dup2_cov_chars") <= GOPREP_DUP_COV_PM * F.col(
+        "total_chars"
+    )
+    return m.select(
+        "doc_id", "total_chars", "n_lines", "n_distinct_lines",
+        "top2_mass", "top3_mass", "top4_mass", "dup2_cov_chars",
+        F.when(F.col("n_lines") > 0, F.expr("1000 * (n_lines - n_distinct_lines) DIV n_lines"))
+        .alias("dup_line_pm"),
+        F.when(
+            F.col("line_chars") > 0,
+            F.expr("1000 * (line_chars - distinct_line_chars) DIV line_chars"),
+        ).alias("dup_line_char_pm"),
+        ok_dl.alias("ok_dup_lines"),
+        ok_dlc.alias("ok_dup_line_chars"),
+        ok_t2.alias("ok_top2"),
+        ok_t3.alias("ok_top3"),
+        ok_t4.alias("ok_top4"),
+        ok_cov.alias("ok_dup_cov"),
+        (ok_dl & ok_dlc & ok_t2 & ok_t3 & ok_t4 & ok_cov).alias("keep"),
+    )
+
+
 #: every doc_id divisible by this is the stand-in "benchmark/eval" set the
 #: corpus is decontaminated against
 DECONTAM_BENCH_MOD = 89

@@ -5090,3 +5090,93 @@ def test_epoch_plan_replay_and_composition(spark, sf_dir):
         .collect()
     )
     assert again == want and len(want) > 0
+
+
+def test_gopher_repetition_replay(spark, sf_dir):
+    """Independent pure-Python replay of every Gopher repetition metric
+    (duplicate lines, duplicate line chars, repeated top-n-gram mass,
+    duplicated-2-gram char coverage) on the fixture riders plus a sample
+    of real documents, and rule-variety pins (every rule fails somewhere
+    across corpus + riders)."""
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.textops import (
+        GOPREP_DUP_COV_PM,
+        GOPREP_DUP_LINE_CHAR_PM,
+        GOPREP_DUP_LINE_PM,
+        GOPREP_FIXTURE_ROWS,
+        GOPREP_TOP_GRAM_PM,
+        text_gopher_repetition,
+    )
+
+    got = {r.doc_id: r for r in text_gopher_repetition(spark, sf_dir).collect()}
+    texts = dict(GOPREP_FIXTURE_ROWS)
+    sample = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(40)
+        .collect()
+    )
+    texts.update({r.doc_id: r.text for r in sample})
+
+    def replay(text):
+        # the engines' shared ws_tokens contract splits on single SPACE
+        # only (newlines stay inside tokens) — replay the same rule
+        toks = [w for w in (text or "").split(" ") if w]
+        total = sum(len(w) for w in toks)
+        lines = [x.strip() for x in (text or "").split("\n") if x.strip()]
+        masses = {}
+        for n in (2, 3, 4):
+            gs = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            cnt = {}
+            for x in gs:
+                cnt[x] = cnt.get(x, 0) + 1
+            masses[n] = 0
+            if gs:
+                cm = max(cnt.values())
+                if cm >= 2:
+                    top = min(x for x in gs if cnt[x] == cm)
+                    masses[n] = cm * (len(top) - (n - 1))
+        g2 = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        c2 = {}
+        for x in g2:
+            c2[x] = c2.get(x, 0) + 1
+        cov = sum(
+            len(toks[p])
+            for p in range(len(toks))
+            if (p <= len(toks) - 2 and c2[g2[p]] >= 2)
+            or (p >= 1 and c2[g2[p - 1]] >= 2)
+        )
+        return total, lines, masses, cov
+
+    for doc_id, text in texts.items():
+        total, lines, masses, cov = replay(text)
+        r = got[doc_id]
+        assert r.total_chars == total
+        assert r.n_lines == len(lines)
+        assert r.n_distinct_lines == len(set(lines))
+        for n in (2, 3, 4):
+            assert getattr(r, f"top{n}_mass") == masses[n], (doc_id, n)
+        assert r.dup2_cov_chars == cov, doc_id
+        lc = sum(len(x) for x in lines)
+        dlc = sum(len(x) for x in set(lines))
+        assert r.ok_dup_lines == (
+            1000 * (len(lines) - len(set(lines)))
+            <= GOPREP_DUP_LINE_PM * len(lines)
+        )
+        assert r.ok_dup_line_chars == (
+            1000 * (lc - dlc) <= GOPREP_DUP_LINE_CHAR_PM * lc
+        )
+        for n in (2, 3, 4):
+            assert getattr(r, f"ok_top{n}") == (
+                1000 * masses[n] <= GOPREP_TOP_GRAM_PM[n] * total
+            )
+        assert r.ok_dup_cov == (1000 * cov <= GOPREP_DUP_COV_PM * total)
+    # rule variety: every rule fails for someone, and keep splits
+    all_rows = list(got.values())
+    for flag in (
+        "ok_dup_lines", "ok_dup_line_chars", "ok_top2", "ok_top3",
+        "ok_top4", "ok_dup_cov",
+    ):
+        assert any(not getattr(r, flag) for r in all_rows), flag
+    keeps = {r.keep for r in all_rows}
+    assert keeps == {True, False}

@@ -1366,3 +1366,14 @@ def test_epoch_plan_broadcast_schedule_no_sort(spark, sf_dir, no_auto_broadcast)
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
     assert "CartesianProduct" not in p, p
     assert "Sort " not in p.replace("SortAggregate", ""), p
+
+
+def test_gopher_repetition_zero_exchange(spark, sf_dir):
+    """lex_gopher_repetition is entirely array-local higher-order
+    arithmetic — zero Exchange, no join, no explode-driven aggregate:
+    one codegen'd projection over the scan (the lex_c4_rules shape)."""
+    df = _Q["lex_gopher_repetition"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+    assert "Generate" not in p, p  # no explode
