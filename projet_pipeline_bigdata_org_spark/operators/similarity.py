@@ -2335,7 +2335,13 @@ PQ_K = 16
 #: (vec_id, sub, cid, dist) — ONE definition for encode and ADC search so
 #: the code bits cannot drift between the two queries (the repo's shared-SQL
 #: discipline, e.g. minhash_band_table / SQL_CC_LABELS)
-_PQ_CODE_CTES = f"""pts AS (
+def _pq_code_ctes(cb_where: str = f"vec_id < {PQ_K}") -> str:
+    """The pts → sub_pts → cb → d → a chain, parameterized by the PQ
+    codebook-seed predicate: the default is consumed by the encoder, the
+    ADC search, and the certified IVF-PQ (one code definition); the
+    INCREMENTAL IVF-PQ seeds from HISTORY vectors only (the
+    _ivfc_base_ctes discipline applied to the second codebook)."""
+    return f"""pts AS (
       SELECT vec_id, i - 1 AS dim,
              CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {PW_XS}, 0) AS BIGINT) AS xs
       FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS t(i)
@@ -2344,7 +2350,7 @@ _PQ_CODE_CTES = f"""pts AS (
       FROM pts
     ), cb AS (
       SELECT vec_id AS cid, sub, sdim, xs AS cs
-      FROM sub_pts WHERE vec_id < {PQ_K}
+      FROM sub_pts WHERE {cb_where}
     ), d AS (
       SELECT p.vec_id, p.sub, c.cid,
              CAST(SUM((p.xs - c.cs) * (p.xs - c.cs)) AS BIGINT) AS dist
@@ -2358,6 +2364,9 @@ _PQ_CODE_CTES = f"""pts AS (
         FROM d)
       WHERE rn = 1
     )"""
+
+
+_PQ_CODE_CTES = _pq_code_ctes()
 
 
 def _pq_scaled_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2647,10 +2656,11 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_exact_rerank(sl, pts, qsub)
 
 
-def _ivfpq_certified_oracle() -> str:
-    return f"""
-    WITH {_IVFC_BASE_CTES}, {_PQ_CODE_CTES},
-    probes AS (
+#: the probe → candidate → LUT → ADC → shortlist → exact-rerank chain of
+#: an IVF-PQ SEARCH — independent of both codebook seeds, so the one-shot
+#: certified oracle and the incremental-maintenance oracle share it
+#: verbatim (the _IVFC_SEARCH_SQL discipline applied to the PQ stage)
+_IVFPQ_SEARCH_CTES = f"""probes AS (
       SELECT vec_id AS q_id, cid AS cell FROM (
         SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -2689,7 +2699,13 @@ def _ivfpq_certified_oracle() -> str:
       JOIN qsub qp ON qp.q_id = s.q_id AND qp.sub = np.sub
                   AND qp.sdim = np.sdim
       GROUP BY s.q_id, s.n_id
-    )
+    )"""
+
+
+def _ivfpq_certified_oracle() -> str:
+    return f"""
+    WITH {_IVFC_BASE_CTES}, {_PQ_CODE_CTES},
+    {_IVFPQ_SEARCH_CTES}
     SELECT q_id, n_id, l2,
            CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                                    ORDER BY l2, n_id) AS BIGINT) AS rnk
@@ -2750,6 +2766,126 @@ def sim_ann_ivfpq_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "n_id"
     )
     return _pq_exact_rerank(sl, pts, qsub)
+
+
+# ---------------------------------------------------------------------------
+# incremental IVF-PQ maintenance (r15): BOTH codebooks frozen
+# history-seeded, shard admission = coarse assign + PQ encode only,
+# postings ∪ codes unions, ADC search unchanged — completing the retrieval
+# matrix {brute, LSH, IVF, IVF-PQ, MaxSim} × {one-shot, incremental}
+# ---------------------------------------------------------------------------
+
+#: PQ codebook-seed bound for the history-seeded incremental index: the
+#: first PQ_K history vectors by id are exactly the residue-history ids
+#: below K*10/8 (the IVFC_INC_SEED_MAX construction applied to the
+#: second codebook)
+PQ_INC_SEED_MAX = PQ_K * 10 // EMB_BATCH_RESIDUE
+
+_PQ_INC_CB_WHERE = (
+    f"vec_id < {PQ_INC_SEED_MAX} AND vec_id % 10 < {EMB_BATCH_RESIDUE}"
+)
+
+_IVFPQ_INC_ORACLE = f"""
+    WITH {_ivfc_base_ctes(_IVFC_INC_CENTS_WHERE)},
+    {_pq_code_ctes(_PQ_INC_CB_WHERE)},
+    {_IVFPQ_SEARCH_CTES}
+    SELECT q_id, n_id, l2,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY l2, n_id) AS BIGINT) AS rnk,
+           (n_id % 10 >= {EMB_BATCH_RESIDUE}) AS from_batch
+    FROM rer
+    QUALIFY rnk <= {TOPK}
+    """
+
+
+def pq_incremental_codes(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(pts, cb, codes): the maintained PQ code store — history codes
+    plus the shard's ENCODE-ONLY admission against the frozen
+    history-seeded PQ codebook. Shared by the batch query and its
+    one-shot equality test (the ann_incremental_postings discipline
+    applied to the code side)."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    pts = _pq_scaled_points(spark, sf_dir)
+    is_batch = F.col("vec_id") % 10 >= EMB_BATCH_RESIDUE
+    cb = pts.filter((F.col("vec_id") < PQ_INC_SEED_MAX) & ~is_batch).select(
+        F.col("vec_id").alias("cid"), "sub", "sdim", F.col("xs").alias("cs")
+    )
+    # the pre-existing code store (encoded once, before the shard lands)
+    hist_codes = _persist_scoped(
+        "pqinc_hist_codes", _pq_assignments(pts.filter(~is_batch), cb)
+    )
+    # encode-only maintenance: the shard against the FROZEN PQ codebook
+    batch_codes = _pq_assignments(pts.filter(is_batch), cb)
+    codes = _persist_scoped(
+        "pqinc_codes", hist_codes.unionByName(batch_codes)
+    )
+    return pts, cb, codes
+
+
+@query(
+    "sim_ann_ivfpq_incremental",
+    oracle=_IVFPQ_INC_ORACLE,
+    tags=("llm", "similarity", "compression", "embeddings", "incremental"),
+)
+def sim_ann_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ maintenance — ``sim_ann_ivf_incremental``'s
+    pattern applied to the COMPRESSED scale path, completing the
+    retrieval matrix {brute, LSH, IVF, IVF-PQ, MaxSim} ×
+    {one-shot, incremental}: both codebooks (coarse cells AND the PQ
+    sub-quantizers) are frozen history-seeded artifacts; admitting a
+    shard costs exactly one coarse assignment + one PQ encode of the
+    shard — no re-train, no history re-index, no float re-read of
+    history; the inverted lists and the code store are unions; and the
+    ADC search (probes → LUT → code-only scan → shortlist → exact
+    re-rank) is byte-shared with ``sim_ann_ivfpq_certified``
+    (``_IVFPQ_SEARCH_CTES``). This is the production posture FAISS
+    documents for IVF-PQ at scale: train once on a history sample,
+    `add()` forever after — here with every add certified.
+
+    Scale shape: shard admission is two broadcast-agg passes over the
+    shard only (16-row coarse codebook, {PQ_K}-per-subspace PQ
+    codebook); search cost is unchanged — probed cells' 32-bit code
+    rows, floats touched only for the shortlist re-rank."""
+    _pts_ivf, _cents, assign = ann_incremental_postings(spark, sf_dir)
+    pts, cb, codes = pq_incremental_codes(spark, sf_dir)
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    cdist = _persist_scoped(
+        "annic_cdist",
+        ivfc_cell_distances(
+            _pts_ivf.filter(F.col("vec_id") < N_QUERIES), _cents
+        ),
+    )
+    arn = F.row_number().over(W.partitionBy("vec_id").orderBy("dist", "cid"))
+    probes = (
+        cdist.withColumn("rn", arn)
+        .filter(F.col("rn") <= IVFC_PROBES)
+        .select(F.col("vec_id").alias("q_id"), F.col("cid").alias("cell"))
+    )
+    cand = (
+        probes.join(assign.withColumnRenamed("vec_id", "n_id"), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id")
+    )
+    qsub = _pq_query_block(pts)
+    adc = (
+        cand.join(
+            codes.select(F.col("vec_id").alias("n_id"), "sub", "cid"), "n_id"
+        )
+        .join(F.broadcast(_pq_query_lut(qsub, cb)), ["q_id", "sub", "cid"])
+        .groupBy("q_id", "n_id")
+        .agg(F.sum("qd").cast("long").alias("adc"))
+    )
+    srn = F.row_number().over(W.partitionBy("q_id").orderBy("adc", "n_id"))
+    sl = adc.withColumn("srn", srn).filter(F.col("srn") <= PQ_SHORTLIST).select(
+        "q_id", "n_id"
+    )
+    return _pq_exact_rerank(sl, pts, qsub).withColumn(
+        "from_batch", F.col("n_id") % 10 >= EMB_BATCH_RESIDUE
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -5180,3 +5180,30 @@ def test_gopher_repetition_replay(spark, sf_dir):
         assert any(not getattr(r, flag) for r in all_rows), flag
     keeps = {r.keep for r in all_rows}
     assert keeps == {True, False}
+
+
+def test_ann_ivfpq_incremental_codes_equal_one_shot(spark, sf_dir):
+    """Code-store maintenance equality: history codes + encode-only
+    shard admission against the frozen history-seeded PQ codebook must
+    equal the ONE-SHOT encode of the full corpus under the same
+    codebook — per (vector, subspace), the whole 8-code word. The
+    coarse-postings half of the same invariant is
+    test_ann_ivf_incremental_equals_one_shot."""
+    from projet_pipeline_bigdata_org_spark.operators.similarity import (
+        EMB_BATCH_RESIDUE,
+        PQ_INC_SEED_MAX,
+        _pq_assignments,
+        pq_incremental_codes,
+    )
+
+    pts, cb, codes = pq_incremental_codes(spark, sf_dir)
+    inc = {(r.vec_id, r.sub): r.cid for r in codes.collect()}
+    full = {
+        (r.vec_id, r.sub): r.cid for r in _pq_assignments(pts, cb).collect()
+    }
+    assert inc == full
+    shard = {k for k in inc if k[0] % 10 >= EMB_BATCH_RESIDUE}
+    assert shard  # the maintained rows exist
+    # the frozen codebook really is history-only
+    cids = {r.cid for r in cb.select("cid").distinct().collect()}
+    assert all(c < PQ_INC_SEED_MAX and c % 10 < EMB_BATCH_RESIDUE for c in cids)

@@ -1377,3 +1377,15 @@ def test_gopher_repetition_zero_exchange(spark, sf_dir):
     assert "Exchange" not in p, p
     assert "Join" not in p, p
     assert "Generate" not in p, p  # no explode
+
+
+def test_ann_ivfpq_incremental_broadcast_luts_cached_stores(spark, sf_dir):
+    """sim_ann_ivfpq_incremental: the query LUT and both frozen
+    codebooks broadcast, ranks are WindowGroupLimit-bounded, the
+    maintained postings/code caches are read, no CartesianProduct."""
+    df = _Q["sim_ann_ivfpq_incremental"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "WindowGroupLimit" in p, p
+    assert "InMemoryTableScan" in p, p
