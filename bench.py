@@ -78,6 +78,8 @@ HEADLINE = (
     "sim_ann_ivf_incremental",           # assign-only ANN index maintenance (new r15, VERDICT #4)
     "lex_c4_rules",                      # C4 line/page policy pass (new r15, VERDICT #5)
     "curate_epoch_plan",                 # per-epoch training manifest (new r15, VERDICT #7)
+    "lex_gopher_repetition",             # Gopher repetition-rule pack (new r15-late)
+    "sim_ann_ivfpq_incremental",         # encode-only IVF-PQ maintenance (new r15-late)
 )
 
 #: tier annotations surfaced in the bench JSON, so the headline total stays

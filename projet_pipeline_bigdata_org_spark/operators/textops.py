@@ -852,12 +852,15 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~220‰ against the 200‰ threshold, dup-2-gram coverage p90 ~230‰).
 
     Scale shape: ENTIRELY array-local higher-order arithmetic — zero
-    shuffle, zero explode, one codegen'd projection (plan-pinned), the
-    same cost class as lex_c4_rules. The within-array counting is
-    O(k²) per document (k = token count, <= 99 here); for long-document
+    shuffle, zero explode (plan-pinned): the work is embarrassingly
+    per-row, so it scales linearly with the corpus and never exchanges.
+    The within-array counting is O(k²) per document (k = token count,
+    <= 99 here) through partially-interpreted lambda expressions
+    (~1.4 ms/doc at sf0.1 — cheap in absolute terms but a heavier
+    per-row constant than lex_c4_rules' regex pack); for long-document
     corpora the explode + groupBy(doc_id, gram) formulation of
-    ``text_repetition_stats`` bounds that instead — the thresholds and
-    flags are representation-independent."""
+    ``text_repetition_stats`` bounds the in-doc cost instead — the
+    thresholds and flags are representation-independent."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     fixture = spark.createDataFrame(
         list(GOPREP_FIXTURE_ROWS), "doc_id long, text string"
