@@ -708,7 +708,7 @@ GOPREP_DUP_COV_PM = 200
 #: those two rules would otherwise certify only their pass branch): one
 #: page dominated by a repeated footer line (fails both line rules), one
 #: clean multi-line page (passes both)
-GOPREP_FIXTURE_ROWS: tuple[tuple[int, str], ...] = (
+GOPREP_FIXTURE_ROWS: tuple[tuple[int, str | None], ...] = (
     (93_200_001,
      "the repeated footer line marker\n"
      "one real content line here\n"
@@ -723,11 +723,20 @@ GOPREP_FIXTURE_ROWS: tuple[tuple[int, str], ...] = (
     # the real corpus trips top4 at sf0.001/0.1 but not sf0.01
     (93_200_003,
      "alpha beta gamma delta alpha beta gamma delta alpha beta gamma delta"),
+    # degenerate-length riders (ADVICE r15): a 1-token doc (every gram list
+    # empty — previously Spark's sequence(1, 0) slice crashed while DuckDB's
+    # GENERATE_SERIES(1, 0) was empty), an empty doc, and a NULL doc (the
+    # null-safe tokenizer path) — all keep=true with all-zero metrics
+    (93_200_004, "solo"),
+    (93_200_005, ""),
+    (93_200_006, None),
 )
 
 _GOPREP_FIXTURE_SQL = " UNION ALL ".join(
-    "SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text".format(
-        i=i, t=t.replace("'", "''").replace("\n", "' || CHR(10) || '")
+    "SELECT CAST({i} AS BIGINT) AS doc_id, {t} AS text".format(
+        i=i,
+        t="CAST(NULL AS VARCHAR)" if t is None
+        else "'{}'".format(t.replace("'", "''").replace("\n", "' || CHR(10) || '")),
     )
     for i, t in GOPREP_FIXTURE_ROWS
 )
@@ -758,7 +767,7 @@ _GOPREP_ORACLE = f"""
       UNION ALL {_GOPREP_FIXTURE_SQL}
     ), t AS (
       SELECT doc_id,
-             {SQL_WS_TOKENS.format(c='text')} AS toks,
+             {SQL_TOK_NULLSAFE} AS toks,
              LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(COALESCE(text, ''),
                  CHR(10)), x -> TRIM(x)), x -> x <> '') AS lines
       FROM src
@@ -830,6 +839,50 @@ _GOPREP_ORACLE = f"""
     """
 
 
+def _goprep_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus + fixture riders → (doc_id, toks, lines) — the shared input
+    stage of both Gopher-repetition forms (null-safe tokenization on both
+    sides, ADVICE r15)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    fixture = spark.createDataFrame(
+        list(GOPREP_FIXTURE_ROWS), "doc_id long, text string"
+    )
+    src = d.unionByName(fixture)
+    toks = ws_tokens(F.coalesce(F.col("text"), F.lit("")))
+    lines = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col("text"), F.lit("")), "\n"),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )
+    return src.select("doc_id", toks.alias("toks"), lines.alias("lines"))
+
+
+def _goprep_grams(n: int) -> Column:
+    """Space-joined n-grams of the ``toks`` column. The index sequence is
+    gated on size >= n: Spark's sequence(1, 0) is the DESCENDING [1, 0]
+    (unlike DuckDB's empty GENERATE_SERIES(1, 0)) and slice(toks, 0, n)
+    raises INVALID_PARAMETER_VALUE.START (ADVICE r15)."""
+    idx = F.when(
+        F.size(F.col("toks")) >= n,
+        F.sequence(F.lit(1), F.size(F.col("toks")) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "))
+
+
+def _arr_chars(col: Column) -> Column:
+    """Total character count of a string array (0 for empty/NULL)."""
+    return F.coalesce(
+        F.aggregate(
+            F.transform(col, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ),
+        F.lit(0).cast("long"),
+    )
+
+
 @query(
     "lex_gopher_repetition",
     oracle=_GOPREP_ORACLE,
@@ -858,35 +911,16 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= 99 here) through partially-interpreted lambda expressions
     (~1.4 ms/doc at sf0.1 — cheap in absolute terms but a heavier
     per-row constant than lex_c4_rules' regex pack); for long-document
-    corpora the explode + groupBy(doc_id, gram) formulation of
-    ``text_repetition_stats`` bounds the in-doc cost instead — the
-    thresholds and flags are representation-independent."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    fixture = spark.createDataFrame(
-        list(GOPREP_FIXTURE_ROWS), "doc_id long, text string"
-    )
-    src = d.unionByName(fixture)
-    toks = ws_tokens("text")
-    lines = F.filter(
-        F.transform(
-            F.split(F.coalesce(F.col("text"), F.lit("")), "\n"),
-            lambda x: F.trim(x),
-        ),
-        lambda x: x != "",
-    )
-
-    def grams(n: int) -> F.Column:
-        return F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size(F.col("toks")) - (n - 1), F.lit(0))
-            ),
-            lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
-        )
-
-    t = src.select("doc_id", toks.alias("toks"), lines.alias("lines"))
+    corpora use ``lex_gopher_repetition_exploded`` — the registered
+    explode + groupBy production twin (VERDICT r15 #3), equality-tested
+    against this form — the thresholds and flags are
+    representation-independent."""
+    t = _goprep_stage(spark, sf_dir)
     g = t.select(
         "doc_id", "toks", "lines",
-        grams(2).alias("g2"), grams(3).alias("g3"), grams(4).alias("g4"),
+        _goprep_grams(2).alias("g2"),
+        _goprep_grams(3).alias("g3"),
+        _goprep_grams(4).alias("g4"),
     )
 
     def counts(col: str) -> F.Column:
@@ -906,15 +940,7 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         cmax("g4").alias("g4cmax"),
     )
 
-    def chars(col: F.Column) -> F.Column:
-        return F.coalesce(
-            F.aggregate(
-                F.transform(col, lambda x: F.length(x).cast("long")),
-                F.lit(0).cast("long"),
-                lambda a, b: a + b,
-            ),
-            F.lit(0).cast("long"),
-        )
+    chars = _arr_chars
 
     def top_mass(n: int) -> F.Column:
         gc, cm = F.col(f"g{n}"), F.col(f"g{n}cmax")
@@ -933,10 +959,13 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ntoks = F.size(F.col("toks"))
+    positions = F.when(ntoks >= 1, F.sequence(F.lit(0), ntoks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     covered = F.coalesce(
         F.aggregate(
             F.transform(
-                F.sequence(F.lit(0), ntoks - 1),
+                positions,
                 lambda p: F.when(
                     ((p <= ntoks - 2) & (F.get(F.col("c2"), p) >= 2))
                     | ((p >= 1) & (F.get(F.col("c2"), p - 1) >= 2)),
@@ -960,6 +989,15 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_mass(4).alias("top4_mass"),
         covered.alias("dup2_cov_chars"),
     )
+    return _goprep_finalize(m)
+
+
+def _goprep_finalize(m: DataFrame) -> DataFrame:
+    """Per-mille flags + keep from the metric stage (shared by the
+    array-local and exploded Gopher-repetition forms — the thresholds and
+    flag arithmetic are representation-independent). ``m`` columns:
+    doc_id, total_chars, n_lines, n_distinct_lines, line_chars,
+    distinct_line_chars, top{2,3,4}_mass, dup2_cov_chars."""
     dl = 1000 * (F.col("n_lines") - F.col("n_distinct_lines"))
     dlc = 1000 * (F.col("line_chars") - F.col("distinct_line_chars"))
     ok_dl = dl <= GOPREP_DUP_LINE_PM * F.col("n_lines")
@@ -987,6 +1025,124 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_cov.alias("ok_dup_cov"),
         (ok_dl & ok_dlc & ok_t2 & ok_t3 & ok_t4 & ok_cov).alias("keep"),
     )
+
+
+@query(
+    "lex_gopher_repetition_exploded",
+    oracle=_GOPREP_ORACLE,
+    tags=("llm", "text", "quality", "documents"),
+)
+def text_gopher_repetition_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document-safe Gopher repetition (VERDICT r15 #3): same rules,
+    metrics, thresholds, fixtures, and oracle as ``lex_gopher_repetition``,
+    but the n-gram counting is posexplode + groupBy(doc_id, n, gram)
+    instead of within-array higher-order lambdas — per-document cost drops
+    from O(k²) interpreted comparisons to O(k) hash-aggregate rows, the
+    form that survives real web documents (a 10k-token page is ~10⁸
+    comparisons/doc array-local vs ~30k aggregate rows here). This is the
+    production path for web-corpus document lengths; the array-local twin
+    stays registered for short-doc corpora where zero-exchange wins.
+    tests/test_llm_ops.py pins row-for-row equality between the two forms
+    on the shared corpus + fixture riders.
+
+    Scale shape: one posexplode over the 2/3/4-gram union → hash aggregate
+    on (doc_id, n, gram) with map-side combine → per-(doc_id, n) max +
+    min_by (the top gram resolves in ONE aggregate pass: min_by over
+    (-count, gram) struct ordering — no second self-join); the
+    duplicate-2-gram coverage is the dedup_repeated_passages
+    one-explode/one-groupBy shape (duplicated gram positions → covered
+    token positions → distinct → length join). Every exchange is keyed by
+    doc_id — linear in corpus tokens, no per-doc quadratic term, and no
+    skew: a single document's grams land in one partition only for the
+    per-doc aggregates, which are O(distinct grams) not O(k²)."""
+    t = _goprep_stage(spark, sf_dir).persist()
+
+    def gram_occ(n: int) -> DataFrame:
+        return t.select(
+            "doc_id", F.lit(n).alias("n"), F.posexplode(_goprep_grams(n))
+        ).toDF("doc_id", "n", "gpos", "gram")
+
+    occ2 = gram_occ(2).persist()
+    occ = occ2.unionByName(gram_occ(3)).unionByName(gram_occ(4))
+    counts = occ.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # top repeated gram per (doc, n): highest count, ties to the
+    # lexicographically smallest gram — (-cnt, gram) struct min_by is
+    # deterministic because gram is unique within the group
+    per_n = counts.groupBy("doc_id", "n").agg(
+        F.max("cnt").alias("cmax"),
+        F.min_by(
+            "gram", F.struct((-F.col("cnt")).alias("negc"), F.col("gram"))
+        ).alias("top"),
+    )
+    mass = (
+        F.when(
+            F.col("cmax") >= 2,
+            F.col("cmax").cast("long")
+            * (F.length("top").cast("long") - (F.col("n") - 1)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    zero = F.lit(0).cast("long")
+    masses = (
+        per_n.select("doc_id", "n", mass.alias("mass"))
+        .groupBy("doc_id")
+        .agg(
+            *(
+                F.coalesce(
+                    F.sum(F.when(F.col("n") == n, F.col("mass"))), zero
+                ).alias(f"top{n}_mass")
+                for n in (2, 3, 4)
+            )
+        )
+    )
+    # duplicated-2-gram coverage: each duplicated gram at gram position p
+    # covers token positions p and p+1; count each covered token ONCE
+    dup2 = counts.filter((F.col("n") == 2) & (F.col("cnt") >= 2)).select(
+        "doc_id", "gram"
+    )
+    cov_pos = (
+        occ2.join(dup2, ["doc_id", "gram"])
+        .select(
+            "doc_id",
+            F.explode(F.array(F.col("gpos"), F.col("gpos") + 1)).alias("tpos"),
+        )
+        .distinct()
+    )
+    tok_len = t.select(
+        "doc_id", F.posexplode("toks").alias("tpos", "tok")
+    ).select("doc_id", "tpos", F.length("tok").cast("long").alias("tlen"))
+    cov = cov_pos.join(tok_len, ["doc_id", "tpos"]).groupBy("doc_id").agg(
+        F.sum("tlen").alias("cov_chars")
+    )
+    base = t.select(
+        "doc_id",
+        _arr_chars(F.col("toks")).alias("total_chars"),
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size(F.array_distinct("lines")).cast("long").alias("n_distinct_lines"),
+        _arr_chars(F.col("lines")).alias("line_chars"),
+        _arr_chars(F.array_distinct("lines")).alias("distinct_line_chars"),
+    )
+    m = (
+        base.join(masses, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_chars",
+            "n_lines",
+            "n_distinct_lines",
+            "line_chars",
+            "distinct_line_chars",
+            *(
+                F.coalesce(f"top{n}_mass", zero).alias(f"top{n}_mass")
+                for n in (2, 3, 4)
+            ),
+            F.coalesce("cov_chars", zero).alias("dup2_cov_chars"),
+        )
+    )
+    return _goprep_finalize(m)
 
 
 #: every doc_id divisible by this is the stand-in "benchmark/eval" set the

@@ -5207,3 +5207,23 @@ def test_ann_ivfpq_incremental_codes_equal_one_shot(spark, sf_dir):
     # the frozen codebook really is history-only
     cids = {r.cid for r in cb.select("cid").distinct().collect()}
     assert all(c < PQ_INC_SEED_MAX and c % 10 < EMB_BATCH_RESIDUE for c in cids)
+
+
+def test_gopher_repetition_exploded_equality(spark, sf_dir):
+    """The explode+groupBy production form (VERDICT r15 #3) returns
+    row-for-row identical output to the array-local form on the shared
+    corpus + fixture riders (degenerate 1-token/empty/NULL docs included),
+    and the degenerate riders land keep=true with all-zero gram metrics."""
+    from projet_pipeline_bigdata_org_spark import plans
+
+    a = plans.registry.get("lex_gopher_repetition").fn(spark, sf_dir)
+    b = plans.registry.get("lex_gopher_repetition_exploded").fn(spark, sf_dir)
+    assert a.columns == b.columns
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert len(ra) > 0 and ra == rb
+    for rider in (93_200_004, 93_200_005, 93_200_006):
+        row = dict(zip(b.columns, next(x for x in rb if x[0] == rider)))
+        assert row["keep"] is True
+        assert row["top2_mass"] == row["top3_mass"] == row["top4_mass"] == 0
+        assert row["dup2_cov_chars"] == 0

@@ -1389,3 +1389,18 @@ def test_ann_ivfpq_incremental_broadcast_luts_cached_stores(spark, sf_dir):
     assert "BroadcastHashJoin" in p, p
     assert "WindowGroupLimit" in p, p
     assert "InMemoryTableScan" in p, p
+
+
+def test_gopher_repetition_exploded_bounded_shuffle(spark, sf_dir):
+    """lex_gopher_repetition_exploded (the long-doc production form):
+    explode-driven hash aggregates with map-side partial aggregation,
+    every exchange keyed by doc_id — no cartesian product, no row UDF,
+    and a bounded exchange count (the dedup_repeated_passages shape,
+    not a per-doc quadratic)."""
+    df = _Q["lex_gopher_repetition_exploded"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p, p
+    assert "Generate" in p, p  # the explode IS the point here
+    assert p.count("Exchange ") <= 14, p
+    assert "partial_count" in p or "partial_" in p, p
