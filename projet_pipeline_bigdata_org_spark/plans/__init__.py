@@ -31,6 +31,7 @@ def load_all() -> None:
         similarity,
         textops,
         timeseries,
+        tpch_suite,
         udtf_ext,
     )
     from projet_pipeline_bigdata_org_spark import pipeline  # noqa: F401

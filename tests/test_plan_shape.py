@@ -1404,3 +1404,49 @@ def test_gopher_repetition_exploded_bounded_shuffle(spark, sf_dir):
     assert "Generate" in p, p  # the explode IS the point here
     assert p.count("Exchange ") <= 14, p
     assert "partial_count" in p or "partial_" in p, p
+
+
+@pytest.mark.parametrize(
+    "name,expect",
+    [
+        # decorrelated shapes: EXISTS/IN/scalar-agg → semi joins, never a
+        # per-row re-scan or cartesian; top-k via TakeOrderedAndProject
+        ("sql_surface_q2", {"TakeOrderedAndProject": 1, "CartesianProduct": 0}),
+        ("sql_surface_q4", {"LeftSemi": 1, "CartesianProduct": 0}),
+        ("sql_surface_q15", {"CartesianProduct": 0}),
+        ("sql_surface_q20", {"LeftSemi": 3, "CartesianProduct": 0}),
+        # NOT IN → null-aware LeftAnti
+        ("sql_surface_q16", {"LeftAnti": 1, "CartesianProduct": 0}),
+        # join-order shapes: the explicit nation/region broadcasts survive
+        # the cluster posture (auto-broadcast off)
+        ("sql_surface_q5", {"BroadcastHashJoin": 1, "CartesianProduct": 0}),
+        ("sql_surface_q7", {"BroadcastHashJoin": 2, "CartesianProduct": 0}),
+        ("sql_surface_q8", {"BroadcastHashJoin": 2, "CartesianProduct": 0}),
+        ("sql_surface_q9", {"BroadcastHashJoin": 1, "CartesianProduct": 0}),
+        ("sql_surface_q10", {"BroadcastHashJoin": 1, "TakeOrderedAndProject": 1}),
+        # the global scalar is a 1-row broadcast nested loop, not a shuffle
+        ("sql_surface_q11", {"BroadcastNestedLoopJoin": 1, "CartesianProduct": 0}),
+    ],
+)
+def test_tpch_suite_cluster_posture(spark, sf_dir, no_auto_broadcast, name, expect):
+    """TPC-H completion shapes planned as a large cluster would (auto
+    broadcast off): decorrelation produced semi/anti joins, explicit
+    dimension broadcasts survived, no cartesian products, top-k never a
+    global sort materialization."""
+    df = _Q[name].fn(spark, sf_dir)
+    p = plan_of(df)
+    for pat, n in expect.items():
+        assert p.count(pat) == n, f"{name}: {pat} x{p.count(pat)} != {n}\n{p}"
+
+
+def test_q19_factored_scan_pushdown(spark, sf_dir):
+    """sql_surface_q19: the common conjunct of the three OR'd groups
+    (l_returnflag = 'N') is factored below the join into the lineitem
+    scan's data filters — the disjunctive-pushdown property Q19 exists
+    to test."""
+    df = _Q["sql_surface_q19"].fn(spark, sf_dir)
+    p = formatted_plan(df)
+    scan = [b for b in p.split("\n\n") if "lineitem" in b and "Scan parquet" in b]
+    assert scan and any("EqualTo(l_returnflag,N)" in b for b in scan), p
+    # the OR'd quantity envelope also reaches the scan
+    assert any("l_quantity" in b and "PushedFilters" in b for b in scan), p
