@@ -2316,6 +2316,146 @@ def embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: benchmarks the bench vectors partition into (mirrors DECONTAM_N_BENCH)
+DECON_N_BENCH = 3
+
+#: attribution fixtures: TWO planted benchmarks in distinct subspaces
+#: (bench1 alternates per-dim, benchmark_id ABS(-25) DIV 25 % 3 = 1;
+#: bench2 alternates per-PAIR, benchmark_id ABS(-50) DIV 25 % 3 = 2 —
+#: bench1·bench2 = 0, so neither paraphrase can cross-attribute), one
+#: paraphrase corpus vector near EACH, and the antipode (clean, absent
+#: from the attribution table). All components float32-exact.
+_DECON_BENCH2_VEC = [1.0 if (i // 2) % 2 == 0 else -1.0 for i in range(EMBEDDING_DIM)]
+DECON_ATTRIB_FIXTURES: tuple[tuple[int, list[float]], ...] = (
+    (-25, _DECON_BENCH_VEC),
+    (-26, _DECON_PARA_VEC),
+    (-50, _DECON_BENCH2_VEC),
+    (-51, [0.5] + _DECON_BENCH2_VEC[1:]),
+    (-27, [-x for x in _DECON_BENCH_VEC]),
+)
+
+_DECON_ATTRIB_FIXTURE_SQL = " UNION ALL ".join(
+    "SELECT CAST({} AS BIGINT) AS vec_id, CAST([{}] AS FLOAT[]) AS embedding".format(
+        i, ", ".join(str(x) for x in v)
+    )
+    for i, v in DECON_ATTRIB_FIXTURES
+)
+
+_DECON_COS_SQL = (
+    f"{SQL_DOT.format(a='c.embedding', b='b.b_emb')}"
+    f" / ({SQL_NORM.format(a='c.embedding')} * {SQL_NORM.format(a='b.b_emb')})"
+)
+
+
+@query(
+    "embed_decontaminate_attrib",
+    oracle=f"""
+    WITH e2 AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL {_DECON_ATTRIB_FIXTURE_SQL}
+    ), sig AS (
+      SELECT vec_id, embedding,
+             {_SIG_SQL}
+      FROM e2
+    ), b AS (
+      SELECT vec_id AS b_id, embedding AS b_emb, {_B_SIG_SQL}
+      FROM sig WHERE vec_id % {DECON_BENCH_MOD} = 0
+    ), c AS (
+      SELECT * FROM sig WHERE vec_id % {DECON_BENCH_MOD} <> 0
+    ), cand AS (
+      SELECT c.vec_id,
+             (ABS(b.b_id) // {DECON_BENCH_MOD}) % {DECON_N_BENCH} AS benchmark_id,
+             {_DECON_COS_SQL} AS cosine
+      FROM c JOIN b
+        ON {_DECON_HAM_SQL} <= {DECON_HAM_MAX}
+       AND {_DECON_COS_SQL} >= {DECON_TAU}
+    )
+    SELECT vec_id, CAST(benchmark_id AS BIGINT) AS benchmark_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bench_near,
+           MAX(cosine) AS best_cosine
+    FROM cand GROUP BY vec_id, benchmark_id
+    """,
+    tags=("llm", "similarity", "dedup", "embeddings"),
+)
+def embed_decontaminate_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark SEMANTIC decontamination attribution (VERDICT r15
+    #7) — the embedding twin of ``lex_decontaminate_attrib``: real
+    pipelines hold dozens of eval sets, and when a document is dropped
+    for semantic eval leakage the pipeline must report WHICH benchmark
+    it paraphrases and HOW CLOSE (the audit row a data-governance
+    review asks for). Bench vectors partition into DECON_N_BENCH
+    benchmarks ((ABS(vec_id) DIV BENCH_MOD) % N — ABS first so the
+    planted negative-id fixtures divide identically in both engines);
+    each corpus vector gets one row PER benchmark with a confirmed
+    near-neighbor, carrying the per-benchmark hit count and the best
+    cosine. Zero-hit pairs are not emitted (sparse by design).
+    ``embed_decontaminate`` remains the boolean gate; this is its
+    explanation table.
+
+    Same certified two-stage cascade as the gate: sign-bit Hamming
+    prefilter (<= DECON_HAM_MAX of 64) then exact sequential-fold
+    cosine >= DECON_TAU — bit-exact cross-engine, approximation only in
+    candidate choice. best_cosine is MAX over identically-derived IEEE
+    doubles, so it hashes identically. Fixtures plant two orthogonal
+    benchmarks with one paraphrase each (each attributes to EXACTLY its
+    own benchmark) and the antipode (absent); the natural corpus tops
+    out at cosine 0.459 < 0.6, so the emitted table is exactly the
+    planted truth at every SF.
+
+    Scale shape: identical to embed_decontaminate — the benchmark block
+    (all N eval sets together) broadcasts with signatures/norms/vectors;
+    the corpus streams through ONE inner BroadcastNestedLoopJoin; the
+    only hash exchange is the final partial-agg'd
+    groupBy(vec_id, benchmark_id) of skinny rows."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .unionByName(
+            spark.createDataFrame(
+                [(i, v) for i, v in DECON_ATTRIB_FIXTURES],
+                "vec_id long, embedding array<float>",
+            )
+        )
+    )
+    sig = e.select(
+        "vec_id",
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+        *[
+            _sign_word(F.col("embedding"), 32 * k).alias(f"sig_{k}")
+            for k in range(SIGN_WORDS)
+        ],
+    )
+    is_bench = F.col("vec_id") % DECON_BENCH_MOD == 0
+    b = sig.filter(is_bench).select(
+        F.col("vec_id").alias("b_id"),
+        (
+            F.expr(f"abs(vec_id) DIV {DECON_BENCH_MOD}") % DECON_N_BENCH
+        ).alias("benchmark_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        *[F.col(f"sig_{k}").alias(f"b_{k}") for k in range(SIGN_WORDS)],
+    )
+    c = sig.filter(~is_bench)
+    ham = sum(
+        (
+            F.bit_count(F.col(f"sig_{k}").bitwiseXOR(F.col(f"b_{k}")))
+            for k in range(1, SIGN_WORDS)
+        ),
+        F.bit_count(F.col("sig_0").bitwiseXOR(F.col("b_0"))),
+    )
+    cosine = dot(F.col("embedding"), F.col("b_emb")) / (
+        F.col("nrm") * F.col("b_nrm")
+    )
+    pairs = c.join(
+        F.broadcast(b), (ham <= DECON_HAM_MAX) & (cosine >= DECON_TAU)
+    )
+    return pairs.groupBy("vec_id", "benchmark_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bench_near"),
+        F.max(cosine).alias("best_cosine"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (Jegou et al. 2011): the third embedding-compression
 # rung beside int8 absmax (embed_quantize_int8, keeps magnitudes, 8 bits/dim)

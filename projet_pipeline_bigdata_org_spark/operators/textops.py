@@ -1217,6 +1217,129 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: number of distinct eval benchmarks the bench docs partition into
+DECONTAM_N_BENCH = 3
+
+#: attribution fixture riders (both engines): one known benchmark doc
+#: assigned to benchmark 2 (267000178 = 89 x 3000002, 3000002 % 3 = 2),
+#: one corpus doc leaking HALF its shingles from exactly that benchmark
+#: (contaminated-by-2, untouched by 0/1), and one clean corpus doc whose
+#: invented tokens appear in no benchmark (its ABSENCE from the
+#: attribution table is the pass branch, pinned in tests)
+DECONTAM_ATTRIB_FIXTURES: tuple[tuple[int, str], ...] = (
+    (267_000_178,
+     "qvzork blemft xandrik plovex trumbik quellson vardmik zephlon"
+     " grindmax yolbert"),
+    (94_000_001,
+     "qvzork blemft xandrik plovex trumbik quellson wizzlecorn snarfblat"
+     " dinglehop fizzwick"),
+    (94_000_002,
+     "morblewick tazzlefrond quibberdash vexnorple sprocketeen jumblewock"
+     " crandlemist povertubble"),
+)
+
+_DECONTAM_ATTRIB_SQL = " UNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text"
+    for i, t in DECONTAM_ATTRIB_FIXTURES
+)
+
+
+@query(
+    "lex_decontaminate_attrib",
+    oracle=f"""
+    WITH src AS (SELECT doc_id, text FROM documents
+                 UNION ALL {_DECONTAM_ATTRIB_SQL}),
+    t AS (SELECT doc_id,
+                 LIST_DISTINCT({sql_shingles(SQL_TOK_NULLSAFE)}) AS sh
+          FROM src),
+    bench AS (SELECT DISTINCT (doc_id // {DECONTAM_BENCH_MOD}) % {DECONTAM_N_BENCH}
+                       AS benchmark_id,
+                     UNNEST(sh) AS s
+              FROM t WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+    corpus AS (SELECT doc_id, UNNEST(sh) AS s FROM t
+               WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0),
+    sz AS (SELECT doc_id, CAST(LEN(sh) AS BIGINT) AS n_shingles FROM t
+           WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0),
+    hits AS (SELECT c.doc_id, b.benchmark_id, COUNT(*) AS n_overlap
+             FROM corpus c JOIN bench b ON c.s = b.s
+             GROUP BY c.doc_id, b.benchmark_id)
+    SELECT h.doc_id, CAST(h.benchmark_id AS BIGINT) AS benchmark_id,
+           sz.n_shingles, h.n_overlap,
+           100 * h.n_overlap >= {DECONTAM_PCT} * sz.n_shingles AS contaminated
+    FROM hits h JOIN sz ON sz.doc_id = h.doc_id
+    """,
+    tags=("llm", "text", "dedup", "documents"),
+)
+def text_decontaminate_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-benchmark decontamination ATTRIBUTION (VERDICT r15 #7) — the
+    drill-down ``lex_decontaminate`` can't give: real pipelines hold
+    DOZENS of eval sets and need to know WHICH benchmark leaked into a
+    document and HOW MUCH, not just a global flag. Bench docs partition
+    into DECONTAM_N_BENCH benchmarks (stand-in id: (doc_id DIV
+    BENCH_MOD) % N — positive ids only, so DIV truncation agrees across
+    engines); each corpus document gets one row PER benchmark it
+    overlaps, with the per-benchmark shingle-overlap count and the same
+    integer-lifted >= DECONTAM_PCT% contamination flag evaluated
+    per-benchmark. Zero-overlap (doc, benchmark) pairs are NOT emitted —
+    at fleet scale the attribution table is sparse by design.
+    ``lex_decontaminate`` remains the union-dictionary gate the funnel
+    ladder consumes; this is its per-benchmark explanation table (a
+    shingle shared by two benchmarks counts toward each — attribution is
+    per-eval-set evidence, so the per-benchmark counts deliberately
+    don't sum to the union overlap).
+
+    Fixture riders plant a known benchmark-2 doc, a corpus doc leaking
+    exactly it (attributed ONLY to benchmark 2, contaminated=true), and
+    a clean doc (absent). The real corpus splits across all three
+    benchmarks at every SF (probed: 102/90/42 attributed docs at
+    sf0.001, 3849/3534/3886 at sf0.1).
+
+    Scale shape: identical to lex_decontaminate — the per-benchmark
+    dictionaries together are still the tiny side (eval sets are KB-MB
+    against a 100 TB corpus) and broadcast EXPLICITLY; the corpus
+    streams map-side through the broadcast hash join; the only hash
+    exchange is the final partial-agg'd groupBy(doc_id, benchmark_id)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    fixture = spark.createDataFrame(
+        list(DECONTAM_ATTRIB_FIXTURES), "doc_id long, text string"
+    )
+    src = d.unionByName(fixture)
+    t = src.select(
+        "doc_id",
+        F.array_distinct(
+            shingles(ws_tokens(F.coalesce(F.col("text"), F.lit(""))))
+        ).alias("sh"),
+    )
+    is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == 0
+    bench = F.broadcast(
+        t.filter(is_bench)
+        .select(
+            (
+                F.expr(f"doc_id DIV {DECONTAM_BENCH_MOD}") % DECONTAM_N_BENCH
+            ).alias("benchmark_id"),
+            F.explode("sh").alias("s"),
+        )
+        .distinct()
+    )
+    corpus = t.filter(~is_bench)
+    hits = (
+        corpus.select("doc_id", F.explode("sh").alias("s"))
+        .join(bench, "s")
+        .groupBy("doc_id", "benchmark_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    sz = corpus.select("doc_id", F.size("sh").cast("long").alias("n_shingles"))
+    return hits.join(sz, "doc_id").select(
+        "doc_id",
+        "benchmark_id",
+        "n_shingles",
+        "n_overlap",
+        (100 * F.col("n_overlap") >= DECONTAM_PCT * F.col("n_shingles")).alias(
+            "contaminated"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LM-lite fluency scoring (CCNet-style corpus-frequency proxy)
 # ---------------------------------------------------------------------------

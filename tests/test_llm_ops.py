@@ -5227,3 +5227,42 @@ def test_gopher_repetition_exploded_equality(spark, sf_dir):
         assert row["keep"] is True
         assert row["top2_mass"] == row["top3_mass"] == row["top4_mass"] == 0
         assert row["dup2_cov_chars"] == 0
+
+
+def test_decontaminate_attrib_lex(spark, sf_dir):
+    """lex_decontaminate_attrib: the planted leak attributes ONLY to
+    benchmark 2 and is contaminated there; the clean fixture is absent;
+    the real corpus attributes across all three benchmarks; and every
+    globally-contaminated doc has at least one attribution row."""
+    from projet_pipeline_bigdata_org_spark import plans
+
+    rows = plans.registry.get("lex_decontaminate_attrib").fn(spark, sf_dir).collect()
+    leak = [r for r in rows if r.doc_id == 94_000_001]
+    assert len(leak) == 1 and leak[0].benchmark_id == 2 and leak[0].contaminated
+    assert not [r for r in rows if r.doc_id == 94_000_002]
+    assert not [r for r in rows if r.doc_id == 267_000_178]  # bench side, not corpus
+    assert {r.benchmark_id for r in rows} == {0, 1, 2}
+    flagged = {
+        r.doc_id
+        for r in plans.registry.get("lex_decontaminate").fn(spark, sf_dir).collect()
+        if r.contaminated
+    }
+    attributed = {r.doc_id for r in rows}
+    assert flagged <= attributed
+
+
+def test_decontaminate_attrib_embed(spark, sf_dir):
+    """embed_decontaminate_attrib: the emitted table is exactly the
+    planted truth — each paraphrase attributes to its own benchmark
+    once (cross-attribution impossible: the benchmarks are orthogonal),
+    the antipode and the natural corpus are absent, best_cosine clears
+    the confirm threshold."""
+    from projet_pipeline_bigdata_org_spark import plans
+    from projet_pipeline_bigdata_org_spark.operators.similarity import DECON_TAU
+
+    rows = plans.registry.get("embed_decontaminate_attrib").fn(spark, sf_dir).collect()
+    got = {(r.vec_id, r.benchmark_id): r for r in rows}
+    assert set(got) == {(-26, 1), (-51, 2)}
+    for r in rows:
+        assert r.n_bench_near == 1
+        assert r.best_cosine >= DECON_TAU
