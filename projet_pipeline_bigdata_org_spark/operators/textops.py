@@ -521,6 +521,39 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gopher_keep_col(text_col: Column | str) -> Column:
+    """``lex_gopher_rules``' conjunctive keep decision as ONE reusable
+    column expression over raw text (NULL-safe) — the form a streaming
+    sink applies per micro-batch without the operator's intermediate
+    stat columns. Drift pin: tests/test_llm_ops.py asserts this column
+    equals the registered operator's ``keep`` on the whole corpus."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = ws_tokens(F.coalesce(c, F.lit("")))
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.coalesce(
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ),
+        F.lit(0).cast("long"),
+    )
+    n_symbol = F.size(F.filter(toks, lambda x: x.rlike(r"^[#]|^[.]{3}"))).cast("long")
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("long")
+    n_stop = F.size(
+        F.array_distinct(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    ).cast("long")
+    return (
+        n_tokens.between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+        & (n_chars >= GOPHER_MIN_MEAN_WORD_LEN * n_tokens)
+        & (n_chars <= GOPHER_MAX_MEAN_WORD_LEN * n_tokens)
+        & (100 * n_symbol <= GOPHER_MAX_SYMBOL_PCT * n_tokens)
+        & (100 * n_alpha >= GOPHER_MIN_ALPHA_PCT * n_tokens)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+    )
+
+
 # ---------------------------------------------------------------------------
 # C4-style rule filters (VERDICT r14 #5): the line/page policy pass real
 # pipelines (C4, FineWeb) run BEFORE the Gopher statistics
@@ -681,6 +714,33 @@ def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ok_terminal_punct"),
         (~F.col("has_lorem") & ~F.col("has_brace") & (F.col("n_kept_lines") >= 1))
         .alias("keep"),
+    )
+
+
+def c4_keep_col(text_col: Column | str) -> Column:
+    """``lex_c4_rules``' keep decision as ONE reusable column expression
+    over raw text (NULL-safe): no "lorem ipsum", no curly brace, and at
+    least one retained line (>= C4_MIN_LINE_WORDS words, no
+    "javascript"). Drift pin: tests/test_llm_ops.py asserts this column
+    equals the registered operator's ``keep`` on corpus + fixtures."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    text = F.coalesce(c, F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    kept = F.filter(
+        lines,
+        lambda l: (
+            F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
+            >= C4_MIN_LINE_WORDS
+        )
+        & ~F.lower(l).rlike(r"\bjavascript\b"),
+    )
+    return (
+        ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
+        & (F.size(kept) >= 1)
     )
 
 

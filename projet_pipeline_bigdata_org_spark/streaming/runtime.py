@@ -1692,3 +1692,138 @@ class SeasonalGateSink:
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         _epoch_fold_batch(self, batch_df, epoch_id)
+
+
+#: stage ids of the composed streaming curation funnel, in the C4 ladder's
+#: precedence order restricted to its streaming-amenable stages
+#: (FUNNEL_LADDER_C4_STAGES ranks 1, 5, 6, 7 → 1..4 here)
+CURATION_FUNNEL_STAGES: tuple[tuple[int, str], ...] = (
+    (0, "survivor"),
+    (1, "exact_dup"),
+    (2, "c4_fail"),
+    (3, "gopher_fail"),
+    (4, "classifier_fail"),
+)
+
+
+@dataclass
+class CurationFunnelSink:
+    """The curation funnel COMPOSED at ingest (VERDICT r15 #6): exact-dedup
+    admission → C4 rules → Gopher rules → classifier gate in ONE
+    foreachBatch pipeline, with first-match stage attribution — the
+    streaming twin of the batch ladder's streaming-amenable prefix
+    (``FUNNEL_LADDER_C4_STAGES`` ranks 1/5/6/7). At 100 TB the funnel
+    runs at ingest, not as a batch pass; this sink is that path, built
+    from the SAME rule definitions as the batch operators
+    (``c4_keep_col`` / ``gopher_keep_col`` / ``qc_margin`` — each
+    drift-pinned against its registered operator) so the streamed and
+    batch decisions cannot diverge.
+
+    Per micro-batch (epoch ``e``), one flag pass over the cached batch:
+
+    1. exact_dup — within-batch min-id keeper (``dedup_exact_hash``'s
+       keeper rule) OR a content-sha hit in the history dictionary from
+       epochs STRICTLY before e (the HistoryDedupSink replay-safety
+       bound). The dictionary records every FIRST-SEEN content whatever
+       its quality outcome — ladder semantics: f_exact is
+       quality-independent, a doc duplicating a rejected doc is still a
+       duplicate (this is where the composition differs from chaining a
+       bare HistoryDedupSink, which records only admitted rows);
+    2. c4_fail / gopher_fail — the rule columns, evaluated only for
+       batch-unique non-historical rows by CASE precedence;
+    3. classifier_fail — absolute margin < threshold (the REGISTERED
+       ``curate_quality_classifier`` keep and QualityGateSink semantics;
+       the batch ladder's corpus-RELATIVE margin rate needs the final
+       corpus totals, which an ingest stream by definition does not have
+       — the absolute gate is the streaming-correct form).
+
+    Writes, all idempotent epoch-partition overwrites (replay rewrites
+    identically): survivors → ``out/epoch=e``; the full per-document
+    attribution (doc_id, stage_ord) → ``attributed/epoch=e``; newly seen
+    keeper shas → ``history/epoch=e``.
+
+    Scale shape: the rule flags are zero-shuffle codegen'd projections
+    (the batch plan pins); the only joins are the min-id keeper partial
+    agg and the 64-hex sha membership join (bucketed history table at
+    scale, epoch pruning for the strict bound); stats ride ONE aggregate
+    on the cache."""
+
+    spark: SparkSession
+    out_path: str
+    attributed_path: str
+    history_path: str
+    content_col: str = "text"
+    id_col: str = "doc_id"
+    clf_threshold: int = 0
+    stats: dict = field(
+        default_factory=lambda: {"batches": 0, "admitted": 0, "removed": 0}
+    )
+
+    def _history_before(self, epoch_id: int) -> DataFrame:
+        return _epoch_history_scan(
+            self.spark, self.history_path, "content_sha string", epoch_id
+        ).distinct()
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from projet_pipeline_bigdata_org_spark.operators.curation import qc_margin
+        from projet_pipeline_bigdata_org_spark.operators.textops import (
+            c4_keep_col,
+            gopher_keep_col,
+            ws_tokens,
+        )
+
+        self.stats["batches"] += 1
+        if batch_df.isEmpty():  # P9 empty-batch guard
+            return
+        text = F.coalesce(F.col(self.content_col), F.lit(""))
+        hashed = batch_df.withColumn("content_sha", F.sha2(text, 256))
+        keeper = hashed.groupBy("content_sha").agg(
+            F.min(self.id_col).alias("__keep_id")
+        )
+        stage = (
+            F.when(F.col("__f_exact"), 1)
+            .when(~c4_keep_col(F.col(self.content_col)), 2)
+            .when(~gopher_keep_col(F.col(self.content_col)), 3)
+            .when(F.col("__margin") < self.clf_threshold, 4)
+            .otherwise(0)
+            .cast("long")
+        )
+        flagged = (
+            hashed.join(keeper, "content_sha")
+            .join(
+                self._history_before(epoch_id).withColumn("__in_hist", F.lit(1)),
+                "content_sha",
+                "left",
+            )
+            .withColumn(
+                "__f_exact",
+                (F.col(self.id_col) != F.col("__keep_id"))
+                | F.col("__in_hist").isNotNull(),
+            )
+            .withColumn("__margin", qc_margin(ws_tokens(text)))
+            .withColumn("stage_ord", stage)
+            .persist()
+        )
+        try:
+            n_total, n_adm = flagged.agg(
+                F.count(F.lit(1)), F.count(F.when(F.col("stage_ord") == 0, 1))
+            ).first()
+            self.stats["admitted"] += n_adm
+            self.stats["removed"] += n_total - n_adm
+            drop = ["content_sha", "__keep_id", "__in_hist", "__f_exact", "__margin"]
+            flagged.filter(F.col("stage_ord") == 0).drop(*drop, "stage_ord").write.mode(
+                "overwrite"
+            ).parquet(f"{self.out_path}/epoch={epoch_id}")
+            flagged.select(self.id_col, "stage_ord").write.mode("overwrite").parquet(
+                f"{self.attributed_path}/epoch={epoch_id}"
+            )
+            # first-seen keeper shas enter the dictionary regardless of
+            # quality outcome (ladder semantics, see docstring point 1)
+            flagged.filter(
+                (F.col(self.id_col) == F.col("__keep_id"))
+                & F.col("__in_hist").isNull()
+            ).select("content_sha").distinct().write.mode("overwrite").parquet(
+                f"{self.history_path}/epoch={epoch_id}"
+            )
+        finally:
+            flagged.unpersist()

@@ -1922,3 +1922,146 @@ def test_ann_postings_sink_matches_batch_and_replays_identically(
         (r.vec_id, r.cell)
         for r in spark.read.parquet(f"{out}/epoch=0").collect()
     } == epoch0
+
+
+def test_rule_keep_columns_match_registered_operators(spark, sf_dir):
+    """Drift pins for the composed funnel sink's rule columns: the
+    reusable gopher_keep_col / c4_keep_col expressions equal the
+    registered operators' own keep on the full corpus (+ the C4 fixture
+    riders), and qc_margin >= 0 equals curate_quality_classifier.keep."""
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.curation import qc_margin
+    from projet_pipeline_bigdata_org_spark.operators.textops import (
+        C4_FIXTURE_ROWS,
+        c4_keep_col,
+        gopher_keep_col,
+        text_c4_rules,
+        text_gopher_rules,
+        ws_tokens,
+    )
+    from projet_pipeline_bigdata_org_spark.operators.curation import (
+        curate_quality_classifier,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    gop_op = {r.doc_id: r.keep for r in text_gopher_rules(spark, sf_dir).collect()}
+    gop_col = {
+        r.doc_id: r.k
+        for r in docs.select("doc_id", gopher_keep_col("text").alias("k")).collect()
+    }
+    assert gop_col == gop_op and len(gop_col) > 0
+
+    c4_src = docs.unionByName(
+        spark.createDataFrame(list(C4_FIXTURE_ROWS), "doc_id long, text string")
+    )
+    c4_op = {r.doc_id: r.keep for r in text_c4_rules(spark, sf_dir).collect()}
+    c4_col = {
+        r.doc_id: r.k
+        for r in c4_src.select("doc_id", c4_keep_col("text").alias("k")).collect()
+    }
+    assert c4_col == c4_op and False in c4_col.values() and True in c4_col.values()
+
+    clf_op = {
+        r.doc_id: r.keep for r in curate_quality_classifier(spark, sf_dir).collect()
+    }
+    clf_col = {
+        r.doc_id: r.k
+        for r in docs.select(
+            "doc_id",
+            (qc_margin(ws_tokens(F.coalesce(F.col("text"), F.lit("")))) >= 0).alias(
+                "k"
+            ),
+        ).collect()
+    }
+    assert clf_col == clf_op
+
+
+def test_curation_funnel_sink_matches_batch_and_replays(spark, sf_dir, tmp_path):
+    """The composed ingest funnel (VERDICT r15 #6): streaming the corpus
+    (+ riders exercising every stage) through CurationFunnelSink in
+    doc_id-ordered epochs yields EXACTLY the batch first-match
+    attribution of the same stages over the same rows; survivors are the
+    stage-0 set; worst-order replay (newest epoch first) rewrites every
+    store identically."""
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.curation import qc_margin
+    from projet_pipeline_bigdata_org_spark.operators.textops import (
+        c4_keep_col,
+        gopher_keep_col,
+        ws_tokens,
+    )
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        CurationFunnelSink,
+    )
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    first_text = docs.orderBy("doc_id").first().text
+    riders = spark.createDataFrame(
+        [
+            (95_000_001, "a lorem ipsum page that the c4 rule must drop"),
+            (95_000_002, "function f() { return 1; } and padding words here"),
+            (95_000_003, first_text),  # cross-epoch exact duplicate
+        ],
+        "doc_id long, text string",
+    )
+    stream = docs.unionByName(riders)
+
+    # batch first-match attribution over the full streamed frame
+    text = F.coalesce(F.col("text"), F.lit(""))
+    w = W.partitionBy(F.sha2(text, 256))
+    expected = {
+        r.doc_id: r.stage_ord
+        for r in stream.select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.min("doc_id").over(w), 1)
+            .when(~c4_keep_col("text"), 2)
+            .when(~gopher_keep_col("text"), 3)
+            .when(qc_margin(ws_tokens(text)) < 0, 4)
+            .otherwise(0)
+            .cast("long")
+            .alias("stage_ord"),
+        ).collect()
+    }
+    assert {1, 2, 3} <= set(expected.values())  # stage variety on the input
+
+    out = str(tmp_path / "out")
+    att = str(tmp_path / "att")
+    hist = str(tmp_path / "hist")
+    sink = CurationFunnelSink(spark, out, att, hist)
+    # doc_id-ordered range epochs: streaming first-seen == batch min-id
+    ids = sorted(expected)
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    epochs = [
+        stream.filter(F.col("doc_id") < cuts[0]),
+        stream.filter((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),
+        stream.filter(F.col("doc_id") >= cuts[1]),
+    ]
+    for e, b in enumerate(epochs):
+        sink(b, e)
+
+    def attributed():
+        return {
+            r.doc_id: r.stage_ord for r in spark.read.parquet(att).collect()
+        }
+
+    def survivors():
+        return {r.doc_id for r in spark.read.parquet(out).collect()}
+
+    got = attributed()
+    assert got == expected
+    assert survivors() == {i for i, s in expected.items() if s == 0}
+    assert sink.stats["admitted"] == len(survivors())
+    # the planted riders hit their stages
+    assert got[95_000_001] == 2 and got[95_000_002] == 2 and got[95_000_003] == 1
+
+    # worst-order replay: newest epoch first, then the rest — the strict
+    # prior-epoch history bound keeps every rewrite identical
+    for e in (2, 1, 0):
+        sink(epochs[e], e)
+    assert attributed() == expected
+    assert survivors() == {i for i, s in expected.items() if s == 0}
+    # history holds one sha per distinct first-seen content
+    n_sha = spark.read.parquet(hist).distinct().count()
+    n_content = stream.select(F.sha2(text, 256)).distinct().count()
+    assert n_sha == n_content
