@@ -8,13 +8,18 @@ BENCH_full_latest.json next to this script — the driver's stdout capture
 keeps only the last ~2000 chars, so the final line must stay small.
 
 Each query is forced end-to-end with the noop sink (full execution, no
-driver collect / display cost). After a per-plan codegen warm-up, each
-headline query is timed SPARK_GRAFT_BENCH_RUNS times (default 3) and the
-reported number is the per-query MEDIAN; the min/max spread rides in the
-JSON so a regression can be told apart from this container's documented
-2-3x host-load variance (ROUND3.md). The full-registry sweep
-(SPARK_GRAFT_BENCH_SET=all) stays single-pass — it is a coarse
-round-over-round regression radar, not the headline measurement.
+driver collect / display cost). After a per-plan codegen warm-up, the
+TRAINER queries' one-time builds are timed ONCE in a ``cold_build`` tier;
+then each headline query is timed SPARK_GRAFT_BENCH_RUNS times (default
+3) against warm silver-layer stage tables and the reported number is the
+per-query STEADY-STATE MEDIAN; the min/max spread rides in the JSON so a
+regression can be told apart from this container's documented 2-3x
+host-load variance (ROUND3.md). With $SPARK_GRAFT_BENCH_BASELINE set to
+the prior round's same-host artifact, >1.5x movers are auto re-timed N=5
+before the artifact is written (transient-hardening, VERDICT r15 #4).
+The full-registry sweep (SPARK_GRAFT_BENCH_SET=all) stays single-pass —
+it is a coarse round-over-round regression radar, not the headline
+measurement.
 """
 
 from __future__ import annotations
@@ -125,13 +130,17 @@ R1_COMPARABLE = (
     "func_json_pack",
 )
 
-#: TRAINER queries: their cost IS the training, so the catalog-layer stage
-#: cache (catalog.stage_result, r13) is cleared before each of their timed
-#: samples — a cached re-read would report ~0s for an operator whose whole
-#: point is the training cost. Consumer queries (tokenize / fertility /
-#: modularity) keep whatever the sweep has materialized, which is exactly
-#: the production model: the trainer pays once per corpus epoch, consumers
-#: read the silver-layer artifact.
+#: TRAINER (cold-build) queries: their cost IS the one-time-per-corpus-epoch
+#: training/staging build. r15 cleared the stage cache before EVERY timed
+#: sample, which made the sweep medians measure the cold build N times and
+#: poisoned consumer queries mid-sweep (text_tokenizer_fertility read
+#: 41.5s/sample against a 0.35s steady state — VERDICT r15 #4a). r16
+#: protocol: the cold build is timed ONCE per trainer in a dedicated
+#: ``cold_build`` tier (stage cache cleared once at tier start), after
+#: which the caches stay warm — the main loop's medians, the headline
+#: total, and every consumer query measure STEADY STATE, which is the
+#: production model: the trainer pays once per corpus epoch, consumers
+#: read the silver-layer parquet artifact.
 TRAINERS = {
     "text_unigram_learn",
     "text_bpe_learn",
@@ -140,9 +149,21 @@ TRAINERS = {
     "algo_label_propagation",
     # the funnel ladder stages its (doc_id, stage_ord) table for its
     # consumers (mixture shift, export manifest); its own cost IS the
-    # nine-stage composition, so time it cold like the trainers
+    # nine-stage composition, so its cold build is timed the same way
     "curate_funnel_ladder",
 }
+
+#: auto re-time threshold (VERDICT r15 #4b): after the timing loop, any
+#: query whose median reads > RETIME_FACTOR x its baseline median (and
+#: >= RETIME_MIN_SEC absolute) is re-timed RETIME_RUNS times and the
+#: re-timed median replaces the transient reading IN the committed
+#: artifact (the r15 headline carried one 19.9s GC-transient sample of a
+#: 4.1s query and misled every cold reader). The baseline is the prior
+#: round's same-host replay artifact, passed via
+#: $SPARK_GRAFT_BENCH_BASELINE; without it the pass is skipped.
+RETIME_FACTOR = 1.5
+RETIME_MIN_SEC = 1.0
+RETIME_RUNS = 5
 
 
 def _resolve(queries: dict, name: str) -> str:
@@ -204,26 +225,65 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     from projet_pipeline_bigdata_org_spark import catalog
 
+    def time_once(name: str) -> float:
+        # clock starts BEFORE the builder call: iterative operators
+        # (CC fixpoint loops) execute their rounds eagerly while the
+        # DataFrame is built, and timing only the final write would
+        # credit them ~0s; for everything else the build is ~ms
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # cold-build tier (VERDICT r15 #4a): one stage-cache clear, then each
+    # trainer timed ONCE against its cold stage — the one-time-per-corpus-
+    # epoch cost, reported separately so the sweep medians below measure
+    # steady state. Each trainer owns a distinct stage, so tier order
+    # cannot warm a later trainer's build.
+    cold_build: dict[str, float] = {}
+    cold_names = [n for n in headline if n.removeprefix("a0_") in TRAINERS]
+    if cold_names:
+        catalog._STAGE_CACHE.clear()
+        for name in cold_names:
+            cold_build[name.removeprefix("a0_")] = round(time_once(name), 3)
+            spark.catalog.clearCache()
+
     for name in headline:
-        samples = []
-        for _ in range(runs):
-            if name.removeprefix("a0_") in TRAINERS:
-                catalog._STAGE_CACHE.clear()
-            # clock starts BEFORE the builder call: iterative operators
-            # (CC fixpoint loops) execute their rounds eagerly while the
-            # DataFrame is built, and timing only the final write would
-            # credit them ~0s; for everything else the build is ~ms
-            t0 = time.perf_counter()
-            df = queries[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
+        samples = [time_once(name) for _ in range(runs)]
         timings[name] = round(statistics.median(samples), 3)
         spread[name] = [round(min(samples), 3), round(max(samples), 3)]
         # drop caches between queries: operators persist staging tables
         # (scoped, one per operator), and across a 140-query sweep the
         # accumulated pins inflate later queries ~1.5-3x via memory
         # pressure — each query should be timed against a clean executor
+        # (the parquet silver-layer stage tables are unaffected by design)
         spark.catalog.clearCache()
+
+    # auto re-time pass (VERDICT r15 #4b): transient readings vs the prior
+    # round's same-host baseline are re-measured at N=RETIME_RUNS before
+    # the artifact is written, so the committed number is never one GC
+    # hiccup. The original reading rides in "retimed" for auditability.
+    retimed: dict[str, list[float]] = {}
+    baseline_path = os.environ.get("SPARK_GRAFT_BENCH_BASELINE", "")
+    if baseline_path and os.path.isfile(baseline_path):
+        with open(baseline_path) as fh:
+            base = json.load(fh).get("queries", {})
+        basec = {k.removeprefix("a0_"): v for k, v in base.items()}
+        for name in timings:
+            canon = name.removeprefix("a0_")
+            b = basec.get(canon)
+            if (
+                b
+                and timings[name] >= RETIME_MIN_SEC
+                and timings[name] > RETIME_FACTOR * b
+            ):
+                samples = []
+                for _ in range(RETIME_RUNS):
+                    samples.append(time_once(name))
+                    spark.catalog.clearCache()
+                med = round(statistics.median(samples), 3)
+                retimed[canon] = [timings[name], med]
+                timings[name] = med
+                spread[name] = [round(min(samples), 3), round(max(samples), 3)]
 
     total = round(sum(timings.values()), 3)
     tiers = {
@@ -239,7 +299,11 @@ def main() -> None:
         "tiers": tiers,
         "runs": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cold_build": cold_build,
+        "cold_build_total_sec": round(sum(cold_build.values()), 3),
     }
+    if retimed:
+        out["retimed"] = retimed
     if runs > 1:
         out["spread"] = spread
     # Full payload to a file (the driver's stdout capture keeps only the
@@ -258,6 +322,8 @@ def main() -> None:
         "sf": out["sf"],
         "runs": runs,
         "n_queries": len(timings),
+        "cold_build_total_sec": out["cold_build_total_sec"],
+        "n_retimed": len(retimed),
         "queries": {n: canon[n] for n in R1_COMPARABLE if n in canon},
         "full": full_path.name,
     }
