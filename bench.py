@@ -153,6 +153,19 @@ TRAINERS = {
     "curate_funnel_ladder",
 }
 
+#: trainer → the stage it owns in the catalog stage cache; lets a tool
+#: invalidate ONE trainer's artifact without cold-starting every other
+#: trainer's consumers (tools/scaling_curve.py uses this for its
+#: per-trainer cold timing; stage names from the stage_tables call sites)
+TRAINER_STAGES = {
+    "text_unigram_learn": "unigram_learned",
+    "text_bpe_learn": "bpe_learned_vocab",
+    "text_bpe_bytes_learn": "bbpe_learned_vocab",
+    "text_wordpiece_learn": "wordpiece_learned",
+    "algo_label_propagation": "lpa_labels",
+    "curate_funnel_ladder": "funnel_ladder_staged",
+}
+
 #: auto re-time threshold (VERDICT r15 #4b): after the timing loop, any
 #: query whose median reads > RETIME_FACTOR x its baseline median (and
 #: >= RETIME_MIN_SEC absolute) is re-timed RETIME_RUNS times and the

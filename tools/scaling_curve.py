@@ -97,7 +97,18 @@ def main() -> None:
     counts = _table_counts(spark)
     from projet_pipeline_bigdata_org_spark import catalog
 
-    from bench import TRAINERS  # the same trainer-cache discipline
+    from bench import TRAINER_STAGES, TRAINERS
+
+    def clear_own_stage(name: str) -> None:
+        """Invalidate ONLY this trainer's staged artifact: a trainer's
+        slope should measure its cold build, but a whole-cache clear made
+        every consumer timed after it pay an unrelated cold build inside
+        its OWN timed run (r15: curate_export_manifest slope 1.48 was the
+        ladder's build landing in its window via alphabetical sweep
+        ordering — VERDICT r15 #5a)."""
+        stage = TRAINER_STAGES[name.removeprefix("a0_")]
+        for key in [k for k in catalog._STAGE_CACHE if stage in k[1]]:
+            del catalog._STAGE_CACHE[key]
 
     # warm-up: JIT-compile every plan at the smallest SF
     for name, fn in queries.items():
@@ -106,14 +117,24 @@ def main() -> None:
 
     tables: dict[str, tuple[str, ...]] = {}
     timings: dict[str, dict[str, float]] = {n: {} for n in queries}
+    trainer_names = [n for n in queries if n.removeprefix("a0_") in TRAINERS]
     for sf_dir in SF_DIRS:
+        # per-SF stage warm-up: build every trainer's silver table ONCE,
+        # untimed, so consumer queries measure their marginal cost at
+        # this SF (the production model — trainers pay once per corpus
+        # epoch); the trainers themselves re-cold their OWN stage below
+        for name in trainer_names:
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            spark.catalog.clearCache()
         for name, fn in queries.items():
             if name not in tables:
                 tables[name] = _input_tables(fn(spark, sf_dir), sf_dir)
             best = math.inf
             for _ in range(runs):
                 if name.removeprefix("a0_") in TRAINERS:
-                    catalog._STAGE_CACHE.clear()
+                    clear_own_stage(name)
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
