@@ -85,6 +85,11 @@ HEADLINE = (
     "curate_epoch_plan",                 # per-epoch training manifest (new r15, VERDICT #7)
     "lex_gopher_repetition",             # Gopher repetition-rule pack (new r15-late)
     "sim_ann_ivfpq_incremental",         # encode-only IVF-PQ maintenance (new r15-late)
+    "sql_surface_q9",                    # widest TPC-H join tree + derived partsupp (new r16, VERDICT #2)
+    "sql_surface_q2",                    # correlated-min decorrelation shape (new r16, VERDICT #2)
+    "lex_gopher_repetition_exploded",    # long-doc explode+groupBy repetition path (new r16, VERDICT #3)
+    "lex_decontaminate_attrib",          # per-benchmark contamination attribution (new r16, VERDICT #7)
+    "curate_funnel_stream_prefix",       # the streamed funnel's certified batch twin (new r16, VERDICT #6)
 )
 
 #: tier annotations surfaced in the bench JSON, so the headline total stays

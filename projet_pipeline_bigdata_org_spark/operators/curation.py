@@ -2180,3 +2180,81 @@ def curate_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "position",
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming-prefix funnel attribution (r16): the certified batch twin of
+# streaming.runtime.CurationFunnelSink — the ladder restricted to its
+# streaming-amenable stages, as a per-document attribution table
+# ---------------------------------------------------------------------------
+
+def _stream_prefix_oracle() -> str:
+    from projet_pipeline_bigdata_org_spark.plans.registry import get as _get
+
+    c4 = _get("lex_c4_rules").oracle
+    gop = _get("lex_gopher_rules").oracle
+    clf = _get("curate_quality_classifier").oracle
+    return f"""
+    WITH c4q AS ({c4}), gop AS ({gop}), clf AS ({clf}),
+    ex AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY SHA256(COALESCE(text, ''))) AS k1
+      FROM documents
+    )
+    SELECT e.doc_id,
+           CAST(CASE WHEN e.doc_id <> e.k1 THEN 1
+                     WHEN NOT c.keep THEN 2
+                     WHEN NOT g.keep THEN 3
+                     WHEN NOT f.keep THEN 4
+                     ELSE 0 END AS BIGINT) AS stage_ord
+    FROM ex e
+    JOIN c4q c ON c.doc_id = e.doc_id
+    JOIN gop g ON g.doc_id = e.doc_id
+    JOIN clf f ON f.doc_id = e.doc_id
+    """
+
+
+@query(
+    "curate_funnel_stream_prefix",
+    oracle=_stream_prefix_oracle(),
+    tags=("llm", "curation", "dedup", "quality", "documents"),
+)
+def curate_funnel_stream_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document attribution of the funnel's STREAMING-AMENABLE prefix
+    (exact dup → C4 → Gopher → absolute classifier, first-match) — the
+    certified batch twin of ``streaming.runtime.CurationFunnelSink``: the
+    sink computes exactly this table at ingest (mode-equality
+    test-pinned via the shared drift-pinned rule columns), so certifying
+    this query certifies the streamed funnel's semantics against DuckDB.
+    The classifier stage is the REGISTERED ``curate_quality_classifier``
+    absolute keep (margin >= 0), not the full ladder's corpus-relative
+    rate — an ingest stream cannot know the final corpus totals; that
+    difference is exactly what separates this prefix from
+    ``curate_funnel_ladder``. Certified composition: the oracle composes
+    the three stage operators' own certified SQL as CTEs (the
+    audit_calibration_bins discipline); C4's fixture riders drop out at
+    the corpus join.
+
+    Scale shape: one sha-keyed window min (the exact-dup stage's single
+    shuffle) + three zero-shuffle rule projections joined on doc_id —
+    at ingest the same arithmetic runs per micro-batch with the window
+    min replaced by the keeper-agg + history join."""
+    from projet_pipeline_bigdata_org_spark.operators.textops import (
+        c4_keep_col,
+        gopher_keep_col,
+        ws_tokens,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    w = W.partitionBy(F.sha2(text, 256))
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") != F.min("doc_id").over(w), 1)
+        .when(~c4_keep_col("text"), 2)
+        .when(~gopher_keep_col("text"), 3)
+        .when(qc_margin(ws_tokens(text)) < 0, 4)
+        .otherwise(0)
+        .cast("long")
+        .alias("stage_ord"),
+    )
