@@ -4141,3 +4141,47 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         entropy.cast("long").alias("entropy_milli"),
         (entropy < ENTROPY_MIN_MILLI).alias("low_entropy"),
     )
+
+
+def _contam_report_oracle() -> str:
+    from projet_pipeline_bigdata_org_spark.plans.registry import get as _get
+
+    attrib = _get("lex_decontaminate_attrib").oracle
+    return f"""
+    WITH attrib AS ({attrib})
+    SELECT benchmark_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_attributed,
+           CAST(COUNT(*) FILTER (contaminated) AS BIGINT) AS n_docs_contaminated,
+           CAST(SUM(n_overlap) AS BIGINT) AS total_overlap_shingles,
+           CAST(MAX(n_overlap) AS BIGINT) AS max_overlap_shingles
+    FROM attrib GROUP BY benchmark_id
+    """
+
+
+@query(
+    "lex_contamination_report",
+    oracle=_contam_report_oracle(),
+    tags=("llm", "text", "dedup", "documents"),
+)
+def text_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark contamination ROLLUP — the one-page governance view
+    over ``lex_decontaminate_attrib``: for each eval set, how many corpus
+    documents touch it, how many cross the contamination threshold, and
+    the total/max shingle overlap (the "which eval leaked, how much"
+    summary a training-data review signs off). CERTIFIED COMPOSITION:
+    the Spark side aggregates the registered attribution operator's own
+    output and the oracle composes its certified SQL as a CTE — the
+    report cannot drift from the table it summarizes.
+
+    Scale shape: the attribution table is already sparse (hit pairs
+    only); this adds one partial-agg'd groupBy on the tiny benchmark_id
+    key — N_BENCH rows out."""
+    attrib = text_decontaminate_attrib(spark, sf_dir)
+    return attrib.groupBy("benchmark_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_attributed"),
+        F.count(F.when(F.col("contaminated"), 1)).cast("long").alias(
+            "n_docs_contaminated"
+        ),
+        F.sum("n_overlap").cast("long").alias("total_overlap_shingles"),
+        F.max("n_overlap").cast("long").alias("max_overlap_shingles"),
+    )

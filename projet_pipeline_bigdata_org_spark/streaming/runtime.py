@@ -1827,3 +1827,90 @@ class CurationFunnelSink:
             )
         finally:
             flagged.unpersist()
+
+
+@dataclass
+class DecontaminationGateSink:
+    """Streaming benchmark-decontamination gate — the eval-hygiene ladder
+    stage (FUNNEL_LADDER_STAGES rank 4) at ingest: each micro-batch's
+    documents are checked for shingle overlap against a STATIC benchmark
+    dictionary and split pass/contaminated. Unlike the dedup sinks there
+    is NO epoch state: eval sets are fixed reference data, so the
+    dictionary broadcasts once and every epoch is independently
+    idempotent (a replay recomputes the same flags from the same static
+    side) — the stream-static join discipline, applied to the
+    ``lex_decontaminate`` arithmetic (same shingles / distinct /
+    integer-lifted >= DECONTAM_PCT% rule, mode-equality test-pinned).
+
+    Writes per epoch ``e``: passing rows → ``out/epoch=e``; the full
+    per-document overlap audit (doc_id, n_shingles, n_overlap,
+    contaminated) → ``flags/epoch=e``.
+
+    Scale shape: the dictionary is KB-MB (eval sets) and broadcasts; the
+    batch streams map-side through the broadcast hash join; the only
+    exchange is the partial-agg'd per-doc overlap groupBy."""
+
+    spark: SparkSession
+    out_path: str
+    flags_path: str
+    bench_shingles: DataFrame  # one column `s`: the distinct dictionary
+    content_col: str = "text"
+    id_col: str = "doc_id"
+    stats: dict = field(
+        default_factory=lambda: {"batches": 0, "passed": 0, "contaminated": 0}
+    )
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from projet_pipeline_bigdata_org_spark.operators.textops import (
+            DECONTAM_PCT,
+            shingles,
+            ws_tokens,
+        )
+
+        self.stats["batches"] += 1
+        if batch_df.isEmpty():  # P9 empty-batch guard
+            return
+        text = F.coalesce(F.col(self.content_col), F.lit(""))
+        sh = batch_df.select(
+            F.col(self.id_col),
+            F.array_distinct(shingles(ws_tokens(text))).alias("sh"),
+        ).persist()
+        try:
+            hits = (
+                sh.select(self.id_col, F.explode("sh").alias("s"))
+                .join(F.broadcast(self.bench_shingles.select("s").distinct()), "s")
+                .groupBy(self.id_col)
+                .agg(F.count(F.lit(1)).alias("n_overlap"))
+            )
+            n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0).cast("long"))
+            flags = (
+                sh.select(self.id_col, F.size("sh").cast("long").alias("n_shingles"))
+                .join(hits, self.id_col, "left")
+                .select(
+                    self.id_col,
+                    "n_shingles",
+                    n_overlap.alias("n_overlap"),
+                    (
+                        (100 * n_overlap >= DECONTAM_PCT * F.col("n_shingles"))
+                        & (F.col("n_shingles") > 0)
+                    ).alias("contaminated"),
+                )
+                .persist()
+            )
+            try:
+                n_total, n_bad = flags.agg(
+                    F.count(F.lit(1)), F.count(F.when(F.col("contaminated"), 1))
+                ).first()
+                self.stats["passed"] += n_total - n_bad
+                self.stats["contaminated"] += n_bad
+                flags.write.mode("overwrite").parquet(
+                    f"{self.flags_path}/epoch={epoch_id}"
+                )
+                batch_df.join(
+                    flags.filter(~F.col("contaminated")).select(self.id_col),
+                    self.id_col,
+                ).write.mode("overwrite").parquet(f"{self.out_path}/epoch={epoch_id}")
+            finally:
+                flags.unpersist()
+        finally:
+            sh.unpersist()

@@ -2065,3 +2065,58 @@ def test_curation_funnel_sink_matches_batch_and_replays(spark, sf_dir, tmp_path)
     n_sha = spark.read.parquet(hist).distinct().count()
     n_content = stream.select(F.sha2(text, 256)).distinct().count()
     assert n_sha == n_content
+
+
+def test_decontamination_gate_sink_matches_batch_and_replays(spark, sf_dir, tmp_path):
+    """Streaming eval-hygiene gate: streaming the corpus (non-benchmark
+    docs) through DecontaminationGateSink against the static benchmark
+    dictionary yields EXACTLY the registered lex_decontaminate flag table
+    (same shingle arithmetic, mode equality), and replaying any epoch
+    rewrites identically (static reference side, no state)."""
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.textops import (
+        DECONTAM_BENCH_MOD,
+        shingles,
+        text_decontaminate,
+        ws_tokens,
+    )
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        DecontaminationGateSink,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == 0
+    bench = (
+        docs.filter(is_bench)
+        .select(F.explode(F.array_distinct(shingles(ws_tokens("text")))).alias("s"))
+        .distinct()
+    )
+    corpus = docs.filter(~is_bench)
+    expected = {
+        r.doc_id: (r.n_shingles, r.n_overlap, r.contaminated)
+        for r in text_decontaminate(spark, sf_dir).collect()
+    }
+
+    out, fl = str(tmp_path / "out"), str(tmp_path / "flags")
+    sink = DecontaminationGateSink(spark, out, fl, bench)
+    epochs = [corpus.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    for e, b in enumerate(epochs):
+        sink(b, e)
+
+    def flags():
+        return {
+            r.doc_id: (r.n_shingles, r.n_overlap, r.contaminated)
+            for r in spark.read.parquet(fl).collect()
+        }
+
+    got = flags()
+    assert got == expected
+    assert True in {v[2] for v in got.values()} and False in {
+        v[2] for v in got.values()
+    }
+    passed = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert passed == {k for k, v in expected.items() if not v[2]}
+    # replay (any order — stateless wrt epochs): stores rewrite identically
+    for e in (1, 0, 2):
+        sink(epochs[e], e)
+    assert flags() == expected
