@@ -158,6 +158,21 @@ TRAINERS = {
     "curate_funnel_ladder",
 }
 
+#: the certified TPC-H 22 (sql_surface_q{2..22} under the house names;
+#: Q1 = agg_pricing_summary). The bench rolls their medians into a
+#: ``suites.tpch22`` entry — a standard yardstick a warehouse user can
+#: read directly (full sweep covers all 22; the headline set a subset,
+#: reported with its count)
+TPCH_22 = (
+    "agg_pricing_summary",
+    "sql_surface_q2", "sql_surface_q3", "sql_surface_q4", "sql_surface_q5",
+    "sql_surface_q6", "sql_surface_q7", "sql_surface_q8", "sql_surface_q9",
+    "sql_surface_q10", "sql_surface_q11", "sql_surface_q12", "sql_surface_q13",
+    "sql_surface_q14", "sql_surface_q15", "sql_surface_q16", "sql_surface_q17",
+    "sql_surface_q18", "sql_surface_q19", "sql_surface_q20", "sql_surface_q21",
+    "sql_surface_q22",
+)
+
 #: trainer → the stage it owns in the catalog stage cache; lets a tool
 #: invalidate ONE trainer's artifact without cold-starting every other
 #: trainer's consumers (tools/scaling_curve.py uses this for its
@@ -320,6 +335,11 @@ def main() -> None:
         "cold_build": cold_build,
         "cold_build_total_sec": round(sum(cold_build.values()), 3),
     }
+    canon_t = {n.removeprefix("a0_"): t for n, t in timings.items()}
+    tpch = [canon_t[n] for n in TPCH_22 if n in canon_t]
+    out["suites"] = {
+        "tpch22": {"present": len(tpch), "total_sec": round(sum(tpch), 3)}
+    }
     if retimed:
         out["retimed"] = retimed
     if runs > 1:
@@ -342,6 +362,7 @@ def main() -> None:
         "n_queries": len(timings),
         "cold_build_total_sec": out["cold_build_total_sec"],
         "n_retimed": len(retimed),
+        "tpch22": out["suites"]["tpch22"],
         "queries": {n: canon[n] for n in R1_COMPARABLE if n in canon},
         "full": full_path.name,
     }

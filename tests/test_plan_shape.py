@@ -1450,3 +1450,18 @@ def test_q19_factored_scan_pushdown(spark, sf_dir):
     assert scan and any("EqualTo(l_returnflag,N)" in b for b in scan), p
     # the OR'd quantity envelope also reaches the scan
     assert any("l_quantity" in b and "PushedFilters" in b for b in scan), p
+
+
+def test_q6_full_scan_pushdown_no_shuffle(spark, sf_dir):
+    """sql_surface_q6: every predicate reaches the parquet scan and the
+    only exchange is the 1-row final aggregate — the canonical pushdown
+    probe of the certified TPC-H 22."""
+    df = _Q["sql_surface_q6"].fn(spark, sf_dir)
+    p = formatted_plan(df)
+    scan = [b for b in p.split("\n\n") if "lineitem" in b and "Scan parquet" in b]
+    assert scan, p
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(col in b and "PushedFilters" in b for b in scan), (col, p)
+    phys = plan_of(df)
+    assert "Join" not in phys, phys
+    assert phys.count("Exchange") == 1, phys
