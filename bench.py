@@ -90,6 +90,13 @@ HEADLINE = (
     "lex_gopher_repetition_exploded",    # long-doc explode+groupBy repetition path (new r16, VERDICT #3)
     "lex_decontaminate_attrib",          # per-benchmark contamination attribution (new r16, VERDICT #7)
     "curate_funnel_stream_prefix",       # the streamed funnel's certified batch twin (new r16, VERDICT #6)
+    # the rest of the certified TPC-H 22 (r16): the headline artifact then
+    # carries the COMPLETE standard yardstick every round (suites.tpch22)
+    "sql_surface_q4", "sql_surface_q5", "sql_surface_q6", "sql_surface_q7",
+    "sql_surface_q8", "sql_surface_q10", "sql_surface_q11", "sql_surface_q12",
+    "sql_surface_q13", "sql_surface_q14", "sql_surface_q15", "sql_surface_q16",
+    "sql_surface_q17", "sql_surface_q18", "sql_surface_q19", "sql_surface_q20",
+    "sql_surface_q21", "sql_surface_q22",
 )
 
 #: tier annotations surfaced in the bench JSON, so the headline total stays
