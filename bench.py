@@ -200,10 +200,67 @@ TRAINER_STAGES = {
 #: artifact (the r15 headline carried one 19.9s GC-transient sample of a
 #: 4.1s query and misled every cold reader). The baseline is the prior
 #: round's same-host replay artifact, passed via
-#: $SPARK_GRAFT_BENCH_BASELINE; without it the pass is skipped.
+#: $SPARK_GRAFT_BENCH_BASELINE; when the env var is absent (the external
+#: driver's invocation) it defaults to the per-query MIN across the
+#: newest tracked round's BENCH_r* artifacts (VERDICT r16 #2 — the
+#: driver-captured headline must self-correct its own transients too).
 RETIME_FACTOR = 1.5
 RETIME_MIN_SEC = 1.0
 RETIME_RUNS = 5
+
+
+def _default_baseline_queries() -> dict[str, float]:
+    """Per-query baseline medians for the auto-retime pass when
+    $SPARK_GRAFT_BENCH_BASELINE is absent (VERDICT r16 #2): the external
+    driver never sets the env var, so the driver-captured artifact — the
+    one a third party reads first — was the only cut the transient-
+    correction protocol didn't protect (r16's committed capture carried
+    an 8.4s reading of a 3.3s query with ``n_retimed: 0``). Scan the
+    git-TRACKED ``BENCH_r*`` artifacts, take the NEWEST round, and use the
+    per-query MIN across that round's cuts (driver capture + builder
+    headline/full + replays): transients are always high-side, so
+    min-across-cuts is a robust steady-state estimate even when one cut
+    is polluted. Returns canonical-name -> median seconds (empty when no
+    artifact exists — the pass is then skipped, as before)."""
+    import glob
+    import re
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", _REPO, "ls-files", "BENCH_r*.json"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        files = out.stdout.split() if out.returncode == 0 else []
+    except (OSError, subprocess.SubprocessError):
+        files = []
+    if not files:
+        files = [
+            os.path.basename(f) for f in glob.glob(os.path.join(_REPO, "BENCH_r*.json"))
+        ]
+    by_round: dict[int, list[str]] = {}
+    for f in files:
+        m = re.match(r"BENCH_r(\d+)", f)
+        if m:
+            by_round.setdefault(int(m.group(1)), []).append(f)
+    if not by_round:
+        return {}
+    base: dict[str, float] = {}
+    for f in by_round[max(by_round)]:
+        try:
+            with open(os.path.join(_REPO, f)) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        # driver captures wrap the compact stdout line under "parsed"
+        qs = (data.get("parsed") or {}).get("queries") or data.get("queries") or {}
+        for k, v in qs.items():
+            if isinstance(v, (int, float)):
+                canon = k.removeprefix("a0_")
+                base[canon] = min(base.get(canon, float(v)), float(v))
+    return base
 
 
 def _resolve(queries: dict, name: str) -> str:
@@ -308,6 +365,12 @@ def main() -> None:
         with open(baseline_path) as fh:
             base = json.load(fh).get("queries", {})
         basec = {k.removeprefix("a0_"): v for k, v in base.items()}
+    else:
+        # no env var (the driver's invocation): self-correct against the
+        # newest tracked round's artifacts so the committed capture is
+        # never one GC hiccup (VERDICT r16 #2)
+        basec = _default_baseline_queries()
+    if basec:
         for name in timings:
             canon = name.removeprefix("a0_")
             b = basec.get(canon)

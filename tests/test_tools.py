@@ -38,3 +38,34 @@ def test_bench_delta_canonicalizes_and_reports(tmp_path):
     assert "common queries: 2" in out
     assert "+16.7%" in out
     assert "q_gone" in out and "q_new" in out
+
+
+def test_bench_default_baseline_is_newest_round_min():
+    """VERDICT r16 #2: with $SPARK_GRAFT_BENCH_BASELINE unset (the
+    external driver's invocation), bench.py must still auto-retime, using
+    the per-query MIN across the NEWEST tracked round's BENCH_r*
+    artifacts — so one polluted cut (r16's driver capture carried an
+    8.4s sample of a 3.3s query) can never become the committed number
+    again. Checks the live repo artifacts: every baseline value must be
+    <= the corresponding value in each newest-round cut it was drawn
+    from, and driver-wrapper files (queries under ``parsed``) must be
+    understood."""
+    import re
+
+    sys.path.insert(0, str(REPO))
+    import bench
+
+    base = bench._default_baseline_queries()
+    assert base, "no tracked BENCH_r* artifacts found"
+    rounds = [
+        int(m.group(1))
+        for f in REPO.glob("BENCH_r*.json")
+        if (m := re.match(r"BENCH_r(\d+)", f.name))
+    ]
+    newest = max(rounds)
+    for f in REPO.glob(f"BENCH_r{newest}*.json"):
+        data = json.loads(f.read_text())
+        qs = (data.get("parsed") or {}).get("queries") or data.get("queries") or {}
+        for k, v in qs.items():
+            canon = k.removeprefix("a0_")
+            assert canon in base and base[canon] <= v + 1e-9, (f.name, k)

@@ -107,7 +107,11 @@ def main() -> None:
         ladder's build landing in its window via alphabetical sweep
         ordering — VERDICT r15 #5a)."""
         stage = TRAINER_STAGES[name.removeprefix("a0_")]
-        for key in [k for k in catalog._STAGE_CACHE if stage in k[1]]:
+        # exact match on the prefixed key (ADVICE r16): substring matching
+        # made 'bpe_learned_vocab' also evict 'tables:bbpe_learned_vocab',
+        # charging a byte-BPE consumer an unrelated cold build mid-window
+        targets = {stage, f"tables:{stage}"}
+        for key in [k for k in catalog._STAGE_CACHE if k[1] in targets]:
             del catalog._STAGE_CACHE[key]
 
     # warm-up: JIT-compile every plan at the smallest SF
