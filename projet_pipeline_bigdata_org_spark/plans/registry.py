@@ -111,12 +111,25 @@ def _last_driver_rows() -> dict[str, int]:
 def _rotated() -> frozenset[str]:
     """The ROTATION_WIDTH stalest registered names, oldest-row-first
     (never-checked names rank as round 0 and therefore always rotate in).
-    Cached per registry size so late registrations recompute."""
+    Cached per registry size so late registrations recompute.
+
+    No-oracle names that already carry a driver row are excluded
+    (VERDICT r16 #4): they structurally cannot produce a hash-green row
+    (the driver records only a rows-only check for them), so re-rotating
+    them burns window slots that could re-certify a stale oracle-gated
+    name. A never-checked no-oracle name still enters once for its
+    first rows-only exposure — after that, its evidence lives in the
+    local suite (tolerance pins / certified twins; see README)."""
     global _ROT_CACHE
     if _ROT_CACHE is not None and _ROT_CACHE[0] == len(_REGISTRY):
         return _ROT_CACHE[1]
     last = _last_driver_rows()
-    ranked = sorted(_REGISTRY, key=lambda n: (last.get(n, 0), n))
+    eligible = [
+        n
+        for n, spec in _REGISTRY.items()
+        if spec.oracle is not None or last.get(n, 0) == 0
+    ]
+    ranked = sorted(eligible, key=lambda n: (last.get(n, 0), n))
     rot = frozenset(ranked[:ROTATION_WIDTH])
     _ROT_CACHE = (len(_REGISTRY), rot)
     return rot

@@ -108,12 +108,23 @@ def test_rotation_recertifies_oldest_first():
     from projet_pipeline_bigdata_org_spark.plans.registry import (
         ROTATION_WIDTH,
         _last_driver_rows,
+        all_specs,
     )
 
     last = _last_driver_rows()
     names = sorted(entrymod.queries())
     window = {n.removeprefix("a0_") for n in names[:ROTATION_WIDTH]}
-    outside = {n.removeprefix("a0_") for n in names[ROTATION_WIDTH:]}
+    # no-oracle names with a prior rows-only row are rotation-exempt
+    # (VERDICT r16 #4): they can never go hash-green, so staleness
+    # comparisons only apply to the oracle-gated population
+    exempt = {
+        n
+        for n, spec in all_specs().items()
+        if spec.oracle is None and last.get(n, 0) > 0
+    }
+    outside = {
+        n.removeprefix("a0_") for n in names[ROTATION_WIDTH:]
+    } - exempt
     if not outside:
         return
     newest_in = max(last.get(n, 0) for n in window)
@@ -126,6 +137,26 @@ def test_rotation_recertifies_oldest_first():
     # exposure in the same round the query lands)
     unchecked_out = sorted(n for n in outside if last.get(n, 0) == 0)
     assert not unchecked_out, f"never-checked names outside window: {unchecked_out}"
+
+
+def test_window_slots_all_oracle_gated():
+    """VERDICT r16 #4: every slot in the 50-name driver window must go to
+    a name that can actually produce a hash-green row — i.e. carries an
+    oracle — unless it is a brand-new no-oracle name awaiting its first
+    rows-only exposure. r16 burned 2 of 50 slots re-checking names that
+    structurally cannot go green."""
+    from projet_pipeline_bigdata_org_spark.plans.registry import (
+        _last_driver_rows,
+        get,
+    )
+
+    last = _last_driver_rows()
+    osql = set(entrymod.oracle_sql())
+    for n in sorted(entrymod.queries())[:50]:
+        canon = get(n).name
+        assert n in osql or last.get(canon, 0) == 0, (
+            f"window slot wasted on already-checked no-oracle name {n}"
+        )
 
 
 def test_every_no_oracle_query_has_readme_rationale():
