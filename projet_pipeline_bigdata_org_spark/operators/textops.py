@@ -443,7 +443,7 @@ GOPHER_MIN_STOPWORDS = 2       # >= 2 distinct stopword hits
 @query(
     "lex_gopher_rules",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {SQL_WS_TOKENS.format(c='text')} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, {SQL_TOK_NULLSAFE} AS toks FROM documents),
     m AS (SELECT doc_id,
                  CAST(LEN(toks) AS BIGINT) AS n_tokens,
                  CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))), 0) AS BIGINT) AS n_chars,
@@ -477,7 +477,11 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection — the shape a 100 TB quality pass wants (scan → flags, no
     shuffle, no Python)."""
     d = load(spark, sf_dir, "documents")
-    toks = ws_tokens("text")
+    # NULL-safe on BOTH sides (ADVICE r16): NULL text must score
+    # keep=false like gopher_keep_col's coalesced form, not keep=NULL —
+    # the corpus has no NULL texts, so corpus output is unchanged, but
+    # the drift pin is no longer corpus-dependent
+    toks = ws_tokens(F.coalesce(F.col("text"), F.lit("")))
     stop = F.array(*[F.lit(w) for w in STOPWORDS])
     n_tokens = F.size(toks).cast("long")
     n_chars = F.coalesce(
@@ -1115,14 +1119,18 @@ def text_gopher_repetition_exploded(spark: SparkSession, sf_dir: str) -> DataFra
     doc_id — linear in corpus tokens, no per-doc quadratic term, and no
     skew: a single document's grams land in one partition only for the
     per-doc aggregates, which are O(distinct grams) not O(k²)."""
-    t = _goprep_stage(spark, sf_dir).persist()
+    # scoped persists (ADVICE r16): re-invocation unpersists the previous
+    # call's pins instead of leaking blocks past the operator's lifetime
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    t = _persist_scoped("goprep_t", _goprep_stage(spark, sf_dir))
 
     def gram_occ(n: int) -> DataFrame:
         return t.select(
             "doc_id", F.lit(n).alias("n"), F.posexplode(_goprep_grams(n))
         ).toDF("doc_id", "n", "gpos", "gram")
 
-    occ2 = gram_occ(2).persist()
+    occ2 = _persist_scoped("goprep_occ2", gram_occ(2))
     occ = occ2.unionByName(gram_occ(3)).unionByName(gram_occ(4))
     counts = occ.groupBy("doc_id", "n", "gram").agg(
         F.count(F.lit(1)).alias("cnt")

@@ -1758,6 +1758,10 @@ class CurationFunnelSink:
     stats: dict = field(
         default_factory=lambda: {"batches": 0, "admitted": 0, "removed": 0}
     )
+    #: per-epoch (admitted, removed) — replays OVERWRITE their epoch's
+    #: entry (ADVICE r16: plain += double-counted on epoch replay while
+    #: the parquet stores stayed idempotent); totals derive from this
+    _epoch_counts: dict = field(default_factory=dict, repr=False)
 
     def _history_before(self, epoch_id: int) -> DataFrame:
         return _epoch_history_scan(
@@ -1808,8 +1812,9 @@ class CurationFunnelSink:
             n_total, n_adm = flagged.agg(
                 F.count(F.lit(1)), F.count(F.when(F.col("stage_ord") == 0, 1))
             ).first()
-            self.stats["admitted"] += n_adm
-            self.stats["removed"] += n_total - n_adm
+            self._epoch_counts[epoch_id] = (int(n_adm), int(n_total - n_adm))
+            self.stats["admitted"] = sum(a for a, _ in self._epoch_counts.values())
+            self.stats["removed"] = sum(r for _, r in self._epoch_counts.values())
             drop = ["content_sha", "__keep_id", "__in_hist", "__f_exact", "__margin"]
             flagged.filter(F.col("stage_ord") == 0).drop(*drop, "stage_ord").write.mode(
                 "overwrite"
@@ -1859,6 +1864,8 @@ class DecontaminationGateSink:
     stats: dict = field(
         default_factory=lambda: {"batches": 0, "passed": 0, "contaminated": 0}
     )
+    #: per-epoch (passed, contaminated); replays overwrite (ADVICE r16)
+    _epoch_counts: dict = field(default_factory=dict, repr=False)
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from projet_pipeline_bigdata_org_spark.operators.textops import (
@@ -1901,8 +1908,13 @@ class DecontaminationGateSink:
                 n_total, n_bad = flags.agg(
                     F.count(F.lit(1)), F.count(F.when(F.col("contaminated"), 1))
                 ).first()
-                self.stats["passed"] += n_total - n_bad
-                self.stats["contaminated"] += n_bad
+                self._epoch_counts[epoch_id] = (int(n_total - n_bad), int(n_bad))
+                self.stats["passed"] = sum(
+                    p for p, _ in self._epoch_counts.values()
+                )
+                self.stats["contaminated"] = sum(
+                    c for _, c in self._epoch_counts.values()
+                )
                 flags.write.mode("overwrite").parquet(
                     f"{self.flags_path}/epoch={epoch_id}"
                 )

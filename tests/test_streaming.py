@@ -1950,6 +1950,12 @@ def test_rule_keep_columns_match_registered_operators(spark, sf_dir):
         for r in docs.select("doc_id", gopher_keep_col("text").alias("k")).collect()
     }
     assert gop_col == gop_op and len(gop_col) > 0
+    # NULL-text edge (ADVICE r16): both forms must score keep=FALSE, not
+    # NULL — the corpus has no NULL texts, so pin it with a rider
+    null_rider = spark.createDataFrame(
+        [(96_000_001, None)], "doc_id long, text string"
+    )
+    assert null_rider.select(gopher_keep_col("text").alias("k")).first().k is False
 
     c4_src = docs.unionByName(
         spark.createDataFrame(list(C4_FIXTURE_ROWS), "doc_id long, text string")
