@@ -1926,3 +1926,288 @@ class DecontaminationGateSink:
                 flags.unpersist()
         finally:
             sh.unpersist()
+
+
+#: (stage_ord, stage) rows of the FULL streaming-amenable funnel prefix —
+#: the C4-ladder's OWN ranks (rank 2, normalized dup, has no streaming
+#: form; the corpus-relative DSIR/perplexity/entropy tails, ranks 8-10,
+#: need final corpus totals an ingest stream cannot have)
+CURATION_INGEST_STAGES: tuple[tuple[int, str], ...] = (
+    (0, "survivor"),
+    (1, "exact_dup"),
+    (3, "near_dup"),
+    (4, "decontaminated"),
+    (5, "c4_fail"),
+    (6, "gopher_fail"),
+    (7, "classifier_fail"),
+)
+
+
+@dataclass
+class CurationFunnelIngestSink:
+    """The FULL streaming-amenable curation funnel at ingest (VERDICT r16
+    #3/#4): exact-dedup → MinHash near-dup admission → benchmark
+    decontamination → C4 → Gopher → classifier in ONE foreachBatch
+    pipeline with first-match stage attribution, using the C4-ladder's
+    own stage ordinals (``CURATION_INGEST_STAGES``). Extends
+    :class:`CurationFunnelSink` with the two stages it lacked — the
+    band-table near-dup admission spliced between exact-dedup and C4
+    exactly as :class:`MinHashHistoryDedupSink` runs it standalone
+    (shared ``minhash_band_table`` / ``_lsh_candidate_jaccard`` code, so
+    band keys and the verify division can never drift), and the
+    stream-static benchmark gate of :class:`DecontaminationGateSink`.
+    Certified batch twin: ``curate_funnel_stream_prefix6``
+    (mode-equality test-pinned).
+
+    Stage semantics per micro-batch (epoch ``e``):
+
+    1. exact_dup (rank 1) — within-batch min-id keeper OR a content-sha
+       hit in the strictly-before-e sha dictionary (CurationFunnelSink
+       semantics: every FIRST-SEEN content enters whatever its outcome);
+    2. near_dup (rank 3) — a first-seen keeper is removed when it has a
+       verified near-duplicate (exact Jaccard >= threshold on band
+       collisions) against the strictly-before-e band/shingle history OR
+       against a SMALLER-id first-seen keeper in the same batch. Unlike
+       the standalone MinHashHistoryDedupSink (which records only
+       ADMITTED rows), the history here records EVERY first-seen
+       keeper's bands/shingles whatever its own stage — the ladder's
+       one-shot pair semantics (a doc near-duplicating a rejected doc is
+       still a near-duplicate), which is exactly what makes the streamed
+       attribution equal the one-shot twin's pair set;
+    3. decontaminated (rank 4) — benchmark members (``is_benchmark``,
+       default the corpus's doc_id % DECONTAM_BENCH_MOD == 0 stand-in)
+       are removed outright (eval data never trains), and other docs at
+       >= DECONTAM_PCT% shingle overlap with the STATIC broadcast
+       benchmark dictionary (DecontaminationGateSink arithmetic);
+    4. c4_fail / gopher_fail / classifier_fail (ranks 5/6/7) — the
+       drift-pinned rule columns, absolute classifier margin.
+
+    Writes, all idempotent epoch-partition overwrites: survivors →
+    ``out/epoch=e``; attribution (doc_id, stage_ord) →
+    ``attributed/epoch=e``; first-seen keeper shas →
+    ``history/shas/epoch=e``; their bands/shingles →
+    ``history/bands|shingles/epoch=e``. The strict prior-epoch bound on
+    every history scan keeps replays byte-identical.
+
+    Scale shape: rule flags are zero-shuffle codegen'd projections; the
+    joins are the min-id keeper partial agg, the sha membership join,
+    the 24-byte band-collision join (history side bucketable to
+    zero-shuffle like the standalone sink), the candidates-only Jaccard
+    verify, and the broadcast-dictionary overlap join. ``portable=True``
+    swaps xxhash64/murmur3 for the certified sha-slice/coin-fold hashes
+    (DuckDB-reproducible — what the mode-equality test runs); production
+    keeps the default JVM hashes."""
+
+    spark: SparkSession
+    out_path: str
+    attributed_path: str
+    history_path: str
+    bench_shingles: DataFrame  # one column `s`: the static eval dictionary
+    content_col: str = "text"
+    id_col: str = "doc_id"
+    clf_threshold: int = 0
+    portable: bool = False
+    is_benchmark: object | None = None  # Column predicate; None = id-mod rule
+    stats: dict = field(
+        default_factory=lambda: {"batches": 0, "admitted": 0, "removed": 0}
+    )
+    #: per-epoch (admitted, removed); replays overwrite (ADVICE r16)
+    _epoch_counts: dict = field(default_factory=dict, repr=False)
+
+    def _shas_before(self, epoch_id: int) -> DataFrame:
+        return _epoch_history_scan(
+            self.spark, f"{self.history_path}/shas", "content_sha string", epoch_id
+        ).distinct()
+
+    def _bands_before(self, epoch_id: int) -> DataFrame:
+        # portable (coin-fold) buckets are BIGINT; JVM murmur3 buckets INT
+        bucket_t = "long" if self.portable else "int"
+        return _epoch_history_scan(
+            self.spark,
+            f"{self.history_path}/bands",
+            f"doc_id long, band int, bucket {bucket_t}",
+            epoch_id,
+        )
+
+    def _shingles_before(self, epoch_id: int) -> DataFrame:
+        return _epoch_history_scan(
+            self.spark,
+            f"{self.history_path}/shingles",
+            "doc_id long, sh array<string>",
+            epoch_id,
+        )
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from projet_pipeline_bigdata_org_spark.operators.curation import qc_margin
+        from projet_pipeline_bigdata_org_spark.operators.dedup import (
+            _lsh_candidate_jaccard,
+            JACCARD_THRESHOLD,
+            minhash_band_table,
+            portable_shingle_hashes,
+            shingle_hashes,
+        )
+        from projet_pipeline_bigdata_org_spark.operators.textops import (
+            DECONTAM_BENCH_MOD,
+            DECONTAM_PCT,
+            c4_keep_col,
+            gopher_keep_col,
+            shingles,
+            ws_tokens,
+        )
+
+        self.stats["batches"] += 1
+        if batch_df.isEmpty():  # P9 empty-batch guard
+            return
+        text = F.coalesce(F.col(self.content_col), F.lit(""))
+        did = F.col(self.id_col)
+        hashed = batch_df.withColumn("content_sha", F.sha2(text, 256))
+        keeper = hashed.groupBy("content_sha").agg(F.min(self.id_col).alias("__keep_id"))
+        base = (
+            hashed.join(keeper, "content_sha")
+            .join(
+                self._shas_before(epoch_id).withColumn("__in_hist", F.lit(1)),
+                "content_sha",
+                "left",
+            )
+            .withColumn(
+                "__f_exact",
+                (did != F.col("__keep_id")) | F.col("__in_hist").isNotNull(),
+            )
+            .persist()
+        )
+        # one shingle/hash stage over this epoch's FIRST-SEEN keepers:
+        # feeds the within-batch pair join, the history verify, and the
+        # history writes (the MinHashHistoryDedupSink staging discipline)
+        hashes = portable_shingle_hashes if self.portable else shingle_hashes
+        sh = (
+            base.filter(~F.col("__f_exact"))
+            .select(
+                did.alias("doc_id"),
+                F.array_distinct(shingles(ws_tokens(text))).alias("sh"),
+            )
+            .filter(F.size("sh") > 0)
+            .select("doc_id", "sh", hashes(F.col("sh")).alias("hh"))
+            .persist()
+        )
+        try:
+            bands_b = minhash_band_table(sh, portable=self.portable)
+            # within-batch verified pairs flag the LARGER id (first-seen
+            # wins — the one-shot twin's a_id < b_id rule)
+            near_batch = _lsh_candidate_jaccard(sh, bands_b).select(
+                F.col("b_id").alias("doc_id")
+            )
+            # batch-vs-history: candidates from band collisions, exact
+            # Jaccard on candidates only (MinHashHistoryDedupSink shape)
+            cand = (
+                bands_b.alias("b")
+                .join(
+                    self._bands_before(epoch_id).alias("h"),
+                    (F.col("b.band") == F.col("h.band"))
+                    & (F.col("b.bucket") == F.col("h.bucket")),
+                )
+                .select(
+                    F.col("b.doc_id").alias("batch_id"),
+                    F.col("h.doc_id").alias("history_id"),
+                )
+                .dropDuplicates(["batch_id", "history_id"])
+            )
+            sh_b = sh.select(F.col("doc_id").alias("batch_id"), F.col("sh").alias("sh_b"))
+            sh_h = self._shingles_before(epoch_id).select(
+                F.col("doc_id").alias("history_id"), F.col("sh").alias("sh_h")
+            )
+            inter = F.size(F.array_intersect("sh_b", "sh_h"))
+            union = F.size("sh_b") + F.size("sh_h") - inter
+            near_hist = (
+                cand.join(sh_b, "batch_id")
+                .join(sh_h, "history_id")
+                .filter((inter.cast("double") / union) >= F.lit(JACCARD_THRESHOLD))
+                .select(F.col("batch_id").alias("doc_id"))
+            )
+            near_ids = (
+                near_batch.unionByName(near_hist)
+                .distinct()
+                .withColumnRenamed("doc_id", "__near_id")
+            )
+            # decontamination flags (DecontaminationGateSink arithmetic,
+            # static broadcast dictionary)
+            shc = base.select(
+                did.alias("__did"),
+                F.array_distinct(shingles(ws_tokens(text))).alias("__sh"),
+            )
+            hits = (
+                shc.select("__did", F.explode("__sh").alias("s"))
+                .join(F.broadcast(self.bench_shingles.select("s").distinct()), "s")
+                .groupBy("__did")
+                .agg(F.count(F.lit(1)).alias("__n_overlap"))
+            )
+            n_overlap = F.coalesce(F.col("__n_overlap"), F.lit(0).cast("long"))
+            contam = shc.select(
+                "__did", F.size("__sh").cast("long").alias("__n_sh")
+            ).join(hits, "__did", "left").select(
+                F.col("__did"),
+                (
+                    (100 * n_overlap >= DECONTAM_PCT * F.col("__n_sh"))
+                    & (F.col("__n_sh") > 0)
+                ).alias("__contam"),
+            )
+            is_bench = (
+                did % DECONTAM_BENCH_MOD == 0
+                if self.is_benchmark is None
+                else self.is_benchmark
+            )
+            stage = (
+                F.when(F.col("__f_exact"), 1)
+                .when(F.col("__near_id").isNotNull(), 3)
+                .when(is_bench | F.col("__contam"), 4)
+                .when(~c4_keep_col(F.col(self.content_col)), 5)
+                .when(~gopher_keep_col(F.col(self.content_col)), 6)
+                .when(F.col("__margin") < self.clf_threshold, 7)
+                .otherwise(0)
+                .cast("long")
+            )
+            flagged = (
+                base.join(near_ids, did == F.col("__near_id"), "left")
+                .join(contam, did == F.col("__did"), "left")
+                .withColumn("__margin", qc_margin(ws_tokens(text)))
+                .withColumn("stage_ord", stage)
+                .persist()
+            )
+            try:
+                n_total, n_adm = flagged.agg(
+                    F.count(F.lit(1)), F.count(F.when(F.col("stage_ord") == 0, 1))
+                ).first()
+                self._epoch_counts[epoch_id] = (int(n_adm), int(n_total - n_adm))
+                self.stats["admitted"] = sum(
+                    a for a, _ in self._epoch_counts.values()
+                )
+                self.stats["removed"] = sum(
+                    r for _, r in self._epoch_counts.values()
+                )
+                drop = [
+                    "content_sha", "__keep_id", "__in_hist", "__f_exact",
+                    "__near_id", "__did", "__contam", "__margin",
+                ]
+                flagged.filter(F.col("stage_ord") == 0).drop(
+                    *drop, "stage_ord"
+                ).write.mode("overwrite").parquet(f"{self.out_path}/epoch={epoch_id}")
+                flagged.select(self.id_col, "stage_ord").write.mode(
+                    "overwrite"
+                ).parquet(f"{self.attributed_path}/epoch={epoch_id}")
+                # EVERY first-seen keeper enters all three dictionaries
+                # whatever its stage (ladder pair semantics, docstring 1-2)
+                flagged.filter(~F.col("__f_exact")).select(
+                    "content_sha"
+                ).distinct().write.mode("overwrite").parquet(
+                    f"{self.history_path}/shas/epoch={epoch_id}"
+                )
+                minhash_band_table(sh, portable=self.portable).write.mode(
+                    "overwrite"
+                ).parquet(f"{self.history_path}/bands/epoch={epoch_id}")
+                sh.select("doc_id", "sh").write.mode("overwrite").parquet(
+                    f"{self.history_path}/shingles/epoch={epoch_id}"
+                )
+            finally:
+                flagged.unpersist()
+        finally:
+            sh.unpersist()
+            base.unpersist()

@@ -2073,6 +2073,151 @@ def test_curation_funnel_sink_matches_batch_and_replays(spark, sf_dir, tmp_path)
     assert n_sha == n_content
 
 
+def test_curation_funnel_ingest_sink_matches_twin_and_replays(spark, sf_dir, tmp_path):
+    """The FULL streaming-amenable funnel at ingest (VERDICT r16 #3/#4):
+    streaming the corpus (+ riders exercising the new stages) through
+    CurationFunnelIngestSink in doc_id-ordered epochs yields EXACTLY the
+    certified batch twin's attribution on the corpus (mode equality with
+    ``curate_funnel_stream_prefix6``, portable hashes both sides);
+    planted riders hit exact-dup (1), cross-epoch near-dup (3),
+    WITHIN-batch near-dup (3), and Gopher (6); worst-order replay
+    rewrites every store identically (strict prior-epoch history
+    bound)."""
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.curation import (
+        curate_funnel_stream_prefix6,
+    )
+    from projet_pipeline_bigdata_org_spark.operators.textops import (
+        DECONTAM_BENCH_MOD,
+        shingles,
+        ws_tokens,
+    )
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        CurationFunnelIngestSink,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    twin = {
+        r.doc_id: r.stage_ord
+        for r in curate_funnel_stream_prefix6(spark, sf_dir).collect()
+    }
+    assert {3, 4, 6, 7} <= set(twin.values())  # stage variety on the corpus
+    first_text = docs.orderBy("doc_id").first().text
+    # invented tokens: near each other, in no benchmark, no stopwords
+    base_txt = (
+        "alphaq bravoq charlieq deltaq echoq foxtrotq golfq hotelq"
+        " indiaq julietq kiloq limaq"
+    )
+    riders = spark.createDataFrame(
+        [
+            (95_100_001, first_text),             # cross-epoch exact dup -> 1
+            (95_100_002, first_text + " zzzqx"),  # cross-epoch near dup -> 3
+            (95_100_003, base_txt),               # fresh; no stopwords -> 6
+            (95_100_004, base_txt + " mikeq"),    # within-batch near -> 3
+        ],
+        "doc_id long, text string",
+    )
+    rid = {r.doc_id for r in riders.select("doc_id").collect()}
+    assert all(i % DECONTAM_BENCH_MOD != 0 for i in rid)
+    stream = docs.unionByName(riders)
+
+    bench = (
+        docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+        .select(F.explode(F.array_distinct(shingles(ws_tokens("text")))).alias("s"))
+        .distinct()
+    )
+    out, att, hist = (
+        str(tmp_path / "out"), str(tmp_path / "att"), str(tmp_path / "hist")
+    )
+    sink = CurationFunnelIngestSink(spark, out, att, hist, bench, portable=True)
+    ids = sorted(r.doc_id for r in stream.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    epochs = [
+        stream.filter(F.col("doc_id") < cuts[0]),
+        stream.filter((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),
+        stream.filter(F.col("doc_id") >= cuts[1]),  # all 4 riders land here
+    ]
+    for e, b in enumerate(epochs):
+        sink(b, e)
+
+    def attributed():
+        return {r.doc_id: r.stage_ord for r in spark.read.parquet(att).collect()}
+
+    def survivors():
+        return {r.doc_id for r in spark.read.parquet(out).collect()}
+
+    got = attributed()
+    # corpus docs: exact mode equality with the certified twin
+    assert {k: v for k, v in got.items() if k not in rid} == twin
+    # riders hit their stages
+    assert got[95_100_001] == 1 and got[95_100_002] == 3
+    assert got[95_100_004] == 3 and got[95_100_003] == 6
+    assert survivors() == {i for i, s in got.items() if s == 0}
+    assert sink.stats["admitted"] == len(survivors())
+
+    # worst-order replay: newest epoch first — strict prior-epoch bound
+    # keeps every rewrite identical, stats stay epoch-keyed
+    for e in (2, 1, 0):
+        sink(epochs[e], e)
+    assert attributed() == got
+    assert survivors() == {i for i, s in got.items() if s == 0}
+    assert sink.stats["admitted"] == len(survivors())
+    # history: one sha per first-seen content; bands/shingles for every
+    # first-seen keeper with >= 1 shingle REGARDLESS of its stage
+    n_sha = spark.read.parquet(f"{hist}/shas").distinct().count()
+    text = F.coalesce(F.col("text"), F.lit(""))
+    assert n_sha == stream.select(F.sha2(text, 256)).distinct().count()
+    hist_ids = {
+        r.doc_id for r in spark.read.parquet(f"{hist}/shingles").collect()
+    }
+    rejected_with_sh = {
+        i for i, s in got.items()
+        if s != 0 and i in hist_ids
+    }
+    assert rejected_with_sh, "history must record rejected first-seen keepers too"
+
+
+def test_stream_prefix6_agrees_with_ladder_on_shared_ranks(spark, sf_dir):
+    """Mode equality vs the batch ladder restricted to the shared stages
+    (VERDICT r16 #3): every document the C4-ladder attributes to a rank
+    the streaming prefix also runs (1 exact, 3 near, 4 decon, 5 c4,
+    6 gopher) gets the SAME rank from ``curate_funnel_stream_prefix6``.
+    Rank 2 (normalized dup) has no streaming form and rank 7 classifier
+    is corpus-relative in the ladder vs absolute at ingest — both
+    documented divergences, excluded."""
+    from projet_pipeline_bigdata_org_spark.operators.curation import (
+        curate_funnel_stream_prefix6,
+        funnel_ladder_staged,
+    )
+    from projet_pipeline_bigdata_org_spark.operators.textops import text_c4_rules
+
+    staged9 = funnel_ladder_staged(spark, sf_dir)
+    c4 = text_c4_rules(spark, sf_dir).select("doc_id", "keep")
+    ord9 = F.col("stage_ord")
+    lc4 = {
+        r.doc_id: r.s
+        for r in staged9.join(c4, "doc_id")
+        .select(
+            "doc_id",
+            F.when(ord9.between(1, 4), ord9)
+            .when(~F.col("keep"), F.lit(5))
+            .when(ord9 == 0, F.lit(0))
+            .otherwise(ord9 + 1)
+            .cast("long")
+            .alias("s"),
+        )
+        .collect()
+    }
+    twin = {
+        r.doc_id: r.stage_ord
+        for r in curate_funnel_stream_prefix6(spark, sf_dir).collect()
+    }
+    shared = {d for d, s in lc4.items() if s in (1, 3, 4, 5, 6)}
+    assert shared, "corpus must exercise at least one shared rank"
+    diverged = {d: (lc4[d], twin[d]) for d in shared if twin[d] != lc4[d]}
+    assert not diverged, f"ladder/stream rank disagreement: {diverged}"
+
+
 def test_decontamination_gate_sink_matches_batch_and_replays(spark, sf_dir, tmp_path):
     """Streaming eval-hygiene gate: streaming the corpus (non-benchmark
     docs) through DecontaminationGateSink against the static benchmark
