@@ -91,6 +91,7 @@ HEADLINE = (
     "lex_decontaminate_attrib",          # per-benchmark contamination attribution (new r16, VERDICT #7)
     "curate_funnel_stream_prefix",       # the streamed funnel's certified batch twin (new r16, VERDICT #6)
     "curate_funnel_stream_prefix6",      # FULL ingest funnel twin: +near-dup +decontamination (new r17, VERDICT #3/#4)
+    "curate_pipeline_e2e",               # funnel->epoch-plan->manifest e2e capstone (new r17, VERDICT #5)
     # the rest of the certified TPC-H 22 (r16): the headline artifact then
     # carries the COMPLETE standard yardstick every round (suites.tpch22)
     "sql_surface_q4", "sql_surface_q5", "sql_surface_q6", "sql_surface_q7",

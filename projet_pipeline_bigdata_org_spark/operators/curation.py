@@ -2045,12 +2045,13 @@ _EPOCH_PLAN_FIXTURE_SQL = " UNION ALL ".join(
 )
 
 
-def _epoch_plan_oracle() -> str:
-    return f"""
-    WITH pdocs AS (
-      SELECT doc_id, source, text FROM documents
-      UNION ALL {_EPOCH_PLAN_FIXTURE_SQL}
-    ), pn AS (
+def _epoch_plan_core() -> str:
+    """The epoch-plan CTE chain from an in-scope ``pdocs(doc_id, source,
+    text)`` CTE down to the Feistel output — ONE definition shared by
+    ``curate_epoch_plan`` (pdocs = corpus ∪ fixtures) and the e2e
+    pipeline capstone (pdocs = funnel survivors ∪ fixtures), so the
+    composition cannot drift from the registered component."""
+    return f"""pn AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(LEN({_TOK_SQL})) AS BIGINT) AS n_tokens
       FROM pdocs GROUP BY source
@@ -2069,15 +2070,27 @@ def _epoch_plan_oracle() -> str:
       SELECT d.doc_id, d.source, s.n_ep
       FROM pdocs d JOIN psch s USING (source)
       WHERE {sql_hash_coin("d.doc_id")} < s.threshold
-    ), {_feistel_sql(src="kept")}
-    SELECT CAST(f.epoch AS BIGINT) AS epoch,
+    ), {_feistel_sql(src="kept")}"""
+
+
+#: the plan's final SELECT over the core CTEs (same two-consumer sharing)
+_EPOCH_PLAN_SELECT = f"""SELECT CAST(f.epoch AS BIGINT) AS epoch,
            CAST((f.l * {FEISTEL_HALF} + f.r) // {PERM_SHARD_DIV} AS BIGINT)
              AS shard,
            f.doc_id, k.source,
            CAST(f.l * {FEISTEL_HALF} + f.r AS BIGINT) AS position
     FROM fe{FEISTEL_ROUNDS} f
     JOIN kept k ON k.doc_id = f.doc_id
-    WHERE f.epoch < k.n_ep
+    WHERE f.epoch < k.n_ep"""
+
+
+def _epoch_plan_oracle() -> str:
+    return f"""
+    WITH pdocs AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL {_EPOCH_PLAN_FIXTURE_SQL}
+    ), {_epoch_plan_core()}
+    {_EPOCH_PLAN_SELECT}
     """
 
 
@@ -2116,11 +2129,22 @@ def curate_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows); the trainer range-scans (epoch, shard) slices, so no global
     order is ever materialized."""
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    fixture = spark.createDataFrame(
-        [(i, s, t) for i, s, t in EPOCH_PLAN_FIXTURE_ROWS],
-        "doc_id long, source string, text string",
+    return _epoch_plan_from(spark, _with_epoch_plan_fixture(spark, d))
+
+
+def _with_epoch_plan_fixture(spark: SparkSession, d: DataFrame) -> DataFrame:
+    return d.unionByName(
+        spark.createDataFrame(
+            [(i, s, t) for i, s, t in EPOCH_PLAN_FIXTURE_ROWS],
+            "doc_id long, source string, text string",
+        )
     )
-    pdocs = d.unionByName(fixture)
+
+
+def _epoch_plan_from(spark: SparkSession, pdocs: DataFrame) -> DataFrame:
+    """The epoch-plan composition over an arbitrary ``pdocs(doc_id,
+    source, text)`` frame — the Spark twin of :func:`_epoch_plan_core`,
+    shared by ``curate_epoch_plan`` and ``curate_pipeline_e2e``."""
     pn = pdocs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.size(ws_tokens("text"))).cast("long").alias("n_tokens"),
@@ -2368,5 +2392,114 @@ def curate_funnel_stream_prefix6(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .cast("long")
             .alias("stage_ord"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end pretraining-pipeline capstone (r17, VERDICT r16 #5): ONE
+# certified query chaining funnel survivors → epoch-plan composition →
+# export-manifest rollup — certifying the INTERFACES between the stages a
+# real 100 TB pipeline runs as one DAG
+# ---------------------------------------------------------------------------
+
+def _pipeline_e2e_oracle() -> str:
+    from projet_pipeline_bigdata_org_spark.plans.registry import get as _get
+
+    c4 = _get("lex_c4_rules").oracle
+    return f"""
+    WITH {_ladder_staged_ctes()},
+    c4q AS ({c4}),
+    l10 AS (
+      SELECT l.doc_id,
+             CASE WHEN l.stage_ord BETWEEN 1 AND 4 THEN l.stage_ord
+                  WHEN NOT c.keep THEN 5
+                  WHEN l.stage_ord = 0 THEN 0
+                  ELSE l.stage_ord + 1 END AS stage_ord
+      FROM lstaged l JOIN c4q c ON c.doc_id = l.doc_id
+    ),
+    pdocs AS MATERIALIZED (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d JOIN l10 ON l10.doc_id = d.doc_id
+      WHERE l10.stage_ord = 0
+      UNION ALL {_EPOCH_PLAN_FIXTURE_SQL}
+    ), {_epoch_plan_core()},
+    plan AS (
+      {_EPOCH_PLAN_SELECT}
+    ), tok AS (
+      SELECT doc_id, CAST(LEN({_TOK_SQL}) AS BIGINT) AS n_tokens FROM pdocs
+    )
+    SELECT p.epoch, p.shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS token_mass,
+           CAST(COUNT(DISTINCT p.source) AS BIGINT) AS n_sources,
+           MIN_BY(p.doc_id, p.position) AS first_doc_id,
+           MAX_BY(p.doc_id, p.position) AS last_doc_id
+    FROM plan p JOIN tok t ON t.doc_id = p.doc_id
+    GROUP BY p.epoch, p.shard
+    """
+
+
+@query(
+    "curate_pipeline_e2e",
+    oracle=_pipeline_e2e_oracle(),
+    tags=("llm", "curation", "mixing", "packing", "documents"),
+)
+def curate_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pretraining-pipeline manifest (VERDICT r16 #5): the
+    C4-ladder funnel's SURVIVORS flow through the epoch-plan composition
+    (temperature mixture thresholds → repetition schedule → Feistel
+    per-epoch shuffle) and roll up into the per-(epoch, shard) manifest a
+    training run consumes — document count, token mass, source
+    diversity, and the first/last document in loader position order.
+    This is the one query that certifies the INTERFACES between the
+    three individually-certified stages (``curate_funnel_ladder_c4``,
+    ``curate_epoch_plan``, ``curate_export_manifest``) as a single DAG:
+    every stage is the registered operator's own shared code
+    (:func:`funnel_ladder_staged` silver table — no retrain, plan-pinned
+    — and :func:`_epoch_plan_from`), and the oracle composes the same
+    stages' certified SQL (``_ladder_staged_ctes`` + lex_c4_rules +
+    ``_epoch_plan_core`` — the audit_calibration_bins discipline).
+    Stage counts reconcile with the member queries' own outputs
+    (tests/test_llm_ops.py::test_pipeline_e2e_reconciles_with_members).
+
+    The epoch-plan fixture riders enter AT THE PLAN STAGE (they are not
+    corpus rows, so the funnel never sees them) — same riders as
+    ``curate_epoch_plan``, keeping the mixture thresholds and the
+    epoch < n_ep cut non-vacuous over the small survivor set at every SF.
+
+    Scale shape: one read of the staged (doc_id, stage_ord) parquet
+    table + one zero-shuffle C4 projection + the plan's two
+    |sources|-row broadcast stages + the zero-shuffle Feistel projection
+    + ONE (epoch, shard)-keyed rollup with min_by/max_by riding the same
+    aggregate — no corpus sort, no retrain, no second funnel pass."""
+    from projet_pipeline_bigdata_org_spark.operators.textops import text_c4_rules
+
+    staged = funnel_ladder_staged(spark, sf_dir)
+    c4 = text_c4_rules(spark, sf_dir).select("doc_id", "keep")
+    surv = (
+        staged.join(c4, "doc_id")
+        .filter((F.col("stage_ord") == 0) & F.col("keep"))
+        .select("doc_id")
+    )
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .join(surv, "doc_id")
+    )
+    pdocs = _with_epoch_plan_fixture(spark, d)
+    plan = _epoch_plan_from(spark, pdocs)
+    tok = pdocs.select(
+        "doc_id", F.size(ws_tokens("text")).cast("long").alias("n_tokens")
+    )
+    return (
+        plan.join(tok, "doc_id")
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("token_mass"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min_by("doc_id", "position").cast("long").alias("first_doc_id"),
+            F.max_by("doc_id", "position").cast("long").alias("last_doc_id"),
         )
     )

@@ -5092,6 +5092,69 @@ def test_epoch_plan_replay_and_composition(spark, sf_dir):
     assert again == want and len(want) > 0
 
 
+def test_pipeline_e2e_reconciles_with_members(spark, sf_dir):
+    """The e2e capstone's counts reconcile with its member queries'
+    OWN outputs (VERDICT r16 #5): the survivor set it plans over is
+    exactly the C4-ladder ledger's final n_remaining; sum(n_docs)
+    equals the (survivors ∪ plan fixtures) epoch plan's row count;
+    token_mass totals the same plan rows' own token counts; min/max
+    positions per (epoch, shard) name the right documents."""
+    from projet_pipeline_bigdata_org_spark import plans
+    from projet_pipeline_bigdata_org_spark.catalog import load
+    from projet_pipeline_bigdata_org_spark.operators.curation import (
+        _epoch_plan_from,
+        _with_epoch_plan_fixture,
+        funnel_ladder_staged,
+    )
+    from projet_pipeline_bigdata_org_spark.operators.textops import (
+        text_c4_rules,
+        ws_tokens,
+    )
+
+    plans.load_all()
+    manifest = plans.get("curate_pipeline_e2e").fn(spark, sf_dir).collect()
+    assert manifest, "capstone must be non-vacuous"
+
+    # survivor set == the C4 ladder ledger's final n_remaining
+    staged = funnel_ladder_staged(spark, sf_dir)
+    c4 = text_c4_rules(spark, sf_dir).select("doc_id", "keep")
+    surv = (
+        staged.join(c4, "doc_id")
+        .filter((F.col("stage_ord") == 0) & F.col("keep"))
+        .select("doc_id")
+    )
+    ledger = plans.get("curate_funnel_ladder_c4").fn(spark, sf_dir).collect()
+    final_remaining = max(ledger, key=lambda r: r.stage_ord).n_remaining
+    assert surv.count() == final_remaining
+
+    # the plan over (survivors ∪ fixtures) accounts for every manifest doc
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .join(surv, "doc_id")
+    )
+    pdocs = _with_epoch_plan_fixture(spark, d)
+    plan_rows = _epoch_plan_from(spark, pdocs).collect()
+    assert sum(r.n_docs for r in manifest) == len(plan_rows)
+    tok = {
+        r.doc_id: r.n
+        for r in pdocs.select(
+            "doc_id", F.size(ws_tokens("text")).cast("long").alias("n")
+        ).collect()
+    }
+    assert sum(r.token_mass for r in manifest) == sum(
+        tok[r.doc_id] for r in plan_rows
+    )
+    # first/last per (epoch, shard) are the position-order endpoints
+    by_cell = {}
+    for r in plan_rows:
+        by_cell.setdefault((r.epoch, r.shard), []).append((r.position, r.doc_id))
+    for m in manifest:
+        cell = sorted(by_cell[(m.epoch, m.shard)])
+        assert m.first_doc_id == cell[0][1] and m.last_doc_id == cell[-1][1]
+        assert m.n_docs == len(cell)
+
+
 def test_gopher_repetition_replay(spark, sf_dir):
     """Independent pure-Python replay of every Gopher repetition metric
     (duplicate lines, duplicate line chars, repeated top-n-gram mass,

@@ -1465,3 +1465,23 @@ def test_q6_full_scan_pushdown_no_shuffle(spark, sf_dir):
     phys = plan_of(df)
     assert "Join" not in phys, phys
     assert phys.count("Exchange") == 1, phys
+
+
+def test_pipeline_e2e_reads_staged_silver_no_retrain(spark, sf_dir):
+    """curate_pipeline_e2e (VERDICT r16 #5): the capstone's physical plan
+    reads the funnel's staged (doc_id, stage_ord) PARQUET silver table —
+    it must never re-run the nine-stage ladder inline. The ladder's
+    exact-dup stage would put sha2/SHA window expressions in the plan;
+    their absence plus the stage-cache scan path pins build-once
+    economics."""
+    from projet_pipeline_bigdata_org_spark.catalog import STAGE_CACHE_ROOT
+    from projet_pipeline_bigdata_org_spark.operators.curation import (
+        funnel_ladder_staged,
+    )
+
+    funnel_ladder_staged(spark, sf_dir)  # stage built (as in production)
+    df = _Q["curate_pipeline_e2e"].fn(spark, sf_dir)
+    p = plan_of(df)
+    # the scan path display truncates the stage subdir; the root suffices
+    assert STAGE_CACHE_ROOT in p, p[:4000]
+    assert "sha2" not in p.lower(), "ladder recomputed inline:\n" + p[:4000]
