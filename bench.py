@@ -119,6 +119,10 @@ TIERS = {
     "text_bpe_bytes_learn": "iterative",
     "curate_funnel_ladder": "audit",
     "dedup_duplicate_spans": "audit",
+    # embeds the CERTIFIED sha-slice MinHash construction + the
+    # decontamination overlap join — exact-ground-truth twin of the
+    # production ingest sink (which runs xxhash64/murmur3)
+    "curate_funnel_stream_prefix6": "audit",
 }
 
 #: The 12 queries comparable to the round-1 baseline (BENCH_r01.json),

@@ -57,15 +57,29 @@ def test_bench_default_baseline_is_newest_round_min():
 
     base = bench._default_baseline_queries()
     assert base, "no tracked BENCH_r* artifacts found"
+    # mirror the implementation's artifact set: git-TRACKED files only
+    # (mid-round the working tree holds fresher untracked cuts the
+    # default baseline must ignore — same rule as the rotation)
+    tracked = subprocess.run(
+        ["git", "-C", str(REPO), "ls-files", "BENCH_r*.json"],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
     rounds = [
         int(m.group(1))
-        for f in REPO.glob("BENCH_r*.json")
-        if (m := re.match(r"BENCH_r(\d+)", f.name))
+        for f in tracked
+        if (m := re.match(r"BENCH_r(\d+)", f))
     ]
     newest = max(rounds)
-    for f in REPO.glob(f"BENCH_r{newest}*.json"):
-        data = json.loads(f.read_text())
+    checked = 0
+    for f in tracked:
+        if not f.startswith(f"BENCH_r{newest}"):
+            continue
+        data = json.loads((REPO / f).read_text())
         qs = (data.get("parsed") or {}).get("queries") or data.get("queries") or {}
         for k, v in qs.items():
             canon = k.removeprefix("a0_")
-            assert canon in base and base[canon] <= v + 1e-9, (f.name, k)
+            assert canon in base and base[canon] <= v + 1e-9, (f, k)
+            checked += 1
+    assert checked > 0
