@@ -145,36 +145,81 @@ def main() -> None:
             timings[name][sf_dir] = round(best, 3)
             spark.catalog.clearCache()
 
-    result: dict[str, dict] = {}
-    flagged: list[str] = []
-    for name in queries:
-        tabs = tables[name]
-        scales = {sf: sum(counts[sf][t] for t in tabs) for sf in SF_DIRS}
-        entry: dict = {
-            "tables": list(tabs),
-            "t_sec": {sf.rsplit("sf", 1)[-1]: timings[name][sf] for sf in SF_DIRS},
-            "input_rows": {
-                sf.rsplit("sf", 1)[-1]: scales[sf] for sf in SF_DIRS
-            },
-        }
-        grow = [sf for sf in SF_DIRS if scales[sf] > scales[SF_DIRS[0]]]
-        if not tabs or not grow:
-            entry["slope"] = None
-            entry["note"] = "flat-input"
-        else:
-            hi = grow[-1]
-            lo = SF_DIRS[0]
-            entry["slope"] = round(
-                math.log(max(timings[name][hi], 1e-3) / max(timings[name][lo], 1e-3))
-                / math.log(scales[hi] / scales[lo]),
-                3,
-            )
-            if (
-                entry["slope"] > SLOPE_FLAG
-                and timings[name][hi] >= MIN_FLAG_SEC
-            ):
-                flagged.append(name)
-        result[name] = entry
+    def fold() -> tuple[dict[str, dict], list[str]]:
+        result: dict[str, dict] = {}
+        flagged: list[str] = []
+        for name in queries:
+            tabs = tables[name]
+            scales = {sf: sum(counts[sf][t] for t in tabs) for sf in SF_DIRS}
+            entry: dict = {
+                "tables": list(tabs),
+                "t_sec": {
+                    sf.rsplit("sf", 1)[-1]: timings[name][sf] for sf in SF_DIRS
+                },
+                "input_rows": {
+                    sf.rsplit("sf", 1)[-1]: scales[sf] for sf in SF_DIRS
+                },
+            }
+            grow = [sf for sf in SF_DIRS if scales[sf] > scales[SF_DIRS[0]]]
+            if not tabs or not grow:
+                entry["slope"] = None
+                entry["note"] = "flat-input"
+            else:
+                hi = grow[-1]
+                lo = SF_DIRS[0]
+                entry["slope"] = round(
+                    math.log(
+                        max(timings[name][hi], 1e-3) / max(timings[name][lo], 1e-3)
+                    )
+                    / math.log(scales[hi] / scales[lo]),
+                    3,
+                )
+                if (
+                    entry["slope"] > SLOPE_FLAG
+                    and timings[name][hi] >= MIN_FLAG_SEC
+                ):
+                    flagged.append(name)
+            result[name] = entry
+        return result, flagged
+
+    result, flagged = fold()
+
+    # flagged re-time pass (r17 — the scaling mirror of bench.py's v2
+    # transient hardening): with SPARK_GRAFT_SCALING_RUNS defaulting to
+    # 1, a single GC/host hiccup can mint a flag (the r17 first pass
+    # read lex_contamination_report at 54.9s/sf0.1 against a 2.5s
+    # steady state measured three independent ways in the same
+    # session). Each flagged query is re-measured RETIME_RUNS more
+    # times per SF under the SAME measurement model (per-SF trainer
+    # stage warm-up, trainers re-colding their own stage), min-merged,
+    # and stays flagged only if the slope survives.
+    RETIME_RUNS = 3
+    if flagged:
+        retimed = {n: dict(timings[n]) for n in flagged}
+        for sf_dir in SF_DIRS:
+            for name in trainer_names:
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                spark.catalog.clearCache()
+            for name in flagged:
+                for _ in range(RETIME_RUNS):
+                    if name.removeprefix("a0_") in TRAINERS:
+                        clear_own_stage(name)
+                    t0 = time.perf_counter()
+                    queries[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    timings[name][sf_dir] = round(
+                        min(timings[name][sf_dir], time.perf_counter() - t0), 3
+                    )
+                spark.catalog.clearCache()
+        first_flagged = flagged
+        result, flagged = fold()
+        for n in first_flagged:
+            result[n]["retimed_from"] = {
+                sf.rsplit("sf", 1)[-1]: retimed[n][sf] for sf in SF_DIRS
+            }
 
     out = {
         "metric": "scaling_slopes",
