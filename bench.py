@@ -91,6 +91,7 @@ HEADLINE = (
     "lex_decontaminate_attrib",          # per-benchmark contamination attribution (new r16, VERDICT #7)
     "curate_funnel_stream_prefix",       # the streamed funnel's certified batch twin (new r16, VERDICT #6)
     "curate_funnel_stream_prefix6",      # FULL ingest funnel twin: +near-dup +decontamination (new r17, VERDICT #3/#4)
+    "curate_funnel_stream_ledger",       # ingest-funnel attrition sign-off over the staged attribution (new r17-late)
     "curate_pipeline_e2e",               # funnel->epoch-plan->manifest e2e capstone (new r17, VERDICT #5)
     # the rest of the certified TPC-H 22 (r16): the headline artifact then
     # carries the COMPLETE standard yardstick every round (suites.tpch22)
@@ -169,6 +170,9 @@ TRAINERS = {
     # consumers (mixture shift, export manifest); its own cost IS the
     # nine-stage composition, so its cold build is timed the same way
     "curate_funnel_ladder",
+    # stages its (doc_id, stage_ord) ingest attribution for the stream
+    # ledger; its cost IS the certified sha-slice MinHash construction
+    "curate_funnel_stream_prefix6",
 }
 
 #: the certified TPC-H 22 (sql_surface_q{2..22} under the house names;
@@ -197,6 +201,7 @@ TRAINER_STAGES = {
     "text_wordpiece_learn": "wordpiece_learned",
     "algo_label_propagation": "lpa_labels",
     "curate_funnel_ladder": "funnel_ladder_staged",
+    "curate_funnel_stream_prefix6": "stream_prefix6_staged",
 }
 
 #: auto re-time threshold (VERDICT r15 #4b): after the timing loop, any

@@ -2357,7 +2357,24 @@ def curate_funnel_stream_prefix6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one sha-keyed window min + the certified LSH band join
     (24-byte rows) + one broadcast-dictionary overlap join + three
-    zero-shuffle rule projections, all joined on doc_id."""
+    zero-shuffle rule projections, all joined on doc_id. Served from the
+    catalog-layer stage cache as a MATERIALIZED parquet staging table
+    (the funnel_ladder_staged discipline, r17-late): the attribution is
+    computed once per corpus epoch — its cost IS the certified sha-slice
+    MinHash construction, reported in bench's cold_build tier — and its
+    consumers (the stream ledger, repeat certification reads) read the
+    (doc_id, stage_ord) table."""
+    from projet_pipeline_bigdata_org_spark.catalog import stage_tables
+
+    def _build():
+        return {"att": _stream_prefix6_build(spark, sf_dir)}
+
+    return stage_tables(spark, "stream_prefix6_staged", sf_dir, _build)["att"]
+
+
+def _stream_prefix6_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The six-stage attribution composition itself (see the registered
+    wrapper's docstring for semantics and staging)."""
     from projet_pipeline_bigdata_org_spark.operators.dedup import (
         dedup_minhash_certified,
     )
@@ -2393,6 +2410,70 @@ def curate_funnel_stream_prefix6(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("stage_ord"),
         )
+    )
+
+
+def _stream_ledger_oracle() -> str:
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        CURATION_INGEST_STAGES,
+    )
+
+    stage_rows = ", ".join(f"({i}, '{s}')" for i, s in CURATION_INGEST_STAGES)
+    return f"""
+    WITH att AS MATERIALIZED ({_stream_prefix6_oracle()}),
+    cnt AS (
+      SELECT stage_ord, CAST(COUNT(*) AS BIGINT) AS n
+      FROM att GROUP BY stage_ord
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total FROM att
+    ), stages AS (
+      SELECT * FROM (VALUES {stage_rows}) s(stage_ord, stage)
+    ), j AS (
+      SELECT s.stage_ord, s.stage,
+             CASE WHEN s.stage_ord = 0 THEN 0
+                  ELSE COALESCE(c.n, 0) END AS n_removed
+      FROM stages s LEFT JOIN cnt c ON c.stage_ord = s.stage_ord
+    )
+    SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           CAST(total - SUM(n_removed) OVER (ORDER BY stage_ord
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_remaining
+    FROM j CROSS JOIN tot
+    """
+
+
+@query(
+    "curate_funnel_stream_ledger",
+    oracle=_stream_ledger_oracle(),
+    tags=("llm", "curation", "dedup", "quality", "documents"),
+)
+def curate_funnel_stream_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attrition LEDGER of the full streaming-amenable ingest funnel —
+    the sign-off table for what `CurationFunnelIngestSink` removes at
+    each stage (survivor/exact_dup/near_dup/decontaminated/c4_fail/
+    gopher_fail/classifier_fail, the C4-ladder's own ordinals): per
+    stage, n_removed and the cumulative n_remaining. The batch-ladder
+    ledgers (`curate_funnel_ladder`, `curate_funnel_ladder_c4`) sign off
+    the offline funnel; this one signs off the ingest path, from the
+    SAME shared fold (:func:`_ledger_from_staged`) over the staged
+    prefix6 attribution table — so the ingest ledger, the attribution,
+    and the streamed decisions certify one definition. Oracle composes
+    the attribution's own certified SQL as a MATERIALIZED CTE (the
+    lex_contamination_report discipline).
+
+    Scale shape: one read of the staged (doc_id, stage_ord) parquet +
+    a |stages|-row conditional rollup + the cumulative window over 7
+    rows — the attribution build itself is the stage table's
+    once-per-corpus-epoch cost."""
+    from projet_pipeline_bigdata_org_spark.streaming.runtime import (
+        CURATION_INGEST_STAGES,
+    )
+
+    return _ledger_from_staged(
+        spark,
+        curate_funnel_stream_prefix6(spark, sf_dir),
+        CURATION_INGEST_STAGES,
     )
 
 
