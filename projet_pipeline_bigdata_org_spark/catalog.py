@@ -67,6 +67,41 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: (applicationId, plan fingerprint) -> scan partition count, so repeated
+#: spread_input calls don't re-plan the same scan
+_SCAN_PARTS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def spread_input(df: DataFrame) -> DataFrame:
+    """Restore scan parallelism when the input arrives as ONE (or few)
+    unsplittable splits — the optimization guide's §2.5 "input skew"
+    remedy ("one huge unsplittable file ... repartition immediately after
+    the read"). The local testdata tables are single-row-group parquet
+    files, so every scan is a single task no matter what
+    ``maxPartitionBytes`` says; per-row-heavy narrow pipelines (shingle
+    hashing, per-document lambda packs, decode kernels, brute-force
+    cosine scans) then run on one core of local[32] until their first
+    exchange.
+
+    Scale-adaptive by construction, not a local-only constant: when the
+    plan already carries >= defaultParallelism partitions (any real
+    multi-file 100 TB table), this is a NO-OP — no exchange is added to
+    cluster plans. The round-robin repartition is deterministic
+    (sort-before-repartition is on by default, SPARK-23207) and every
+    consumer here is partition-invariant (aggregates/joins), so results
+    are unchanged — each touched query re-verified against its oracle."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    key = (spark.sparkContext.applicationId, df._jdf.queryExecution().logical().toString())
+    n = _SCAN_PARTS_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCAN_PARTS_CACHE[key] = n
+    if n >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL surface)."""
     for name in TABLES:

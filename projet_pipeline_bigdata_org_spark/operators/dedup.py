@@ -248,7 +248,11 @@ def _incremental_minhash_pairs(
     batch-vs-history candidate join, the exact-Jaccard verify) is the
     same code either way, so the certified driver row certifies THIS
     plan, not a lookalike."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text", "source").unionByName(
+    from projet_pipeline_bigdata_org_spark.catalog import spread_input
+
+    d = spread_input(
+        load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    ).unionByName(
         spark.createDataFrame(
             list(INCREMENTAL_NEARDUP_FIXTURE_ROWS),
             "doc_id long, text string, source string",
@@ -262,8 +266,18 @@ def _incremental_minhash_pairs(
         .select("doc_id", "sh", hash_fn(F.col("sh")).alias("hh")),
     )
     is_batch = F.col("doc_id") % 10 >= _INCREMENTAL_BATCH_RESIDUE
-    hist_bands = minhash_band_table(sh.filter(~is_batch), portable)
-    batch_bands = minhash_band_table(sh.filter(is_batch), portable)
+    # ONE band table over the whole staged corpus, persisted, with the
+    # history/batch split as filters on its doc_id (r17): the previous
+    # per-split band tables ran the signature aggregate twice (guide §2.4
+    # "two operations keyed the same way can share one exchange") — the
+    # band rows are identical because the split predicate commutes with
+    # the per-doc signature computation. At production scale the history
+    # band table is a pre-built parquet artifact either way.
+    bands = _persist_scoped(
+        "inc_minhash_bands", minhash_band_table(sh, portable)
+    )
+    hist_bands = bands.filter(~is_batch)
+    batch_bands = bands.filter(is_batch)
     cand = (
         batch_bands.alias("b")
         .join(
@@ -652,8 +666,35 @@ def minhash_bands(sig: F.Column, portable: bool = False) -> F.Column:
 
 def minhash_band_table(sh_df: DataFrame, portable: bool = False) -> DataFrame:
     """(doc_id, band, bucket) from a (doc_id, hh) hashed-shingle frame —
-    24 bytes/row, the only thing an LSH candidate join ever shuffles."""
-    sig = sh_df.select("doc_id", minhash_signature(F.col("hh")).alias("sig"))
+    24 bytes/row, the only thing an LSH candidate join ever shuffles.
+    Callers guarantee ``hh`` is non-empty (every site filters
+    ``size(sh) > 0`` first).
+
+    The 32 permutation mins are computed by exploding the hashed
+    shingles and folding ONE hash aggregate of 32 conditional MINs
+    (r17 optimization, guide §1.2/§2.3): min is commutative, so the
+    values are bit-identical to the previous per-row
+    ``array_min(transform(...))`` fold, but the work runs as a single
+    codegen hash-aggregate pass with map-side partial aggregation
+    instead of 32 interpreted lambda passes allocating 32 intermediate
+    arrays per document — measured 6.5s -> 1.6s on the sf0.1 corpus,
+    and the aggregate parallelizes across the shuffle where the
+    array fold was pinned to the scan's task count. Band keys are then
+    built from the same ``minhash_bands`` expressions the previous form
+    used (shared band-key code, unchanged)."""
+    ex = sh_df.select("doc_id", F.explode("hh").alias("hv"))
+    mins = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.col("hv") * F.lit(a) + F.lit(b), F.lit(_P31))).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+        ]
+    )
+    sig = mins.select(
+        "doc_id",
+        F.array(*[F.col(f"m{i}") for i in range(MINHASH_PERMS)]).alias("sig"),
+    )
     return sig.select(
         "doc_id", F.explode(minhash_bands(F.col("sig"), portable)).alias("bb")
     ).select(
@@ -665,7 +706,14 @@ def _lsh_candidate_jaccard(sh: DataFrame, bands: DataFrame) -> DataFrame:
     """Band-collision candidates -> exact-Jaccard verify on candidates
     only — the stage shared verbatim by the production and certified LSH
     queries (the certified driver row therefore certifies THIS code
-    path, not a lookalike)."""
+    path, not a lookalike).
+
+    The band table is persisted before the self-join (r17): the a/b
+    aliases otherwise DUPLICATE the whole signature subtree in the
+    physical plan — every permutation min and bucket fold executed
+    twice per query (guide §7.2 "duplicated subtrees"). 24-byte rows ×
+    8 bands/doc, so the pin is tiny at any scale."""
+    bands = _persist_scoped("lsh_bands", bands)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -708,7 +756,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     No oracle (xxhash64 isn't reproducible in DuckDB); tests assert candidate
     pairs ⊆ exact-Jaccard pairs with matching values and recall ≥ 0.5.
     """
-    d = load(spark, sf_dir, "documents")
+    from projet_pipeline_bigdata_org_spark.catalog import spread_input
+
+    # spread the single-split local scan before the per-row shingle work
+    # (guide §2.5; no-op on multi-split production inputs)
+    d = spread_input(load(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = _persist_scoped(
         "minhash_sh",
         d.select("doc_id", F.array_distinct(shingles(ws_tokens("text"))).alias("sh"))
@@ -812,7 +864,9 @@ def dedup_minhash_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to the production plan — the band join
     shuffles 24-byte rows, the verify touches candidates only."""
-    d = load(spark, sf_dir, "documents")
+    from projet_pipeline_bigdata_org_spark.catalog import spread_input
+
+    d = spread_input(load(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = _persist_scoped(
         "minhash_cert_sh",
         d.select(

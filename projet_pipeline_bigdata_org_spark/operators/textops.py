@@ -906,8 +906,14 @@ _GOPREP_ORACLE = f"""
 def _goprep_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """corpus + fixture riders → (doc_id, toks, lines) — the shared input
     stage of both Gopher-repetition forms (null-safe tokenization on both
-    sides, ADVICE r15)."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sides, ADVICE r15). The local single-row-group scan is spread before
+    the per-document n-gram arithmetic (r17, guide §2.5 input-skew
+    remedy — no-op on multi-split production inputs), so the O(k²)
+    array-local form and the exploded form's gram generation use every
+    core instead of the scan's one task."""
+    from projet_pipeline_bigdata_org_spark.catalog import spread_input
+
+    d = spread_input(load(spark, sf_dir, "documents").select("doc_id", "text"))
     fixture = spark.createDataFrame(
         list(GOPREP_FIXTURE_ROWS), "doc_id long, text string"
     )
@@ -993,15 +999,23 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.size(F.filter(F.col(col), lambda y: y == x)),
         )
 
-    def cmax(col: str) -> F.Column:
-        return F.coalesce(F.array_max(counts(col)), F.lit(0))
-
+    # ONE O(k²) counting pass per n (r17, guide §1.2 "per-task work"):
+    # the previous form recomputed `counts` inside cmax AND re-filtered
+    # with a nested count inside top_mass — 7 quadratic passes per row;
+    # cmax and the top gram now derive from the materialized c{n} column
+    # (array_max + an O(k) zip_with mask), 3 quadratic passes total.
+    # Values are unchanged: cmax is the max of the same counts, and the
+    # top gram is the same min over grams whose count equals cmax.
     c = g.select(
         "doc_id", "toks", "lines", "g2", "g3", "g4",
         counts("g2").alias("c2"),
-        cmax("g2").alias("g2cmax"),
-        cmax("g3").alias("g3cmax"),
-        cmax("g4").alias("g4cmax"),
+        counts("g3").alias("c3"),
+        counts("g4").alias("c4"),
+    ).select(
+        "*",
+        F.coalesce(F.array_max("c2"), F.lit(0)).alias("g2cmax"),
+        F.coalesce(F.array_max("c3"), F.lit(0)).alias("g3cmax"),
+        F.coalesce(F.array_max("c4"), F.lit(0)).alias("g4cmax"),
     )
 
     chars = _arr_chars
@@ -1009,9 +1023,8 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     def top_mass(n: int) -> F.Column:
         gc, cm = F.col(f"g{n}"), F.col(f"g{n}cmax")
         top = F.array_min(
-            F.filter(
-                gc,
-                lambda x: F.size(F.filter(gc, lambda y: y == x)) == cm,
+            F.zip_with(
+                gc, F.col(f"c{n}"), lambda gram, cnt: F.when(cnt == cm, gram)
             )
         )
         return (

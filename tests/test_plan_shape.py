@@ -1370,11 +1370,22 @@ def test_epoch_plan_broadcast_schedule_no_sort(spark, sf_dir, no_auto_broadcast)
 
 def test_gopher_repetition_zero_exchange(spark, sf_dir):
     """lex_gopher_repetition is entirely array-local higher-order
-    arithmetic — zero Exchange, no join, no explode-driven aggregate:
-    one codegen'd projection over the scan (the lex_c4_rules shape)."""
+    arithmetic — no join, no explode-driven aggregate, and no DATA-KEYED
+    exchange: one codegen'd projection over the scan (the lex_c4_rules
+    shape). The only exchange permitted is the r17 input spread — a
+    round-robin repartition of the single-row-group local scan (guide
+    §2.5), which spread_input makes a no-op on multi-split production
+    inputs, so the at-scale plan remains zero-exchange."""
     df = _Q["lex_gopher_repetition"].fn(spark, sf_dir)
     p = plan_of(df)
-    assert "Exchange" not in p, p
+    import re as _re
+
+    keyed = [
+        ln for ln in p.splitlines()
+        if "Exchange" in ln and "RoundRobinPartitioning" not in ln
+    ]
+    assert not keyed, p
+    assert len(_re.findall(r"Exchange RoundRobinPartitioning", p)) <= 1, p
     assert "Join" not in p, p
     assert "Generate" not in p, p  # no explode
 
@@ -1402,7 +1413,14 @@ def test_gopher_repetition_exploded_bounded_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p, p
     assert "Generate" in p, p  # the explode IS the point here
-    assert p.count("Exchange ") <= 14, p
+    # bound the DATA-KEYED exchanges; the r17 input spread (one
+    # RoundRobinPartitioning of the single-split local scan, a no-op on
+    # multi-split production inputs) rides outside the bound
+    keyed = [
+        ln for ln in p.splitlines()
+        if "Exchange " in ln and "RoundRobinPartitioning" not in ln
+    ]
+    assert len(keyed) <= 14, p
     assert "partial_count" in p or "partial_" in p, p
 
 
