@@ -570,16 +570,60 @@ def pair_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def copurchase_pairs(li: DataFrame) -> DataFrame:
     """Undirected co-purchase edges (u < v) from (l_orderkey, l_partkey)
     rows: parts are connected when one order contains both. Per-order pair
-    generation — bounded by basket size, never all-pairs over parts."""
-    a, b = li.alias("a"), li.alias("b")
+    generation — bounded by basket size, never all-pairs over parts.
+
+    r17 form: ONE groupBy on the order key collects each basket's sorted
+    distinct parts and explodes its i<j pairs basket-locally, replacing
+    the previous lineitem self-join — the same pair set (verified
+    exceptAll-empty both directions at sf0.1) from one scan + one
+    exchange instead of two scan subtrees feeding a shuffle join
+    (guide §2.4 "remove shuffles outright"). Per-order pair fan-out is
+    bounded by basket size exactly as before."""
+    bsk = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    idx = F.sequence(F.lit(1), F.size("ps") - 1)
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        bsk.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        idx,
+                        lambda i: F.transform(
+                            F.slice(F.col("ps"), i + 1, F.size("ps") - i),
+                            lambda v: F.struct(
+                                F.element_at(F.col("ps"), i).alias("u"),
+                                v.alias("v"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .select("p.u", "p.v")
         .dropDuplicates(["u", "v"])
+    )
+
+
+def sym_uv(pairs: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Symmetrize undirected (u, v) pairs into both (src, dst) directions
+    in ONE pass over the input subtree via explode (r17): the previous
+    ``unionAll(pairs.select(u,v), pairs.select(v,u))`` form referenced the
+    pair-generation subtree twice, re-running the basket groupBy + dedup
+    per direction (guide §7.2 "duplicated subtrees"). Row set identical
+    (order immaterial: every consumer repartitions or aggregates)."""
+    return (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias(src), F.col("v").alias(dst)),
+                    F.struct(F.col("v").alias(src), F.col("u").alias(dst)),
+                )
+            ).alias("e")
+        )
+        .select(f"e.{src}", f"e.{dst}")
     )
 
 
@@ -590,11 +634,20 @@ def oriented_edges(pairs: DataFrame) -> DataFrame:
     hub of degree d has out-degree 0 and enumerates NO wedges — its
     low-degree neighbors enumerate O(1) each — which is the whole skew
     bound (tested adversarially on a crafted hub graph in test_llm_ops).
-    Both endpoint degrees derive from ONE pairs pass via explode."""
-    deg = (
+    Both endpoint degrees derive from ONE pairs pass via explode.
+
+    r17: pairs and the degree table persist (scoped) — pairs is
+    referenced by the degree derivation AND the orientation join, and deg
+    by BOTH endpoint sides, so unpinned the pair-generation subtree ran
+    3x per call (guide §7.2)."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    pairs = _persist_scoped("oriented_pairs", pairs)
+    deg = _persist_scoped(
+        "oriented_deg",
         pairs.select(F.explode(F.array("u", "v")).alias("x"))
         .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.count(F.lit(1)).alias("deg")),
     )
     du = deg.select(F.col("x").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("x").alias("v"), F.col("deg").alias("dv"))
@@ -666,7 +719,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _persist_scoped(
         "tri_edges", oriented_edges(copurchase_pairs(li)).repartition("lo")
     )
-    adj = e.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
+    # persist the adjacency (r17): referenced on BOTH join sides (au/av),
+    # so the groupBy+collect_list over the edge list otherwise runs twice
+    adj = _persist_scoped(
+        "tri_adj", e.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
+    )
     au = adj.select(F.col("lo").alias("u_k"), F.col("nbrs").alias("nbrs_u"))
     av = adj.select(F.col("lo").alias("v_k"), F.col("nbrs").alias("nbrs_v"))
     # left join: a sink vertex (out-degree 0) has no adjacency row and
@@ -754,11 +811,13 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations — the tested core behind algo_pagerank; see its docstring
     for exactness and scale rationale."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = copurchase_pairs(li)
-    edges = pairs.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
     from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    # pairs persist (r17): the symmetrized edge list is referenced by the
+    # outdeg build AND the esrc build — unpinned, basket pair generation
+    # ran twice before the iterations even started
+    pairs = _persist_scoped("pagerank_pairs", copurchase_pairs(li))
+    edges = sym_uv(pairs)
 
     # out-degrees are |nodes| rows but their lineage re-derives the pair
     # join; persist the SMALL table so the v0/n branch and the esrc join
@@ -1000,10 +1059,7 @@ def _lpa_labels_build(
     # exchanges once at build instead of once per round (measured
     # 6.72 -> 4.74 s at sf0.1)
     edges = _persist_scoped(
-        "lpa_edges",
-        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-        .repartition("src"),
+        "lpa_edges", sym_uv(pairs).repartition("src")
     )
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("community")
@@ -1288,17 +1344,21 @@ def algo_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(list(KCORE_FIXTURE_PAIRS), "u long, v long")
     )
     edges = _persist_scoped(
-        "kcore_edges",
-        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-        .repartition("dst"),
+        "kcore_edges", sym_uv(pairs).repartition("dst")
     )
     # symmetric list: degree(n) = |edges with dst = n| — the groupBy rides
     # the persisted partitioning, no exchange
     deg = edges.groupBy(F.col("dst").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    for _ in range(KCORE_ITERS):
+    for i in range(KCORE_ITERS):
+        # persist each round's degree table (r17): `deg` is referenced
+        # TWICE per round (dead + alive branches), so without the pin the
+        # unrolled plan duplicated the entire prior-round subtree 2x per
+        # round — 2^KCORE_ITERS evaluations of round 0 (guide §7.2
+        # "duplicated subtrees"). The table is |nodes| rows; lazy persist
+        # materializes once inside the final action.
+        deg = _persist_scoped(f"kcore_deg_{i}", deg)
         dead = deg.filter(F.col("deg") < KCORE_K).select(
             F.col("node").alias("dst")
         )
@@ -1388,10 +1448,7 @@ def algo_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = copurchase_pairs(li)
     edges = _persist_scoped(
-        "bfs_edges",
-        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-        .repartition("src"),
+        "bfs_edges", sym_uv(pairs).repartition("src")
     )
     frontier = (
         edges.select(F.col("src").alias("node"))
@@ -1411,6 +1468,13 @@ def algo_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(visited, "node", "left_anti")
             .select("node", F.lit(i).alias("dist"))
         )
+        # persist each round's frontier (r17): `nxt` is referenced by the
+        # output union, the visited union AND the next round's join —
+        # without the pin each round's subtree was re-evaluated ~2x per
+        # later round (2^BFS_ITERS evaluations of round 1; guide §7.2).
+        # Frontier tables are <= |nodes| rows; lazy persist materializes
+        # once inside the final action.
+        nxt = _persist_scoped(f"bfs_frontier_{i}", nxt)
         out = out.unionByName(nxt)
         visited = visited.unionByName(nxt.select("node"))
         frontier = nxt
@@ -1451,12 +1515,7 @@ def common_neighbor_recs(
     ONE materialization instead of re-deriving the pair join per branch."""
     from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
 
-    bd = _persist_scoped(
-        "cn_edges",
-        pairs.select(F.col("u").alias("m"), F.col("v").alias("x")).unionByName(
-            pairs.select(F.col("v").alias("m"), F.col("u").alias("x"))
-        ),
-    )
+    bd = _persist_scoped("cn_edges", sym_uv(pairs, src="m", dst="x"))
     deg = bd.groupBy("m").agg(F.count(F.lit(1)).alias("d"))
     sources = (
         deg.orderBy(F.desc("d"), "m")
@@ -1638,10 +1697,7 @@ def algo_walk_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = copurchase_pairs(li)
     edges = _persist_scoped(
-        "walk_edges",
-        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-        .repartition("src"),
+        "walk_edges", sym_uv(pairs).repartition("src")
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     rn = F.row_number().over(W.orderBy(F.col("deg").desc(), "src"))
@@ -1666,8 +1722,15 @@ def algo_walk_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter(F.col("rn") == 1)
         )
-        frontier = picked.select(
-            "walk_id", F.col("dst").alias("node"), F.lit(s).alias("step")
+        # persist each step's frontier (r17): referenced by the output
+        # union AND the next step's join — unpinned, step s re-evaluated
+        # every earlier step's broadcast-join+window subtree (2^WALK_LEN
+        # evaluations of step 1; guide §7.2). WALK_SEEDS rows per step.
+        frontier = _persist_scoped(
+            f"walk_frontier_{s}",
+            picked.select(
+                "walk_id", F.col("dst").alias("node"), F.lit(s).alias("step")
+            ),
         )
         out = out.unionByName(frontier)
     return out.select(
