@@ -500,7 +500,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces the exact index; this one is the auditable ground truth the LSH
     recall is tested against.
     """
-    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+    from projet_pipeline_bigdata_org_spark.catalog import spread_input
+
+    # r17: spread the single-split local scan before the shingle stage
+    # (guide §2.5; no-op on multi-split production inputs)
+    return ngram_jaccard_pairs(
+        spread_input(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -2450,17 +2456,27 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~30% of the posting mass at t=0.7."""
     from pyspark.sql import Window
 
-    docs = _passage_docs(spark, sf_dir)
+    from projet_pipeline_bigdata_org_spark.catalog import spread_input
+
+    # r17: spread the single-split local scan before the shingle work, and
+    # persist the exploded posting table + the prefix table — `ex` is
+    # referenced by the rarity ranking AND both verify sides, `pref` by
+    # both candidate-join sides, so unpinned the shingle/explode subtree
+    # ran ~5x per query (guide §7.2 "duplicated subtrees").
+    docs = spread_input(_passage_docs(spark, sf_dir))
     t = docs.select(
         "doc_id",
         F.array_distinct(
             shingles(ws_tokens(F.coalesce(F.col("text"), F.lit(""))), 3)
         ).alias("sh"),
     ).filter(F.size("sh") >= 1)
-    ex = t.select(
-        "doc_id",
-        F.size("sh").cast("long").alias("n"),
-        F.explode("sh").alias("s"),
+    ex = _persist_scoped(
+        "jacpref_ex",
+        t.select(
+            "doc_id",
+            F.size("sh").cast("long").alias("n"),
+            F.explode("sh").alias("s"),
+        ),
     )
     r = ex.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
@@ -2468,14 +2484,17 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk",
         F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
     )
-    pref = r.filter(
-        F.col("rk")
-        <= F.col("n")
-        - F.expr(
-            f"({PREFIX_T_NUM} * n + {PREFIX_T_DEN} - 1) DIV {PREFIX_T_DEN}"
-        )
-        + 1
-    ).select("doc_id", "n", "s")
+    pref = _persist_scoped(
+        "jacpref_pref",
+        r.filter(
+            F.col("rk")
+            <= F.col("n")
+            - F.expr(
+                f"({PREFIX_T_NUM} * n + {PREFIX_T_DEN} - 1) DIV {PREFIX_T_DEN}"
+            )
+            + 1
+        ).select("doc_id", "n", "s"),
+    )
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(

@@ -247,14 +247,47 @@ def decode_media(payload: bytes) -> dict:
         return decode_media_stub(payload)
 
 
+#: 2-byte prefixes that can START a real-parseable header (PNG, GIF,
+#: JPEG, RIFF/WAVE, BMP). A payload whose prefix is not in this set can
+#: only take the stub path, so the kernel never dispatches it per row.
+_REAL_MAGIC2 = frozenset({b"\x89P", b"GI", b"\xff\xd8", b"RI", b"BM"})
+
+
 def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: binary payload column → typed media metadata.
     Operates on whole Arrow batches; per-row decode happens in-process
-    (at scale: one task per input partition, no driver involvement)."""
+    (at scale: one task per input partition, no driver involvement).
+
+    r17 (guide §4.2 — vectorize inside the batch): the stub arithmetic
+    (the overwhelmingly common path — every non-media payload) is
+    computed on whole numpy columns; only rows whose 2-byte prefix could
+    start a real header go through the per-row ``decode_media`` dispatch
+    (which still re-checks the full magic and falls back to the stub, so
+    a text payload that merely starts with 'GI'/'RI'/'BM' decodes exactly
+    as before). Same outputs row-for-row as the previous per-row loop."""
     for pdf in batches:
-        metas = [decode_media(p) for p in pdf["payload"]]
-        out = pd.DataFrame(metas)
-        out.insert(0, "doc_id", pdf["doc_id"].values)
+        pay = pdf["payload"]
+        n = np.fromiter((len(p) for p in pay), dtype="int64", count=len(pay))
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "n_bytes": n,
+                "width": n % 640 + 1,
+                "height": n % 480 + 1,
+                "n_frames": n % 30 + 1,
+                "mime": "application/octet-stream",
+            }
+        )
+        cand = np.fromiter(
+            (bytes(p[:2]) in _REAL_MAGIC2 for p in pay),
+            dtype=bool,
+            count=len(pay),
+        )
+        for i in np.flatnonzero(cand):
+            m = decode_media(pay.iat[i])
+            out.iloc[i, 1:] = (
+                m["n_bytes"], m["width"], m["height"], m["n_frames"], m["mime"],
+            )
         yield out[["doc_id", "n_bytes", "width", "height", "n_frames", "mime"]]
 
 
@@ -501,7 +534,9 @@ def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: decode is embarrassingly parallel; repartition on doc_id
     keeps batches balanced when payload sizes are skewed.
     """
-    d = load(spark, sf_dir, "documents")
+    from projet_pipeline_bigdata_org_spark.catalog import spread_input
+
+    d = spread_input(load(spark, sf_dir, "documents").select("doc_id", "text"))
     payloads = d.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     ).unionByName(
@@ -1229,7 +1264,13 @@ def phash_band_pairs(h: DataFrame) -> DataFrame:
     text-stub projection above and the REAL-pixel projection
     (``ahash_words_from_pixels`` via mapInPandas; seam test drives a
     constructed-BMP signature table through this exact plan), so
-    swapping the decode never touches the join strategy."""
+    swapping the decode never touches the join strategy.
+
+    r17 note: deliberately NOT persisted/spread — the signature
+    projection is 5 longs/doc and milliseconds to recompute, the cost is
+    the banded candidate join itself, and pinning the table flipped its
+    broadcast joins to shuffled joins (measured 5.3 -> 10.4s at sf0.1
+    before reverting)."""
     bands = None
     for b in range(PHASH_BANDS):
         part = h.select(

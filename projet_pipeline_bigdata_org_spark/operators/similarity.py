@@ -536,23 +536,39 @@ def semdedup_decisions(assigned: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFr
         .otherwise(F.lit(0))
         .alias("sub")
     )
-    sized = assigned.withColumn(
-        "n_cell", F.count(F.lit(1)).over(W.partitionBy("cell"))
-    ).select("vec_id", "embedding", "cell", sub)
+    # r17: persist the sized/sub-split table — it is referenced by BOTH
+    # pair-join sides and the final keep/drop join, so unpinned the
+    # KMeans transform + cell-count window ran 3x per query — and carry
+    # each vector's norm ONCE instead of re-folding the O(d) norm per
+    # candidate pair (identical doubles: same per-vector fold, same
+    # multiplication).
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    sized = _persist_scoped(
+        "semdedup_sized",
+        assigned.withColumn(
+            "n_cell", F.count(F.lit(1)).over(W.partitionBy("cell"))
+        ).select(
+            "vec_id", "embedding", "cell", sub,
+            norm(F.col("embedding")).alias("nrm"),
+        ),
+    )
     lhs = sized.select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
         "cell",
         "sub",
     )
     rhs = sized.select(
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
         "cell",
         "sub",
     )
     cosine = dot(F.col("a_emb"), F.col("b_emb")) / (
-        norm(F.col("a_emb")) * norm(F.col("b_emb"))
+        F.col("a_nrm") * F.col("b_nrm")
     )
     dropped = (
         lhs.join(rhs, ["cell", "sub"])
@@ -3288,12 +3304,20 @@ def embed_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= MMR_SHORTLIST)
         .drop("rn"),
     )
-    sel = sl.withColumn("rk", F.row_number().over(wq)).filter(
-        F.col("rk") == 1
-    ).select(
-        "q_id", "n_id", "n_emb", "n_norm", "rel",
-        F.col("rel").alias("mmr_score"),
-        F.lit(1).alias("sel_rank"),
+    # r17: each round's one-row-per-query pick persists (scoped) — `sel`
+    # is referenced by the output union, the selected-set union AND (via
+    # selset) twice per later round's joins, so unpinned the unrolled
+    # plan re-evaluated early rounds exponentially in MMR_K (guide §7.2;
+    # measured 13.9 -> ~3s at sf0.1). MMR_QUERIES rows per pin.
+    sel = _persist_scoped(
+        "mmr_sel_1",
+        sl.withColumn("rk", F.row_number().over(wq)).filter(
+            F.col("rk") == 1
+        ).select(
+            "q_id", "n_id", "n_emb", "n_norm", "rel",
+            F.col("rel").alias("mmr_score"),
+            F.lit(1).alias("sel_rank"),
+        ),
     )
     selset = sel.select("q_id", "n_id", "n_emb", "n_norm")
     rounds = [sel]
@@ -3328,14 +3352,15 @@ def embed_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score", F.col("rel") - MMR_LAMBDA * F.col("mx")
         )
         ws = W.partitionBy("q_id").orderBy(F.col("score").desc(), "n_id")
-        sel = (
+        sel = _persist_scoped(
+            f"mmr_sel_{t}",
             scored.withColumn("rk", F.row_number().over(ws))
             .filter(F.col("rk") == 1)
             .select(
                 "q_id", "n_id", "n_emb", "n_norm", "rel",
                 F.col("score").alias("mmr_score"),
                 F.lit(t).alias("sel_rank"),
-            )
+            ),
         )
         selset = selset.unionAll(sel.select("q_id", "n_id", "n_emb", "n_norm"))
         rounds.append(sel)
