@@ -834,6 +834,9 @@ def curate_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
     from projet_pipeline_bigdata_org_spark.operators.textops import shingles
 
+    # r17 note: input spread measured NEUTRAL-to-negative here (3.6 ->
+    # 4.6s) — this plan is aggregate/join-bound, not narrow-compute-bound,
+    # so the extra round-robin exchange buys nothing; left unspread.
     d = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")

@@ -241,7 +241,13 @@ def agg_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics are one-pass regardless. Output is |PROFILE_COLS| rows from
     a stack() pivot of the single aggregate row — bounded, no driver
     iteration."""
-    o = load(spark, sf_dir, "orders")
+    from projet_pipeline_bigdata_org_spark.catalog import spread_input
+
+    # r17: the multi-distinct aggregate plans as an Expand that multiplies
+    # the scan |cols|+1 ways MAP-SIDE — spread the single-split local scan
+    # so the expand+partial-agg uses every core (guide §2.5; no-op on
+    # multi-split production inputs)
+    o = spread_input(load(spark, sf_dir, "orders"))
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("n_rows")]
     for c, kind in PROFILE_COLS:
         aggs.append(

@@ -1509,10 +1509,13 @@ def repeated_passage_audit_hashed(docs: DataFrame) -> DataFrame:
 def _passage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ the near-dup fixture — the shared corpus of the passage
     audit and the passage prune, so the prune certifiably has repeated
-    passages to remove at any SF."""
+    passages to remove at any SF. Spread here once (r17, guide §2.5) so
+    every passage-family consumer's tokenize/shingle stage parallelizes
+    past the single-split local scan (no-op on multi-split inputs)."""
+    from projet_pipeline_bigdata_org_spark.catalog import spread_input
+
     return (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "text")
+        spread_input(load(spark, sf_dir, "documents").select("doc_id", "text"))
         .unionByName(
             spark.createDataFrame(
                 [(i, t) for i, t, _ in INCREMENTAL_NEARDUP_FIXTURE_ROWS],
@@ -1924,7 +1927,12 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.filter(F.col("doc_id") % 10 >= _INCREMENTAL_BATCH_RESIDUE).select(
         "doc_id", "source", sha.alias("content_sha")
     )
-    probed = mark_bloom_candidates(batch, bloom_position_table(history))
+    # r17: persist the probed shard — referenced by BOTH the candidate
+    # branch and the non-candidate branch, so unpinned the shard sha pass
+    # + the four broadcast probe joins ran twice
+    probed = _persist_scoped(
+        "bloom_probed", mark_bloom_candidates(batch, bloom_position_table(history))
+    )
     confirmed = (
         probed.filter(F.col("is_cand") == 1)
         .join(history.withColumn("in_history", F.lit(1)), "content_sha", "left")
@@ -2309,9 +2317,15 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     K = SPAN_SEED_TOKENS
     docs = _passage_docs(spark, sf_dir)
-    toks = docs.select(
-        "doc_id", ws_tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks")
-    ).filter(F.size("toks") >= K)
+    # r17: persist the token table — referenced by the seed-position build
+    # AND the final exact-slice join, so unpinned the tokenize pass ran
+    # twice per query
+    toks = _persist_scoped(
+        "spans_toks",
+        docs.select(
+            "doc_id", ws_tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks")
+        ).filter(F.size("toks") >= K),
+    )
     g = toks.select(
         "doc_id",
         F.posexplode(shingles(F.col("toks"), K)).alias("pos", "gram"),
@@ -2456,14 +2470,12 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~30% of the posting mass at t=0.7."""
     from pyspark.sql import Window
 
-    from projet_pipeline_bigdata_org_spark.catalog import spread_input
-
-    # r17: spread the single-split local scan before the shingle work, and
-    # persist the exploded posting table + the prefix table — `ex` is
+    # r17: persist the exploded posting table + the prefix table — `ex` is
     # referenced by the rarity ranking AND both verify sides, `pref` by
     # both candidate-join sides, so unpinned the shingle/explode subtree
-    # ran ~5x per query (guide §7.2 "duplicated subtrees").
-    docs = spread_input(_passage_docs(spark, sf_dir))
+    # ran ~5x per query (guide §7.2 "duplicated subtrees"). The input
+    # spread rides inside _passage_docs.
+    docs = _passage_docs(spark, sf_dir)
     t = docs.select(
         "doc_id",
         F.array_distinct(

@@ -2013,16 +2013,29 @@ def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_query_topk,
     )
 
-    sparse = bm25_query_topk(spark, sf_dir).select(
-        "q_id", "doc_id", F.col("rnk").alias("sparse_rnk")
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    # r17: persist both arm inputs — `sparse` (the whole BM25 chain) is
+    # referenced by the seed pick AND the fusion join, `sig` by the seed
+    # join, the query-signature pick and the dense scan, so unpinned the
+    # BM25 chain ran 2x and the signature projection 3x per query
+    # (guide §7.2 "duplicated subtrees").
+    sparse = _persist_scoped(
+        "rrf_sparse",
+        bm25_query_topk(spark, sf_dir).select(
+            "q_id", "doc_id", F.col("rnk").alias("sparse_rnk")
+        ),
     )
     e = load(spark, sf_dir, "embeddings")
-    sig = e.select(
-        "vec_id",
-        *[
-            _sign_word(F.col("embedding"), 32 * k).alias(f"sig_{k}")
-            for k in range(SIGN_WORDS)
-        ],
+    sig = _persist_scoped(
+        "rrf_sig",
+        e.select(
+            "vec_id",
+            *[
+                _sign_word(F.col("embedding"), 32 * k).alias(f"sig_{k}")
+                for k in range(SIGN_WORDS)
+            ],
+        ),
     )
     sr = F.row_number().over(W.partitionBy("q_id").orderBy("sparse_rnk"))
     seed = (
