@@ -2571,7 +2571,14 @@ def curate_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "text")
         .join(surv, "doc_id")
     )
-    pdocs = _with_epoch_plan_fixture(spark, d)
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    # r17: persist the survivor+fixture table — referenced by the epoch
+    # plan AND the token rollup, so unpinned the staged-read + C4 + join
+    # subtree ran twice per query
+    pdocs = _persist_scoped(
+        "e2e_pdocs", _with_epoch_plan_fixture(spark, d)
+    )
     plan = _epoch_plan_from(spark, pdocs)
     tok = pdocs.select(
         "doc_id", F.size(ws_tokens("text")).cast("long").alias("n_tokens")

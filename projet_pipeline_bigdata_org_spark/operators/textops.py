@@ -1380,16 +1380,25 @@ def text_decontaminate_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a 100 TB corpus) and broadcast EXPLICITLY; the corpus
     streams map-side through the broadcast hash join; the only hash
     exchange is the final partial-agg'd groupBy(doc_id, benchmark_id)."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    from projet_pipeline_bigdata_org_spark.catalog import spread_input
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    # r17: spread the single-split scan and persist the shingle table —
+    # `t` is referenced by the benchmark dictionary, the hits explode AND
+    # the size lookup, so unpinned the shingle pass ran 3x per query
+    d = spread_input(load(spark, sf_dir, "documents").select("doc_id", "text"))
     fixture = spark.createDataFrame(
         list(DECONTAM_ATTRIB_FIXTURES), "doc_id long, text string"
     )
     src = d.unionByName(fixture)
-    t = src.select(
-        "doc_id",
-        F.array_distinct(
-            shingles(ws_tokens(F.coalesce(F.col("text"), F.lit(""))))
-        ).alias("sh"),
+    t = _persist_scoped(
+        "decontam_attrib_t",
+        src.select(
+            "doc_id",
+            F.array_distinct(
+                shingles(ws_tokens(F.coalesce(F.col("text"), F.lit(""))))
+            ).alias("sh"),
+        ),
     )
     is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == 0
     bench = F.broadcast(

@@ -40,7 +40,14 @@ def _perf_confs() -> dict[str, str]:
     """Performance confs (safe defaults for engine workloads; read env at
     call time so deployments can steer them)."""
     return {
-        "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
+        # scale-adaptive: local default sized to this sandbox's cores; a
+        # cluster deployment sets SPARK_GRAFT_SHUFFLE_PARTITIONS so that
+        # post-AQE-coalesce partitions land in the guide's 100MB-1GB band
+        # (e.g. ~2-3x total executor cores); AQE coalescing below trims
+        # the local small-data case either way.
+        "spark.sql.shuffle.partitions": os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(DEFAULT_SHUFFLE_PARTITIONS)
+        ),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
