@@ -278,7 +278,11 @@ def _incremental_minhash_pairs(
     )
     hist_bands = bands.filter(~is_batch)
     batch_bands = bands.filter(is_batch)
-    cand = (
+    # persisted for the same reason as _lsh_candidate_jaccard's cand: the
+    # verify joins read the candidate set's REAL size, so AQE broadcasts
+    # it when it fits instead of sort-merging the shingle table twice
+    cand = _persist_scoped(
+        "inc_minhash_cand",
         batch_bands.alias("b")
         .join(
             hist_bands.alias("h"),
@@ -288,7 +292,7 @@ def _incremental_minhash_pairs(
         .select(
             F.col("b.doc_id").alias("batch_id"), F.col("h.doc_id").alias("history_id")
         )
-        .dropDuplicates(["batch_id", "history_id"])
+        .dropDuplicates(["batch_id", "history_id"]),
     )
     sh_b = sh.select(F.col("doc_id").alias("batch_id"), F.col("sh").alias("sh_b"))
     sh_h = sh.select(F.col("doc_id").alias("history_id"), F.col("sh").alias("sh_h"))
@@ -721,7 +725,14 @@ def _lsh_candidate_jaccard(sh: DataFrame, bands: DataFrame) -> DataFrame:
     8 bands/doc, so the pin is tiny at any scale."""
     bands = _persist_scoped("lsh_bands", bands)
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    # cand persists too (r17): the band self-join's size estimate is
+    # opaque to AQE, so the verify joins planned as sort-merge and
+    # shuffled the full shingle table twice; with the candidate set's
+    # REAL size known, AQE broadcasts it when it fits (the local/common
+    # case) and falls back to sort-merge only when a corpus actually
+    # produces a huge candidate set — scale-adaptive, not a forced hint.
+    cand = _persist_scoped(
+        "lsh_cand",
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -729,7 +740,7 @@ def _lsh_candidate_jaccard(sh: DataFrame, bands: DataFrame) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
+        .dropDuplicates(["a_id", "b_id"]),
     )
     sh_a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
