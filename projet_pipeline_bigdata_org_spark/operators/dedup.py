@@ -261,9 +261,7 @@ def _incremental_minhash_pairs(
     hash_fn = portable_shingle_hashes if portable else shingle_hashes
     sh = _persist_scoped(
         "inc_minhash_cert_sh" if portable else "inc_minhash_sh",
-        d.select("doc_id", F.array_distinct(shingles(ws_tokens("text"))).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select("doc_id", "sh", hash_fn(F.col("sh")).alias("hh")),
+        shingled_doc_hashes(d, hash_fn),
     )
     is_batch = F.col("doc_id") % 10 >= _INCREMENTAL_BATCH_RESIDUE
     # ONE band table over the whole staged corpus, persisted, with the
@@ -583,6 +581,37 @@ def _persist_scoped(scope: str, df: DataFrame) -> DataFrame:
     return _SCOPED_CACHES[scope]
 
 
+def shingled_doc_hashes(d: DataFrame, hash_fn) -> DataFrame:
+    """(doc_id, sh, hh) for documents with >= 3 whitespace tokens — the
+    ONE shingle+hash staging projection behind every MinHash query
+    (one-shot, certified, incremental; ``hash_fn`` picks xxhash64 vs the
+    portable sha-slice).
+
+    r18 (guide §4.4-analogous duplicated evaluation): the previous
+    ``.filter(size(sh) > 0)`` referenced the DERIVED shingle column, and
+    Catalyst pushed that filter below the spread exchange into the
+    single-split scan task — the whole zip_with+array_distinct shingle
+    build executed once per row on ONE core just to test emptiness, then
+    again above the exchange for the projection (visible as the pushed
+    Filter(size(CASE WHEN ...)) under the RoundRobin exchange in the r18
+    before-plans). ``size(sh) > 0`` is EXACTLY ``>= 3 tokens`` (3-gram
+    shingles of a >= 3-token doc are non-empty; array_distinct keeps
+    them non-empty), so filtering on the raw token count keeps the
+    below-exchange work to one split+filter+size pass and builds the
+    shingles once, 32-way. Row set identical; every consumer oracle
+    re-verified."""
+    return (
+        d.filter(F.size(ws_tokens("text")) >= 3)
+        .select(
+            "doc_id", F.array_distinct(shingles(ws_tokens("text"))).alias("sh")
+        )
+        # hashes materialize INSIDE the persisted stage: projection
+        # collapse would otherwise inline the hash transform into each of
+        # the 32 permutation mins (32x the per-shingle hash work)
+        .select("doc_id", "sh", hash_fn(F.col("sh")).alias("hh"))
+    )
+
+
 def minhash_signature(hashed: F.Column) -> F.Column:
     """32-permutation MinHash signature over pre-hashed shingles.
 
@@ -631,15 +660,29 @@ def portable_band_bucket(sig: F.Column, band: int) -> F.Column:
     mins through the hash_coin chain, seeded by the band index —
     acc := coin(acc + m_k * BAND_MIX). Every intermediate stays below
     2^49 (coin < 2^32, m_k < 2^31, BAND_MIX = 2^16+1), so the fold is
-    exact int64 in both engines; sql_band_bucket() is the DuckDB twin."""
+    exact int64 in both engines; sql_band_bucket() is the DuckDB twin.
+
+    r18 (guide §1.2 per-task work): the fold is expressed as ONE
+    ``F.aggregate`` over the band's signature slice instead of four
+    textually-nested hash_coin calls. ``hash_coin`` references its key
+    4x, so nesting it k deep duplicated the whole accumulator SUBTREE
+    4x per level — ~4^4 copies of the innermost term per band, a
+    ~27k-node expression tree per row that the (AQE-coalesced,
+    single-partition) bucket projection evaluated term by term
+    (measured: the bucket stage cost ~1.5s on 5k rows at sf0.1, >10x
+    the 32-min aggregate under it). In the aggregate form the
+    accumulator is a BOUND lambda variable, so each coin references a
+    slot, not a copy — constant-size tree, ~100x fewer ops/row. The
+    fold order, seed, and integer arithmetic are unchanged
+    (left-to-right over the same 4 mins), so buckets are bit-identical;
+    every certified-LSH oracle re-verified."""
     from projet_pipeline_bigdata_org_spark.functions.hashing import hash_coin
 
-    acc: F.Column = F.lit(band).cast("long")
-    for k in range(MINHASH_ROWS):
-        acc = hash_coin(
-            acc + F.element_at(sig, band * MINHASH_ROWS + k + 1) * BAND_MIX
-        )
-    return acc
+    return F.aggregate(
+        F.slice(sig, band * MINHASH_ROWS + 1, MINHASH_ROWS),
+        F.lit(band).cast("long"),
+        lambda acc, m: hash_coin(acc + m * BAND_MIX),
+    )
 
 
 def sql_band_bucket(row_cols: tuple[str, ...], seed: str = "band") -> str:
@@ -677,8 +720,8 @@ def minhash_bands(sig: F.Column, portable: bool = False) -> F.Column:
 def minhash_band_table(sh_df: DataFrame, portable: bool = False) -> DataFrame:
     """(doc_id, band, bucket) from a (doc_id, hh) hashed-shingle frame —
     24 bytes/row, the only thing an LSH candidate join ever shuffles.
-    Callers guarantee ``hh`` is non-empty (every site filters
-    ``size(sh) > 0`` first).
+    Empty-``hh`` docs are dropped HERE (as well as by every caller's
+    upstream filter), so the non-empty contract holds by construction.
 
     The 32 permutation mins are computed by exploding the hashed
     shingles and folding ONE hash aggregate of 32 conditional MINs
@@ -692,7 +735,16 @@ def minhash_band_table(sh_df: DataFrame, portable: bool = False) -> DataFrame:
     array fold was pinned to the scan's task count. Band keys are then
     built from the same ``minhash_bands`` expressions the previous form
     used (shared band-key code, unchanged)."""
-    ex = sh_df.select("doc_id", F.explode("hh").alias("hv"))
+    # enforce the non-empty contract IN code (r18, advisor item): the
+    # explode+groupBy form drops an empty-hh doc where the old per-row
+    # array_min form emitted null-bucket band rows — callers all filter
+    # empty docs upstream, but a future caller that forgets must get the
+    # same (filtered) semantics from both forms by construction. The
+    # filter is a size probe on an already-materialized array — no
+    # measurable cost (re-benched: noise-level).
+    ex = sh_df.filter(F.size("hh") > 0).select(
+        "doc_id", F.explode("hh").alias("hv")
+    )
     mins = ex.groupBy("doc_id").agg(
         *[
             F.min(F.pmod(F.col("hv") * F.lit(a) + F.lit(b), F.lit(_P31))).alias(
@@ -778,15 +830,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the single-split local scan before the per-row shingle work
     # (guide §2.5; no-op on multi-split production inputs)
     d = spread_input(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    sh = _persist_scoped(
-        "minhash_sh",
-        d.select("doc_id", F.array_distinct(shingles(ws_tokens("text"))).alias("sh"))
-        .filter(F.size("sh") > 0)
-        # hashes materialize INSIDE the persisted stage: projection collapse
-        # would otherwise inline shingle_hashes into each of the 32
-        # permutation mins (32× xxhash64 per shingle)
-        .select("doc_id", "sh", shingle_hashes(F.col("sh")).alias("hh")),
-    )
+    sh = _persist_scoped("minhash_sh", shingled_doc_hashes(d, shingle_hashes))
     return _lsh_candidate_jaccard(sh, minhash_band_table(sh))
 
 
@@ -885,12 +929,7 @@ def dedup_minhash_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread_input(load(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = _persist_scoped(
-        "minhash_cert_sh",
-        d.select(
-            "doc_id", F.array_distinct(shingles(ws_tokens("text"))).alias("sh")
-        )
-        .filter(F.size("sh") > 0)
-        .select("doc_id", "sh", portable_shingle_hashes(F.col("sh")).alias("hh")),
+        "minhash_cert_sh", shingled_doc_hashes(d, portable_shingle_hashes)
     )
     return _lsh_candidate_jaccard(sh, minhash_band_table(sh, portable=True))
 

@@ -567,18 +567,14 @@ def pair_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def copurchase_pairs(li: DataFrame) -> DataFrame:
-    """Undirected co-purchase edges (u < v) from (l_orderkey, l_partkey)
-    rows: parts are connected when one order contains both. Per-order pair
-    generation — bounded by basket size, never all-pairs over parts.
-
-    r17 form: ONE groupBy on the order key collects each basket's sorted
-    distinct parts and explodes its i<j pairs basket-locally, replacing
-    the previous lineitem self-join — the same pair set (verified
-    exceptAll-empty both directions at sf0.1) from one scan + one
-    exchange instead of two scan subtrees feeding a shuffle join
-    (guide §2.4 "remove shuffles outright"). Per-order pair fan-out is
-    bounded by basket size exactly as before."""
+def _basket_pairs(li: DataFrame) -> DataFrame:
+    """RAW per-basket co-purchase pairs (u < v within each order), WITH
+    cross-basket duplicates: a pair bought in k orders appears k times.
+    ONE groupBy on the order key collects each basket's sorted distinct
+    parts and explodes its i<j pairs basket-locally (r17 — replaces the
+    lineitem self-join; same pair multiset, one scan + one exchange).
+    Callers must deduplicate; :func:`copurchase_pairs` does it standalone,
+    :func:`sym_edges_dedup` rides it on its partitioning exchange."""
     bsk = (
         li.groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
@@ -603,7 +599,54 @@ def copurchase_pairs(li: DataFrame) -> DataFrame:
             ).alias("p")
         )
         .select("p.u", "p.v")
-        .dropDuplicates(["u", "v"])
+    )
+
+
+def copurchase_pairs(li: DataFrame) -> DataFrame:
+    """Undirected co-purchase edges (u < v) from (l_orderkey, l_partkey)
+    rows: parts are connected when one order contains both. Per-order pair
+    generation — bounded by basket size, never all-pairs over parts.
+
+    r17 form: ONE groupBy on the order key collects each basket's sorted
+    distinct parts and explodes its i<j pairs basket-locally, replacing
+    the previous lineitem self-join — the same pair set (verified
+    exceptAll-empty both directions at sf0.1) from one scan + one
+    exchange instead of two scan subtrees feeding a shuffle join
+    (guide §2.4 "remove shuffles outright"). Per-order pair fan-out is
+    bounded by basket size exactly as before."""
+    return _basket_pairs(li).dropDuplicates(["u", "v"])
+
+
+def sym_edges_dedup(
+    pairs_raw: DataFrame, key: str, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Symmetrized, deduplicated edge list hash-partitioned on ``key`` —
+    the edge build shared by the iterative-graph operators that persist
+    their edges partitioned on one endpoint (kcore/bfs/walk/lpa).
+
+    r18 (guide §2.4 "two operations keyed the same way can share one
+    exchange"): takes the RAW basket pairs and deduplicates AFTER the
+    ``repartition(key)`` — HashPartitioning(key) satisfies the (src, dst)
+    clustering the dedup aggregate needs (key ∈ {src, dst} colocates every
+    copy of an edge), so the dedup rides the partitioning exchange the
+    consumer needs anyway and the previous standalone (u, v) pre-dedup
+    shuffle disappears. Row set identical (dedup commutes with the sym
+    explode: u < v strictly, so the two directions never collide) —
+    verified exceptAll-empty both ways at sf0.1, and every consumer's
+    oracle re-verified.
+
+    The width is PINNED to defaultParallelism (the spread_input rule —
+    total cores on any deployment, not a local constant): a keyless
+    ``repartition(key)`` is AQE-coalescible, and the ~tens-of-MB edge
+    cache collapsed to 3-4 size-based partitions, serializing every
+    co-partitioned per-round join/aggregate of the iterative consumers
+    on a 32-core machine (guide §2.5 — partitions for a pinned,
+    repeatedly-scanned state table should be compute-sized, not
+    size-coalesced)."""
+    return (
+        sym_uv(pairs_raw, src, dst)
+        .repartition(pairs_raw.sparkSession.sparkContext.defaultParallelism, key)
+        .dropDuplicates([src, dst])
     )
 
 
@@ -627,7 +670,7 @@ def sym_uv(pairs: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     )
 
 
-def oriented_edges(pairs: DataFrame) -> DataFrame:
+def oriented_edges(pairs: DataFrame, with_deg: bool = False):
     """Degree-ordered orientation of undirected (u, v) edges: each edge is
     redirected from the (degree, id)-smaller endpoint (``lo``) to the larger
     (``hi``), so every wedge is enumerated at its LOWEST-degree vertex. A
@@ -639,7 +682,12 @@ def oriented_edges(pairs: DataFrame) -> DataFrame:
     r17: pairs and the degree table persist (scoped) — pairs is
     referenced by the degree derivation AND the orientation join, and deg
     by BOTH endpoint sides, so unpinned the pair-generation subtree ran
-    3x per call (guide §7.2)."""
+    3x per call (guide §7.2).
+
+    ``with_deg=True`` additionally returns the persisted (x, deg) degree
+    table (one row per distinct endpoint — i.e. per vertex), so a caller
+    needing a vertex census reads this pin instead of re-deriving
+    distinct endpoints from the edge output (r18, guide §7.2)."""
     from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
 
     pairs = _persist_scoped("oriented_pairs", pairs)
@@ -651,7 +699,7 @@ def oriented_edges(pairs: DataFrame) -> DataFrame:
     )
     du = deg.select(F.col("x").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("x").alias("v"), F.col("deg").alias("dv"))
-    return (
+    out = (
         pairs.join(du, "u")
         .join(dv, "v")
         .select(
@@ -665,6 +713,7 @@ def oriented_edges(pairs: DataFrame) -> DataFrame:
         )
         .select("e.lo", "e.hi")
     )
+    return (out, deg) if with_deg else out
 
 
 @query(
@@ -716,8 +765,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # r18: width pinned to defaultParallelism (the sym_edges_dedup rule) —
+    # the keyless form was AQE-coalesced to 3-4 size-based partitions,
+    # serializing the CPU-heavy per-edge intersection stage
+    ori, deg = oriented_edges(copurchase_pairs(li), with_deg=True)
     e = _persist_scoped(
-        "tri_edges", oriented_edges(copurchase_pairs(li)).repartition("lo")
+        "tri_edges",
+        ori.repartition(spark.sparkContext.defaultParallelism, "lo"),
     )
     # persist the adjacency (r17): referenced on BOTH join sides (au/av),
     # so the groupBy+collect_list over the edge list otherwise runs twice
@@ -741,11 +795,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.coalesce(F.sum("t"), F.lit(0)).alias("n_triangles"))
     )
     stats = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_vertices = (
-        e.select(F.col("lo").alias("x"))
-        .unionAll(e.select(F.col("hi").alias("x")))
-        .agg(F.countDistinct("x").alias("n_vertices"))
-    )
+    # r18: the vertex census is the degree table's row count — one pass
+    # over the already-persisted |V|-row pin instead of a union of two
+    # full edge-cache scans feeding a countDistinct exchange (guide §7.2;
+    # every edge endpoint appears in deg by construction, and every deg
+    # row is an edge endpoint, so the counts are identical)
+    n_vertices = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
     return (
         n_vertices.crossJoin(stats)
         .crossJoin(tri)
@@ -1052,15 +1107,13 @@ def _lpa_labels_build(
     from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = copurchase_pairs(li)
     # persist the symmetrized edges HASH-PARTITIONED ON src: the cached
     # relation reports that partitioning, so every round's label join
     # shuffles only the |nodes|-row labeling — the |E|-row edge list
     # exchanges once at build instead of once per round (measured
-    # 6.72 -> 4.74 s at sf0.1)
-    edges = _persist_scoped(
-        "lpa_edges", sym_uv(pairs).repartition("src")
-    )
+    # 6.72 -> 4.74 s at sf0.1). r18: dedup rides that same exchange
+    # (sym_edges_dedup).
+    edges = _persist_scoped("lpa_edges", sym_edges_dedup(_basket_pairs(li), "src"))
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("community")
     )
@@ -1337,15 +1390,15 @@ def algo_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # copurchase_pairs already deduplicates and the fixture's >= 90M node
-    # ids are disjoint from any l_partkey (and internally distinct), so no
-    # second dropDuplicates pass over the union (review-caught redundancy)
-    pairs = copurchase_pairs(li).unionByName(
+    # r18: RAW basket pairs + fixture, deduplicated on the dst-partitioning
+    # exchange itself (sym_edges_dedup) — one exchange fewer than the
+    # previous dedup-then-sym-then-repartition chain (guide §2.4); the
+    # fixture's >= 90M node ids are disjoint from any l_partkey, so the
+    # fused dedup collapses exactly the cross-basket duplicates
+    pairs = _basket_pairs(li).unionByName(
         spark.createDataFrame(list(KCORE_FIXTURE_PAIRS), "u long, v long")
     )
-    edges = _persist_scoped(
-        "kcore_edges", sym_uv(pairs).repartition("dst")
-    )
+    edges = _persist_scoped("kcore_edges", sym_edges_dedup(pairs, "dst"))
     # symmetric list: degree(n) = |edges with dst = n| — the groupBy rides
     # the persisted partitioning, no exchange
     deg = edges.groupBy(F.col("dst").alias("node")).agg(
@@ -1446,10 +1499,8 @@ def algo_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = copurchase_pairs(li)
-    edges = _persist_scoped(
-        "bfs_edges", sym_uv(pairs).repartition("src")
-    )
+    # r18: dedup rides the src-partitioning exchange (sym_edges_dedup)
+    edges = _persist_scoped("bfs_edges", sym_edges_dedup(_basket_pairs(li), "src"))
     frontier = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -1695,10 +1746,8 @@ def algo_walk_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = copurchase_pairs(li)
-    edges = _persist_scoped(
-        "walk_edges", sym_uv(pairs).repartition("src")
-    )
+    # r18: dedup rides the src-partitioning exchange (sym_edges_dedup)
+    edges = _persist_scoped("walk_edges", sym_edges_dedup(_basket_pairs(li), "src"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     rn = F.row_number().over(W.orderBy(F.col("deg").desc(), "src"))
     seeds = (
