@@ -1074,6 +1074,30 @@ def ivfc_scaled_points(e: DataFrame) -> DataFrame:
     )
 
 
+def ivfc_pts_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE scoped per-dim point pin, HASH-PARTITIONED ON vec_id
+    (r18, guide §2.4 "two operations keyed the same way can share one
+    exchange"): every consumer aggregate/window in the certified-vector
+    family is keyed with a vec_id prefix — cell-distance groupBy
+    (vec_id, cid), argmin windows (vec_id[, sub]), projection/bucket
+    groupBys (vec_id, tbl[, plane]), norm groupBy (vec_id), re-rank
+    joins on n_id=vec_id — and HashPartitioning(vec_id) satisfies every
+    one of those clusterings, so ONE exchange at the pin replaces a
+    per-aggregate exchange in each of the half-dozen consumers (and
+    32-way-parallelizes the single-split local scan as a side effect;
+    at cluster scale the one corpus-wide exchange replaces several).
+    Width pinned to defaultParallelism — the sym_edges_dedup rule."""
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
+    e = load(spark, sf_dir, "embeddings")
+    return _persist_scoped(
+        "ivfc_pts",
+        ivfc_scaled_points(e).repartition(
+            spark.sparkContext.defaultParallelism, "vec_id"
+        ),
+    )
+
+
 def ivfc_cell_distances(pts: DataFrame, cents: DataFrame) -> DataFrame:
     """Exact integer L2 of every vector against the broadcast codebook —
     one partial-agg'd aggregation, linear in the corpus."""
@@ -1116,8 +1140,7 @@ def _ivfc_points_and_assign(
     point table is shared — it is seed-independent)."""
     from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
 
-    e = load(spark, sf_dir, "embeddings")
-    pts = _persist_scoped("ivfc_pts", ivfc_scaled_points(e))
+    pts = ivfc_pts_pinned(spark, sf_dir)
     if cents_filter is None:
         cents_filter = F.col("vec_id") < IVFC_K
     cents = pts.filter(cents_filter).select(
@@ -1548,8 +1571,7 @@ def ann_incremental_postings(
     test (one maintenance semantics, every consumer)."""
     from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
 
-    e = load(spark, sf_dir, "embeddings")
-    pts = _persist_scoped("ivfc_pts", ivfc_scaled_points(e))
+    pts = ivfc_pts_pinned(spark, sf_dir)
     is_batch = F.col("vec_id") % 10 >= EMB_BATCH_RESIDUE
     cents = pts.filter(
         (F.col("vec_id") < IVFC_INC_SEED_MAX) & ~is_batch
@@ -1769,8 +1791,7 @@ def sim_ann_lsh_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact verify (candidates only, never all-pairs)."""
     from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
 
-    e = load(spark, sf_dir, "embeddings")
-    pts = _persist_scoped("ivfc_pts", ivfc_scaled_points(e))
+    pts = ivfc_pts_pinned(spark, sf_dir)
     proj = (
         pts.join(F.broadcast(_lshc_coefficients(spark)), "dim")
         .groupBy("vec_id", "tbl", "plane")
@@ -1883,8 +1904,7 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack."""
     from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
 
-    e = load(spark, sf_dir, "embeddings")
-    pts = _persist_scoped("ivfc_pts", ivfc_scaled_points(e))
+    pts = ivfc_pts_pinned(spark, sf_dir)
     sub = pts.select(
         "vec_id",
         (F.col("dim") / _MAXSIM_W).cast("long").alias("s"),
@@ -2552,14 +2572,20 @@ def _pq_scaled_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
 
     e = load(spark, sf_dir, "embeddings")
+    # r18: pinned hash-partitioned on vec_id (the ivfc_pts_pinned rule) —
+    # the encode groupBy (vec_id, sub, cid), its argmin window
+    # (vec_id, sub), the query LUT groupBy and the exact-rerank groupBy
+    # (q_id/n_id = vec_id prefixes) all ride this one exchange
     return _persist_scoped(
         "pq_pts",
-        e.select("vec_id", F.posexplode("embedding").alias("dim", "xv")).select(
+        e.select("vec_id", F.posexplode("embedding").alias("dim", "xv"))
+        .select(
             "vec_id",
             (F.col("dim") / PQ_SUB_DIMS).cast("int").alias("sub"),
             (F.col("dim") % PQ_SUB_DIMS).alias("sdim"),
             F.round(F.col("xv").cast("double") * PW_XS, 0).cast("long").alias("xs"),
-        ),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id"),
     )
 
 
