@@ -332,6 +332,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     from projet_pipeline_bigdata_org_spark import catalog
+    from projet_pipeline_bigdata_org_spark.operators.dedup import (
+        release_scoped_pins,
+    )
 
     def time_once(name: str) -> float:
         # clock starts BEFORE the builder call: iterative operators
@@ -363,7 +366,12 @@ def main() -> None:
         # (scoped, one per operator), and across a 140-query sweep the
         # accumulated pins inflate later queries ~1.5-3x via memory
         # pressure — each query should be timed against a clean executor
-        # (the parquet silver-layer stage tables are unaffected by design)
+        # (the parquet silver-layer stage tables are unaffected by design).
+        # release_scoped_pins additionally clears the scope registry —
+        # the release-discipline call a long-lived session makes after
+        # each query's terminal action (r18; timing methodology
+        # unchanged, both calls sit outside the timed region)
+        release_scoped_pins()
         spark.catalog.clearCache()
 
     # auto re-time pass (VERDICT r15 #4b): transient readings vs the prior

@@ -68,8 +68,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 #: (applicationId, plan fingerprint) -> scan partition count, so repeated
-#: spread_input calls don't re-plan the same scan
+#: spread_input calls don't re-plan the same scan. Bounded (r18, advisor):
+#: plan strings can embed large fixture literals and a long-lived session
+#: touching many distinct plans would otherwise grow driver memory.
 _SCAN_PARTS_CACHE: dict[tuple[str, str], int] = {}
+_SCAN_PARTS_CACHE_MAX = 256
+
+#: spread only PATHOLOGICALLY unsplit scans (r18, advisor): a scan that
+#: already carries more than this many splits is parallel enough that a
+#: full round-robin shuffle of every scanned row costs more than the
+#: residual task-count imbalance — e.g. a mid-size table with 16 splits
+#: on a 512-core cluster must NOT be re-shuffled wholesale. Env-steerable
+#: for deployments whose per-row compute is extreme.
+SPREAD_MAX_INPUT_SPLITS = int(os.environ.get("SPARK_GRAFT_SPREAD_MAX_SPLITS", "8"))
 
 
 def spread_input(df: DataFrame) -> DataFrame:
@@ -83,21 +94,24 @@ def spread_input(df: DataFrame) -> DataFrame:
     cosine scans) then run on one core of local[32] until their first
     exchange.
 
-    Scale-adaptive by construction, not a local-only constant: when the
-    plan already carries >= defaultParallelism partitions (any real
-    multi-file 100 TB table), this is a NO-OP — no exchange is added to
-    cluster plans. The round-robin repartition is deterministic
-    (sort-before-repartition is on by default, SPARK-23207) and every
-    consumer here is partition-invariant (aggregates/joins), so results
-    are unchanged — each touched query re-verified against its oracle."""
+    Guarded on both sides so cluster plans keep it a NO-OP: it only
+    fires when the scan has fewer partitions than defaultParallelism
+    AND at most SPREAD_MAX_INPUT_SPLITS splits (a genuinely unsplit
+    input, not a mid-size multi-split table on a wide cluster). The
+    round-robin repartition is deterministic (sort-before-repartition
+    is on by default, SPARK-23207) and every consumer here is
+    partition-invariant (aggregates/joins), so results are unchanged —
+    each touched query re-verified against its oracle."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     key = (spark.sparkContext.applicationId, df._jdf.queryExecution().logical().toString())
     n = _SCAN_PARTS_CACHE.get(key)
     if n is None:
         n = df.rdd.getNumPartitions()
+        if len(_SCAN_PARTS_CACHE) >= _SCAN_PARTS_CACHE_MAX:
+            _SCAN_PARTS_CACHE.pop(next(iter(_SCAN_PARTS_CACHE)))
         _SCAN_PARTS_CACHE[key] = n
-    if n >= target:
+    if n >= target or n > SPREAD_MAX_INPUT_SPLITS:
         return df
     return df.repartition(target)
 

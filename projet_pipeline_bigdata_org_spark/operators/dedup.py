@@ -570,15 +570,56 @@ def ngram_jaccard_pairs(
 _SCOPED_CACHES: dict[str, DataFrame] = {}
 
 
-def _persist_scoped(scope: str, df: DataFrame) -> DataFrame:
+def _persist_scoped(scope: str, df: DataFrame, big: bool = False) -> DataFrame:
+    """Persist ``df`` under a per-operator scope. Most pins here are
+    SMALL state tables (band/degree/frontier/signature tables —
+    node- or vocabulary-bounded) and take the default MEMORY_AND_DISK.
+
+    ``big=True`` marks a CORPUS-SIZED pin (an exploded posting/token
+    table at least as large as its input corpus): it persists
+    DISK_ONLY, so at 100 TB the pin costs local-disk spill instead of
+    competing with execution memory for the unified region (guide §5
+    "caching ... competes with execution memory"). Recompute-vs-pin
+    stays the right trade for these (the pinned subtree runs 2-5x per
+    query); only the storage medium changes. Local bench impact
+    measured at sf0.1: within noise (serialized columnar blocks on
+    tmpfs-backed disk).
+
+    A long-lived session that runs many different operators can call
+    :func:`release_scoped_pins` after consuming a query's result to
+    drop every scoped pin at once (the bench does this between timed
+    queries); within-query sharing is unaffected because all references
+    resolve while the pin is live."""
     prev = _SCOPED_CACHES.pop(scope, None)
     if prev is not None:
         try:
             prev.unpersist()
         except Exception:
             pass
-    _SCOPED_CACHES[scope] = df.persist()
+    if big:
+        from pyspark import StorageLevel
+
+        _SCOPED_CACHES[scope] = df.persist(StorageLevel.DISK_ONLY)
+    else:
+        _SCOPED_CACHES[scope] = df.persist()
     return _SCOPED_CACHES[scope]
+
+
+def release_scoped_pins() -> int:
+    """Unpersist and forget every scoped pin (VERDICT r17 #7: without
+    an explicit release, a long-lived production session accumulates
+    one live pin per operator scope it has ever run — ~40 tables —
+    until a blunt ``spark.catalog.clearCache()``). Call after a query's
+    terminal action; returns the number of pins released."""
+    n = 0
+    for scope in list(_SCOPED_CACHES):
+        df = _SCOPED_CACHES.pop(scope)
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
 def shingled_doc_hashes(d: DataFrame, hash_fn) -> DataFrame:
@@ -2369,12 +2410,14 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _passage_docs(spark, sf_dir)
     # r17: persist the token table — referenced by the seed-position build
     # AND the final exact-slice join, so unpinned the tokenize pass ran
-    # twice per query
+    # twice per query. big=True: token arrays for every doc are
+    # corpus-sized — DISK_ONLY at scale (VERDICT r17 #4)
     toks = _persist_scoped(
         "spans_toks",
         docs.select(
             "doc_id", ws_tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks")
         ).filter(F.size("toks") >= K),
+        big=True,
     )
     g = toks.select(
         "doc_id",
@@ -2532,6 +2575,8 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             shingles(ws_tokens(F.coalesce(F.col("text"), F.lit(""))), 3)
         ).alias("sh"),
     ).filter(F.size("sh") >= 1)
+    # big=True: the EXPLODED posting table is larger than the input
+    # corpus — DISK_ONLY at scale (VERDICT r17 #4)
     ex = _persist_scoped(
         "jacpref_ex",
         t.select(
@@ -2539,6 +2584,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("sh").cast("long").alias("n"),
             F.explode("sh").alias("s"),
         ),
+        big=True,
     )
     r = ex.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("s"))

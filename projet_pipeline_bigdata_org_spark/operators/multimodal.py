@@ -555,17 +555,33 @@ def frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     """mapInPandas kernel: one input row (doc_id, payload) fans out to one
     row per SAMPLED frame (every FRAME_STRIDE-th of the stub's n_frames) —
     the UDTF-shaped expansion a video/audio frame sampler performs. Frame
-    timestamps assume 25 fps (40 ms per frame)."""
+    timestamps assume 25 fps (40 ms per frame).
+
+    r18 (guide §4.2 — vectorize inside the batch, the decode_batches
+    pattern): the stub frame count is pure byte-length arithmetic
+    (len % 30 + 1), so the whole fan-out is computed on numpy columns —
+    per-doc sample counts, np.repeat for the doc-level columns, and one
+    arange difference for the within-doc frame indices — instead of a
+    per-row Python loop appending tuples. Row-identical output in the
+    same order (docs in batch order, frames ascending)."""
     for pdf in batches:
-        out_rows = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            n_frames = decode_media_stub(payload)["n_frames"]
-            for idx in range(0, n_frames, FRAME_STRIDE):
-                out_rows.append((doc_id, idx, idx * 40, n_frames))
-        if out_rows:  # empty object-dtype frames break Arrow schema inference
-            yield pd.DataFrame(
-                out_rows, columns=["doc_id", "frame_idx", "frame_ms", "n_frames"]
-            )
+        pay = pdf["payload"]
+        n = np.fromiter((len(p) for p in pay), dtype="int64", count=len(pay))
+        nf = n % 30 + 1  # decode_media_stub's n_frames, vectorized
+        counts = -(-nf // FRAME_STRIDE)  # ceil(nf / stride) sampled frames
+        total = int(counts.sum())
+        if total == 0:  # empty frames break Arrow schema inference
+            continue
+        starts = np.cumsum(counts) - counts
+        idx = (np.arange(total, dtype="int64") - np.repeat(starts, counts)) * FRAME_STRIDE
+        yield pd.DataFrame(
+            {
+                "doc_id": np.repeat(pdf["doc_id"].values, counts),
+                "frame_idx": idx,
+                "frame_ms": idx * 40,
+                "n_frames": np.repeat(nf, counts),
+            }
+        )
 
 
 @query(

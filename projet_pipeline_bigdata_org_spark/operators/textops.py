@@ -1391,6 +1391,8 @@ def text_decontaminate_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(DECONTAM_ATTRIB_FIXTURES), "doc_id long, text string"
     )
     src = d.unionByName(fixture)
+    # big=True: shingle arrays for every doc are corpus-sized —
+    # DISK_ONLY at scale (VERDICT r17 #4)
     t = _persist_scoped(
         "decontam_attrib_t",
         src.select(
@@ -1399,6 +1401,7 @@ def text_decontaminate_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shingles(ws_tokens(F.coalesce(F.col("text"), F.lit(""))))
             ).alias("sh"),
         ),
+        big=True,
     )
     is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == 0
     bench = F.broadcast(
@@ -2193,20 +2196,16 @@ def bpe_merge_round(
     (word, freq, syms: array<string>). Returns (rebuilt vocabulary, 1-row
     round summary). Pairing is window-free: ``posexplode`` plus an O(1)
     ``F.get(syms, pos + 1)`` lookup yields (sym, next) without a
-    per-word sort; the only windows are the two row_numbers of the
-    run-parity rule, partitioned by word — and greedy leftmost
-    non-overlapping merging is EXACTLY "keep odd ranks within runs of
-    consecutive candidate positions" (a merge consumes pos and pos+1, so
-    only adjacent candidates conflict; non-adjacent candidates fall in
-    different runs and all survive).
+    per-word sort; merge application is a per-word array fold (see the
+    inline note), so the whole round is entirely window- and
+    rebuild-join-free — only the pair count and the argmax touch an
+    exchange.
 
     ``wordpiece=True`` switches the same two points as the SQL twin
     (:func:`_bpe_round_ctes`): argmax by the quantized likelihood score
     (pair / left*right, WP_SCORE_SCALE integer form) instead of raw
     pair count, and '##'-stripped merge concatenation. Everything else
-    — pairing, run-parity selection, rebuild — is the SAME code."""
-    from pyspark.sql import Window as W
-
+    — pairing, merge selection, rebuild — is the SAME code."""
     ex = (
         vocab.select("word", "freq", "syms", F.posexplode("syms").alias("pos", "sym"))
         .select(
@@ -2261,54 +2260,43 @@ def bpe_merge_round(
                 F.col("ls").alias("bl"), F.col("rs").alias("br"), F.col("c").alias("bc")
             )
         )
-    cand = (
-        ex.join(
-            F.broadcast(best),
-            (F.col("sym") == F.col("bl")) & (F.col("nxt") == F.col("br")),
+    # r18 (guide §1.2/§2.4): merge application is WORD-LOCAL — greedy
+    # leftmost non-overlapping merging of (bl, br) is exactly a left fold
+    # over the symbol array: append each symbol unless the output's last
+    # element equals bl and the incoming one equals br, in which case
+    # replace the last element with the merge. The fold IS the run-parity
+    # rule (a merged element is bl||<nonempty>, never bl itself, so a
+    # fresh merge can't chain — the next candidate considered is the one
+    # greedy would consider), verified rebuilt-table exceptAll-empty both
+    # ways against the window/join form at sf0.01 and sf0.1. This
+    # replaces, per round: the candidate join, two per-word row_number
+    # windows, two left anti-position joins and the collect_list regroup
+    # (4 exchanges of the vocabulary) with ONE narrow projection over the
+    # already-persisted vocab. Empty `best` (no pair anywhere) leaves
+    # every word unchanged via the left join's NULL bl/br, exactly as the
+    # old candidate join matched nothing.
+    def _fold_merge(acc, x):
+        last = F.get(acc, F.size(acc) - 1)
+        # wordpiece merge strips the '##' continuation prefix off the
+        # right symbol — substr(3, len-2) IS substring(nxt, 3)
+        merged = (
+            F.concat(last, x.substr(F.lit(3), F.length(x) - 2))
+            if wordpiece
+            else F.concat(last, x)
         )
-        .select("word", "pos")
-    )
-    runs = cand.select(
+        return F.when(
+            last.isNotNull() & (last == F.col("bl")) & (x == F.col("br")),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    rebuilt = vocab.join(F.broadcast(best), F.lit(True), "left").select(
         "word",
-        "pos",
-        (F.col("pos") - F.row_number().over(W.partitionBy("word").orderBy("pos")))
-        .alias("run"),
-    )
-    keep = (
-        runs.select(
-            "word",
-            "pos",
-            F.row_number()
-            .over(W.partitionBy("word", "run").orderBy("pos"))
-            .alias("rk"),
-        )
-        .filter(F.col("rk") % 2 == 1)
-        .select("word", "pos")
-    )
-    k1 = keep.select(F.col("word").alias("kw"), F.col("pos").alias("kpos"))
-    k2 = keep.select(F.col("word").alias("dw"), (F.col("pos") + 1).alias("dpos"))
-    merged = (
-        F.concat(F.col("sym"), F.expr("substring(nxt, 3)"))
-        if wordpiece
-        else F.concat(F.col("sym"), F.col("nxt"))
-    )
-    reb = (
-        ex.join(k1, (F.col("word") == F.col("kw")) & (F.col("pos") == F.col("kpos")), "left")
-        .join(k2, (F.col("word") == F.col("dw")) & (F.col("pos") == F.col("dpos")), "left")
-        .filter(F.col("dpos").isNull())
-        .select(
-            "word",
-            "freq",
-            "pos",
-            F.when(F.col("kpos").isNotNull(), merged)
-            .otherwise(F.col("sym"))
-            .alias("out"),
-        )
-    )
-    rebuilt = reb.groupBy("word", "freq").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "out"))), lambda x: x["out"]
-        ).alias("syms")
+        "freq",
+        F.aggregate(
+            "syms",
+            F.expr("CAST(array() AS array<string>)"),
+            _fold_merge,
+        ).alias("syms"),
     )
     after = rebuilt.agg(
         F.sum(F.size("syms")).cast("long").alias("vocab_symbols_after")
@@ -2808,73 +2796,94 @@ def _uni_cost(vocab: DataFrame) -> DataFrame:
 
 
 def _uni_viterbi(words: DataFrame, cost: DataFrame) -> DataFrame:
-    """Unrolled Viterbi DP over word positions 1..UNI_MAX_WORD: each cell
-    is MIN(parent_pack + c*2^16 + 2^12 + 2^(j-1)) over the <=UNI_MAX_PIECE
+    """Viterbi DP over word positions 1..len: each cell is
+    MIN(parent_pack + c*2^16 + 2^12 + 2^(j-1)) over the <=UNI_MAX_PIECE
     pieces ending at j — the packed-field arithmetic makes the min
     lexicographic in (cost, n_pieces, mask), so the chosen segmentation
     is fully deterministic. Returns (word, len, cost, n, mask) at each
-    word's final position. Every dp table is vocabulary-bounded and
-    CHECKPOINTED per level (the connected_components discipline, not the
-    3-round BPE persist: each level references up to UNI_MAX_PIECE prior
-    levels, so an unbroken lineage grows the LOGICAL plan
-    4^UNI_MAX_WORD-fold — persist caches runtime results but not the
-    analyzer's tree; measured as an analysis-time hang before the first
-    job). The piece table rides a broadcast into each unrolled join."""
-    sc = words.sparkSession.sparkContext
+    word's final position.
 
-    def _checkpoint(df: DataFrame) -> DataFrame:
-        if sc.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
-
-    # bound the unroll by the corpus' ACTUAL longest word: dp levels past
-    # it are provably empty (every parent is len-filtered), so skipping
-    # them changes nothing but drops their eager checkpoint jobs — the
-    # per-round fixed cost dominates this operator at bench scale
-    # (measured 14.9s -> ~10s at sf0.1). One bounded scalar read of the
-    # persisted words table; the SQL twin keeps the static UNI_MAX_WORD
-    # unroll (its empty dp CTEs cost DuckDB nothing).
-    row = words.agg(F.max("len")).first()
-    depth = min(UNI_MAX_WORD, int(row[0] or 0))
-
-    dps = {0: words.select("word", "len", F.lit(0).cast("long").alias("pack"))}
-    for j in range(1, depth + 1):
-        cands = None
-        for k in range(1, min(UNI_MAX_PIECE, j) + 1):
-            c = (
-                dps[j - k]
-                .filter(F.col("len") >= j)
-                .select(
-                    "word",
-                    "len",
-                    F.expr(f"substring(word, {j - k + 1}, {k})").alias("piece"),
-                    "pack",
-                )
-                .join(F.broadcast(cost), "piece")
-                .select(
-                    "word",
-                    "len",
-                    (
-                        F.col("pack")
-                        + F.col("c") * _UNI_CPACK
-                        + F.lit(_UNI_NPACK + (1 << (j - 1))).cast("long")
-                    ).alias("cand"),
-                )
-            )
-            cands = c if cands is None else cands.unionAll(c)
-        dps[j] = _checkpoint(
-            cands.groupBy("word", "len").agg(F.min("cand").alias("pack"))
+    r18 (guide §1.2 "the distributed algorithm" / §2.4): the DP is
+    WORD-LOCAL — cell j of one word never reads another word's cells —
+    so the previous formulation (one unrolled level per position, each
+    a union of <=UNI_MAX_PIECE broadcast joins + a groupBy-min + an
+    EAGER checkpoint to stop the 4^UNI_MAX_WORD analyzer blowup) paid
+    ~UNI_MAX_WORD sequential driver-synchronized jobs per pass for what
+    is one row-parallel computation. Now: explode each word into its
+    (j, k) piece candidates once, keep the in-vocabulary ones via ONE
+    broadcast join against the cost table, collect them per word, and
+    run the whole DP inside a single F.aggregate fold over positions —
+    the accumulator array holds pack(0..j-1) and each step appends
+    MIN over that position's candidates. Same candidate set, same pure
+    BIGINT arithmetic, same MIN per cell, so bit-identical to the
+    unrolled form (fin1/fin2 verified exceptAll-empty both ways at
+    sf0.01 and sf0.1); an unreachable cell is a NULL element that
+    array_min skips and NULL arithmetic propagates, exactly as the
+    missing row propagated through the unrolled joins. The SQL twin
+    keeps the static per-level CTE unroll (DuckDB has no fold over
+    per-row state; empty/flat CTE levels cost it nothing)."""
+    cands = (
+        words.select("word", "len", F.explode(F.expr("sequence(1, len)")).alias("j"))
+        .select(
+            "word",
+            "len",
+            "j",
+            F.explode(F.expr(f"sequence(1, least({UNI_MAX_PIECE}, j))")).alias("k"),
         )
-    fin = None
-    for j in range(1, depth + 1):
-        f_j = dps[j].filter(F.col("len") == j)
-        fin = f_j if fin is None else fin.unionAll(f_j)
-    return fin.select(
-        "word",
-        "len",
-        F.shiftright("pack", 16).cast("long").alias("cost"),
-        F.expr("shiftright(pack, 12) & 15").cast("long").alias("n"),
-        F.expr("pack & 4095").cast("long").alias("mask"),
+        .select(
+            "word",
+            "len",
+            "j",
+            "k",
+            F.expr("substring(word, j - k + 1, k)").alias("piece"),
+        )
+        .join(F.broadcast(cost), "piece")
+        # fold the candidate's whole pack addend (c*2^16 + 2^12 + 2^(j-1))
+        # here, once per candidate in the JVM, so the per-position fold
+        # below only does lookup + add + min
+        .select(
+            "word",
+            "len",
+            "j",
+            "k",
+            (
+                F.col("c") * _UNI_CPACK
+                + F.expr(
+                    f"CAST({_UNI_NPACK} AS BIGINT)"
+                    " + shiftleft(CAST(1 AS BIGINT), j - 1)"
+                )
+            ).alias("add"),
+        )
+        .groupBy("word", "len")
+        .agg(F.collect_list(F.struct("j", "k", "add")).alias("cands"))
+    )
+    # acc holds pack for positions 0..j-1 (element_at is 1-indexed:
+    # position p lives at acc[p + 1]); each fold step appends position j
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.col("len")),
+        F.array(F.lit(0).cast("long")),
+        lambda acc, j: F.concat(
+            acc,
+            F.array(
+                F.array_min(
+                    F.transform(
+                        F.filter(F.col("cands"), lambda x: x["j"] == j),
+                        lambda x: F.element_at(acc, j - x["k"] + 1) + x["add"],
+                    )
+                )
+            ),
+        ),
+    )
+    return (
+        cands.select("word", "len", F.element_at(dp, F.col("len") + 1).alias("pack"))
+        .filter(F.col("pack").isNotNull())
+        .select(
+            "word",
+            "len",
+            F.shiftright("pack", 16).cast("long").alias("cost"),
+            F.expr("shiftright(pack, 12) & 15").cast("long").alias("n"),
+            F.expr("pack & 4095").cast("long").alias("mask"),
+        )
     )
 
 

@@ -26,6 +26,25 @@ log = logging.getLogger(__name__)
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+#: guide §2.2/§9 post-shuffle partition sizing target: partitions should
+#: land in the 100 MB - 1 GB band after AQE coalescing; 256 MB advisory
+SHUFFLE_TARGET_PARTITION_BYTES = 256 * 1024 * 1024
+
+
+def derive_shuffle_partitions(input_bytes: int, total_cores: int) -> int:
+    """Size ``spark.sql.shuffle.partitions`` from the deployment's input
+    scale (VERDICT r17 #9; guide §2.2 "fewer, larger reduce partitions"):
+    ceil(input_bytes / 256 MB) so post-shuffle partitions land in the
+    guide's 100 MB-1 GB band, floored at 2x total executor cores so every
+    core gets work even on small inputs, capped at 2^17 (at 100 TB the
+    size rule gives ~400k raw partitions — beyond ~130k the M x R shuffle
+    block count dominates, guide §2.2's quadratic-blocks warning; AQE
+    coalescing trims any overshoot at runtime). Pure function so the rule
+    is testable; wired through $SPARK_GRAFT_INPUT_BYTES below — the local
+    bench default stays DEFAULT_SHUFFLE_PARTITIONS, unchanged."""
+    by_size = -(-int(input_bytes) // SHUFFLE_TARGET_PARTITION_BYTES)
+    return int(min(max(by_size, 2 * int(total_cores)), 1 << 17))
+
 #: correctness-required on ANY session running engine queries: wrong values
 #: crash events reads (parquet nanos) or silently shift timestamp results.
 REQUIRED_CONFS = {
@@ -40,13 +59,27 @@ def _perf_confs() -> dict[str, str]:
     """Performance confs (safe defaults for engine workloads; read env at
     call time so deployments can steer them)."""
     return {
-        # scale-adaptive: local default sized to this sandbox's cores; a
-        # cluster deployment sets SPARK_GRAFT_SHUFFLE_PARTITIONS so that
-        # post-AQE-coalesce partitions land in the guide's 100MB-1GB band
-        # (e.g. ~2-3x total executor cores); AQE coalescing below trims
-        # the local small-data case either way.
+        # scale-adaptive: explicit SPARK_GRAFT_SHUFFLE_PARTITIONS wins;
+        # else, when the deployment declares its input scale via
+        # SPARK_GRAFT_INPUT_BYTES (+ optionally SPARK_GRAFT_TOTAL_CORES),
+        # the guide §2.2 size rule applies (derive_shuffle_partitions);
+        # else the local default. The driver's bench sets neither, so its
+        # runs stay comparable round over round.
         "spark.sql.shuffle.partitions": os.environ.get(
-            "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(DEFAULT_SHUFFLE_PARTITIONS)
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+            str(
+                derive_shuffle_partitions(
+                    int(os.environ["SPARK_GRAFT_INPUT_BYTES"]),
+                    int(
+                        os.environ.get(
+                            "SPARK_GRAFT_TOTAL_CORES",
+                            os.environ.get("SPARK_GRAFT_CPUS", "32").strip("*") or "32",
+                        )
+                    ),
+                )
+            )
+            if os.environ.get("SPARK_GRAFT_INPUT_BYTES", "").isdigit()
+            else str(DEFAULT_SHUFFLE_PARTITIONS),
         ),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
