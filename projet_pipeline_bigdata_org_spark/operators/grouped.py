@@ -497,9 +497,14 @@ def _asof_last_order(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
     order_days = np.sort(right["order_day"].to_numpy())
     # first index >= event_day, minus 1 → last index strictly before
     idx = np.searchsorted(order_days, out["event_day"].to_numpy(), side="left") - 1
-    matched = np.where(idx >= 0, order_days[np.maximum(idx, 0)], -1)
-    out["last_order_day"] = pd.array(
-        [int(v) if v >= 0 else None for v in matched], dtype="Int64"
+    # r18 (guide §4.2): build the nullable Int64 column from the numpy
+    # values + mask directly — the previous per-row
+    # [int(v) if v >= 0 else None ...] comprehension boxed every event
+    # through Python objects, summing to an O(|events|) pure-Python pass
+    # across the thousands of per-user calls. Row-identical (same values,
+    # same nulls at idx < 0).
+    out["last_order_day"] = pd.arrays.IntegerArray(
+        order_days[np.maximum(idx, 0)].astype("int64"), mask=(idx < 0)
     )
     return out
 

@@ -321,14 +321,17 @@ def lsh_buckets_np():
         m = np.vstack(emb.to_numpy())
         bits = (m @ planes > 0).reshape(len(m), LSH_TABLES, LSH_PLANES_PER_TABLE)
         buckets = (bits * pow2).sum(axis=2)
-        return pd.Series(
-            [[(t, int(row[t])) for t in range(LSH_TABLES)] for row in buckets]
-        )
+        # r18 (guide §4.2): return the per-table bucket ids as a plain
+        # int64 array (index IS the table id; consumers posexplode) —
+        # the previous array<struct<tbl,bucket>> form boxed
+        # N x LSH_TABLES Python tuples per batch, an O(rows x 16)
+        # object-churn pass that dwarfed the matmul itself
+        return pd.Series(list(buckets))
 
     # set real class annotations: `from __future__ import annotations`
     # stringifies inline hints, which pandas_udf's inspection rejects
     _buckets.__annotations__ = {"emb": pd.Series, "return": pd.Series}
-    return F.pandas_udf(_buckets, "array<struct<tbl:int,bucket:long>>")
+    return F.pandas_udf(_buckets, "array<long>")
 
 
 def lsh_table_buckets(emb: Column) -> Column:
@@ -386,11 +389,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     b = _persist_scoped(
         "annlsh_bands",
-        e.select("vec_id", F.explode(lsh_buckets_np()(F.col("embedding"))).alias("tb"))
-        .select(
+        e.select(
             "vec_id",
-            F.col("tb.tbl").alias("tbl"),
-            F.col("tb.bucket").alias("bucket"),
+            F.posexplode(lsh_buckets_np()(F.col("embedding"))).alias(
+                "tbl", "bucket"
+            ),
         ),
     )
     lhs, rhs = b.alias("l"), b.alias("r")

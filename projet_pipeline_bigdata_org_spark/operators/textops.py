@@ -1145,8 +1145,16 @@ def text_gopher_repetition_exploded(spark: SparkSession, sf_dir: str) -> DataFra
 
     occ2 = _persist_scoped("goprep_occ2", gram_occ(2))
     occ = occ2.unionByName(gram_occ(3)).unionByName(gram_occ(4))
-    counts = occ.groupBy("doc_id", "n", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # r18: pin the (doc, n, gram) count table — it feeds BOTH the per-n
+    # top-gram aggregate AND the duplicated-2-gram slice, and no
+    # ReusedExchange fires across the two references (verified in the
+    # before plan), so unpinned the whole 3-way explode + hash aggregate
+    # ran twice per query (guide §7.2). big=True: distinct grams per doc
+    # are corpus-sized — DISK_ONLY at scale.
+    counts = _persist_scoped(
+        "goprep_counts",
+        occ.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("cnt")),
+        big=True,
     )
     # top repeated gram per (doc, n): highest count, ties to the
     # lexicographically smallest gram — (-cnt, gram) struct min_by is

@@ -761,10 +761,15 @@ def test_lsh_numpy_and_jvm_bucketing_agree(spark, sf_dir):
             "vec_id", F.explode(lsh_table_buckets(F.col("embedding"))).alias("tb")
         ).collect()
     }
+    # the np kernel returns the bucket array indexed by table (r18);
+    # posexplode's position IS the table id the JVM struct form carries
     np_ = {
-        (r.vec_id, r.tb.tbl, r.tb.bucket)
+        (r.vec_id, r.tbl, r.bucket)
         for r in e.select(
-            "vec_id", F.explode(lsh_buckets_np()(F.col("embedding"))).alias("tb")
+            "vec_id",
+            F.posexplode(lsh_buckets_np()(F.col("embedding"))).alias(
+                "tbl", "bucket"
+            ),
         ).collect()
     }
     assert jvm == np_
