@@ -41,6 +41,16 @@ def hash_coin(key: Column | str) -> Column:
     return (hi * 65536 + d0 * _K_LO) % PRIME32
 
 
+def hash_coin_int(key: int) -> int:
+    """The identical coin on plain Python integers (exact, unbounded
+    arithmetic) — for kernels that precompute coin-derived constants
+    process-side (e.g. the JL sign matrix) instead of evaluating the
+    expression per row."""
+    d0 = (key % PRIME32 + PRIME32) % PRIME32
+    hi = (d0 * _K_HI) % PRIME32
+    return (hi * 65536 + d0 * _K_LO) % PRIME32
+
+
 def sql_hash_coin(key: str) -> str:
     """The identical coin as DuckDB SQL (same limb decomposition and the
     same sign canonicalization). Fully parenthesized so the fragment

@@ -3581,6 +3581,45 @@ def _jl_sign_sql(i: str, j: str) -> str:
     )
 
 
+def _jl_sums_np():
+    """Vectorized JL signed sums: one (batch × dim) @ (dim × JL_K) int64
+    matmul per Arrow batch (guide §4.2 — the lsh_buckets_np pattern).
+
+    The previous pure-JVM form evaluated JL_K aggregate folds per row —
+    higher-order lambdas run INTERPRETED (no whole-stage codegen), so
+    every row paid dim × JL_K interpreted (coin + round + when) steps.
+    Here the ±1 sign matrix is built ONCE per process from the same
+    integer coin in exact Python arithmetic, and each batch is one BLAS
+    matmul. Bit-exact by construction: inputs are the JVM-quantized
+    BIGINT millionths (quantization stays in Spark so ROUND semantics
+    cannot drift), int64 sums of int64 products are exact and
+    order-independent. Ragged rows (non-EMBEDDING_DIM vectors) fall back
+    to per-row dots — same arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    from projet_pipeline_bigdata_org_spark.functions import hashing as H
+
+    sign = np.empty((EMBEDDING_DIM, JL_K), dtype=np.int64)
+    for i in range(EMBEDDING_DIM):
+        for j in range(JL_K):
+            sign[i, j] = 1 if H.hash_coin_int(i * JL_K + j) % 2 == 0 else -1
+
+    def _sums(q):
+        rows = q.to_numpy()
+        try:
+            m = np.vstack(rows).astype(np.int64, copy=False)
+            out = m @ sign[: m.shape[1]]
+        except ValueError:  # ragged batch: per-row exact dots
+            out = [
+                np.asarray(r, dtype=np.int64) @ sign[: len(r)] for r in rows
+            ]
+        return pd.Series(list(out))
+
+    _sums.__annotations__ = {"q": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_sums, "array<long>")
+
+
 @query(
     "embed_jl_project",
     oracle=f"""
@@ -3614,31 +3653,23 @@ def embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-independent), and the one double op is the final division by
     4·PW_XS (JL_K = 16 is a perfect square, so 1/sqrt(k) is exact).
 
-    Scale shape: SHUFFLE-FREE — quantize, the k signed sums (a
-    higher-order aggregate over the array, no explode of the corpus),
-    and the k-way posexplode are one codegen'd projection per row
-    (plan-pinned); output is n×k rows feeding the index builder.
+    Scale shape: SHUFFLE-FREE (plan-pinned) — the JVM quantizes each
+    coordinate once, the k signed sums run as ONE int64 matmul per
+    Arrow batch (_jl_sums_np), and the k-way posexplode stays a
+    projection; output is n×k rows feeding the index builder.
     At 100 TB this pass is scan-bound, exactly as it should be."""
     e = load(spark, sf_dir, "embeddings")
-    from projet_pipeline_bigdata_org_spark.functions.hashing import hash_coin
-
-    def proj_j(j: int):
-        return F.aggregate(
-            F.sequence(F.lit(0), F.size("embedding") - 1),
-            F.lit(0).cast("long"),
-            lambda acc, i: acc
-            + F.when(hash_coin(i * JL_K + F.lit(j)) % 2 == 0, F.lit(1))
-            .otherwise(F.lit(-1))
-            * F.round(
-                F.element_at("embedding", (i + 1).cast("int")).cast("double")
-                * PW_XS,
-                0,
-            ).cast("long"),
-        )
-
-    arr = F.array(*[proj_j(j) for j in range(JL_K)])
+    # r18 (§4.2, see _jl_sums_np): quantize ONCE per coordinate in the
+    # JVM (the bit-exactness contract — Spark ROUND semantics), then one
+    # int64 matmul per Arrow batch replaces JL_K interpreted aggregate
+    # folds per row (each of which re-quantized every coordinate: the
+    # old form paid dim x JL_K interpreted coin+round+when steps/row)
+    q = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * PW_XS, 0).cast("long"),
+    )
     return e.select(
-        "vec_id", F.posexplode(arr).alias("out_dim", "proj_scaled")
+        "vec_id", F.posexplode(_jl_sums_np()(q)).alias("out_dim", "proj_scaled")
     ).select(
         "vec_id",
         F.col("out_dim").cast("long").alias("out_dim"),
