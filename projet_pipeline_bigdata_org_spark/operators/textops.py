@@ -2824,8 +2824,10 @@ def _uni_viterbi(words: DataFrame, cost: DataFrame) -> DataFrame:
     the accumulator array holds pack(0..j-1) and each step appends
     MIN over that position's candidates. Same candidate set, same pure
     BIGINT arithmetic, same MIN per cell, so bit-identical to the
-    unrolled form (fin1/fin2 verified exceptAll-empty both ways at
-    sf0.01 and sf0.1); an unreachable cell is a NULL element that
+    unrolled form (pass-1 fin verified exceptAll-empty both ways
+    against the old form at sf0.01 and sf0.1; both passes re-MATCH the
+    DuckDB oracle, which replays the unrolled DP level by level); an
+    unreachable cell is a NULL element that
     array_min skips and NULL arithmetic propagates, exactly as the
     missing row propagated through the unrolled joins. The SQL twin
     keeps the static per-level CTE unroll (DuckDB has no fold over
