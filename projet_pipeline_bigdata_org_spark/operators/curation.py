@@ -430,6 +430,12 @@ def curate_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # r18 examined, kept as-is: the exploded bigram stream IS referenced
+    # twice (count dictionary + per-document rollup), but same-session
+    # A/B measured the original recompute form FASTEST (1.84s) vs a
+    # DISK_ONLY pin (2.48s — serializing the corpus-sized stream costs
+    # more than re-tokenizing) and vs spread-without-pin (2.23s — the
+    # plan is aggregate-bound, the curate_perplexity_filter lesson).
     b = d.select(
         "doc_id",
         "source",

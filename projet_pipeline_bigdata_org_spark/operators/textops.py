@@ -1273,9 +1273,22 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     KB-MB against a 100 TB corpus) — Spark broadcasts it under AQE, so the
     corpus side streams through map-side with one final groupBy(doc_id)
     shuffle; nothing all-pairs, no driver participation."""
+    from projet_pipeline_bigdata_org_spark.catalog import spread_input
+    from projet_pipeline_bigdata_org_spark.operators.dedup import _persist_scoped
+
     d = load(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id", F.array_distinct(shingles(ws_tokens("text"))).alias("sh")
+    # r18: pin the shingle table — it feeds the benchmark dictionary,
+    # the hits explode AND the size projection, so unpinned the
+    # shingle+distinct build ran 3x per query (§7.2 — the same fix
+    # lex_decontaminate_attrib got in r17); spread the single-split scan
+    # so the one build runs wide. big=True: per-doc shingle arrays are
+    # corpus-sized — DISK_ONLY at scale.
+    t = _persist_scoped(
+        "decontam_t",
+        spread_input(d.select("doc_id", "text")).select(
+            "doc_id", F.array_distinct(shingles(ws_tokens("text"))).alias("sh")
+        ),
+        big=True,
     )
     is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == 0
     bench = (
